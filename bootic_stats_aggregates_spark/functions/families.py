@@ -1,0 +1,314 @@
+"""Scalar function families (SURVEY.md §2.7) — one composite query each.
+
+The reference's scalar surface is tiny (referrer/path normalization, time
+bucketing, counter arithmetic, Go zero-value defaults — SURVEY.md §2.7,
+reconstructed). Each query below exercises one family end-to-end through
+whole-stage codegen; none of them leave the JVM.
+
+Oracle-alignment traps handled here (probed against DuckDB 1.0 this session):
+- DuckDB ``dayofweek`` is 0=Sunday vs Spark 1=Sunday -> oracle adds +1;
+- DuckDB ``CAST(double AS INT)`` *rounds*, Spark truncates -> floor() first;
+- DuckDB integer sums widen to HUGEINT (pandas float) -> CAST AS BIGINT;
+- libm differences (log/pow) are sub-ulp -> round(…, 6) on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT
+      doc_id,
+      lower(lang) AS lang_l,
+      upper(source) AS source_u,
+      substring(text, 1, 20) AS prefix20,
+      CAST(length(text) AS BIGINT) AS n_len,
+      CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) AS src_num,
+      concat_ws('|', lang, source) AS lang_src,
+      lpad(lang, 5, '_') AS lang_pad,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      replace(lang, 'en', 'EN') AS lang_repl
+    FROM documents
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String normalization family (the referrer/UA-parsing analog)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lower("lang").alias("lang_l"),
+        F.upper("source").alias("source_u"),
+        F.substring("text", 1, 20).alias("prefix20"),
+        F.length("text").cast("long").alias("n_len"),
+        F.regexp_extract("source", r"src(\d+)", 1).cast("long").alias("src_num"),
+        F.concat_ws("|", "lang", "source").alias("lang_src"),
+        F.lpad("lang", 5, "_").alias("lang_pad"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.regexp_replace("lang", "en", "EN").alias("lang_repl"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(date_part('year', o_orderdate) AS BIGINT) AS y,
+      CAST(date_part('month', o_orderdate) AS BIGINT) AS m,
+      CAST(date_part('day', o_orderdate) AS BIGINT) AS d,
+      CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+      CAST(quarter(o_orderdate) AS BIGINT) AS q,
+      date_trunc('month', o_orderdate) AS month_start,
+      CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus30,
+      CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+      CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+           AS BIGINT) AS days_since_epoch95,
+      strftime(o_orderdate, '%Y:%m:%d') AS bucket_key
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time bucketing family — the reference's key-schema core
+    (``{y}:{m}:{d}`` Redis key parts, SURVEY.md §2.7 fn_date)."""
+    o = table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(od).cast("long").alias("y"),
+        F.month(od).cast("long").alias("m"),
+        F.dayofmonth(od).cast("long").alias("d"),
+        F.dayofweek(od).cast("long").alias("dow"),
+        F.quarter(od).cast("long").alias("q"),
+        F.date_trunc("month", od).alias("month_start"),
+        F.date_add(od.cast("date"), 30).cast("timestamp").alias("plus30"),
+        F.last_day(od.cast("date")).cast("timestamp").alias("month_end"),
+        F.datediff(od.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch95"),
+        F.date_format(od, "yyyy:MM:dd").alias("bucket_key"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      round(sqrt(l_quantity), 6) AS qty_sqrt,
+      CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+      CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+      round(abs(l_discount - 0.05), 6) AS disc_dev,
+      CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+      round(ln(l_quantity + 1), 6) AS qty_ln,
+      round(greatest(l_quantity, l_discount * 100), 6) AS g,
+      round(least(l_quantity, l_tax * 100), 6) AS l
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic family (counter/rate math in the reference)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.pmod("l_orderkey", F.lit(7)).cast("long").alias("key_mod"),
+        F.round(F.log(F.col("l_quantity") + 1), 6).alias("qty_ln"),
+        F.round(F.greatest("l_quantity", F.col("l_discount") * 100), 6).alias("g"),
+        F.round(F.least("l_quantity", F.col("l_tax") * 100), 6).alias("l"),
+    )
+
+
+@query(
+    "fn_cond",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CASE
+        WHEN o_totalprice > 150000 THEN 'large'
+        WHEN o_totalprice > 50000 THEN 'medium'
+        ELSE 'small'
+      END AS size_class,
+      nullif(o_orderstatus, 'P') AS status_or_null,
+      coalesce(nullif(o_orderstatus, 'P'), 'pending') AS status_filled,
+      o_orderstatus = 'F' AS is_final
+    FROM orders
+    """,
+)
+def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditionals family (Go zero-value defaulting analog)."""
+    o = table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(price > 150000, "large")
+        .when(price > 50000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("pending")
+        ).alias("status_filled"),
+        (F.col("o_orderstatus") == "F").alias("is_final"),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+    SELECT
+      event_id,
+      CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+      CAST(user_id AS VARCHAR) AS user_str,
+      CAST(user_id AS DOUBLE) AS user_dbl,
+      date_trunc('day', ts) AS day,
+      CAST(floor(value) AS BIGINT) AS value_int
+    FROM events
+    """,
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast family. double->int goes through floor(): DuckDB rounds plain
+    double->INT casts while Spark truncates — floor agrees everywhere."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_int"),
+        F.col("user_id").cast("string").alias("user_str"),
+        F.col("user_id").cast("double").alias("user_dbl"),
+        F.date_trunc("day", "ts").alias("day"),
+        F.floor("value").cast("long").alias("value_int"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+      list_contains(string_split(text, ' '), 'spark') AS has_spark,
+      CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+           AS BIGINT) AS total_chars,
+      list_min(string_split(text, ' ')) AS first_alpha,
+      array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',')
+        AS top3_alpha
+    FROM documents
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + higher-order function family over tokenized text.
+
+    transform/aggregate run as codegen'd lambda expressions JVM-side — the
+    10-100x-cheaper alternative to a Python UDF for per-token math.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        .cast("long")
+        .alias("total_chars"),
+        F.array_min(toks).alias("first_alpha"),
+        F.concat_ws(",", F.slice(F.sort_array(F.array_distinct(toks)), 1, 3)).alias(
+            "top3_alpha"
+        ),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT
+      event_id,
+      CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+      CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+      array_to_string(json_keys(props), ',') AS key_list
+    FROM events
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family over the parsed JSON payload (MapType<string,long>)."""
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,long>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+        F.concat_ws(",", F.sort_array(F.map_keys(m))).alias("key_list"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT
+      event_type,
+      round(CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)
+            / count(*), 4) AS avg_k,
+      CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+           AS BIGINT) AS n_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: schema-on-read extraction feeding an aggregate.
+
+    avg is computed as exact-int-sum / count on both sides (DuckDB's avg()
+    may use a different accumulation — this form is engine-stable).
+    """
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.round(F.sum(k).cast("double") / F.count(F.lit(1)), 4).alias("avg_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.countDistinct(k).cast("long").alias("n_k"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT
+      doc_id,
+      md5(text) AS text_md5,
+      sha256(text) AS text_sha256,
+      CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS dup_count
+    FROM documents
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash family (dedup keys). md5/sha256 are cross-engine-stable hex;
+    xxhash64 (used in the LSH path) is Spark-only -> kept out of oracles."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text"))
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.count(F.lit(1)).over(w).cast("long").alias("dup_count"),
+    )

@@ -1,0 +1,66 @@
+"""Table loading for the driver-generated parquet fixtures (TESTDATA.md).
+
+All reads go through :func:`table` so the whole engine benefits from the
+vectorized parquet reader, predicate pushdown and column pruning (Catalyst
+does both as long as we never materialize early — so no ``.cache()`` here).
+
+100 TB notes: at cluster scale these would be partitioned tables
+(``events`` partitioned by ``date(ts)``, facts bucketed by join key —
+SURVEY.md §7.3); the loader keeps a single seam where that layout knowledge
+would live.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .session import tune
+
+#: All driver-provided tables (FIXTURES.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+#: Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long via
+#: ``nanosAsLong``; we floor-divide to micros, which is exactly what DuckDB's
+#: TIMESTAMP_NS->TIMESTAMP conversion does (verified empirically).
+_NANOS_COLS = {"events": ("ts",)}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table (lazy — a Catalyst relation, not data)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    tune(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_COLS.get(name, ()):
+        if isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All tables as a dict — convenience for multi-table queries."""
+    return {t: table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` twins work."""
+    for t in TABLES:
+        table(spark, sf_dir, t).createOrReplaceTempView(t)

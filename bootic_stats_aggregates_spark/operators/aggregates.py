@@ -1,0 +1,243 @@
+"""Aggregations (SURVEY.md §2.3) — the reference's core capability.
+
+The reference maintains time-bucketed counters in Redis hashes via per-event
+``HINCRBY`` at every granularity (hour/day/month/year key fan-out) plus
+unique-visitor sets (SURVEY.md §2.3 ``[REF⟂ tracker.go, keys.go]`` —
+reconstructed; /root/reference empty, SURVEY.md §0). Spark-first, those are:
+
+- hash aggregate with partial (map-side) combine — ``agg_count_by_bucket``;
+- single-pass multi-granularity grouping sets — ``agg_multi_rollup``
+  (the key fan-out loop, without touching each row 4 times);
+- exact and HLL distinct — ``agg_distinct_users`` / ``agg_approx_distinct``
+  (Redis SADD/SCARD vs PFADD);
+- dashboard-shaped pivot — ``agg_pivot``.
+
+Scale: all aggregates here are mergeable (sum/count/min/max/HLL), so the same
+plan distributes over any number of partial aggregates; decimal intermediates
+make money sums order-independent (helpers.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..helpers import (
+    CHARGE_DEC_SQL,
+    REV_DEC_SQL,
+    charge_dec,
+    davg,
+    dsum,
+    dsum_raw,
+    lcount,
+    oracle_avg,
+    oracle_dsum,
+    oracle_dsum_raw,
+    revenue_dec,
+)
+from ..io import table
+from ..registry import query
+
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+@query(
+    "agg_count_by_bucket",
+    oracle=f"""
+    SELECT
+      event_type,
+      date_trunc('hour', ts) AS bucket_hour,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users,
+      {oracle_dsum('value', 'total_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def agg_count_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: per-(event_type, hour) counters — the reference's hot path.
+
+    One scan -> partial hash agg -> shuffle on (type, hour) -> final agg.
+    countDistinct expands to a two-phase exact distinct; value sum is an
+    exact decimal sum (order-independent at any parallelism).
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket_hour")
+        )
+        .agg(
+            lcount("n_events"),
+            F.countDistinct("user_id").cast("long").alias("uniq_users"),
+            dsum("value", "total_value"),
+        )
+    )
+
+
+@query(
+    "agg_multi_rollup",
+    oracle="""
+    SELECT
+      CAST(date_part('year', ts) AS BIGINT) AS y,
+      CAST(date_part('month', ts) AS BIGINT) AS m,
+      CAST(date_part('day', ts) AS BIGINT) AS d,
+      CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY ROLLUP (1, 2, 3)
+    """,
+)
+def agg_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All granularities in ONE pass (reference fans out 4 keys per event).
+
+    ``rollup`` = grouping sets (y,m,d), (y,m), (y), () — the planner expands
+    rows once; with 100 TB input this is one shuffle, not four.
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.rollup(
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+    ).agg(lcount("n_events"))
+
+
+@query(
+    "agg_sum_avg_minmax",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {oracle_dsum('l_quantity', 'sum_qty')},
+      {oracle_dsum('l_extendedprice', 'sum_base_price')},
+      {oracle_dsum_raw(REV_DEC_SQL, 'sum_disc_price')},
+      {oracle_dsum_raw(CHARGE_DEC_SQL, 'sum_charge')},
+      {oracle_avg('l_quantity', 'avg_qty')},
+      {oracle_avg('l_extendedprice', 'avg_price')},
+      CAST(round(min(l_extendedprice), 2) AS DOUBLE) AS min_price,
+      CAST(round(max(l_extendedprice), 2) AS DOUBLE) AS max_price,
+      CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_sum_avg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q1-style pricing summary (BASELINE.md headline query).
+
+    Per-row double products are computed with identical association on both
+    sides (bit-exact), then cast to decimal so the *sums* are exact and
+    order-independent.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum_raw(revenue_dec(), "sum_disc_price"),
+            dsum_raw(charge_dec(), "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            F.round(F.min("l_extendedprice"), 2).cast("double").alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).cast("double").alias("max_price"),
+            lcount("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct_users",
+    oracle="""
+    SELECT
+      event_type,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users,
+      CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact uniques per type (Redis SADD+SCARD semantics)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("uniq_users"),
+        lcount("n_events"),
+    )
+
+
+@query("agg_approx_distinct")  # approximate -> rows-only check (FIXTURES rule 3)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL uniques (Redis PFADD semantics): mergeable, streaming-safe.
+
+    This — not exact distinct — is the 100 TB path: the sketch is O(kB) per
+    group and merges associatively across any partial-aggregation tree.
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).cast("long").alias("approx_users"),
+        lcount("n_events"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) > 70
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(lcount("n_events"))
+        .filter(F.col("n_events") > 70)
+    )
+
+
+@query(
+    "agg_distinct_rows",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (group-by-all-columns under the hood)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT
+      date_trunc('day', ts) AS day,
+      CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+      CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+      CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+      CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+      CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts pivoted type->columns (the dashboard-shaped read).
+
+    Pivot values are pinned (no extra distinct-values job — at scale an
+    unpinned pivot is a full extra scan).
+    """
+    ev = table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+    return out.select(
+        "day", *[F.col(t).cast("long").alias(t) for t in EVENT_TYPES]
+    )

@@ -1,0 +1,337 @@
+"""Joins (SURVEY.md §2.4).
+
+The reference has NO joins (single denormalized event stream); this is the
+capability a real engine adds. Physical-strategy intent, per query:
+
+- dims (region/nation/supplier/part/customer-at-test-SF) -> ``broadcast()``
+  hint so the planner picks BroadcastHashJoin (no shuffle of the fact side);
+- fact⋈fact -> shuffle join on the key, AQE free to pick SMJ/SHJ and to
+  split skewed partitions;
+- theta/range joins keep the small side broadcast so the nested-loop join
+  never materializes a cross product of two large inputs;
+- as-of join: Spark has no native operator — implemented as the
+  union + last(ignorenulls) window trick, which is a single shuffle on
+  (user_id) + one sort, NOT a join at all (scales linearly; the naive
+  join+row_number approach shuffles the pair blow-up).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..helpers import (
+    REV_DEC_SQL,
+    dsum,
+    dsum_raw,
+    lcount,
+    oracle_dsum,
+    oracle_dsum_raw,
+    revenue_dec,
+)
+from ..io import table
+from ..registry import query
+
+
+@query(
+    "join_broadcast",
+    oracle=f"""
+    SELECT
+      p_brand,
+      CAST(count(*) AS BIGINT) AS n_items,
+      {oracle_dsum('l_extendedprice', 'revenue')}
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast(dim): lineitem x part, revenue per brand.
+
+    The dim side ships to every executor once; the 100 TB fact side is
+    never shuffled. tests/test_plans.py asserts BroadcastHashJoin.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(lcount("n_items"), dsum("l_extendedprice", "revenue"))
+    )
+
+
+@query(
+    "join_shuffle",
+    oracle=f"""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      CAST(count(*) AS BIGINT) AS n_items,
+      {oracle_dsum_raw(REV_DEC_SQL, 'revenue')}
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ fact: both sides shuffle on the join key; AQE picks the
+    algorithm (and demotes to broadcast at toy scale — that's correct too)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(lcount("n_items"), dsum_raw(revenue_dec(), "revenue"))
+    )
+
+
+@query(
+    "join_multiway",
+    oracle=f"""
+    SELECT
+      r_name,
+      n_name,
+      CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+      {oracle_dsum_raw(REV_DEC_SQL, 'revenue')}
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join: revenue per region/nation.
+
+    Catalyst chains the broadcast dims onto the fact pipeline in one stage;
+    only orders⋈lineitem induces a shuffle.
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            dsum_raw(revenue_dec(), "revenue"),
+        )
+    )
+
+
+@query(
+    "q3_topk_join",
+    oracle=f"""
+    SELECT
+      l_orderkey,
+      {oracle_dsum_raw(REV_DEC_SQL, 'revenue')},
+      date_trunc('day', o_orderdate) AS order_day
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, order_day
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q3-style: join + group + top-10 (BASELINE.md headline query).
+
+    TakeOrderedAndProject gives the top-10 without a full global sort.
+    """
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", F.date_trunc("day", "o_orderdate").alias("order_day"))
+        .agg(dsum_raw(revenue_dec(), "revenue"))
+        .select("l_orderkey", "revenue", "order_day")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "join_left_right_outer",
+    oracle="""
+    SELECT
+      c_custkey,
+      c_mktsegment,
+      CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+      count(o_orderkey) > 0 AS has_orders
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def join_left_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer join with null-padding: every customer, zero-order ones kept."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").cast("long").alias("n_orders"),
+            (F.count("o_orderkey") > 0).alias("has_orders"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left-semi join: probe side streamed, no row duplication."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey
+    )
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left-anti join (customers that never ordered)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+#: Price bands for the range join — a tiny in-memory dim, always broadcast.
+PRICE_BANDS = [
+    ("p00_cheap", 0.0, 1_000.0),
+    ("p01_mid", 1_000.0, 10_000.0),
+    ("p02_high", 10_000.0, 50_000.0),
+    ("p03_lux", 50_000.0, 1e12),
+]
+
+
+@query(
+    "join_theta_range",
+    oracle=f"""
+    SELECT
+      b.band,
+      CAST(count(*) AS BIGINT) AS n_items,
+      {oracle_dsum('l_extendedprice', 'revenue')}
+    FROM lineitem
+    JOIN (VALUES
+      ('p00_cheap', 0.0, 1000.0),
+      ('p01_mid', 1000.0, 10000.0),
+      ('p02_high', 10000.0, 50000.0),
+      ('p03_lux', 50000.0, 1e12)
+    ) AS b(band, lo, hi)
+      ON l_extendedprice >= b.lo AND l_extendedprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range-band) join: BroadcastNestedLoopJoin with a 4-row dim.
+
+    At 100 TB the fact side streams through; the only safe theta join is one
+    with a broadcastable side — never two large inputs.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    price = F.col("l_extendedprice")
+    return (
+        li.join(F.broadcast(bands), (price >= F.col("lo")) & (price < F.col("hi")))
+        .groupBy("band")
+        .agg(lcount("n_items"), dsum("l_extendedprice", "revenue"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT
+      c.event_id AS click_id,
+      c.user_id,
+      date_trunc('second', c.ts) AS click_sec,
+      date_trunc('second', v.ts) AS asof_view_sec
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each click, the user's most recent view at-or-before.
+
+    No native Spark as-of: union both sides, sort within user by
+    (ts, kind, event_id) — views sort before clicks at equal ts to match the
+    oracle's ``<=`` — and carry the last non-null view ts forward. One
+    shuffle + one sort, linear in input (no pair blow-up). Oracle: DuckDB's
+    native ASOF JOIN.
+    """
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind"), F.col("ts").alias("view_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = views.unionByName(clicks).withColumn(
+        "asof_view_ts", F.last("view_ts", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("kind") == 1).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.date_trunc("second", "ts").alias("click_sec"),
+        F.date_trunc("second", "asof_view_ts").alias("asof_view_sec"),
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT a.r_name AS r1, b.r_name AS r2
+    FROM region a CROSS JOIN region b
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (tiny x tiny only — building block for §2.9)."""
+    a = table(spark, sf_dir, "region").select(F.col("r_name").alias("r1"))
+    b = table(spark, sf_dir, "region").select(F.col("r_name").alias("r2"))
+    return a.crossJoin(b)

@@ -1,0 +1,64 @@
+"""Sources (SURVEY.md §2.1): parquet scan + JSON payload decode.
+
+The reference ingests a ZMQ stream of JSON events and decodes each payload
+with ``encoding/json`` (SURVEY.md §2.1 ``[REF⟂ main.go]`` — reconstructed;
+/root/reference was empty, SURVEY.md §0). Here the batch twin is a columnar
+parquet scan; JSON payload decoding is ``get_json_object``/``from_json`` —
+JVM-side expressions that stay inside whole-stage codegen (no Python).
+
+Scale: the scan is the single most important operator at 100 TB — it must
+push filters + prune columns. ``src_parquet_scan`` deliberately projects two
+columns of a wide table so `.explain` shows ReadSchema with only those
+columns; tests/test_plans.py asserts it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import query
+
+
+@query(
+    "src_parquet_scan",
+    oracle="""
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(min(l_orderkey) AS BIGINT) AS min_key,
+      CAST(max(l_orderkey) AS BIGINT) AS max_key,
+      CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem
+    """,
+)
+def src_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch scan: only l_orderkey/l_partkey are read (column pruning)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("l_orderkey").cast("long").alias("min_key"),
+        F.max("l_orderkey").cast("long").alias("max_key"),
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+    )
+
+
+@query(
+    "src_json_decode",
+    oracle="""
+    SELECT
+      CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+      CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def src_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the dynamic JSON payload (reference: per-event json.Unmarshal).
+
+    ``get_json_object`` runs JVM-side per row — schema-on-read like the
+    reference, but vectorized and codegen'd.
+    """
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long").alias("k")
+    return ev.select(k).groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n"))

@@ -1,0 +1,232 @@
+"""Window functions & rankings (SURVEY.md §2.5).
+
+The reference's rankings are Redis sorted sets (``ZINCRBY`` + ``ZREVRANGE``,
+SURVEY.md §2.5 ``[REF⟂ tracker.go]`` — reconstructed). Spark-first:
+
+- global top-k -> ``orderBy().limit(k)`` => TakeOrderedAndProject (each
+  partition keeps k rows; no global sort — this is the ZREVRANGE analog);
+- per-group top-k -> ``row_number() <= k``; Spark >= 3.5 inserts a
+  WindowGroupLimit below the shuffle so each map task pre-prunes to k per
+  group (verified on 4.1.2 in tests/test_plans.py) — without it a hot group
+  would sort all its rows;
+- every window ORDER BY carries a key tie-break (FIXTURES.md rule 2) — this
+  is a correctness requirement for the oracle AND for rerun-stability at
+  scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..helpers import dsum, lcount, money, oracle_dsum
+from ..io import table
+from ..registry import query
+
+
+@query(
+    "rank_topk_global",
+    oracle=f"""
+    SELECT
+      user_id,
+      {oracle_dsum('value', 'total_value')},
+      CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 10
+    """,
+)
+def rank_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 users by total value (ZREVRANGE semantics)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(dsum("value", "total_value"), lcount("n_events"))
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(10)
+    )
+
+
+@query(
+    "rank_topk_per_group",
+    oracle="""
+    SELECT event_type, user_id, n_events, rk
+    FROM (
+      SELECT
+        event_type,
+        user_id,
+        CAST(count(*) AS BIGINT) AS n_events,
+        CAST(row_number() OVER (
+          PARTITION BY event_type
+          ORDER BY count(*) DESC, user_id
+        ) AS BIGINT) AS rk
+      FROM events
+      GROUP BY event_type, user_id
+    )
+    WHERE rk <= 5
+    """,
+)
+def rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 users per event type (per-bucket sorted sets; BASELINE.md q4).
+
+    Aggregate first (shrinks input to |groups|), then window. The rank's
+    ORDER BY ends in user_id: deterministic under ties.
+    """
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(lcount("n_events"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"), "user_id")
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@query(
+    "rank_rank_dense",
+    oracle="""
+    SELECT
+      p_brand,
+      p_partkey,
+      p_retailprice,
+      CAST(rank() OVER w AS BIGINT) AS rnk,
+      CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      round(percent_rank() OVER w, 6) AS prk
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+    """,
+)
+def rank_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / percent_rank in one window pass."""
+    p = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prk"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT
+      event_id,
+      user_id,
+      lag(event_id) OVER w AS prev_event_id,
+      lead(event_id) OVER w AS next_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Previous/next event per user (inter-event navigation)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+@query(
+    "win_running_total",
+    oracle="""
+    SELECT
+      event_id,
+      user_id,
+      CAST(round(sum(CAST(value AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE)
+        AS run_total
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user value; decimal accumulation => prefix sums are
+    exact, so every row matches the oracle regardless of evaluation order."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(money("value")).over(w), 2).cast("double").alias("run_total"),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle="""
+    SELECT
+      event_id,
+      user_id,
+      round(
+        CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+          / count(*) OVER w,
+        4
+      ) AS mov_avg
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row sliding average per user (exact decimal numerator / count)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(money("value")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            4,
+        ).alias("mov_avg"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT
+      event_id,
+      user_id,
+      first_value(event_id) OVER w AS first_eid,
+      last_value(event_id) OVER w AS last_eid
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event id per user over the whole partition (explicit full
+    frame — the default RANGE..CURRENT ROW frame would break last_value)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_id").over(w).alias("first_eid"),
+        F.last("event_id").over(w).alias("last_eid"),
+    )

@@ -1,0 +1,76 @@
+"""Operator registry: one decorator wires a query builder + its DuckDB oracle.
+
+Every operator from SURVEY.md §2 registers itself here under its stable ID.
+The driver contract (``__spark_entry__.py``) is then a trivial projection of
+this registry:
+
+- ``queries()``  -> {id: builder(spark, sf_dir) -> DataFrame}
+- ``oracle_sql()`` -> {id: ANSI SQL for DuckDB}  (omitted for ops marked
+  oracle-free: streaming sinks, approximate sketches, xxhash64-based ops)
+
+Determinism rules enforced by convention in every registered pair
+(FIXTURES.md "oracle-determinism rules"):
+
+1. every computed column aliased identically on both sides;
+2. every top-k / window ORDER BY carries a key column as total-order
+   tie-break;
+3. floating aggregates go through DECIMAL(18,2) intermediates and are
+   ``round(...)``-ed then cast to DOUBLE on both sides;
+4. timestamps in output are date_trunc'ed (never raw ns);
+5. integer outputs are cast to BIGINT on both sides (DuckDB HUGEINT sums and
+   INT/BIGINT width mismatches otherwise leak into the hash).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` as the builder for operator ``qid``.
+
+    ``oracle`` is the DuckDB-runnable ANSI SQL twin; pass ``None`` for
+    operators that get the driver's weaker rows-only check (SURVEY.md §2
+    Oracle column = ✖).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if qid in _QUERIES:
+            raise ValueError(f"duplicate query id {qid!r}")
+        _QUERIES[qid] = fn
+        if oracle is not None:
+            _ORACLES[qid] = oracle
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return dict(_ORACLES)
+
+
+_loaded = False
+
+
+def _ensure_loaded() -> None:
+    """Import every operator module exactly once to populate the registry."""
+    global _loaded
+    if _loaded:
+        return
+    from . import functions, llm, operators, sinks, streaming  # noqa: F401
+
+    _loaded = True

@@ -1,0 +1,81 @@
+"""SparkSession construction and per-session tuning.
+
+The driver harness passes its own ``SparkSession`` into ``entry()`` /
+``queries()`` callables, so nothing here may rely on session-creation-time
+config: everything correctness-critical (UTC timezone) or
+performance-critical (AQE, shuffle partitions) is applied at *runtime* via
+:func:`tune`, which every query builder calls (idempotent, cheap).
+
+Scale notes (SURVEY.md §7.3): the same settings are what we would ship on a
+1000-executor cluster — AQE on (runtime coalescing + skew-join splitting),
+modest shuffle partitioning for the local harness via ``SPARK_GRAFT_SHUFFLE``
+(on a real cluster this would be ~2-3x total cores and AQE coalesces down).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to whatever session the driver hands us.
+_RUNTIME_CONF = {
+    # Correctness: oracle comparison assumes UTC bucketing (FIXTURES.md rule 4).
+    "spark.sql.session.timeZone": "UTC",
+    # Let AQE re-plan at shuffle boundaries (coalesce tiny partitions, demote
+    # to broadcast, split skewed partitions) — our 100 TB safety net.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Dimension tables (region/nation/supplier/part/customer at test SFs) are
+    # broadcast-sized; keep the planner eager about it.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for any pandas interchange (UDF fallbacks, toPandas in tests).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.ts is parquet TIMESTAMP(NANOS) which Spark refuses by default;
+    # read it as a raw long and convert in io.table() (floor ns->us, matching
+    # DuckDB's truncation — verified empirically this session).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def shuffle_partitions() -> int:
+    """Shuffle parallelism: env override, else 8 (BASELINE.md bench config).
+
+    At sf0.1-local the data is tiny; 8 post-shuffle partitions keeps task
+    scheduling overhead out of the 2x-of-baseline budget. AQE coalescing makes
+    the exact number non-critical; at cluster scale this would be sized to
+    cores and AQE still owns the final partition count.
+    """
+    return int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to a (possibly driver-owned) session. Idempotent."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be locked down
+            pass
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions()))
+    except Exception:  # pragma: no cover
+        pass
+    return spark
+
+
+def get_spark(app_name: str = "bootic-stats-aggregates-spark") -> SparkSession:
+    """Build (or reuse) a local session — used by tests and bench.py.
+
+    ``local[N]`` with N from ``SPARK_GRAFT_CPUS`` (default: all cores), single
+    JVM. Multi-executor behavior is exercised via partitioning, not processes.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions()))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
+    )
+    return tune(builder.getOrCreate())
