@@ -1,1 +1,8 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-data-pipeline operators (SURVEY.md §2.9, BASELINE.json north star).
+
+Dedup (exact / MinHash-LSH / SimHash / n-gram jaccard), similarity search
+over embeddings, text analysis (stats, tokenization, tf-idf, language id,
+quality scoring, fingerprinting), and multimodal binary-column plumbing.
+"""
+
+from . import dedup, multimodal, similarity, text  # noqa: F401

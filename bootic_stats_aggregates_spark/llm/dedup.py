@@ -1,0 +1,268 @@
+"""Deduplication operators (SURVEY.md §2.9): exact, MinHash-LSH, SimHash,
+n-gram jaccard.
+
+The 100 TB dedup cascade, cheapest first:
+
+1. ``llm_exact_dedup``  — hash-groupBy on the content hash: one shuffle.
+2. ``llm_fingerprint``  — order/multiplicity-insensitive md5 (text.py).
+3. ``llm_near_dedup``   — MinHash signatures + LSH banding: candidate pairs
+   come from a band-hash shuffle join (near-linear), NEVER an O(n²) cross
+   join; only candidates pay the exact-jaccard verification.
+4. ``llm_ngram_jaccard`` — the brute-force verify step on its own, kept
+   oracle-checked (DuckDB list fns) and used to validate the LSH recall in
+   tests at small SF.
+5. ``llm_simhash``      — 64-bit SimHash per doc as a single aggregate
+   expression (no explode, no extra shuffle).
+
+MinHash/SimHash use xxhash64 (not available in DuckDB) -> rows-only checks;
+the jaccard math itself is oracle-checked via llm_ngram_jaccard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..helpers import lcount
+from ..io import table
+from ..registry import query
+
+#: MinHash config: 32 hashes = 16 bands x 2 rows. P(candidate | jaccard j)
+#: = 1-(1-j^2)^16: j=0.5 -> 0.99, j=0.2 -> 0.48, j=0.05 -> 0.04 — high
+#: recall at the 0.5 decision threshold, cheap rejection below it.
+N_HASHES = 32
+BAND_ROWS = 2
+N_BANDS = N_HASHES // BAND_ROWS
+JACCARD_THRESHOLD = 0.5
+
+
+def _shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles via sequence+transform (pure codegen)."""
+    toks = F.split(text_col, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k) for k in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def _minhash_sig(shingles: Column) -> Column:
+    """Array of N_HASHES min-hashes: min over shingles of seeded xxhash64."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}:"), s))
+                )
+            )
+            for i in range(N_HASHES)
+        ]
+    )
+
+
+@query(
+    "llm_exact_dedup",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn = 1
+    """,
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, keep-lowest-doc_id.
+
+    Partitioning by sha2(text) rather than the raw text keeps shuffle keys
+    small and uniform (a 100 TB corpus shuffles 32-byte keys, not documents).
+    The oracle partitions by raw text — same equivalence classes.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@query("llm_near_dedup")  # xxhash64-based -> rows-only check
+def llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, jaccard-verified.
+
+    Dataflow: shingle -> 32 minhashes -> 16 band keys -> explode (16 rows
+    per doc) -> shuffle-join on (band_id, band_hash) for candidates ->
+    exact jaccard on the candidates only -> threshold.
+
+    Scale: the band join groups only colliding docs; with b*r tuned to the
+    threshold the candidate set is near-linear in true-duplicate count.
+    The final jaccard check joins shingle sets for candidate pairs only.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles().alias("sh")
+    )
+    sig = d.select("doc_id", "sh", _minhash_sig(F.col("sh")).alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * BAND_ROWS + 1, BAND_ROWS),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+    left = bands.alias("a")
+    right = bands.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+
+    sh = d
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a")), "doc_id_a")
+        .join(sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b")), "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified
+
+
+@query(
+    "llm_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+          i -> string_split(text,' ')[i] || ' ' ||
+               string_split(text,' ')[i+1] || ' ' ||
+               string_split(text,' ')[i+2]
+        )) AS s
+      FROM documents
+    )
+    SELECT
+      a.doc_id AS doc_id_a,
+      b.doc_id AS doc_id_b,
+      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(a.s || b.s)), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(a.s || b.s)) >= {JACCARD_THRESHOLD}
+    """,
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force 3-gram-shingle jaccard pairs (the LSH verify step alone).
+
+    Oracle-checked ground truth for llm_near_dedup; only run exhaustively at
+    small SF — at scale the LSH path replaces the cross join.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", _shingles().alias("s"))
+    a = d.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("s_a"))
+    b = d.select(F.col("doc_id").alias("doc_id_b"), F.col("s").alias("s_b"))
+    jac = (
+        F.size(F.array_intersect("s_a", "s_b")).cast("double")
+        / F.size(F.array_union("s_a", "s_b"))
+    )
+    return (
+        a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            "doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard")
+        )
+    )
+
+
+@query("llm_simhash")  # xxhash64-based -> rows-only check
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document, as ONE aggregate expression.
+
+    Bit-voting runs entirely inside codegen: fold the distinct tokens into a
+    64-slot vote array with aggregate+zip_with, then pack sign bits into a
+    long. No explode, no shuffle — per-row cost only, which is what lets it
+    run over a 100 TB corpus as a simple projection.
+    """
+    d = table(spark, sf_dir, "documents")
+    # SQL lambda form: the Python shiftright/shiftleft wrappers require a
+    # literal int shift, but SQL accepts a column-valued shift inside the
+    # higher-order lambdas.
+    simhash = F.expr(
+        """
+        aggregate(
+          zip_with(
+            aggregate(
+              array_distinct(split(text, ' ')),
+              array_repeat(0L, 64),
+              (acc, t) -> zip_with(
+                acc,
+                transform(sequence(0, 63),
+                          b -> IF((shiftright(xxhash64(t), b) & 1) = 1, 1L, -1L)),
+                (a, v) -> a + v
+              )
+            ),
+            sequence(0, 63),
+            (v, p) -> IF(v > 0, shiftleft(1L, p), 0L)
+          ),
+          0L, (acc, x) -> acc + x
+        )
+        """
+    )
+    return d.select(
+        "doc_id",
+        simhash.alias("simhash"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("n_uniq"),
+    )
+
+
+@query(
+    "llm_dedup_stats",
+    oracle="""
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+      CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_exact_dups
+    FROM documents
+    """,
+)
+def llm_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup summary (drives cascade planning)."""
+    d = table(spark, sf_dir, "documents")
+    return d.agg(
+        lcount("n_docs"),
+        F.countDistinct("text").cast("long").alias("n_distinct_texts"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).cast("long").alias("n_exact_dups"),
+    )

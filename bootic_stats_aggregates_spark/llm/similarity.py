@@ -1,0 +1,220 @@
+"""Similarity search over embeddings (SURVEY.md §2.9).
+
+Embeddings are ``array<float>`` (dim=64, FIXTURES.md). All cosine math is
+native column expressions — ``zip_with`` + ``aggregate`` fold in codegen,
+cast to double element-wise so both engines accumulate identically (the
+DuckDB ``list_cosine_similarity`` builtin drifts ~1e-7 from a double fold —
+measured this session — so oracles spell out the same double expression).
+
+Scale path: norms are precomputed per row BEFORE any join (never inside the
+pair loop), the query side is broadcast, and the brute-force pair scans are
+confined to broadcast-sized query sets. For corpus-x-corpus search the LSH
+banding pattern from dedup.py (band shuffle join) replaces the cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import query
+
+N_QUERIES = 10  # query set: vec_id < 10
+TOP_K = 5
+
+#: DuckDB fragments for the identical double-fold cosine.
+_NRM_SQL = (
+    "sqrt(list_sum(list_transform(embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_DOT_SQL = (
+    "list_sum(list_transform(list_zip(q.embedding, e.embedding),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+
+
+def _dbl(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _scored_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    emb = _dbl(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        "label",
+        emb.alias("emb"),
+        F.sqrt(_dot(emb, emb)).alias("nrm"),
+    )
+
+
+def _topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared top-k builder: per query vector, k nearest others by cosine."""
+    e = _scored_vectors(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm")), 6
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "vec_id", "label", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+@query(
+    "llm_cosine_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding, {_NRM_SQL} AS nrm FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    pairs AS (
+      SELECT
+        q.vec_id AS q_vec_id,
+        e.vec_id AS vec_id,
+        round({_DOT_SQL} / (q.nrm * e.nrm), 6) AS cos_sim
+      FROM q JOIN e ON e.vec_id <> q.vec_id
+    )
+    SELECT q_vec_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_vec_id ORDER BY cos_sim DESC, vec_id
+      ) AS rk
+      FROM pairs
+    )
+    WHERE rk <= {TOP_K}
+    """,
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast query set x corpus scan.
+
+    One pass over the corpus per batch of queries; ranking is over the
+    *rounded* cosine with vec_id tie-break so it is engine-stable.
+    """
+    return _topk_pairs(spark, sf_dir).select("q_vec_id", "vec_id", "cos_sim", "rk")
+
+
+@query(
+    "llm_knn_classify",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding, {_NRM_SQL} AS nrm FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    pairs AS (
+      SELECT
+        q.vec_id AS q_vec_id,
+        e.vec_id AS vec_id,
+        e.label AS label,
+        round({_DOT_SQL} / (q.nrm * e.nrm), 6) AS cos_sim
+      FROM q JOIN e ON e.vec_id <> q.vec_id
+    ),
+    topk AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_vec_id ORDER BY cos_sim DESC, vec_id
+        ) AS rk
+        FROM pairs
+      ) WHERE rk <= {TOP_K}
+    ),
+    votes AS (
+      SELECT q_vec_id, label, count(*) AS n_votes
+      FROM topk GROUP BY q_vec_id, label
+    )
+    SELECT
+      q_vec_id,
+      CAST(label AS BIGINT) AS pred_label,
+      CAST(n_votes AS BIGINT) AS n_votes
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_vec_id ORDER BY n_votes DESC, label
+      ) AS vrk
+      FROM votes
+    )
+    WHERE vrk = 1
+    """,
+)
+def llm_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-label classification on top of the top-k operator.
+
+    The majority vote is an explicit count + deterministic argmax
+    (count DESC, label ASC) — never ``mode()``, whose tie behavior is
+    engine-dependent.
+    """
+    topk = _topk_pairs(spark, sf_dir)
+    votes = topk.groupBy("q_vec_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("n_votes"), "label")
+    return (
+        votes.withColumn("vrk", F.row_number().over(w))
+        .filter(F.col("vrk") == 1)
+        .select(
+            "q_vec_id",
+            F.col("label").cast("long").alias("pred_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
+    )
+
+
+NEARDUP_COS = 0.4
+
+
+@query(
+    "llm_embed_neardup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {_NRM_SQL} AS nrm FROM embeddings
+    )
+    SELECT
+      q.vec_id AS vec_id_a,
+      e.vec_id AS vec_id_b,
+      round({_DOT_SQL} / (q.nrm * e.nrm), 6) AS cos_sim
+    FROM e q JOIN e ON q.vec_id < e.vec_id
+    WHERE round({_DOT_SQL} / (q.nrm * e.nrm), 6) >= {NEARDUP_COS}
+    """,
+)
+def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.4 on this corpus —
+    the synthetic embeddings are near-orthogonal, max pair ≈ 0.51).
+
+    Exhaustive pair scan is only for oracle-checkable small SF; at scale the
+    pair space is pruned first (random-hyperplane sign buckets — the
+    dedup.py LSH band-join pattern — so only same-bucket pairs are scored).
+    """
+    e = _scored_vectors(spark, sf_dir)
+    a = e.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
+    )
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= NEARDUP_COS)
+    )

@@ -1,0 +1,330 @@
+"""Text analysis for training-data pipelines (SURVEY.md §2.9).
+
+Everything here is pure JVM-side column expressions (split / explode /
+higher-order lambdas) — no Python UDFs in any hot path. At 100 TB these all
+reduce to scan -> project -> (optional explode) -> hash agg, i.e. they
+scale exactly like the engine's counters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..helpers import lcount
+from ..io import table
+from ..registry import query
+
+#: Stopword-ish filler tokens of the synthetic corpus (FIXTURES.md: vocab is
+#: engine-themed words). Fixed literal list => deterministic on both sides.
+STOPWORDS = ["a", "the", "of", "to", "and", "in", "is", "it"]
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def _toks(col: str = "text"):
+    return F.split(col, " ")
+
+
+@query(
+    "llm_text_stats",
+    oracle="""
+    SELECT
+      lang,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+      round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4)
+        AS avg_tokens,
+      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language (doc counts, length, token counts)."""
+    d = table(spark, sf_dir, "documents")
+    ntok = F.size(_toks())
+    return d.groupBy("lang").agg(
+        lcount("n_docs"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_chars"
+        ),
+        F.round(F.sum(ntok).cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_tokens"
+        ),
+        F.sum(ntok).cast("long").alias("total_tokens"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+
+
+@query(
+    "llm_lang_filter",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE lang IN ('en', 'es')
+      AND n_chars > 100
+      AND len(string_split(text, ' ')) >= 20
+    """,
+)
+def llm_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality/language filtering stage (keep en/es, minimum length)."""
+    d = table(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("lang").isin("en", "es")
+        & (F.col("n_chars") > 100)
+        & (F.size(_toks()) >= 20)
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "llm_tokenize_ngrams",
+    oracle=f"""
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    WHERE NOT list_contains({_STOP_SQL}, token)
+    GROUP BY token
+    """,
+)
+def llm_tokenize_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + stopword filter + corpus term counts."""
+    d = table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    kept = F.filter(_toks(), lambda t: ~F.array_contains(stop, t))
+    return (
+        d.select(F.explode(kept).alias("_tok"))
+        .groupBy(F.col("_tok").alias("token"))
+        .agg(lcount("n"))
+    )
+
+
+@query(
+    "llm_bigrams",
+    oracle="""
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(list_transform(
+        range(1, len(string_split(text, ' '))),
+        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+      )) AS bigram
+      FROM documents
+    )
+    GROUP BY bigram
+    """,
+)
+def llm_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram counts via a sequence->transform lambda (no Python, no ML lib).
+
+    ``transform(sequence(1, n-1), i -> tok[i] || ' ' || tok[i+1])`` runs in
+    codegen; explode + hash agg does the counting.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = _toks()
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(lcount("n"))
+    )
+
+
+@query(
+    "llm_tfidf_topterms",
+    oracle="""
+    WITH term_lang AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT lang, term, count(*) AS tf FROM term_lang GROUP BY lang, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT lang) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(DISTINCT lang) AS n_langs FROM documents),
+    scored AS (
+      SELECT
+        tf.lang, tf.term,
+        CAST(tf.tf AS BIGINT) AS tf,
+        round(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_langs AS DOUBLE) / df.df), 6)
+          AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT lang, term, tf, score, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY score DESC, term
+      ) AS rk FROM scored
+    )
+    WHERE rk <= 10
+    """,
+)
+def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 distinguishing terms per language by tf-idf.
+
+    Two hash aggs (tf per (lang,term), df per term) + a broadcast-sized join
+    on term + a per-lang top-k window — no step grows faster than the
+    vocabulary.
+    """
+    d = table(spark, sf_dir, "documents")
+    term_lang = d.select("lang", F.explode(_toks()).alias("term"))
+    tf = term_lang.groupBy("lang", "term").agg(lcount("tf"))
+    df = tf.groupBy("term").agg(
+        F.countDistinct("lang").alias("df")
+    )
+    n_langs = d.select(F.countDistinct("lang").alias("n_langs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_langs))
+        .select(
+            "lang",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_langs").cast("double") / F.col("df")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+@query(
+    "llm_quality_score",
+    oracle=f"""
+    SELECT
+      doc_id,
+      lang,
+      round(
+        0.4 * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+        + 0.3 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0)
+        + 0.3 * (1.0 - CAST(len(list_intersect(list_distinct(string_split(text, ' ')), {_STOP_SQL})) AS DOUBLE)
+                 / len(list_distinct(string_split(text, ' ')))),
+        6
+      ) AS quality
+    FROM documents
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length + token-count + content-word ratio.
+
+    Same double expression tree on both sides => bit-identical before the
+    final round(6).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = _toks()
+    uniq = F.array_distinct(toks)
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_ratio = (
+        F.size(F.array_intersect(uniq, stop)).cast("double") / F.size(uniq)
+    )
+    quality = F.round(
+        F.lit(0.4) * F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0))
+        + F.lit(0.3) * F.least(F.size(toks).cast("double") / 50.0, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio),
+        6,
+    )
+    return d.select("doc_id", "lang", quality.alias("quality"))
+
+
+#: Marker tokens per language for the n-gram/lexicon language-id heuristic.
+#: (The corpus is synthetic so these are arbitrary-but-fixed vocabulary
+#: slices; the *mechanics* — set overlap + deterministic argmax — are what a
+#: real lexicon-based lang-id does.)
+LANG_MARKERS = {
+    "en": ["scan", "join", "order", "batch"],
+    "es": ["hash", "stream", "value", "table"],
+    "fr": ["spark", "window", "dup", "merge"],
+}
+
+
+def _marker_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+
+
+@query(
+    "llm_lang_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT
+        doc_id,
+        lang,
+        len(list_intersect(list_distinct(string_split(text, ' ')), {_marker_sql('en')})) AS s_en,
+        len(list_intersect(list_distinct(string_split(text, ' ')), {_marker_sql('es')})) AS s_es,
+        len(list_intersect(list_distinct(string_split(text, ' ')), {_marker_sql('fr')})) AS s_fr
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      lang,
+      CASE
+        WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        WHEN s_es >= s_fr THEN 'es'
+        ELSE 'fr'
+      END AS pred_lang,
+      CAST(greatest(s_en, s_es, s_fr) AS BIGINT) AS score
+    FROM s
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-overlap language ID with a deterministic tie-break order."""
+    d = table(spark, sf_dir, "documents")
+    uniq = F.array_distinct(_toks())
+    scores = {
+        lang: F.size(
+            F.array_intersect(uniq, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"]) & (scores["en"] >= scores["fr"]), "en"
+        )
+        .when(scores["es"] >= scores["fr"], "es")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        F.greatest(*scores.values()).cast("long").alias("score"),
+    )
+
+
+@query(
+    "llm_fingerprint",
+    oracle="""
+    SELECT
+      doc_id,
+      md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+        AS fingerprint,
+      CAST(count(*) OVER (
+        PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+      ) AS BIGINT) AS n_same
+    FROM documents
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 over the sorted distinct token set.
+
+    Robust to word order/repetition — the cheap first stage of a dedup
+    cascade (exact hash -> fingerprint -> MinHash-LSH -> jaccard verify).
+    """
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(_toks()))))
+    w = Window.partitionBy(fp)
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_same"),
+    )

@@ -1,0 +1,53 @@
+"""Property tests (SURVEY.md §5.2 item 4): cross-operator invariants."""
+
+from __future__ import annotations
+
+from bootic_stats_aggregates_spark.registry import all_queries
+
+from conftest import SF_DIR
+
+QUERIES = all_queries()
+
+
+def test_lsh_matches_bruteforce(spark):
+    """MinHash-LSH candidate generation + verify must find exactly the
+    brute-force jaccard pairs at this SF (recall check for the band config)."""
+    lsh = {
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in QUERIES["llm_near_dedup"](spark, SF_DIR).collect()
+    }
+    brute = {
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in QUERIES["llm_ngram_jaccard"](spark, SF_DIR).collect()
+    }
+    assert lsh == brute, (
+        f"LSH missed {len(brute - lsh)} pairs, invented {len(lsh - brute)}"
+    )
+    assert len(brute) > 0, "expected some near-dup pairs at sf0.01"
+
+
+def test_rollup_consistency(spark):
+    """Σ(day-level counts) == month-level count == grand total."""
+    rows = QUERIES["agg_multi_rollup"](spark, SF_DIR).collect()
+    total = next(r.n_events for r in rows if r.y is None)
+    month_sum = sum(r.n_events for r in rows if r.m is not None and r.d is None)
+    day_sum = sum(r.n_events for r in rows if r.d is not None)
+    assert total == month_sum == day_sum
+
+
+def test_exact_dedup_idempotent(spark):
+    """dedup(dedup(x)) == dedup(x): output already has unique texts."""
+    out = QUERIES["llm_exact_dedup"](spark, SF_DIR)
+    stats = QUERIES["llm_dedup_stats"](spark, SF_DIR).collect()[0]
+    assert out.count() == stats.n_distinct_texts
+
+
+def test_topk_prefix_property(spark):
+    """top-5-per-group must be a prefix of the counts ordering: every rank
+    1..5 present per group exactly once."""
+    rows = QUERIES["rank_topk_per_group"](spark, SF_DIR).collect()
+    by_group: dict[str, list[int]] = {}
+    for r in rows:
+        by_group.setdefault(r.event_type, []).append(r.rk)
+    for g, rks in by_group.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), g
