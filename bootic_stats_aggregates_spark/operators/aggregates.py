@@ -23,17 +23,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..helpers import (
-    CHARGE_DEC_SQL,
-    REV_DEC_SQL,
-    charge_dec,
+    charge_sum,
     davg,
     dsum,
-    dsum_raw,
     lcount,
     oracle_avg,
+    oracle_charge_sum,
     oracle_dsum,
-    oracle_dsum_raw,
-    revenue_dec,
+    oracle_rev_sum,
+    rev_sum,
 )
 from ..io import table
 from ..registry import query
@@ -108,8 +106,8 @@ def agg_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       l_linestatus,
       {oracle_dsum('l_quantity', 'sum_qty')},
       {oracle_dsum('l_extendedprice', 'sum_base_price')},
-      {oracle_dsum_raw(REV_DEC_SQL, 'sum_disc_price')},
-      {oracle_dsum_raw(CHARGE_DEC_SQL, 'sum_charge')},
+      {oracle_rev_sum('sum_disc_price')},
+      {oracle_charge_sum('sum_charge')},
       {oracle_avg('l_quantity', 'avg_qty')},
       {oracle_avg('l_extendedprice', 'avg_price')},
       CAST(round(min(l_extendedprice), 2) AS DOUBLE) AS min_price,
@@ -135,8 +133,8 @@ def agg_sum_avg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            dsum_raw(revenue_dec(), "sum_disc_price"),
-            dsum_raw(charge_dec(), "sum_charge"),
+            rev_sum("sum_disc_price"),
+            charge_sum("sum_charge"),
             davg("l_quantity", "avg_qty"),
             davg("l_extendedprice", "avg_price"),
             F.round(F.min("l_extendedprice"), 2).cast("double").alias("min_price"),

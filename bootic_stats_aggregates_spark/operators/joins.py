@@ -20,15 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..helpers import (
-    REV_DEC_SQL,
-    dsum,
-    dsum_raw,
-    lcount,
-    oracle_dsum,
-    oracle_dsum_raw,
-    revenue_dec,
-)
+from ..helpers import dsum, lcount, oracle_dsum, oracle_rev_sum, rev_sum
 from ..io import table
 from ..registry import query
 
@@ -67,7 +59,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
       o_orderstatus,
       o_orderpriority,
       CAST(count(*) AS BIGINT) AS n_items,
-      {oracle_dsum_raw(REV_DEC_SQL, 'revenue')}
+      {oracle_rev_sum('revenue')}
     FROM orders
     JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderstatus, o_orderpriority
@@ -81,7 +73,7 @@ def join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderstatus", "o_orderpriority")
-        .agg(lcount("n_items"), dsum_raw(revenue_dec(), "revenue"))
+        .agg(lcount("n_items"), rev_sum("revenue"))
     )
 
 
@@ -92,7 +84,7 @@ def join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
       r_name,
       n_name,
       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
-      {oracle_dsum_raw(REV_DEC_SQL, 'revenue')}
+      {oracle_rev_sum('revenue')}
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -120,7 +112,7 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
-            dsum_raw(revenue_dec(), "revenue"),
+            rev_sum("revenue"),
         )
     )
 
@@ -130,7 +122,7 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT
       l_orderkey,
-      {oracle_dsum_raw(REV_DEC_SQL, 'revenue')},
+      {oracle_rev_sum('revenue')},
       date_trunc('day', o_orderdate) AS order_day
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -159,7 +151,7 @@ def q3_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", F.date_trunc("day", "o_orderdate").alias("order_day"))
-        .agg(dsum_raw(revenue_dec(), "revenue"))
+        .agg(rev_sum("revenue"))
         .select("l_orderkey", "revenue", "order_day")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)

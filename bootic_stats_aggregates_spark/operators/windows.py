@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..helpers import dsum, lcount, money, oracle_dsum
+from ..helpers import cents, dsum, lcount, oracle_dsum
 from ..io import table
 from ..registry import query
 
@@ -142,8 +142,8 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       event_id,
       user_id,
-      CAST(round(sum(CAST(value AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE)
-        AS run_total
+      round(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+            / 100.0, 2) AS run_total
     FROM events
     WINDOW w AS (
       PARTITION BY user_id ORDER BY ts, event_id
@@ -152,8 +152,9 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative per-user value; decimal accumulation => prefix sums are
-    exact, so every row matches the oracle regardless of evaluation order."""
+    """Cumulative per-user value; integer-cents accumulation => prefix sums
+    are exact, so every row matches the oracle regardless of evaluation
+    order (and stays on the codegen fast path — helpers.py)."""
     ev = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -163,7 +164,9 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.sum(money("value")).over(w), 2).cast("double").alias("run_total"),
+        F.round(F.sum(cents("value")).over(w).cast("double") / 100.0, 2).alias(
+            "run_total"
+        ),
     )
 
 
@@ -174,8 +177,8 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
       event_id,
       user_id,
       round(
-        CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
-          / count(*) OVER w,
+        CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+          / 100.0 / count(*) OVER w,
         4
       ) AS mov_avg
     FROM events
@@ -186,14 +189,15 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """7-row sliding average per user (exact decimal numerator / count)."""
+    """7-row sliding average per user (exact cents numerator / count)."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
     return ev.select(
         "event_id",
         "user_id",
         F.round(
-            F.sum(money("value")).over(w).cast("double")
+            F.sum(cents("value")).over(w).cast("double")
+            / 100.0
             / F.count(F.lit(1)).over(w),
             4,
         ).alias("mov_avg"),

@@ -60,6 +60,15 @@ def tune(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions()))
     except Exception:  # pragma: no cover
         pass
+    # Input split size: 128 MB (cluster default) unless overridden — the
+    # local bench shrinks it so a single-file fixture still scans on all
+    # cores (bench.py sets 4 MB).
+    mpb = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if mpb:
+        try:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+        except Exception:  # pragma: no cover
+            pass
     return spark
 
 

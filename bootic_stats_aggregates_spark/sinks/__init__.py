@@ -1,1 +1,3 @@
-"""Placeholder — populated in a later milestone."""
+"""Sinks (SURVEY.md §2.1): Redis command dataflows + writers, parquet."""
+
+from . import queries, redis_sink  # noqa: F401

@@ -1,0 +1,145 @@
+"""Sink operators as registered queries (SURVEY.md §2.1 snk_*).
+
+The command-generation dataflows are deterministic DataFrames, so the sink
+logic itself is oracle-checked; `stream_redis_counters` additionally runs
+the full streaming pipeline into a FakeRedis and surfaces the final counter
+state — end-to-end verification that streamed HINCRBY deltas converge to
+the batch truth (micro-batch-split independent, since the deltas are
+additive).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import query
+from ..streaming.runner import run_foreach_batch, stream_table
+from .redis_sink import (
+    FakeRedis,
+    RedisCounterSink,
+    counter_commands,
+    ranking_commands,
+    unique_commands,
+)
+
+_HASH_ORACLE = """
+    WITH agg AS (
+      SELECT
+        'stats:' || event_type || ':' || strftime(ts, '%Y:%m:%d:%H') AS key,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      GROUP BY 1
+    )
+    SELECT 'HINCRBY' AS cmd, key, 'n' AS field, n AS delta FROM agg
+    UNION ALL
+    SELECT 'HINCRBY' AS cmd, key, 'cents' AS field, cents AS delta FROM agg
+"""
+
+
+@query("snk_redis_hash", oracle=_HASH_ORACLE)
+def snk_redis_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HINCRBY command stream for time-bucketed counter hashes — the
+    reference's key fan-out + counter math as a verifiable dataflow."""
+    return counter_commands(table(spark, sf_dir, "events"))
+
+
+@query(
+    "snk_redis_zset",
+    oracle="""
+    SELECT
+      'ZINCRBY' AS cmd,
+      'top_users:' || event_type AS key,
+      CAST(user_id AS VARCHAR) AS member,
+      CAST(count(*) AS BIGINT) AS delta
+    FROM events
+    GROUP BY event_type, user_id
+    """,
+)
+def snk_redis_zset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZINCRBY command stream for per-type user rankings."""
+    return ranking_commands(table(spark, sf_dir, "events"))
+
+
+@query(
+    "snk_redis_uniq",
+    oracle="""
+    SELECT DISTINCT
+      'SADD' AS cmd,
+      'uniq:' || event_type || ':' || strftime(ts, '%Y:%m:%d') AS key,
+      CAST(user_id AS VARCHAR) AS member
+    FROM events
+    """,
+)
+def snk_redis_uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SADD command stream for per-(type, day) unique visitors."""
+    return unique_commands(table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_redis_counters",
+    oracle="""
+    WITH agg AS (
+      SELECT
+        'stats:' || event_type || ':' || strftime(ts, '%Y:%m:%d:%H') AS key,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      GROUP BY 1
+    )
+    SELECT key, 'n' AS field, n AS val FROM agg
+    UNION ALL
+    SELECT key, 'cents' AS field, cents AS val FROM agg
+    """,
+)
+def stream_redis_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END reference pipeline: event stream -> foreachBatch Redis
+    sink -> final counter state (SURVEY.md §3.2 EP3, the production shape).
+
+    The final HINCRBY-accumulated hash state must equal the batch group-by
+    — regardless of how the stream was micro-batched, because the per-batch
+    deltas are additive. Runs against FakeRedis here; the writer class is
+    the same one a real deployment points at a redis cluster.
+    """
+    ev = stream_table(spark, sf_dir, "events")
+    fake = FakeRedis()
+    sink = RedisCounterSink(lambda: fake)
+    run_foreach_batch(ev, sink, mode="append")
+    rows = [
+        (key, field, int(val))
+        for key, h in fake.hashes.items()
+        for field, val in h.items()
+    ]
+    return spark.createDataFrame(rows, "key string, field string, val long")
+
+
+@query(
+    "snk_parquet",
+    oracle="""
+    SELECT
+      event_type,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def snk_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink round-trip: aggregate -> write -> re-scan.
+
+    What comes back off disk must equal the in-flight result (schema and
+    values) — the batch materialization path used between pipeline stages.
+    """
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("uniq_users"),
+    )
+    out_dir = f"{tempfile.gettempdir()}/bootic_snk_{uuid.uuid4().hex[:8]}"
+    agg.write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir)

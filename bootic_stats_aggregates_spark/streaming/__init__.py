@@ -1,1 +1,3 @@
-"""Placeholder — populated in a later milestone."""
+"""Structured Streaming operators (SURVEY.md §2.8) + deterministic runner."""
+
+from . import stream_queries  # noqa: F401

@@ -1,0 +1,361 @@
+"""Streaming operators (SURVEY.md §2.8) — the reference's core execution
+model, upgraded from processing-time Redis counters to event-time
+Structured Streaming.
+
+Every query here runs a REAL streaming job (file source ->
+incremental stateful plan -> memory sink, Trigger.AvailableNow) and returns
+the sink contents, so the driver can compare streaming results against
+batch DuckDB oracles — the streaming==batch equivalence contract
+(SURVEY.md §5.2 item 3).
+
+Reference mapping (reconstructed, /root/reference empty — SURVEY.md §0):
+hour-bucket HINCRBY loop -> tumbling window counts; implicit visit tracking
+-> session windows; ZMQ redelivery tolerance -> dropDuplicatesWithinWatermark;
+no late-data concept in the reference -> watermarks are a strict upgrade.
+
+Scale: all aggregates are mergeable; state is bounded by watermarks; the
+RocksDB state-store provider would back these on a cluster.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..helpers import cents
+from ..io import table
+from ..registry import query
+from .runner import run_to_memory, stream_table
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT
+      date_trunc('hour', ts) AS bucket_hour,
+      event_type,
+      CAST(count(*) AS BIGINT) AS n_events,
+      round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
+        AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour counters per event type — the reference's hot path
+    as a streaming stateful aggregation (complete output to make the full
+    materialized state comparable)."""
+    ev = stream_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum(cents("value")).cast("double") / 100.0, 2).alias(
+            "total_value"
+        ),
+    )
+    out = run_to_memory(agg, mode="complete")
+    return out.select(
+        F.col("window.start").alias("bucket_hour"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT
+        unnest(generate_series(
+          date_trunc('minute', ts)
+            - INTERVAL (EXTRACT(minute FROM ts)::INT % 15) MINUTE
+            - INTERVAL 45 MINUTE,
+          date_trunc('minute', ts)
+            - INTERVAL (EXTRACT(minute FROM ts)::INT % 15) MINUTE,
+          INTERVAL 15 MINUTE
+        )) AS w_start,
+        event_type
+      FROM events
+    )
+    GROUP BY w_start, event_type
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour window, 15 min slide): each event lands in 4
+    overlapping windows. The oracle expands the same 4 starts per event."""
+    ev = stream_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour", "15 minutes"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    out = run_to_memory(agg, mode="complete")
+    return out.select(
+        F.col("window.start").alias("w_start"), "event_type", "n_events"
+    )
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT
+        user_id, ts,
+        CASE
+          WHEN lag(ts) OVER w IS NULL
+            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+          THEN 1 ELSE 0
+        END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT
+        user_id, ts,
+        sum(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+      FROM flagged
+    )
+    SELECT
+      user_id,
+      min(ts) AS session_start,
+      max(ts) + INTERVAL 30 MINUTE AS session_end,
+      CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a visit).
+
+    ``session_window`` merges events into [first_ts, last_ts + gap) per
+    user in streaming state; the oracle is the classic gaps-and-islands
+    construction over the same rows (session starts when gap >= 30min —
+    session windows are half-open intervals).
+    """
+    ev = stream_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.session_window("ts", "30 minutes"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    out = run_to_memory(agg, mode="complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once per event id under redelivery.
+
+    The ZMQ funnel can redeliver; the reference would double-count. Here the
+    stream is unioned with itself (every event delivered twice) and
+    ``dropDuplicatesWithinWatermark`` restores exactly-once before the
+    counters — so the result equals plain single-delivery counts.
+    """
+    a = stream_table(spark, sf_dir, "events")
+    b = stream_table(spark, sf_dir, "events")
+    doubled = a.unionByName(b)
+    deduped = (
+        doubled.withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    out = run_to_memory(agg, mode="complete")
+    return out.select("event_type", "n_events")
+
+
+_STATE_SCHEMA = "n_events long, cents long"
+_STATEFUL_OUT = "user_id long, n_events long, total_value double"
+
+
+def _funnel_update(key, pdfs, state):
+    """Per-user running counters in explicit state (GroupState).
+
+    Money is accumulated as integer cents so the Python-side running state
+    is exact and matches the decimal-sum oracle.
+    """
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(round(pdf["value"].sum() * 100))
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+    )
+
+
+@query(
+    "stream_stateful",
+    oracle="""
+    SELECT
+      user_id,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-user state via applyInPandasWithState (Arrow-batched).
+
+    The custom-operator escape hatch (SURVEY.md §2.8 stream_stateful): state
+    the built-in aggregates can't express lives in an explicit GroupState.
+    Here the state is (count, cents) per user — deliberately simple so the
+    DuckDB oracle can verify the machinery end-to-end.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = stream_table(spark, sf_dir, "events").select("user_id", "value")
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        _funnel_update,
+        outputStructType=_STATEFUL_OUT,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(result, mode="update")
+    # One emitted row per (user, batch); the last batch's row is the final
+    # state. AvailableNow over a single fixture file = one batch, but keep
+    # the reduction correct under any batching:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
+@query(
+    "join_stream_static",
+    oracle="""
+    SELECT
+      c_mktsegment,
+      event_type,
+      CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich the event stream with a static dimension (stream ⋈ broadcast
+    static — no streaming state needed for the join itself)."""
+    ev = stream_table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer")
+    joined = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey
+    )
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    out = run_to_memory(agg, mode="complete")
+    return out.select("c_mktsegment", "event_type", "n_events")
+
+
+@query(
+    "join_stream_stream",
+    oracle="""
+    SELECT
+      v.event_id AS view_id,
+      p.event_id AS purchase_id,
+      v.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases within 1h of a view by the
+    same user. Watermarks on both sides bound the join state."""
+    views = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts"
+            " AND p_ts <= v_ts + interval 1 hour"
+        ),
+    )
+    out = run_to_memory(joined, mode="append")
+    return out.select(
+        "view_id", "purchase_id", F.col("v_user").alias("user_id")
+    )
+
+
+#: Fixture event-time range ends 2024-01-30 23:57; with a 1-hour watermark
+#: the final watermark lands inside Jan 30, so the Jan-30 day window is the
+#: only unfinalized one.
+FINAL_OPEN_DAY = "2024-01-30 00:00:00"
+
+
+@query(
+    "stream_watermark",
+    oracle=f"""
+    SELECT
+      date_trunc('day', ts) AS day,
+      event_type,
+      CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE date_trunc('day', ts) < TIMESTAMP '{FINAL_OPEN_DAY}'
+    GROUP BY 1, 2
+    """,
+)
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-driven window finalization (append mode's hard guarantee).
+
+    Append mode emits a window only once the watermark (max event time −
+    1 hour) passes its end: every completed day is emitted exactly once and
+    is final; the still-open last day is withheld. The oracle is exactly
+    the finalized subset. (Note: *input*-side late-row dropping is
+    best-effort in Spark — observed on 4.1.2 that late rows for fresh
+    windows are still aggregated — so this operator demonstrates the
+    guaranteed half of watermark semantics; the reference daemon has no
+    event-time notion at all.)
+    """
+    ev = stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    out = run_to_memory(agg, mode="append")
+    return out.select(
+        F.col("window.start").alias("day"), "event_type", "n_events"
+    )

@@ -1,0 +1,78 @@
+"""Physical-plan assertions (SURVEY.md §4): the plan, not just the answer.
+
+These tests pin the scale-critical plan properties: a rewrite that silently
+turns a broadcast join into a shuffle join, or blocks predicate pushdown,
+breaks here even though results stay correct.
+"""
+
+from __future__ import annotations
+
+from bootic_stats_aggregates_spark.plans import formatted_plan
+from bootic_stats_aggregates_spark.registry import all_queries
+
+from conftest import SF_DIR
+
+QUERIES = all_queries()
+
+
+def test_scan_prunes_columns(spark):
+    """src_parquet_scan projects 2 of 11 lineitem columns: the parquet
+    ReadSchema must not contain un-referenced columns."""
+    plan = formatted_plan(QUERIES["src_parquet_scan"](spark, SF_DIR))
+    assert "l_orderkey" in plan
+    assert "l_extendedprice" not in plan, "column pruning failed"
+    assert "l_comment" not in plan
+
+
+def test_filter_pushed_to_scan(spark):
+    """The event-type dispatch filter must reach the parquet reader."""
+    plan = formatted_plan(QUERIES["filt_event_type"](spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "purchase" in plan.split("PushedFilters")[1].split("\n")[0], (
+        "event_type = 'purchase' not pushed to the scan"
+    )
+
+
+def test_dim_join_broadcasts(spark):
+    """lineitem x part must be a broadcast hash join, not a shuffle join."""
+    plan = formatted_plan(QUERIES["join_broadcast"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multiway_broadcasts_dims(spark):
+    """The 5-way star join should broadcast nation+region."""
+    plan = formatted_plan(QUERIES["join_multiway"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_topk_per_group_prepruned(spark):
+    """Spark >= 3.5 inserts WindowGroupLimit below the shuffle for
+    row_number() <= k — each map task keeps k rows per group instead of
+    sorting whole groups (SURVEY.md §4.2)."""
+    plan = formatted_plan(QUERIES["rank_topk_per_group"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+
+
+def test_global_topk_avoids_full_sort(spark):
+    """orderBy().limit() must plan TakeOrderedAndProject (no global sort)."""
+    plan = formatted_plan(QUERIES["rank_topk_global"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_partial_aggregation(spark):
+    """The q1-style aggregation must map-side combine: partial + final
+    HashAggregate around exactly one exchange, with the date filter pushed
+    into the scan."""
+    plan = formatted_plan(QUERIES["agg_sum_avg_minmax"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2, "no partial aggregation"
+    assert "LessThanOrEqual(l_shipdate" in plan, "shipdate filter not pushed"
+
+
+def test_rollup_is_single_scan(spark):
+    """agg_multi_rollup fans out granularities via Expand — exactly one
+    parquet scan of events, not one per granularity."""
+    plan = formatted_plan(QUERIES["agg_multi_rollup"](spark, SF_DIR))
+    # one scan == one file index location in the formatted detail section
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Expand" in plan
