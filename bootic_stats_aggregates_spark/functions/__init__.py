@@ -1,3 +1,3 @@
 """Scalar function families (SURVEY.md §2.7)."""
 
-from . import families  # noqa: F401
+from . import families, udfs  # noqa: F401

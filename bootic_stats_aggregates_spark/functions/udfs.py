@@ -1,0 +1,171 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.10).
+
+The reference has no user-function surface (fixed Go code); ours exists for
+the few ops built-ins can't express. Ordering of preference (SURVEY.md §2.10
+and the pyspark guide): native exprs > Arrow-batched pandas UDF >
+grouped-agg pandas UDF / UDTF > row-at-a-time Python UDF (last resort, no
+codegen, per-row pickling).
+
+Every query here deliberately computes something an oracle can check, so
+the *machinery* (Arrow batching, grouped aggregation, lateral table
+expansion, row pickling) is verified — not just the math.
+
+UDF objects are created inside the query builders (pyspark 4 resolves the
+DDL return types against the active session, so module-import-time
+decorators would require a session before the driver provides one).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+
+from ..io import table
+from ..registry import query
+
+
+def _poly(value: pd.Series) -> pd.Series:
+    """Vectorized body: one Arrow batch in, one out (no per-row Python).
+    Polynomial on purpose — bit-exact IEEE on both engines."""
+    return value * value * 0.5 + value * 0.1 + 1.0
+
+
+@query(
+    "udf_scalar_pandas",
+    oracle="""
+    SELECT
+      event_id,
+      round(value * value * 0.5 + value * 0.1 + 1.0, 6) AS score
+    FROM events
+    """,
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar UDF (SURVEY.md §2.10 udf_scalar_pandas)."""
+    poly_score = pandas_udf(_poly, "double")
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.round(poly_score("value"), 6).alias("score")
+    )
+
+
+def _median(value: pd.Series) -> float:
+    """Grouped-agg body: the whole group's column arrives as one series."""
+    return float(value.median())
+
+
+def _group_size(value: pd.Series) -> int:
+    return int(len(value))
+
+
+@query(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT
+      event_type,
+      round(median(value), 4) AS median_value,
+      CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via grouped-agg pandas UDF: exact per-group median.
+
+    pandas interpolates the even-count median as (x1+x2)/2 — the same
+    formula as DuckDB's quantile_cont(0.5), so the rounded values match.
+    (Spark has native median(); the point is the UDAF surface — any
+    per-group sketch/model fits this shape.)
+    """
+    from pyspark.sql.functions import PandasUDFType
+
+    # explicit GROUPED_AGG: `from __future__ import annotations` stringifies
+    # the hints, so pyspark can't infer the eval type from them. Spark
+    # forbids mixing grouped-agg pandas UDFs with JVM-native aggregates in
+    # one agg(), so the row count is a pandas UDAF too.
+    median_agg = pandas_udf(_median, "double", PandasUDFType.GROUPED_AGG)
+    size_agg = pandas_udf(_group_size, "long", PandasUDFType.GROUPED_AGG)
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(median_agg("value"), 4).alias("median_value"),
+        size_agg("value").alias("n"),
+    )
+
+
+CHUNK_TOKENS = 10
+
+
+class _ChunkDoc:
+    """Python UDTF body (Spark 4): one document row in -> one row per chunk.
+
+    The doc->chunks exploder of an LLM ingest pipeline (SURVEY.md §2.10
+    udf_table); chunking policy lives in plain Python while the lateral
+    join distribution is Spark's.
+    """
+
+    def eval(self, text: str):
+        toks = text.split(" ")
+        for i in range(0, len(toks), CHUNK_TOKENS):
+            chunk = toks[i : i + CHUNK_TOKENS]
+            yield i // CHUNK_TOKENS, " ".join(chunk), len(chunk)
+
+
+@query(
+    "udf_table",
+    oracle=f"""
+    SELECT
+      doc_id,
+      CAST(i - 1 AS INT) AS chunk_id,
+      array_to_string(
+        string_split(text, ' ')[(i-1)*{CHUNK_TOKENS}+1 : i*{CHUNK_TOKENS}], ' '
+      ) AS chunk_text,
+      CAST(least({CHUNK_TOKENS},
+           len(string_split(text, ' ')) - (i-1)*{CHUNK_TOKENS}) AS INT)
+        AS n_tokens
+    FROM (
+      SELECT doc_id, text,
+             unnest(range(1, CAST(ceil(len(string_split(text, ' '))
+                                       / {CHUNK_TOKENS}.0) AS BIGINT) + 1)) AS i
+      FROM documents
+    )
+    """,
+)
+def udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc -> fixed-size token chunks via a lateral-joined Python UDTF."""
+    d = table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("_udtf_docs")
+    chunker = udtf(_ChunkDoc, returnType="chunk_id int, chunk_text string, n_tokens int")
+    spark.udtf.register("chunk_doc", chunker)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk_text, c.n_tokens
+        FROM _udtf_docs d, LATERAL chunk_doc(d.text) c
+        """
+    )
+
+
+def _bucket(event_type: str, user_id: int) -> str:
+    return f"{event_type}:{user_id % 10}"
+
+
+@query(
+    "udf_plain",
+    oracle="""
+    SELECT
+      event_id,
+      event_type || ':' || CAST(user_id % 10 AS VARCHAR) AS bucket
+    FROM events
+    """,
+)
+def udf_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — LAST RESORT surface (no codegen, one
+    Python call per row). Exists to prove the plumbing; everything in this
+    expression is doable natively (see the oracle). Benchmark the others
+    against this, never ship it on a hot path."""
+    legacy_bucket_key = udf(_bucket, "string")
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", legacy_bucket_key("event_type", "user_id").alias("bucket")
+    )

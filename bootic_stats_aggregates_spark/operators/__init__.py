@@ -3,4 +3,12 @@
 Importing this package registers every operator in the registry.
 """
 
-from . import aggregates, filters, joins, sorts_sets, sources, windows  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    filters,
+    joins,
+    sorts_sets,
+    sources,
+    subqueries,
+    windows,
+)

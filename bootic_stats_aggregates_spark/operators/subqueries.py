@@ -1,0 +1,76 @@
+"""Subqueries & quantiles — EP2 (SQL-string) lifecycle coverage.
+
+``spark.sql`` strings go through the same Catalyst pipeline as the
+DataFrame API (SURVEY.md §3.2 EP2); the correlated-subquery query below
+exists specifically to exercise Catalyst's subquery decorrelation
+(``RewriteCorrelatedScalarSubquery``, SURVEY.md §4.2) rather than
+hand-decorrelating with a join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import query
+
+#: Exact per-nation average balance (cents-based — identical on both
+#: engines; a plain avg(double) is accumulation-order-dependent).
+_NATION_AVG = (
+    "SELECT CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) AS DOUBLE)"
+    " / 100.0 / count(*) FROM customer c2"
+    " WHERE c2.c_nationkey = customer.c_nationkey"
+)
+
+
+@query(
+    "sub_scalar_corr",
+    oracle=f"""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > ({_NATION_AVG})
+    """,
+)
+def sub_scalar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers above their nation's average.
+
+    Written as SQL so Catalyst performs the decorrelation (rewrites to an
+    aggregate + join); the DataFrame API twin would be the manual join.
+    """
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > ({_NATION_AVG})
+        """
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT
+      event_type,
+      round(quantile_cont(value, 0.5), 4) AS p50,
+      round(quantile_cont(value, 0.9), 4) AS p90,
+      round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (latency-style analytics).
+
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the linear
+    interpolation definition. The streaming/100 TB variant is
+    ``approx_percentile`` (t-digest-style sketch, mergeable) — exact
+    percentiles need the full group sorted.
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )

@@ -31,6 +31,47 @@ from .runner import run_to_memory, stream_table
 
 
 @query(
+    "src_event_stream",
+    oracle="""
+    SELECT event_id, event_type, user_id FROM events
+    """,
+)
+def src_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbounded event source itself (ZMQ SUB/PULL socket analog,
+    SURVEY.md §2.1): ingest the stream, emit every row — proves the source
+    delivers exactly the fixture rows, no more, no less."""
+    ev = stream_table(spark, sf_dir, "events")
+    out = run_to_memory(
+        ev.select("event_id", "event_type", "user_id"), mode="append"
+    )
+    return out
+
+
+@query(
+    "stream_output_modes",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-mode semantics — the HINCRBY-shaped output contract
+    (SURVEY.md §2.8 stream_output_modes): each micro-batch emits only the
+    groups whose counters changed. Counters only grow, so max-per-key over
+    the update stream equals the final batch truth under ANY micro-batch
+    split."""
+    ev = stream_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    updates = run_to_memory(agg, mode="update")
+    return updates.groupBy("event_type").agg(
+        F.max("n_events").cast("long").alias("n_events")
+    )
+
+
+@query(
     "stream_tumbling",
     oracle="""
     SELECT
