@@ -1,0 +1,139 @@
+"""100 TB storage layout (SURVEY.md §7.3), demonstrated at fixture scale.
+
+The reference daemon has no storage layout at all — Redis keys encode the
+time bucket (`[REF⟂ aggregates/keys.go]`). At 100 TB the equivalent
+decision is the *table layout*, and it is the single highest-leverage
+performance choice on a cluster:
+
+- ``events`` partitioned by ``event_date``: a dashboard query for one day
+  touches 1/30th (or 1/3650th) of the files — Catalyst turns the predicate
+  into a ``PartitionFilters`` entry and never lists the other directories.
+- fact tables bucketed by join key: ``orders`` ⋈ ``lineitem`` on
+  ``o_orderkey`` with both sides pre-bucketed into the same number of
+  buckets is a *shuffle-free* sort-merge join — at 100 TB that removes the
+  dominant all-to-all network stage entirely.
+
+The fixture parquet is a single unpartitioned file per table, so this module
+materializes the scaled layout once per scale factor under ``/tmp`` (content
+is a pure function of the fixture, so a ``_SUCCESS``-marked directory is
+reusable across sessions), and the registered queries prove the two plan
+properties (pruning, no Exchange) against the DuckDB oracle on the original
+tables — same rows, different physics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import table
+from .registry import query
+from .session import tune
+
+_LAYOUT_ROOT = os.environ.get("SPARK_GRAFT_LAYOUT_DIR", "/tmp/spark_graft_layout")
+
+#: Buckets for the co-located join demo. On a cluster this would be sized so
+#: one bucket ≈ one HDFS block per file (e.g. 4096 buckets for 100 TB);
+#: locally it just needs to exceed 1 to prove bucket-wise execution.
+_N_BUCKETS = 8
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)) or "sf"
+
+
+def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` re-materialized as ``.../events_by_date/event_date=*/``.
+
+    Written once per scale factor; later sessions reuse the directory.
+    """
+    out = os.path.join(_LAYOUT_ROOT, _sf_tag(sf_dir), "events_by_date")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = table(spark, sf_dir, "events")
+        (
+            ev.withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(out)
+        )
+    return spark.read.parquet(out)
+
+
+def bucketed_table(spark: SparkSession, sf_dir: str, name: str, key: str) -> str:
+    """Materialize ``name`` bucketed+sorted by ``key``; returns the catalog
+    table name. Bucketing metadata lives in the session catalog, so this is
+    per-session (cheap at fixture scale; a one-time ETL step on a cluster).
+    """
+    tbl = f"bkt_{_sf_tag(sf_dir).replace('.', '_')}_{name}"
+    if not spark.catalog.tableExists(tbl):
+        (
+            table(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .bucketBy(_N_BUCKETS, key)
+            .sortBy(key)
+            .option("path", os.path.join(_LAYOUT_ROOT, "tables", tbl))
+            .saveAsTable(tbl)
+        )
+    return tbl
+
+
+@query(
+    "src_partition_pruned",
+    oracle="""
+    SELECT
+      CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+      event_type,
+      CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+    GROUP BY 1, 2
+    """,
+)
+def src_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily counters off the date-partitioned layout: the date predicate
+    becomes a PartitionFilter (see tests/test_plans.py) — 27 of 30 day
+    directories are never listed, the 100 TB equivalent of the reference
+    reading one Redis day-bucket key instead of scanning history."""
+    tune(spark)
+    ev = partitioned_events(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_date").between("2024-01-10", "2024-01-12"))
+        .groupBy(F.col("event_date").cast("string").alias("event_date"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT
+      o.o_orderpriority,
+      CAST(count(*) AS BIGINT) AS n_items,
+      CAST(round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                 / 100.0, 2) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ fact with both sides bucketed by the join key: the sort-merge
+    join runs bucket-to-bucket with NO shuffle exchange on either side
+    (asserted in tests/test_plans.py). This is the layout that keeps the
+    orders⋈lineitem join viable at 100 TB."""
+    tune(spark)
+    o = spark.table(bucketed_table(spark, sf_dir, "orders", "o_orderkey"))
+    l = spark.table(bucketed_table(spark, sf_dir, "lineitem", "l_orderkey"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    # At fixture scale the planner would broadcast `orders`; at 100 TB
+    # neither fact side is broadcastable, so pin the cluster-shaped plan —
+    # the merge join then runs bucket-to-bucket with zero Exchange.
+    return (
+        o.hint("merge").join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            (F.round(F.sum(cents) / 100.0, 2)).cast("double").alias("revenue"),
+        )
+    )

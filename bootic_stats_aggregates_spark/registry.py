@@ -90,6 +90,6 @@ def _ensure_loaded() -> None:
     global _loaded
     if _loaded:
         return
-    from . import functions, llm, operators, sinks, streaming  # noqa: F401
+    from . import functions, layout, llm, operators, sinks, streaming  # noqa: F401
 
     _loaded = True

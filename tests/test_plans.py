@@ -69,6 +69,26 @@ def test_q1_partial_aggregation(spark):
     assert "LessThanOrEqual(l_shipdate" in plan, "shipdate filter not pushed"
 
 
+def test_partition_pruning(spark):
+    """The date predicate on the partitioned events layout must become a
+    PartitionFilter (directory pruning), not a data filter — at 100 TB this
+    is the difference between listing 3 day-directories and 3650."""
+    plan = formatted_plan(QUERIES["src_partition_pruned"](spark, SF_DIR))
+    assert "PartitionFilters" in plan
+    idx = plan.index("PartitionFilters")
+    assert "event_date" in plan[idx : idx + 300], "date filter not on partition col"
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Both join sides pre-bucketed by the key: the sort-merge join must run
+    bucket-to-bucket with zero Exchange operators in the plan."""
+    plan = formatted_plan(QUERIES["join_bucketed_colocated"](spark, SF_DIR))
+    join_section = plan.split("HashAggregate")[0]
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in join_section, "bucketed join still shuffles"
+    assert "SelectedBucketsCount" in plan
+
+
 def test_rollup_is_single_scan(spark):
     """agg_multi_rollup fans out granularities via Expand — exactly one
     parquet scan of events, not one per granularity."""
