@@ -327,3 +327,52 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = table(spark, sf_dir, "region").select(F.col("r_name").alias("r1"))
     b = table(spark, sf_dir, "region").select(F.col("r_name").alias("r2"))
     return a.crossJoin(b)
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT
+      c.c_mktsegment,
+      CAST(count(*) AS BIGINT) AS n_events,
+      round(CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0, 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated shuffle join: salt the hot fact keys, replicate the
+    other side (SURVEY.md §7.3).
+
+    ``events.user_id`` is a hot-key column (a few users dominate). A plain
+    shuffle join sends every row of a hot key to ONE reducer; at 100 TB the
+    straggler partition decides the job's wall-clock. Salting splits each
+    key into ``S`` shuffle keys: the fact side gets a deterministic salt in
+    [0, S), the customer side is exploded xS so every (key, salt) pair still
+    finds its match. Results are identical to the unsalted join (the oracle
+    runs the plain join) — only the shuffle distribution changes. AQE's
+    skew-split handles mid-size skew automatically; explicit salting is the
+    tool when one key exceeds a single executor's memory.
+    """
+    salt_n = 8
+    ev = table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(salt_n)).cast("int")
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))))
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    # hint("merge") pins the cluster-shaped shuffle join (at fixture scale
+    # the planner would broadcast customer and no salting would be needed).
+    joined = ev.hint("merge").join(
+        cust,
+        (ev.user_id == cust.c_custkey) & (ev.salt == cust.salt),
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return joined.groupBy("c_mktsegment").agg(
+        lcount("n_events"),
+        F.round(F.sum(cents).cast("double") / 100.0, 2).alias("total_value"),
+    )

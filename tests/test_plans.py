@@ -89,6 +89,15 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert "SelectedBucketsCount" in plan
 
 
+def test_salted_join_shuffles_on_salt(spark):
+    """The salted join must hash-partition on (key, salt) — the hot key's
+    rows spread over `salt_n` reducers instead of one."""
+    plan = formatted_plan(QUERIES["join_skew_salted"](spark, SF_DIR))
+    assert "SortMergeJoin" in plan
+    keys_line = plan.split("Left keys")[1].split("\n")[0]
+    assert "salt" in keys_line, "salt not part of the join keys"
+
+
 def test_rollup_is_single_scan(spark):
     """agg_multi_rollup fans out granularities via Expand — exactly one
     parquet scan of events, not one per granularity."""
