@@ -218,3 +218,161 @@ def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id_a", "vec_id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= NEARDUP_COS)
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path: random-hyperplane LSH bucketing (SURVEY.md §2.9).
+#
+# Brute force above is O(|corpus| x |queries|); the 100 TB path prunes the
+# pair space first. L hash tables x H hyperplanes each: a vector's bucket in
+# table t is the H-bit sign pattern of its dots with that table's planes.
+# Near-by-cosine vectors collide with high probability; only same-(table,
+# bucket) pairs are scored. The planes are FIXED literals (seeded, rounded),
+# so the DuckDB oracle replays the identical arithmetic — the whole ANN
+# operator is exact-checked, not just eyeballed.
+#
+# At scale: the corpus is repartitioned by (table, bucket) once (a single
+# shuffle, reusable across query batches); each query probes L buckets —
+# read amplification L/2^H of the corpus instead of 1.0.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+LSH_TABLES = 4
+LSH_PLANES = 6  # bits per table -> 64 buckets/table
+EMB_DIM = 64
+
+#: Deterministic hyperplanes, rounded to 4 decimals so the SQL literal and
+#: the Python float are the same double.
+_PLANES = np.round(
+    np.random.RandomState(42).normal(size=(LSH_TABLES, LSH_PLANES, EMB_DIM)), 4
+)
+
+
+def _plane_lit(t: int, i: int) -> Column:
+    return F.array(*[F.lit(float(v)) for v in _PLANES[t, i]])
+
+
+def _bucket_col(emb: Column, t: int) -> Column:
+    """H-bit sign bucket of `emb` against table t's planes (native exprs)."""
+    bits = [
+        (F.when(_dot(emb, _plane_lit(t, i)) > 0.0, 1 << i).otherwise(0))
+        for i in range(LSH_PLANES)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def _bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, table, bucket) — L rows per vector. IDs only: at 100 TB the
+    embedding payload is NOT carried through the explode (xL data); vectors
+    are re-fetched by key for the surviving candidates."""
+    e = _scored_vectors(spark, sf_dir)
+    tb = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"), _bucket_col(F.col("emb"), t).alias("bucket")
+            )
+            for t in range(LSH_TABLES)
+        ]
+    )
+    return e.select("vec_id", F.explode(tb).alias("tb")).select(
+        "vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+def _dot_sql(vec_expr: str, t: int, i: int) -> str:
+    lits = ", ".join(repr(float(v)) for v in _PLANES[t, i])
+    return (
+        f"list_sum(list_transform(list_zip({vec_expr}, [{lits}]),"
+        " x -> CAST(x[1] AS DOUBLE) * x[2]))"
+    )
+
+
+def _bucket_sql(vec_expr: str, t: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_dot_sql(vec_expr, t, i)} > 0.0 THEN {1 << i} ELSE 0 END)"
+        for i in range(LSH_PLANES)
+    )
+    return f"({bits})"
+
+
+def _ann_oracle() -> str:
+    per_table = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tbl, {_bucket_sql('embedding', t)} AS bucket"
+        " FROM e"
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {_NRM_SQL} AS nrm FROM embeddings
+    ),
+    buckets AS (
+      {per_table}
+    ),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS q_vec_id, eb.vec_id AS vec_id
+      FROM buckets qb
+      JOIN buckets eb
+        ON qb.tbl = eb.tbl AND qb.bucket = eb.bucket
+       AND qb.vec_id <> eb.vec_id
+      WHERE qb.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT
+        c.q_vec_id,
+        c.vec_id,
+        round({_DOT_SQL} / (q.nrm * e.nrm), 6) AS cos_sim
+      FROM cand c
+      JOIN e q ON q.vec_id = c.q_vec_id
+      JOIN e   ON e.vec_id = c.vec_id
+    )
+    SELECT q_vec_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_vec_id ORDER BY cos_sim DESC, vec_id
+      ) AS rk
+      FROM scored
+    )
+    WHERE rk <= {TOP_K}
+    """
+
+
+@query("llm_ann_lsh", oracle=_ann_oracle())
+def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via LSH bucket pruning — the ANN scale path.
+
+    candidates = same-(table,bucket) pairs only; then exact cosine + top-k
+    on the survivors. Identical planes on the oracle side make even the
+    approximation exact-checkable. Recall vs brute force is measured in
+    tests/test_properties.py.
+    """
+    b = _bucketed(spark, sf_dir)
+    qb = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), "tbl", "bucket"
+    )
+    cand = (
+        qb.join(b, ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "vec_id")
+        .distinct()
+    )
+    e = _scored_vectors(spark, sf_dir)
+    q = e.select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm")), 6
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        cand.join(F.broadcast(q), "q_vec_id")
+        .join(e, "vec_id")
+        .select("q_vec_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+    )

@@ -105,3 +105,11 @@ def test_rollup_is_single_scan(spark):
     # one scan == one file index location in the formatted detail section
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "Expand" in plan
+
+
+def test_ann_lsh_no_cartesian(spark):
+    """The ANN path must join on (table, bucket) — never a cross/nested-loop
+    product of queries x corpus."""
+    plan = formatted_plan(QUERIES["llm_ann_lsh"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -51,3 +51,35 @@ def test_topk_prefix_property(spark):
         by_group.setdefault(r.event_type, []).append(r.rk)
     for g, rks in by_group.items():
         assert sorted(rks) == list(range(1, len(rks) + 1)), g
+
+
+def test_ann_lsh_prunes_and_recalls(spark):
+    """The LSH ANN path must (a) score only a small fraction of the pair
+    space and (b) beat chance recall vs brute force. Data + planes are
+    deterministic, so the measured values are stable (0.07 candidate
+    fraction, 0.2 recall at sf0.01); thresholds leave headroom."""
+    from pyspark.sql import functions as F
+
+    from bootic_stats_aggregates_spark.llm.similarity import N_QUERIES, _bucketed
+
+    brute = {(r.q_vec_id, r.vec_id) for r in QUERIES["llm_cosine_topk"](spark, SF_DIR).collect()}
+    ann = {(r.q_vec_id, r.vec_id) for r in QUERIES["llm_ann_lsh"](spark, SF_DIR).collect()}
+    recall = len(brute & ann) / len(brute)
+
+    b = _bucketed(spark, SF_DIR)
+    qb = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q"), "tbl", "bucket"
+    )
+    n_cand = (
+        qb.join(b, ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("q"))
+        .select("q", "vec_id")
+        .distinct()
+        .count()
+    )
+    n_corpus = b.select("vec_id").distinct().count()
+    frac = n_cand / (N_QUERIES * (n_corpus - 1))
+    assert frac <= 0.2, f"LSH pruning too weak: scored {frac:.0%} of pairs"
+    assert recall >= 1.5 * frac, (
+        f"recall {recall:.2f} not better than chance ({frac:.2f})"
+    )
