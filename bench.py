@@ -32,8 +32,13 @@ HEADLINE = {
 }
 EXTRA = {
     "llm_cosine_topk": "llm_cosine_topk",
+    "llm_ann_lsh": "llm_ann_lsh",
     "llm_exact_dedup": "llm_exact_dedup",
+    "llm_near_dedup": "llm_near_dedup",
     "multiway_join": "join_multiway",
+    "bucketed_join": "join_bucketed_colocated",
+    "salted_join": "join_skew_salted",
+    "partition_pruned": "src_partition_pruned",
 }
 
 
