@@ -234,3 +234,77 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_id").over(w).alias("first_eid"),
         F.last("event_id").over(w).alias("last_eid"),
     )
+
+
+SESSION_GAP_SEC = 1800
+
+
+@query(
+    "win_sessionize",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+        CASE WHEN lag(sec) OVER w IS NULL
+               OR sec - lag(sec) OVER w > {SESSION_GAP_SEC}
+             THEN 1 ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    sess AS (
+      SELECT *,
+        sum(new_s) OVER (
+          PARTITION BY user_id ORDER BY sec, event_id
+          ROWS UNBOUNDED PRECEDING
+        ) AS session_id
+      FROM flagged
+    )
+    SELECT
+      user_id,
+      CAST(session_id AS BIGINT) AS session_id,
+      CAST(min(sec) AS BIGINT) AS session_start_epoch,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: 30-min-gap visits via lag + running sum.
+
+    The reference's implicit "visit" concept (keyed Redis sets) made
+    explicit: a session breaks when the gap to the previous event exceeds
+    SESSION_GAP_SEC. Batch twin of ``stream_session`` (session_window);
+    cost = ONE shuffle on user_id + per-user sort — linear at 100 TB, and
+    the shuffle co-locates with every other per-user analytic (as-of join,
+    funnel state) under the same partitioning. Epoch-second arithmetic on
+    both engines sidesteps the ns-vs-µs parquet timestamp mismatch.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    prev = F.lag("sec").over(w)
+    flagged = e.withColumn(
+        "new_s",
+        F.when(prev.isNull() | (F.col("sec") - prev > SESSION_GAP_SEC), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("sec").cast("long").alias("session_start_epoch"),
+        lcount("n_events"),
+        (F.max("sec") - F.min("sec")).cast("long").alias("duration_sec"),
+    ).select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "session_start_epoch",
+        "n_events",
+        "duration_sec",
+    )
