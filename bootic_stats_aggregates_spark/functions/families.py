@@ -312,3 +312,38 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("text_sha256"),
         F.count(F.lit(1)).over(w).cast("long").alias("dup_count"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/' || lang
+               || '?doc=' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+      regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
+      regexp_extract(url, 'doc=([0-9]+)', 1) AS doc_param
+    FROM u
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition — the reference's referrer-host/path extraction
+    (`[REF⟂ tracker.go]` top-referrer zsets keyed by host). The fixtures
+    carry no URLs, so one is synthesized from columns; ``parse_url`` is the
+    JVM-side operator under test (the oracle decomposes with regexes)."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("?doc="), F.col("doc_id").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("doc")).alias("doc_param"),
+    )

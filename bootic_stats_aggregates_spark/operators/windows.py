@@ -308,3 +308,59 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "duration_sec",
     )
+
+
+@query(
+    "win_funnel",
+    oracle="""
+    WITH stages AS (
+      SELECT
+        user_id,
+        min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_users,
+      CAST(count(t_view) AS BIGINT) AS n_viewed,
+      CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_clicked_after_view,
+      CAST(sum(CASE WHEN t_purchase > t_click AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_full_funnel
+    FROM stages
+    """,
+)
+def win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion: view -> click -> purchase per user.
+
+    The e-commerce question the reference's dashboards answer from separate
+    counters, computed here with ORDER enforced (first click must follow
+    first view, first purchase must follow that click). One hash aggregate
+    on user_id + one global rollup — no self-joins, no windows; linear and
+    mergeable at 100 TB. The streaming twin is ``stream_stateful``'s
+    per-user state machine.
+    """
+    ev = table(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    stages = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("t_view").cast("long").alias("n_viewed"),
+        F.sum(
+            F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0)
+        ).cast("long").alias("n_clicked_after_view"),
+        F.sum(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_full_funnel"),
+    )

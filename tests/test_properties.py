@@ -83,3 +83,22 @@ def test_ann_lsh_prunes_and_recalls(spark):
     assert recall >= 1.5 * frac, (
         f"recall {recall:.2f} not better than chance ({frac:.2f})"
     )
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """approx_count_distinct (HLL, rsd=0.05) must land within 3x rsd of the
+    exact per-bucket distinct counts — the sketch is the only distinct
+    operator allowed on the 100 TB streaming path, so its error envelope is
+    part of the contract."""
+    approx = {
+        tuple(r)[:-1]: r[-1]
+        for r in QUERIES["agg_approx_distinct"](spark, SF_DIR).collect()
+    }
+    exact = {
+        tuple(r)[:-1]: r[-1]
+        for r in QUERIES["agg_distinct_users"](spark, SF_DIR).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, ex in exact.items():
+        ap = approx[k]
+        assert abs(ap - ex) <= max(3, 0.15 * ex), (k, ap, ex)
