@@ -82,3 +82,65 @@ def llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("text/plain").alias("mime"),
     )
     return blobs.mapInPandas(_extract, schema=_OUT_SCHEMA)
+
+
+FRAME_BYTES = 64  # synthetic "frame" stride
+SAMPLE_EVERY = 4  # keep every 4th frame
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame-sampling extractor: one input blob row -> one row per KEPT
+    frame. Real video decode (ffmpeg/PyAV) is stubbed (see decode_image);
+    frames are fixed-stride byte windows so the fan-out dataflow — the part
+    Spark owns — is real and deterministic."""
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_id": [], "n_bytes": [], "checksum": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = max((len(payload) + FRAME_BYTES - 1) // FRAME_BYTES, 1)
+            for f in range(0, n_frames, SAMPLE_EVERY):
+                chunk = payload[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["frame_id"].append(f)
+                out["n_bytes"].append(len(chunk))
+                out["checksum"].append(sum(chunk) % 65521)
+        yield pd.DataFrame(out)
+
+
+@query(
+    "llm_multimodal_frames",
+    oracle=f"""
+    -- DuckDB 1.0 substring() is VARCHAR-only; the corpus is pure ASCII
+    -- (verified: octet_length(encode(text)) == length(text) at every SF),
+    -- so char windows over text ARE the byte windows over the blob.
+    WITH frames AS (
+      SELECT doc_id, text,
+             unnest(range(0,
+               greatest(CAST(ceil(length(text) / {FRAME_BYTES}.0)
+                             AS BIGINT), 1),
+               {SAMPLE_EVERY})) AS frame_id
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      CAST(frame_id AS BIGINT) AS frame_id,
+      CAST(length(substring(text, CAST(frame_id * {FRAME_BYTES} + 1 AS BIGINT),
+                            {FRAME_BYTES})) AS BIGINT) AS n_bytes
+    FROM frames
+    """,
+)
+def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over binary media columns via ``mapInPandas``.
+
+    The video path of the multimodal pipeline: blob -> sampled frames
+    (1:N fan-out inside the Arrow batch, no shuffle, no explode of the
+    payload through a join). The extractor also computes a per-frame
+    checksum (real byte access through Arrow); the oracle compares the
+    SQL-expressible columns (doc_id, frame_id, n_bytes) exactly.
+    """
+    d = table(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    frames = blobs.mapInPandas(
+        _sample_frames,
+        schema="doc_id long, frame_id long, n_bytes long, checksum long",
+    )
+    return frames.select("doc_id", "frame_id", "n_bytes")

@@ -328,3 +328,40 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_same"),
     )
+
+
+#: BPE-ish pre-tokenization pattern (letter runs / digit runs / single
+#: punctuation — the shape GPT-2's pre-tokenizer splits on, minus the
+#: lookahead features RE2-style engines don't share). Identical semantics in
+#: Spark's Java regex and DuckDB's RE2.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "llm_token_count",
+    oracle=f"""
+    SELECT
+      lang,
+      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      CAST(sum(len(regexp_extract_all(text, '{BPE_PATTERN}')) ) AS BIGINT)
+        AS bpe_tokens,
+      CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting: whitespace tokens vs BPE-ish pre-tokens.
+
+    The number every training-data pipeline reports first. Both tokenizers
+    are single JVM-side projections (split / regexp_extract_all) feeding one
+    partial+final aggregate — a pure map-side pipeline at 100 TB.
+    """
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(F.size(_toks())).cast("long").alias("ws_tokens"),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)))
+        .cast("long")
+        .alias("bpe_tokens"),
+        lcount("n_docs"),
+    )

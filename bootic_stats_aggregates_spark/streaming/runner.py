@@ -75,7 +75,9 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(await_seconds)
+    if not q.awaitTermination(await_seconds):  # pragma: no cover - hang guard
+        q.stop()
+        raise TimeoutError(f"streaming query {name} exceeded {await_seconds}s")
     spark = result.sparkSession
     return spark.table(name)
 
@@ -91,7 +93,9 @@ def run_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(await_seconds)
+    if not q.awaitTermination(await_seconds):  # pragma: no cover - hang guard
+        q.stop()
+        raise TimeoutError(f"foreachBatch stream exceeded {await_seconds}s")
 
 
 def batch_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
