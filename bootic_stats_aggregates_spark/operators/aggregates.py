@@ -239,3 +239,32 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "day", *[F.col(t).cast("long").alias(t) for t in EVENT_TYPES]
     )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT
+      event_type,
+      CAST(date_part('dow', ts) AS BIGINT) AS dow,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(grouping(event_type) * 2 + grouping(CAST(date_part('dow', ts)
+           AS BIGINT)) AS BIGINT) AS gid
+    FROM events
+    GROUP BY CUBE (event_type, CAST(date_part('dow', ts) AS BIGINT))
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week): all 4 grouping sets in one
+    Expand pass — the dashboard matrix (per type, per weekday, both
+    margins, grand total) the reference would need 4 separate key families
+    for. ``grouping_id`` disambiguates real NULLs from subtotal rows."""
+    ev = table(spark, sf_dir, "events")
+    dow = (F.dayofweek("ts") - 1).cast("long")  # Spark 1=Sun -> DuckDB 0=Sun
+    return (
+        ev.cube(F.col("event_type"), dow.alias("dow"))
+        .agg(
+            lcount("n_events"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
