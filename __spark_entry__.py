@@ -12,11 +12,18 @@ per operator ID); this module is just the stable entry surface.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bootic_stats_aggregates_spark import api as _api
+# The driver may exec this file from any cwd; the package lives next to it.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:  # pragma: no cover - depends on driver cwd
+    sys.path.insert(0, _HERE)
+
+from bootic_stats_aggregates_spark import api as _api  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -92,4 +92,27 @@ def _ensure_loaded() -> None:
         return
     from . import functions, layout, llm, operators, sinks, streaming  # noqa: F401
 
+    _register_by_value()
     _loaded = True
+
+
+def _register_by_value() -> None:
+    """Ship worker-side callables by VALUE, not by module reference.
+
+    cloudpickle serializes module-level functions as (module, qualname)
+    pointers, so Spark's Python workers would need this package importable
+    on THEIR sys.path — true only if the driver process happens to run from
+    the repo root. The driver harness owns its own cwd/PYTHONPATH, so every
+    module whose functions ride inside a pandas UDF / mapInPandas / UDTF /
+    applyInPandasWithState closure is registered for by-value pickling
+    (self-contained task binaries; nothing to install on executors).
+    """
+    from pyspark import cloudpickle
+
+    from .functions import udfs
+    from .llm import multimodal
+    from .sinks import redis_sink
+    from .streaming import stream_queries
+
+    for mod in (udfs, multimodal, redis_sink, stream_queries):
+        cloudpickle.register_pickle_by_value(mod)
