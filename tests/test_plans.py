@@ -113,3 +113,36 @@ def test_ann_lsh_no_cartesian(spark):
     plan = formatted_plan(QUERIES["llm_ann_lsh"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_plan_hygiene_all_queries(spark):
+    """Fleet-wide plan audit: no accidental cartesian products and no
+    row-at-a-time Python eval anywhere except the explicitly exempted
+    demonstrations. Catches a regression anywhere in the registry the
+    moment it plans, not when it times out at scale."""
+    cartesian_ok = {
+        "join_cross",        # cartesian by definition (tiny x tiny)
+        "join_theta_range",  # non-equi join: BNLJ with broadcast side IS the plan
+        "llm_ngram_jaccard", # brute-force verify twin of the LSH path
+        "llm_embed_neardup", # exhaustive pair scan, small-SF oracle twin
+        "llm_cosine_topk",   # broadcast query-set x corpus (bounded side)
+        "llm_knn_classify",  # built on llm_cosine_topk
+        "llm_tfidf_topterms",# crossJoin(broadcast(<1-row global count>))
+    }
+    python_ok = {
+        "udf_plain",  # the fenced-off last-resort surface
+        "udf_table",  # Python UDTF: BatchEvalPythonUDTF is its execution node
+    }
+    streaming = {q for q in QUERIES if q.startswith(("stream_", "src_event"))}
+    failures = []
+    for qid, fn in sorted(QUERIES.items()):
+        if qid in streaming:
+            continue  # streaming plans can't be explained pre-execution here
+        plan = formatted_plan(fn(spark, SF_DIR))
+        if qid not in cartesian_ok and (
+            "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        ):
+            failures.append(f"{qid}: unexpected cartesian/nested-loop join")
+        if qid not in python_ok and "BatchEvalPython" in plan:
+            failures.append(f"{qid}: row-at-a-time Python UDF in plan")
+    assert not failures, "\n".join(failures)
