@@ -347,3 +347,34 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("doc")).alias("doc_param"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT
+      event_id,
+      event_id & 255 AS low_byte,
+      event_id | 4096 AS with_flag,
+      xor(event_id, user_id) AS mixed,
+      event_id << 2 AS shl2,
+      event_id >> 3 AS shr3,
+      CAST(bit_count(event_id) AS BIGINT) AS popcount
+    FROM events
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family — flag fields, shard masks, bloom/bitmap membership
+    math (the kind of key-packing the reference does in Redis key strings,
+    done properly in int64)."""
+    ev = table(spark, sf_dir, "events")
+    e = F.col("event_id")
+    return ev.select(
+        "event_id",
+        e.bitwiseAND(F.lit(255)).alias("low_byte"),
+        e.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        e.bitwiseXOR(F.col("user_id")).alias("mixed"),
+        F.shiftleft(e, 2).alias("shl2"),
+        F.shiftright(e, 3).alias("shr3"),
+        F.bit_count(e).cast("long").alias("popcount"),
+    )

@@ -268,3 +268,16 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping_id().cast("long").alias("gid"),
         )
     )
+
+
+@query("agg_approx_percentile")  # sketch-based -> tolerance-checked in tests
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable percentile sketch (the ONLY percentile allowed on the
+    100 TB streaming path — exact percentiles need the full group sorted;
+    see agg_percentile for the exact batch twin). Accuracy envelope vs the
+    exact operator is pinned in tests/test_properties.py."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_percentile("value", F.lit(0.9), F.lit(10000)).alias("p90"),
+    )

@@ -102,3 +102,15 @@ def test_approx_distinct_within_tolerance(spark):
     for k, ex in exact.items():
         ap = approx[k]
         assert abs(ap - ex) <= max(3, 0.15 * ex), (k, ap, ex)
+
+
+def test_approx_percentile_within_tolerance(spark):
+    """approx_percentile(accuracy=1e4) must land within 1% of the exact
+    interpolated percentile per group."""
+    approx = {r.event_type: (r.p50, r.p90) for r in QUERIES["agg_approx_percentile"](spark, SF_DIR).collect()}
+    exact = {r.event_type: (r.p50, r.p90) for r in QUERIES["agg_percentile"](spark, SF_DIR).collect()}
+    assert approx.keys() == exact.keys()
+    for g, (e50, e90) in exact.items():
+        a50, a90 = approx[g]
+        assert abs(a50 - e50) <= 0.01 * max(abs(e50), 1), (g, a50, e50)
+        assert abs(a90 - e90) <= 0.01 * max(abs(e90), 1), (g, a90, e90)
