@@ -52,6 +52,21 @@ def _time_query(fn, spark, sf_dir: str, runs: int) -> float:
     return statistics.median(samples)
 
 
+def _time_stream(fn, spark, sf_dir: str, runs: int) -> float:
+    """End-to-end micro-batch pipeline time (source -> stateful agg ->
+    sink), re-executed per sample via the unmemoized builder. This is the
+    reference-daemon-shaped number: events ingested through the streaming
+    engine per wall-clock second."""
+    raw = getattr(fn, "__wrapped__", fn)
+    raw(spark, sf_dir).collect()  # warm-up
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        raw(spark, sf_dir).collect()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -74,6 +89,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, qid in {**HEADLINE, **EXTRA}.items():
         timings[name] = round(_time_query(queries[qid], spark, sf_dir, runs), 4)
+
+    # Streaming throughput: full AvailableNow pipeline over events.parquet
+    # (ingest -> event-time tumbling agg -> sink), reference-daemon shape.
+    stream_sec = _time_stream(queries["stream_tumbling"], spark, sf_dir, runs)
+    timings["stream_rollup_e2e"] = round(stream_sec, 4)
+    try:
+        from bootic_stats_aggregates_spark.io import table as _table
+
+        n_events = _table(spark, sf_dir, "events").count()
+        timings["stream_events_per_sec"] = round(n_events / stream_sec)
+    except Exception:  # pragma: no cover - throughput is informational
+        pass
 
     suite = round(sum(timings[n] for n in HEADLINE), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
