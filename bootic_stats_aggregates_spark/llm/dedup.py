@@ -91,7 +91,34 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_near_dedup")  # xxhash64-based -> rows-only check
+#: Brute-force jaccard-pairs SQL — ground truth for BOTH the exhaustive
+#: operator (llm_ngram_jaccard) and the LSH path: the LSH output is
+#: xxhash64-routed but its RESULT is (pair, exact jaccard) — band recall at
+#: the b/r-vs-threshold operating point makes it equal the exhaustive scan
+#: (pinned independently by tests/test_properties.py::test_lsh_matches_bruteforce).
+_JACCARD_PAIRS_SQL = f"""
+    WITH sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+          i -> string_split(text,' ')[i] || ' ' ||
+               string_split(text,' ')[i+1] || ' ' ||
+               string_split(text,' ')[i+2]
+        )) AS s
+      FROM documents
+    )
+    SELECT
+      a.doc_id AS doc_id_a,
+      b.doc_id AS doc_id_b,
+      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(a.s || b.s)), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(a.s || b.s)) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("llm_near_dedup", oracle=_JACCARD_PAIRS_SQL)
 def llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, jaccard-verified.
 
@@ -162,29 +189,7 @@ def llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified
 
 
-@query(
-    "llm_ngram_jaccard",
-    oracle=f"""
-    WITH sh AS (
-      SELECT doc_id,
-        list_distinct(list_transform(
-          range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
-          i -> string_split(text,' ')[i] || ' ' ||
-               string_split(text,' ')[i+1] || ' ' ||
-               string_split(text,' ')[i+2]
-        )) AS s
-      FROM documents
-    )
-    SELECT
-      a.doc_id AS doc_id_a,
-      b.doc_id AS doc_id_b,
-      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-            / len(list_distinct(a.s || b.s)), 6) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-          / len(list_distinct(a.s || b.s)) >= {JACCARD_THRESHOLD}
-    """,
-)
+@query("llm_ngram_jaccard", oracle=_JACCARD_PAIRS_SQL)
 def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force 3-gram-shingle jaccard pairs (the LSH verify step alone).
 
