@@ -118,8 +118,7 @@ _JACCARD_PAIRS_SQL = f"""
 """
 
 
-@query("llm_near_dedup", oracle=_JACCARD_PAIRS_SQL)
-def llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, jaccard-verified.
 
     Dataflow: shingle -> 32 minhashes -> 16 band keys -> explode (16 rows
@@ -129,6 +128,8 @@ def llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the band join groups only colliding docs; with b*r tuned to the
     threshold the candidate set is near-linear in true-duplicate count.
     The final jaccard check joins shingle sets for candidate pairs only.
+    Shared builder: the registered query below AND the edge set for
+    ``llm_dedup_clusters``.
     """
     d = table(spark, sf_dir, "documents").select(
         "doc_id", _shingles().alias("sh")
@@ -187,6 +188,93 @@ def llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     return verified
+
+
+@query("llm_near_dedup", oracle=_JACCARD_PAIRS_SQL)
+def llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface for :func:`near_dup_pairs` (see its docstring)."""
+    return near_dup_pairs(spark, sf_dir)
+
+
+MAX_CC_ITERS = 20
+
+
+@query(
+    "llm_dedup_clusters",
+    oracle=f"""
+    -- Connected components over the near-dup pair graph via recursive CTE:
+    -- a doc's cluster id is the min doc_id reachable from it (edges both
+    -- directions); docs with no near-dups are their own singleton cluster.
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_id_b AS a, doc_id_a AS b FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node)
+    SELECT
+      doc_id,
+      CAST(cluster_id AS BIGINT) AS cluster_id,
+      doc_id = cluster_id AS is_representative
+    FROM cc
+    """,
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER assignment — the actual dedup deliverable
+    (keep ``is_representative``, drop the rest).
+
+    Connected components over the verified pair graph by iterative min-label
+    propagation: each round every node takes the min label among itself and
+    its neighbors; converges in <= graph-diameter rounds (near-dup clusters
+    are shallow — pairs share a common ancestor text — so this terminates in
+    2-3 rounds here; a 100 TB corpus with adversarial chains would use the
+    large-star/small-star contraction of Kiveris et al., same join shape,
+    O(log n) rounds). Each round is one shuffle join + one min-aggregate;
+    the driver sees only a changed-count scalar per round.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_id_b").alias("doc_id_a"), F.col("doc_id_a").alias("doc_id_b"))
+    ).withColumnsRenamed({"doc_id_a": "src", "doc_id_b": "dst"})
+    # Tiny at fixture scale and reused every iteration -> pin both sides.
+    edges = edges.cache()
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
+    for _ in range(MAX_CC_ITERS):
+        neighbor_min = (
+            labels.join(edges, labels.doc_id == edges.src)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+    )
 
 
 @query("llm_ngram_jaccard", oracle=_JACCARD_PAIRS_SQL)
