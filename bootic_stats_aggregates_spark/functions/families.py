@@ -378,3 +378,39 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(e, 3).alias("shr3"),
         F.bit_count(e).cast("long").alias("popcount"),
     )
+
+
+@query(
+    "fn_trycast",
+    oracle="""
+    SELECT
+      doc_id,
+      TRY_CAST(lang AS INTEGER) AS lang_as_int,
+      TRY_CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT) AS src_num,
+      CASE WHEN n_chars = 0 THEN NULL
+           ELSE CAST(round(CAST(length(text) AS DOUBLE) / n_chars, 6) AS DOUBLE)
+      END AS len_ratio,
+      TRY_CAST('not a date ' || lang AS DATE) IS NULL AS bad_date_is_null
+    FROM documents
+    """,
+)
+def fn_trycast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe-coercion family: ``try_cast`` / ``try_divide`` return NULL where
+    ANSI casts would kill the job — the difference between one malformed
+    record and a failed 100 TB ingest. (Spark 4 runs ANSI mode by default,
+    so the try_* forms are the production idiom for dirty data.)"""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").try_cast("int").alias("lang_as_int"),
+        F.regexp_extract("source", r"src([0-9]+)", 1)
+        .try_cast("long")
+        .alias("src_num"),
+        F.round(
+            F.try_divide(F.length("text").cast("double"), F.col("n_chars")), 6
+        ).alias("len_ratio"),
+        F.concat(F.lit("not a date "), F.col("lang"))
+        .try_cast("date")
+        .isNull()
+        .alias("bad_date_is_null"),
+    )
