@@ -281,3 +281,32 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50"),
         F.approx_percentile("value", F.lit(0.9), F.lit(10000)).alias("p90"),
     )
+
+
+HIST_BUCKET_WIDTH = 50.0
+HIST_N_BUCKETS = 10  # values land in [0, 500); bucket = floor(v/50), capped
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+    SELECT
+      event_type,
+      CAST(least(floor(value / {HIST_BUCKET_WIDTH}),
+                 {HIST_N_BUCKETS - 1}) AS BIGINT) AS bucket,
+      CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type: the distribution chart a
+    dashboard renders from counters. bucket = floor(value/width) is a pure
+    projection, so the whole histogram is one partial+final hash aggregate
+    — mergeable across partitions/micro-batches like every counter here."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.floor(F.col("value") / HIST_BUCKET_WIDTH),
+        F.lit(HIST_N_BUCKETS - 1),
+    ).cast("long")
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(lcount("n"))
