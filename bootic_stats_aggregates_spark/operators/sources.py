@@ -62,3 +62,55 @@ def src_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long").alias("k")
     return ev.select(k).groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@query(
+    "src_json_lines",
+    oracle="""
+    SELECT event_id, event_type, CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT event_id, event_type, count(*) AS n
+      FROM events
+      WHERE event_id < 1000
+      GROUP BY event_id, event_type
+    )
+    """,
+)
+def src_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingestion — the reference's wire format (one JSON event
+    per ZMQ frame) as a batch source.
+
+    The fixture slice is staged to JSONL once, then read back with an
+    EXPLICIT schema: at 100 TB, schema inference means reading everything
+    twice, so production JSON sources always declare their schema (and
+    unparseable rows go to the PERMISSIVE-mode corrupt-record column
+    instead of failing the job). Round-trip is verified against the
+    parquet truth.
+    """
+    import os
+
+    from ..session import tune
+
+    tune(spark)
+    out = os.path.join("/tmp/spark_graft_layout", "jsonl",
+                       os.path.basename(os.path.normpath(sf_dir)), "events")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 1000)
+            .select("event_id", "event_type")
+            .write.mode("overwrite")
+            .json(out)
+        )
+    schema = "event_id LONG, event_type STRING, _corrupt_record STRING"
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return (
+        parsed.filter(F.col("_corrupt_record").isNull())
+        .groupBy("event_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
