@@ -359,3 +359,67 @@ def llm_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("text").cast("long").alias("n_distinct_texts"),
         (F.count(F.lit(1)) - F.countDistinct("text")).cast("long").alias("n_exact_dups"),
     )
+
+
+HAMMING_K = 3  # 4 x 16-bit bands guarantee recall for hamming <= 3
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — reuses the registered signature query."""
+    from ..registry import all_queries
+
+    return all_queries()["llm_simhash"](spark, sf_dir).select("doc_id", "simhash")
+
+
+@query("llm_simhash_pairs")  # xxhash64-based -> rows-only; equality vs brute
+def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: banded candidates + hamming verify.
+
+    The classic web-dedup config (Manku/Google): 64-bit simhash split into
+    4 x 16-bit bands; any pair within hamming distance 3 MUST agree exactly
+    on >= 1 band (pigeonhole), so a 4-way band shuffle join finds ALL such
+    pairs without O(n²) — tests/test_properties.py proves equality with the
+    brute-force h<=3 scan. Coarser than MinHash-LSH (which catches the
+    higher-churn near-dups jaccard>=0.5 implies here); the cascade runs
+    this cheap filter first, MinHash on the survivors.
+
+    Scale: |bands| = 4 rows/doc; candidates per band bucket are true
+    hash-collisions of 16 bits of structure — near-linear on real corpora.
+    """
+    sh = _simhash_df(spark, sf_dir)
+    # bands unrolled in Python: shiftright's bit count must be a literal
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright("simhash", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= HAMMING_K)

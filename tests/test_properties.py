@@ -114,3 +114,30 @@ def test_approx_percentile_within_tolerance(spark):
         a50, a90 = approx[g]
         assert abs(a50 - e50) <= 0.01 * max(abs(e50), 1), (g, a50, e50)
         assert abs(a90 - e90) <= 0.01 * max(abs(e90), 1), (g, a90, e90)
+
+
+def test_simhash_banding_complete_for_hamming_k(spark):
+    """Pigeonhole guarantee: the 4x16-bit band join must find EXACTLY the
+    pairs a brute-force all-pairs hamming scan finds at h <= 3."""
+    from pyspark.sql import functions as F
+
+    from bootic_stats_aggregates_spark.llm.dedup import HAMMING_K, _simhash_df
+
+    banded = {
+        (r.doc_id_a, r.doc_id_b, r.hamming)
+        for r in QUERIES["llm_simhash_pairs"](spark, SF_DIR).collect()
+    }
+    sh = _simhash_df(spark, SF_DIR)
+    a = sh.select(F.col("doc_id").alias("da"), F.col("simhash").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("db"), F.col("simhash").alias("sb"))
+    brute = {
+        (r.da, r.db, r.h)
+        for r in a.join(b, F.col("da") < F.col("db"))
+        .select(
+            "da", "db", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("h")
+        )
+        .filter(F.col("h") <= HAMMING_K)
+        .collect()
+    }
+    assert banded == brute
+    assert len(brute) > 0, "expected some h<=3 simhash pairs at sf0.01"
