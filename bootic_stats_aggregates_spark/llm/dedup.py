@@ -49,7 +49,15 @@ def _shingles(text_col: str = "text", n: int = 3) -> Column:
 
 
 def _minhash_sig(shingles: Column) -> Column:
-    """Array of N_HASHES min-hashes: min over shingles of seeded xxhash64."""
+    """Array of N_HASHES min-hashes: min over shingles of seeded xxhash64.
+
+    (A derive-from-one-base-hash variant — hash each shingle string once,
+    seed the N_HASHES family off the long — was tried and reverted: Catalyst
+    does not CSE the base-hash subtree across the array elements, so it
+    recomputed string hashes 32x AND re-rolled the band dice, losing a
+    borderline jaccard≈0.5 pair. The string-seeded family below is the
+    benchmarked, recall-proven configuration.)
+    """
     return F.array(
         *[
             F.array_min(
