@@ -39,6 +39,8 @@ EXTRA = {
     "bucketed_join": "join_bucketed_colocated",
     "salted_join": "join_skew_salted",
     "partition_pruned": "src_partition_pruned",
+    "chunk_native": "llm_chunk_native",
+    "chunk_udtf": "udf_table",
 }
 
 

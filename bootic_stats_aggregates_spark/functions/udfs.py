@@ -112,9 +112,7 @@ class _ChunkDoc:
             yield i // CHUNK_TOKENS, " ".join(chunk), len(chunk)
 
 
-@query(
-    "udf_table",
-    oracle=f"""
+_CHUNK_ORACLE = f"""
     SELECT
       doc_id,
       CAST(i - 1 AS INT) AS chunk_id,
@@ -130,8 +128,10 @@ class _ChunkDoc:
                                        / {CHUNK_TOKENS}.0) AS BIGINT) + 1)) AS i
       FROM documents
     )
-    """,
-)
+    """
+
+
+@query("udf_table", oracle=_CHUNK_ORACLE)
 def udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc -> fixed-size token chunks via a lateral-joined Python UDTF."""
     d = table(spark, sf_dir, "documents")
@@ -168,4 +168,33 @@ def udf_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return ev.select(
         "event_id", legacy_bucket_key("event_type", "user_id").alias("bucket")
+    )
+
+
+@query("llm_chunk_native", oracle=_CHUNK_ORACLE)
+def llm_chunk_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc -> fixed-size token chunks in PURE column expressions — the
+    whole-stage-codegen twin of ``udf_table`` (same oracle, same output).
+
+    transform over a per-row chunk-index sequence + slice/concat_ws: the 1:N
+    fan-out never leaves the JVM. This is the shape to ship at 100 TB;
+    ``udf_table`` exists for chunking policies too complex for expressions
+    (bench both before choosing)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(CHUNK_TOKENS))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.struct(
+            c.cast("int").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(toks, c * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.size(toks) - c * CHUNK_TOKENS
+            ).cast("int").alias("n_tokens"),
+        ),
+    )
+    return d.select("doc_id", F.explode(chunks).alias("ch")).select(
+        "doc_id", "ch.chunk_id", "ch.chunk_text", "ch.n_tokens"
     )
