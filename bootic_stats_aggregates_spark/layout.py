@@ -137,3 +137,46 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.sum(cents) / 100.0, 2)).cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "join_dpp_pruned",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events
+    ),
+    mondays AS (
+      SELECT event_date FROM dim WHERE date_part('dow', event_date) = 1
+    )
+    SELECT
+      e.event_type,
+      CAST(count(*) AS BIGINT) AS n_events
+    FROM events e
+    JOIN mondays m ON CAST(e.ts AS DATE) = m.event_date
+    GROUP BY e.event_type
+    """,
+)
+def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the dim-side filter prunes fact
+    partitions AT RUNTIME.
+
+    'All events on Mondays' — the date set isn't known until the dim side
+    is evaluated, so static pruning can't help; Catalyst broadcasts the
+    filtered dim and injects its dates as a DynamicPruning subquery into
+    the fact scan's PartitionFilters (asserted in tests/test_plans.py).
+    At 100 TB this is the difference between scanning ~4/30 of the fact
+    partitions and all of them, for ANY dim-driven date predicate
+    (campaign windows, fiscal calendars, holiday tables)."""
+    tune(spark)
+    ev = partitioned_events(spark, sf_dir)
+    # the dim would be its own table at scale; derive it here (tiny scan)
+    dim = (
+        ev.select("event_date")
+        .distinct()
+        .filter(F.dayofweek("event_date") == 2)  # Spark: 1=Sun, 2=Mon
+    )
+    return (
+        ev.join(F.broadcast(dim), "event_date")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )

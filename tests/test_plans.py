@@ -146,3 +146,10 @@ def test_plan_hygiene_all_queries(spark):
         if qid not in python_ok and "BatchEvalPython" in plan:
             failures.append(f"{qid}: row-at-a-time Python UDF in plan")
     assert not failures, "\n".join(failures)
+
+
+def test_dynamic_partition_pruning(spark):
+    """The Monday-dim join must inject a runtime DynamicPruning filter into
+    the partitioned fact scan."""
+    plan = formatted_plan(QUERIES["join_dpp_pruned"](spark, SF_DIR))
+    assert "dynamicpruning" in plan.lower(), "no DPP subquery in fact scan"
