@@ -144,3 +144,50 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, frame_id long, n_bytes long, checksum long",
     )
     return frames.select("doc_id", "frame_id", "n_bytes")
+
+
+TARGET_W, TARGET_H = 8, 8  # synthetic "resolution": 1 byte per pixel
+
+
+def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Resize extractor: binary in -> binary out + typed metadata.
+
+    Real resampling (PIL/cv2) is stubbed like decode_image; the stand-in
+    maps each payload onto a fixed W*H byte grid by stride-sampling, which
+    preserves the property a real resize has: output size is a function of
+    the TARGET, not the input. The Spark contract — Arrow binary columns
+    both directions, metadata struct, batch shapes — is fully real.
+    """
+    n_out = TARGET_W * TARGET_H
+    for pdf in batches:
+        resized = []
+        for payload in pdf["payload"]:
+            if not payload:
+                resized.append(bytes(n_out))
+                continue
+            stride = max(len(payload) // n_out, 1)
+            sampled = payload[::stride][:n_out]
+            resized.append(sampled.ljust(n_out, b"\0"))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": resized,
+                "width": TARGET_W,
+                "height": TARGET_H,
+                "orig_bytes": pdf["payload"].map(len),
+            }
+        )
+
+
+@query("llm_multimodal_resize")  # binary-out plumbing -> rows-only check
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage of the multimodal pipeline: every output payload is
+    exactly TARGET_W*TARGET_H bytes with dimension metadata attached.
+    Invariants (uniform output size, metadata correctness) are pinned in
+    tests/test_properties.py."""
+    d = table(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return blobs.mapInPandas(
+        _resize,
+        schema="doc_id long, payload binary, width int, height int, orig_bytes long",
+    )

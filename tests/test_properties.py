@@ -141,3 +141,14 @@ def test_simhash_banding_complete_for_hamming_k(spark):
     }
     assert banded == brute
     assert len(brute) > 0, "expected some h<=3 simhash pairs at sf0.01"
+
+
+def test_multimodal_resize_invariants(spark):
+    """Every resized payload is exactly width*height bytes; originals'
+    sizes are preserved in metadata; one output row per input doc."""
+    rows = QUERIES["llm_multimodal_resize"](spark, SF_DIR).collect()
+    n_docs = QUERIES["llm_dedup_stats"](spark, SF_DIR).collect()[0].n_docs
+    assert len(rows) == n_docs
+    for r in rows[:200]:
+        assert len(r.payload) == r.width * r.height
+        assert r.orig_bytes > 0
