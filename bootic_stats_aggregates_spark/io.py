@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .session import tune
+from .session import session_cache, tune
 
 #: All driver-provided tables (FIXTURES.md).
 TABLES = (
@@ -42,10 +42,11 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 #: TIMESTAMP_NS->TIMESTAMP conversion does (verified empirically).
 _NANOS_COLS = {"events": ("ts",)}
 
-#: DataFrame handles per (session, sf_dir, table): re-listing the file and
-#: re-inferring the schema costs ~100 ms per spark.read call (measured) and
-#: buys nothing — the DataFrame is an immutable lazy plan, safe to reuse.
-_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+#: DataFrame handles per (live session, sf_dir, table): re-listing the file
+#: and re-inferring the schema costs ~100 ms per spark.read call (measured)
+#: and buys nothing — the DataFrame is an immutable lazy plan, safe to reuse.
+#: Scoped via session_cache so a stopped session's plans can never leak into
+#: a new session that reuses the same id() (ADVICE r1).
 
 
 def _cache_tables() -> bool:
@@ -61,8 +62,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (lazy — a Catalyst relation, not data)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (id(spark), os.path.normpath(sf_dir), name)
-    cached = _DF_CACHE.get(key)
+    cache = session_cache(spark, "tables")
+    key = (os.path.normpath(sf_dir), name)
+    cached = cache.get(key)
     if cached is not None:
         return cached
     tune(spark)
@@ -77,7 +79,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (grid-searched: 16 parts x 8 shuffle is the sweet spot locally)
         nparts = int(os.environ.get("SPARK_GRAFT_CACHE_PARTS", "16"))
         df = df.repartition(nparts).cache()
-    _DF_CACHE[key] = df
+    cache[key] = df
     return df
 
 

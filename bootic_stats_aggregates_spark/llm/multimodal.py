@@ -27,9 +27,13 @@ from ..registry import query
 
 FEATURE_DIM = 4
 
+#: Feature vector is emitted as FEATURE_DIM scalar columns (feat_0..feat_3),
+#: not array<double>: the driver's rows-only canonicalizer sorts every column
+#: and numpy arrays are unhashable (CORRECTNESS_r01 TypeError), and scalars
+#: additionally make the whole frame exact-oracle-checkable.
 _OUT_SCHEMA = (
     "doc_id long, mime string, n_bytes long, head_byte long, "
-    "feat array<double>"
+    "feat_0 double, feat_1 double, feat_2 double, feat_3 double"
 )
 
 
@@ -59,22 +63,50 @@ def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched extractor: one pandas frame per input batch."""
     for pdf in batches:
         payloads = pdf["payload"]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "mime": pdf["mime"],
-                "n_bytes": payloads.map(len),
-                "head_byte": payloads.map(lambda b: b[0] if b else -1),
-                "feat": payloads.map(fake_features),
-            }
-        )
+        feats = payloads.map(fake_features)
+        out = {
+            "doc_id": pdf["doc_id"],
+            "mime": pdf["mime"],
+            "n_bytes": payloads.map(len),
+            "head_byte": payloads.map(lambda b: b[0] if b else -1),
+        }
+        for i in range(FEATURE_DIM):
+            out[f"feat_{i}"] = feats.map(lambda v, i=i: v[i])
+        yield pd.DataFrame(out)
 
 
-@query("llm_multimodal_cols")  # external-format plumbing -> rows-only check
+@query(
+    "llm_multimodal_cols",
+    oracle="""
+    -- The feature extractor computes byte statistics over the UTF-8 payload.
+    -- The corpus is pure ASCII (octet_length(encode(text)) == length(text),
+    -- verified at every SF), so byte stats == codepoint stats over text and
+    -- the whole frame is exact-checkable in SQL.
+    SELECT
+      doc_id,
+      'text/plain' AS mime,
+      CAST(length(text) AS BIGINT) AS n_bytes,
+      CAST(CASE WHEN length(text) = 0 THEN -1
+                ELSE ascii(substring(text, 1, 1)) END AS BIGINT) AS head_byte,
+      CAST(length(text) AS DOUBLE) AS feat_0,
+      CAST(CASE WHEN length(text) = 0 THEN 0
+                ELSE ascii(substring(text, 1, 1)) END AS DOUBLE) AS feat_1,
+      CAST(CASE WHEN length(text) = 0 THEN 0
+                ELSE ascii(substring(text, length(text), 1)) END
+           AS DOUBLE) AS feat_2,
+      CAST(CASE WHEN length(text) = 0 THEN 0
+                ELSE list_aggregate(
+                       [ascii(substring(text, CAST(i AS INT), 1))
+                        FOR i IN range(1, least(length(text), 16) + 1)],
+                       'sum') % 251 END AS DOUBLE) AS feat_3
+    FROM documents
+    """,
+)
 def llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: synthesize payloads (documents.text encoded
     as bytes — the container has no media files), attach typed metadata,
-    run the Arrow-batched feature extractor."""
+    run the Arrow-batched feature extractor. Features land as FEATURE_DIM
+    scalar columns so the result is sortable + hashable by any comparator."""
     d = table(spark, sf_dir, "documents")
     blobs = d.select(
         "doc_id",
@@ -175,19 +207,64 @@ def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "width": TARGET_W,
                 "height": TARGET_H,
                 "orig_bytes": pdf["payload"].map(len),
+                # Adler-style checksum over the RESIZED bytes: real byte
+                # access through the Arrow binary column, and (for the ASCII
+                # corpus) exactly reproducible in SQL — the oracle hook.
+                "checksum": [sum(b) % 65521 for b in resized],
             }
         )
 
 
-@query("llm_multimodal_resize")  # binary-out plumbing -> rows-only check
+_RESIZE_SCHEMA = (
+    "doc_id long, payload binary, width int, height int, "
+    "orig_bytes long, checksum long"
+)
+
+
+def resize_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full resize output INCLUDING the binary payload column — used by
+    tests/test_properties.py to pin the binary-out invariants (uniform
+    TARGET_W*TARGET_H size, zero padding)."""
+    d = table(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return blobs.mapInPandas(_resize, schema=_RESIZE_SCHEMA)
+
+
+@query(
+    "llm_multimodal_resize",
+    oracle=f"""
+    -- Stride-sample resize checksum, reproduced in SQL: the corpus is pure
+    -- ASCII so byte k of the payload is codepoint k of text. stride =
+    -- greatest(len // {TARGET_W * TARGET_H}, 1); sampled = payload[::stride]
+    -- truncated to {TARGET_W * TARGET_H}; zero padding adds 0 to the sum.
+    WITH sized AS (
+      SELECT doc_id, text, length(text) AS len,
+             greatest(length(text) // {TARGET_W * TARGET_H}, 1) AS stride
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      {TARGET_W} AS width,
+      {TARGET_H} AS height,
+      CAST(len AS BIGINT) AS orig_bytes,
+      CAST(CASE WHEN len = 0 THEN 0
+                ELSE list_aggregate(
+                  [ascii(substring(text, CAST(1 + i * stride AS INT), 1))
+                   FOR i IN range(0, least(
+                       CAST(ceil(len / CAST(stride AS DOUBLE)) AS BIGINT),
+                       {TARGET_W * TARGET_H}))],
+                  'sum') % 65521 END AS BIGINT) AS checksum
+    FROM sized
+    """,
+)
 def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize stage of the multimodal pipeline: every output payload is
     exactly TARGET_W*TARGET_H bytes with dimension metadata attached.
-    Invariants (uniform output size, metadata correctness) are pinned in
+
+    The registered frame projects the driver-sortable scalar columns (the
+    checksum proves real byte access to the resized binary); the payload
+    column itself is exercised via :func:`resize_blobs` in
     tests/test_properties.py."""
-    d = table(spark, sf_dir, "documents")
-    blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    return blobs.mapInPandas(
-        _resize,
-        schema="doc_id long, payload binary, width int, height int, orig_bytes long",
+    return resize_blobs(spark, sf_dir).select(
+        "doc_id", "width", "height", "orig_bytes", "checksum"
     )

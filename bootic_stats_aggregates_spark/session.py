@@ -15,8 +15,32 @@ modest shuffle partitioning for the local harness via ``SPARK_GRAFT_SHUFFLE``
 from __future__ import annotations
 
 import os
+import weakref
+from typing import Any
 
 from pyspark.sql import SparkSession
+
+#: Per-session cache store. Keyed by a weakref to the live SparkSession
+#: object itself — NOT ``id(spark)``, which can be recycled by the allocator
+#: after a session is stopped and garbage-collected, serving DataFrames bound
+#: to a dead JVM session (ADVICE r1). When the session is collected its
+#: namespaces drop with it.
+_SESSION_CACHES: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def session_cache(spark: SparkSession, namespace: str) -> dict[Any, Any]:
+    """A mutable dict scoped to (live session, namespace).
+
+    Entries die with the session, so a recycled ``id()`` can never alias a
+    new session onto a dead one's cached plans.
+    """
+    caches = _SESSION_CACHES.get(spark)
+    if caches is None:
+        caches = {}
+        _SESSION_CACHES[spark] = caches
+    return caches.setdefault(namespace, {})
 
 #: Runtime-settable confs applied to whatever session the driver hands us.
 _RUNTIME_CONF = {

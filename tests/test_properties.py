@@ -145,10 +145,15 @@ def test_simhash_banding_complete_for_hamming_k(spark):
 
 def test_multimodal_resize_invariants(spark):
     """Every resized payload is exactly width*height bytes; originals'
-    sizes are preserved in metadata; one output row per input doc."""
-    rows = QUERIES["llm_multimodal_resize"](spark, SF_DIR).collect()
+    sizes are preserved in metadata; one output row per input doc; the
+    registered (payload-free) frame agrees with the checksum of the blob."""
+    from bootic_stats_aggregates_spark.llm.multimodal import resize_blobs
+
+    rows = resize_blobs(spark, SF_DIR).collect()
     n_docs = QUERIES["llm_dedup_stats"](spark, SF_DIR).collect()[0].n_docs
     assert len(rows) == n_docs
     for r in rows[:200]:
         assert len(r.payload) == r.width * r.height
         assert r.orig_bytes > 0
+        assert sum(r.payload) % 65521 == r.checksum
+    assert QUERIES["llm_multimodal_resize"](spark, SF_DIR).count() == n_docs
