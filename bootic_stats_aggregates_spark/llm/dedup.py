@@ -14,8 +14,10 @@ The 100 TB dedup cascade, cheapest first:
 5. ``llm_simhash``      — 64-bit SimHash per doc as a single aggregate
    expression (no explode, no extra shuffle).
 
-MinHash/SimHash use xxhash64 (not available in DuckDB) -> rows-only checks;
-the jaccard math itself is oracle-checked via llm_ngram_jaccard.
+MinHash uses xxhash64 (not available in DuckDB) for band routing, but its
+RESULT (pair, exact jaccard) is oracle-checked; SimHash uses a cross-engine
+polynomial hash family so both the signatures AND the banded pairs are
+exact-oracle-checked (see _HASH_P note).
 """
 
 from __future__ import annotations
@@ -308,45 +310,144 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_simhash")  # xxhash64-based -> rows-only check
-def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document, as ONE aggregate expression.
+#: Cross-engine token hash family for SimHash. xxhash64 exists only in Spark,
+#: so the r1 simhash ops could not be oracle-checked; this seeded polynomial
+#: rolling hash mod 1e9+7 computes IDENTICALLY in Spark SQL and DuckDB (both
+#: stay far below 64-bit overflow, so ANSI mode never trips), and bit b of a
+#: token is derived from two independent hashes via the Kirsch-Mitzenmacher
+#: double-hash construction: bit_b = ((h1 + (b+1)*h2) mod p) mod 2.
+#: Cost note: ~L multiply-adds per unique token (L = token length) vs one
+#: xxhash64 call — still pure codegen, no shuffle; at 100 TB a production
+#: deploy would swap xxhash64 back in (one-line change), trading the exact
+#: oracle for speed. The banding math is hash-agnostic either way.
+_HASH_P = 1_000_000_007
 
-    Bit-voting runs entirely inside codegen: fold the distinct tokens into a
-    64-slot vote array with aggregate+zip_with, then pack sign bits into a
-    long. No explode, no shuffle — per-row cost only, which is what lets it
-    run over a 100 TB corpus as a simple projection.
+
+#: 64-slot vote array: fold distinct tokens' (h1, h2) through the 64 KM bits.
+_VOTES_EXPR = f"""
+    aggregate(
+      transform(
+        filter(array_distinct(split(text, ' ')), t -> length(t) > 0),
+        t -> named_struct(
+          'h1', aggregate(transform(sequence(1, length(t)),
+                                    i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)),
+                          7L, (a, c) -> (a * 131 + c) % {_HASH_P}),
+          'h2', aggregate(transform(sequence(1, length(t)),
+                                    i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)),
+                          13L, (a, c) -> (a * 137 + c) % {_HASH_P})
+        )
+      ),
+      array_repeat(0L, 64),
+      (acc, th) -> zip_with(
+        acc,
+        transform(sequence(0, 63),
+                  b -> IF(((th.h1 + (CAST(b AS BIGINT) + 1) * th.h2)
+                           % {_HASH_P}) % 2 = 1, 1L, -1L)),
+        (a, v) -> a + v
+      )
+    )
+"""
+
+#: votes -> 4 x 16-bit band values (vote > 0 sets the bit).
+_PACK_EXPR = """
+    transform(sequence(0, 3), j ->
+      aggregate(sequence(0, 15), 0L,
+        (a, k) -> a + IF(element_at(__v, j * 16 + k + 1) > 0,
+                         shiftleft(1L, k), 0L)))
+"""
+
+
+def simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_0..band_3, n_uniq) — shared by query + pair join.
+
+    Two-step select so the expensive vote aggregate is computed once per row
+    and the cheap packing reads the materialized `__v` column.
     """
     d = table(spark, sf_dir, "documents")
-    # SQL lambda form: the Python shiftright/shiftleft wrappers require a
-    # literal int shift, but SQL accepts a column-valued shift inside the
-    # higher-order lambdas.
-    simhash = F.expr(
-        """
-        aggregate(
-          zip_with(
-            aggregate(
-              array_distinct(split(text, ' ')),
-              array_repeat(0L, 64),
-              (acc, t) -> zip_with(
-                acc,
-                transform(sequence(0, 63),
-                          b -> IF((shiftright(xxhash64(t), b) & 1) = 1, 1L, -1L)),
-                (a, v) -> a + v
-              )
-            ),
-            sequence(0, 63),
-            (v, p) -> IF(v > 0, shiftleft(1L, p), 0L)
-          ),
-          0L, (acc, x) -> acc + x
-        )
-        """
+    with_votes = d.select("doc_id", "text", F.expr(_VOTES_EXPR).alias("__v"))
+    with_bands = with_votes.select(
+        "doc_id", "text", F.expr(_PACK_EXPR).alias("__bands")
     )
-    return d.select(
+    return with_bands.select(
         "doc_id",
-        simhash.alias("simhash"),
-        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("n_uniq"),
+        *[F.element_at("__bands", j + 1).alias(f"band_{j}") for j in range(4)],
+        F.size(
+            F.filter(
+                F.array_distinct(F.split("text", " ")), lambda t: F.length(t) > 0
+            )
+        )
+        .cast("long")
+        .alias("n_uniq"),
     )
+
+
+#: DuckDB twin of the simhash signature: same rolling hash, same KM bit
+#: derivation, same vote>0 packing. Shared CTE for both simhash oracles.
+_SIMHASH_BANDS_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(list_distinct(string_split(text, ' ')),
+                                t -> length(t) > 0)) AS t
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id,
+        list_reduce([CAST(7 AS BIGINT)] ||
+          [CAST(ascii(substring(t, CAST(i AS INT), 1)) AS BIGINT)
+           FOR i IN range(1, length(t) + 1)],
+          (a, c) -> (a * 131 + c) % {_HASH_P}) AS h1,
+        list_reduce([CAST(13 AS BIGINT)] ||
+          [CAST(ascii(substring(t, CAST(i AS INT), 1)) AS BIGINT)
+           FOR i IN range(1, length(t) + 1)],
+          (a, c) -> (a * 137 + c) % {_HASH_P}) AS h2
+      FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, bb.b AS b,
+        sum(CASE WHEN ((h1 + (bb.b + 1) * h2) % {_HASH_P}) % 2 = 1
+                 THEN 1 ELSE -1 END) AS vote
+      FROM th, (SELECT unnest(range(0, 64)) AS b) bb
+      GROUP BY doc_id, bb.b
+    ),
+    packed AS (
+      SELECT doc_id,
+        COALESCE(SUM(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << CAST(b % 16 AS INT)
+                          ELSE 0 END) FILTER (WHERE b // 16 = 0), 0) AS band_0,
+        COALESCE(SUM(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << CAST(b % 16 AS INT)
+                          ELSE 0 END) FILTER (WHERE b // 16 = 1), 0) AS band_1,
+        COALESCE(SUM(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << CAST(b % 16 AS INT)
+                          ELSE 0 END) FILTER (WHERE b // 16 = 2), 0) AS band_2,
+        COALESCE(SUM(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << CAST(b % 16 AS INT)
+                          ELSE 0 END) FILTER (WHERE b // 16 = 3), 0) AS band_3
+      FROM bits GROUP BY doc_id
+    ),
+    sim AS (
+      -- LEFT JOIN keeps token-less docs (all-zero signature), matching the
+      -- Spark aggregate over an empty token array.
+      SELECT d.doc_id,
+             CAST(COALESCE(p.band_0, 0) AS BIGINT) AS band_0,
+             CAST(COALESCE(p.band_1, 0) AS BIGINT) AS band_1,
+             CAST(COALESCE(p.band_2, 0) AS BIGINT) AS band_2,
+             CAST(COALESCE(p.band_3, 0) AS BIGINT) AS band_3,
+             CAST(len(list_filter(list_distinct(string_split(d.text, ' ')),
+                                  t -> length(t) > 0)) AS BIGINT) AS n_uniq
+      FROM documents d LEFT JOIN packed p USING (doc_id)
+    )
+"""
+
+
+@query("llm_simhash", oracle=_SIMHASH_BANDS_SQL + "SELECT * FROM sim")
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document as 4 x 16-bit band columns.
+
+    Bit-voting runs entirely inside codegen: fold the distinct tokens into a
+    64-slot vote array with aggregate+zip_with, then pack sign bits into the
+    4 Manku band values. No explode, no shuffle — per-row cost only, which is
+    what lets it run over a 100 TB corpus as a simple projection. The band
+    framing (vs one 64-bit long) is what the banding join keys on anyway,
+    avoids 1<<63 sign traps across engines, and is exact-oracle-checked.
+    """
+    return simhash_bands(spark, sf_dir)
 
 
 @query(
@@ -372,14 +473,25 @@ def llm_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 HAMMING_K = 3  # 4 x 16-bit bands guarantee recall for hamming <= 3
 
 
-def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash) — reuses the registered signature query."""
-    from ..registry import all_queries
-
-    return all_queries()["llm_simhash"](spark, sf_dir).select("doc_id", "simhash")
-
-
-@query("llm_simhash_pairs")  # xxhash64-based -> rows-only; equality vs brute
+@query(
+    "llm_simhash_pairs",
+    oracle=_SIMHASH_BANDS_SQL
+    + f"""
+    -- Brute-force O(n²) hamming scan over the shared signature CTE: the
+    -- oracle twin of the banded join (pigeonhole makes them equal for
+    -- hamming <= {HAMMING_K}; tests/test_properties.py proves it in-engine).
+    SELECT
+      a.doc_id AS doc_id_a,
+      b.doc_id AS doc_id_b,
+      CAST(bit_count(xor(a.band_0, b.band_0)) + bit_count(xor(a.band_1, b.band_1))
+         + bit_count(xor(a.band_2, b.band_2)) + bit_count(xor(a.band_3, b.band_3))
+         AS INT) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.band_0, b.band_0)) + bit_count(xor(a.band_1, b.band_1))
+        + bit_count(xor(a.band_2, b.band_2)) + bit_count(xor(a.band_3, b.band_3))
+        <= {HAMMING_K}
+    """,
+)
 def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs: banded candidates + hamming verify.
 
@@ -387,33 +499,43 @@ def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 x 16-bit bands; any pair within hamming distance 3 MUST agree exactly
     on >= 1 band (pigeonhole), so a 4-way band shuffle join finds ALL such
     pairs without O(n²) — tests/test_properties.py proves equality with the
-    brute-force h<=3 scan. Coarser than MinHash-LSH (which catches the
-    higher-churn near-dups jaccard>=0.5 implies here); the cascade runs
-    this cheap filter first, MinHash on the survivors.
+    brute-force h<=3 scan, and the DuckDB oracle recomputes the brute scan
+    from raw text. Coarser than MinHash-LSH (which catches the higher-churn
+    near-dups jaccard>=0.5 implies here); the cascade runs this cheap filter
+    first, MinHash on the survivors.
 
     Scale: |bands| = 4 rows/doc; candidates per band bucket are true
     hash-collisions of 16 bits of structure — near-linear on real corpora.
     """
-    sh = _simhash_df(spark, sf_dir)
-    # bands unrolled in Python: shiftright's bit count must be a literal
+    sh = simhash_bands(spark, sf_dir)
     bands = sh.select(
         "doc_id",
-        "simhash",
+        "band_0",
+        "band_1",
+        "band_2",
+        "band_3",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.shiftright("simhash", b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("band_val"),
+                        F.col(f"band_{b}").alias("band_val"),
                     )
                     for b in range(4)
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    ).select(
+        "doc_id", "band_0", "band_1", "band_2", "band_3",
+        "band.band_id", "band.band_val",
+    )
     a, b = bands.alias("a"), bands.alias("b")
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a.band_{j}").bitwiseXOR(F.col(f"b.band_{j}"))
+        )
+        for j in range(4)
+    )
     cand = (
         a.join(
             b,
@@ -424,9 +546,7 @@ def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            hamming.cast("int").alias("hamming"),
         )
         .distinct()
     )

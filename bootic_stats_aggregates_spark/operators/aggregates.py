@@ -164,17 +164,52 @@ def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # approximate -> rows-only check (FIXTURES rule 3)
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL uniques (Redis PFADD semantics): mergeable, streaming-safe.
 
     This — not exact distinct — is the 100 TB path: the sketch is O(kB) per
     group and merges associatively across any partial-aggregation tree.
+    Raw estimates; the registered query wraps them in an exact-checkable
+    error-envelope framing (the estimate itself is engine-specific, so DuckDB
+    cannot reproduce it bit-for-bit — the envelope vs exact counts is the
+    deterministic, hashable claim).
     """
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).cast("long").alias("approx_users"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
         lcount("n_events"),
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    -- The HLL estimate is deterministic for fixed data but engine-specific;
+    -- the exact-checkable claim is the error envelope: estimate within 10%
+    -- of the exact distinct count (rsd=0.02 requested, ~5 sigma headroom).
+    SELECT
+      event_type,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      CAST(count(*) AS BIGINT) AS n_events,
+      TRUE AS within_10pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct with its accuracy claim made exact-checkable:
+    exact counts ride along and the estimate is asserted into a
+    deterministic within-envelope boolean (see approx_distinct_raw)."""
+    raw = approx_distinct_raw(spark, sf_dir)
+    return raw.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            (F.col("approx_users") >= F.round(F.col("exact_users") * 0.9))
+            & (F.col("approx_users") <= F.round(F.col("exact_users") * 1.1))
+        ).alias("within_10pct"),
     )
 
 
@@ -270,16 +305,52 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile")  # sketch-based -> tolerance-checked in tests
-def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_percentile_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable percentile sketch (the ONLY percentile allowed on the
     100 TB streaming path — exact percentiles need the full group sorted;
-    see agg_percentile for the exact batch twin). Accuracy envelope vs the
-    exact operator is pinned in tests/test_properties.py."""
+    see agg_percentile for the exact batch twin). Raw estimates; the
+    registered query wraps them in the exact-checkable envelope framing."""
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50"),
         F.approx_percentile("value", F.lit(0.9), F.lit(10000)).alias("p90"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile(value, 0.9)").alias("exact_p90"),
+    )
+
+
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    -- Sketch estimates are engine-specific; the deterministic claim is the
+    -- 1%-of-exact accuracy envelope per group (sketch accuracy 1e4).
+    SELECT
+      event_type,
+      round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS exact_p50,
+      round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS exact_p90,
+      TRUE AS p50_within_1pct,
+      TRUE AS p90_within_1pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile with its accuracy claim made exact-checkable: the
+    exact interpolated percentiles ride along (hash-compared vs DuckDB's
+    quantile_cont) and each estimate is asserted into a within-1% boolean."""
+    raw = approx_percentile_raw(spark, sf_dir)
+
+    def ok(est: str, exact: str):
+        return F.abs(F.col(est) - F.col(exact)) <= 0.01 * F.greatest(
+            F.abs(F.col(exact)), F.lit(1.0)
+        )
+
+    return raw.select(
+        "event_type",
+        F.round("exact_p50", 4).cast("double").alias("exact_p50"),
+        F.round("exact_p90", 4).cast("double").alias("exact_p90"),
+        ok("p50", "exact_p50").alias("p50_within_1pct"),
+        ok("p90", "exact_p90").alias("p90_within_1pct"),
     )
 
 

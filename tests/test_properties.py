@@ -86,34 +86,45 @@ def test_ann_lsh_prunes_and_recalls(spark):
 
 
 def test_approx_distinct_within_tolerance(spark):
-    """approx_count_distinct (HLL, rsd=0.05) must land within 3x rsd of the
-    exact per-bucket distinct counts — the sketch is the only distinct
+    """approx_count_distinct (HLL, rsd=0.02) must land within the envelope of
+    the exact per-bucket distinct counts — the sketch is the only distinct
     operator allowed on the 100 TB streaming path, so its error envelope is
-    part of the contract."""
-    approx = {
-        tuple(r)[:-1]: r[-1]
+    part of the contract. The registered query folds this into the
+    within_10pct boolean; here we check the raw estimates directly."""
+    from bootic_stats_aggregates_spark.operators.aggregates import approx_distinct_raw
+
+    for r in approx_distinct_raw(spark, SF_DIR).collect():
+        assert abs(r.approx_users - r.exact_users) <= max(3, 0.1 * r.exact_users), (
+            r.event_type,
+            r.approx_users,
+            r.exact_users,
+        )
+    assert all(
+        r.within_10pct
         for r in QUERIES["agg_approx_distinct"](spark, SF_DIR).collect()
-    }
-    exact = {
-        tuple(r)[:-1]: r[-1]
-        for r in QUERIES["agg_distinct_users"](spark, SF_DIR).collect()
-    }
-    assert approx.keys() == exact.keys()
-    for k, ex in exact.items():
-        ap = approx[k]
-        assert abs(ap - ex) <= max(3, 0.15 * ex), (k, ap, ex)
+    )
 
 
 def test_approx_percentile_within_tolerance(spark):
     """approx_percentile(accuracy=1e4) must land within 1% of the exact
-    interpolated percentile per group."""
-    approx = {r.event_type: (r.p50, r.p90) for r in QUERIES["agg_approx_percentile"](spark, SF_DIR).collect()}
-    exact = {r.event_type: (r.p50, r.p90) for r in QUERIES["agg_percentile"](spark, SF_DIR).collect()}
+    interpolated percentile per group (raw estimates; the registered query
+    folds the same claim into booleans)."""
+    from bootic_stats_aggregates_spark.operators.aggregates import (
+        approx_percentile_raw,
+    )
+
+    for r in approx_percentile_raw(spark, SF_DIR).collect():
+        assert abs(r.p50 - r.exact_p50) <= 0.01 * max(abs(r.exact_p50), 1)
+        assert abs(r.p90 - r.exact_p90) <= 0.01 * max(abs(r.exact_p90), 1)
+    exact = {
+        r.event_type: (r.p50, r.p90)
+        for r in QUERIES["agg_percentile"](spark, SF_DIR).collect()
+    }
+    approx = {
+        r.event_type: (r.exact_p50, r.exact_p90)
+        for r in QUERIES["agg_approx_percentile"](spark, SF_DIR).collect()
+    }
     assert approx.keys() == exact.keys()
-    for g, (e50, e90) in exact.items():
-        a50, a90 = approx[g]
-        assert abs(a50 - e50) <= 0.01 * max(abs(e50), 1), (g, a50, e50)
-        assert abs(a90 - e90) <= 0.01 * max(abs(e90), 1), (g, a90, e90)
 
 
 def test_simhash_banding_complete_for_hamming_k(spark):
@@ -121,21 +132,24 @@ def test_simhash_banding_complete_for_hamming_k(spark):
     pairs a brute-force all-pairs hamming scan finds at h <= 3."""
     from pyspark.sql import functions as F
 
-    from bootic_stats_aggregates_spark.llm.dedup import HAMMING_K, _simhash_df
+    from bootic_stats_aggregates_spark.llm.dedup import HAMMING_K, simhash_bands
 
     banded = {
         (r.doc_id_a, r.doc_id_b, r.hamming)
         for r in QUERIES["llm_simhash_pairs"](spark, SF_DIR).collect()
     }
-    sh = _simhash_df(spark, SF_DIR)
-    a = sh.select(F.col("doc_id").alias("da"), F.col("simhash").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("db"), F.col("simhash").alias("sb"))
+    sh = simhash_bands(spark, SF_DIR)
+    a = sh.select(
+        F.col("doc_id").alias("da"), *[F.col(f"band_{j}").alias(f"a{j}") for j in range(4)]
+    )
+    b = sh.select(
+        F.col("doc_id").alias("db"), *[F.col(f"band_{j}").alias(f"b{j}") for j in range(4)]
+    )
+    h = sum(F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}"))) for j in range(4))
     brute = {
         (r.da, r.db, r.h)
         for r in a.join(b, F.col("da") < F.col("db"))
-        .select(
-            "da", "db", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("h")
-        )
+        .select("da", "db", h.cast("int").alias("h"))
         .filter(F.col("h") <= HAMMING_K)
         .collect()
     }
