@@ -24,6 +24,8 @@ tables — same rows, different physics.
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,6 +35,16 @@ from .registry import query
 from .session import tune
 
 _LAYOUT_ROOT = os.environ.get("SPARK_GRAFT_LAYOUT_DIR", "/tmp/spark_graft_layout")
+
+
+def _fingerprint(sf_dir: str, name: str) -> str:
+    """Content fingerprint of a fixture file (mtime ns + size).
+
+    Baked into every materialized-layout path so a REGENERATED fixture can
+    never be served a stale layout (ADVICE r1 — the r1 cache keyed only on
+    the sf-dir basename)."""
+    st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+    return f"{st.st_mtime_ns:x}-{st.st_size:x}"
 
 #: Buckets for the co-located join demo. On a cluster this would be sized so
 #: one bucket ≈ one HDFS block per file (e.g. 4096 buckets for 100 TB);
@@ -49,15 +61,27 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Written once per scale factor; later sessions reuse the directory.
     """
-    out = os.path.join(_LAYOUT_ROOT, _sf_tag(sf_dir), "events_by_date")
+    out = os.path.join(
+        _LAYOUT_ROOT,
+        _sf_tag(sf_dir),
+        f"events_by_date-{_fingerprint(sf_dir, 'events')}",
+    )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        # write to a session-unique temp dir, publish with one atomic rename:
+        # a concurrent session either wins the rename or discards its copy —
+        # no reader can ever observe a half-written directory (ADVICE r1)
+        tmp = f"{out}.tmp-{uuid.uuid4().hex}"
         ev = table(spark, sf_dir, "events")
         (
             ev.withColumn("event_date", F.to_date("ts"))
             .write.mode("overwrite")
             .partitionBy("event_date")
-            .parquet(out)
+            .parquet(tmp)
         )
+        try:
+            os.rename(tmp, out)
+        except OSError:  # lost the publish race — identical content exists
+            shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(out)
 
 
@@ -66,14 +90,20 @@ def bucketed_table(spark: SparkSession, sf_dir: str, name: str, key: str) -> str
     table name. Bucketing metadata lives in the session catalog, so this is
     per-session (cheap at fixture scale; a one-time ETL step on a cluster).
     """
-    tbl = f"bkt_{_sf_tag(sf_dir).replace('.', '_')}_{name}"
+    fp = _fingerprint(sf_dir, name).replace("-", "_")
+    tbl = f"bkt_{_sf_tag(sf_dir).replace('.', '_')}_{name}_{fp}"
     if not spark.catalog.tableExists(tbl):
+        # bucket METADATA only exists in the session catalog (an external
+        # createTable can't carry a bucket spec), so the data files are
+        # per-process too: pid in the path removes the concurrent-writer
+        # race, the fingerprint in the name removes staleness (ADVICE r1)
+        path = os.path.join(_LAYOUT_ROOT, "tables", f"{tbl}-{os.getpid()}")
         (
             table(spark, sf_dir, name)
             .write.mode("overwrite")
             .bucketBy(_N_BUCKETS, key)
             .sortBy(key)
-            .option("path", os.path.join(_LAYOUT_ROOT, "tables", tbl))
+            .option("path", path)
             .saveAsTable(tbl)
         )
     return tbl

@@ -39,15 +39,23 @@ JACCARD_THRESHOLD = 0.5
 
 
 def _shingles(text_col: str = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles via sequence+transform (pure codegen)."""
+    """Distinct word n-gram shingles via sequence+transform (pure codegen).
+
+    Docs with fewer than ``n`` tokens get an EMPTY shingle set on both
+    engines (ADVICE r1: without the guard, Spark's concat_ws skipped the
+    out-of-range NULL tokens — a partial shingle — while the DuckDB
+    oracle's ``||`` propagated NULL — an empty set; the engines disagreed
+    for short docs)."""
     toks = F.split(text_col, " ")
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + k) for k in range(n)]
         ),
     )
-    return F.array_distinct(grams)
+    return F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(F.array_distinct(grams))
 
 
 def _minhash_sig(shingles: Column) -> Column:
@@ -108,13 +116,15 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (pinned independently by tests/test_properties.py::test_lsh_matches_bruteforce).
 _JACCARD_PAIRS_SQL = f"""
     WITH sh AS (
+      -- <3-token docs get an empty shingle set (mirrors the Spark guard)
       SELECT doc_id,
-        list_distinct(list_transform(
-          range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+        CASE WHEN len(string_split(text,' ')) < 3 THEN []
+        ELSE list_distinct(list_transform(
+          range(1, len(string_split(text,' ')) - 2 + 1),
           i -> string_split(text,' ')[i] || ' ' ||
                string_split(text,' ')[i+1] || ' ' ||
                string_split(text,' ')[i+2]
-        )) AS s
+        )) END AS s
       FROM documents
     )
     SELECT
@@ -255,31 +265,40 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tiny at fixture scale and reused every iteration -> pin both sides.
     edges = edges.cache()
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
-    for _ in range(MAX_CC_ITERS):
+    changed = -1
+    for it in range(MAX_CC_ITERS):
         neighbor_min = (
             labels.join(edges, labels.doc_id == edges.src)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .cache()
+        new_labels = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+            ).alias("cluster_id"),
         )
+        # localCheckpoint truncates the lineage (it otherwise grows one join
+        # per round — reanalysis cost and scheduler DAG size both balloon on
+        # deep graphs) AND materializes the frame, superseding .cache().
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
+        labels.unpersist()  # superseded — don't pin one frame per iteration
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
+    if changed != 0:
+        # silent partial propagation would hand out WRONG cluster ids
+        raise RuntimeError(
+            f"connected components did not converge in {MAX_CC_ITERS} rounds "
+            "(graph diameter too large — switch to large-star/small-star)"
+        )
     return labels.select(
         "doc_id",
         F.col("cluster_id").cast("long").alias("cluster_id"),

@@ -88,20 +88,34 @@ def src_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet truth.
     """
     import os
+    import shutil
+    import uuid
 
+    from ..layout import _LAYOUT_ROOT, _fingerprint
     from ..session import tune
 
     tune(spark)
-    out = os.path.join("/tmp/spark_graft_layout", "jsonl",
-                       os.path.basename(os.path.normpath(sf_dir)), "events")
+    # fingerprint + atomic publish: same staleness/race discipline as the
+    # layout materializations (ADVICE r1)
+    out = os.path.join(
+        _LAYOUT_ROOT,
+        "jsonl",
+        os.path.basename(os.path.normpath(sf_dir)),
+        f"events-{_fingerprint(sf_dir, 'events')}",
+    )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        tmp = f"{out}.tmp-{uuid.uuid4().hex}"
         (
             table(spark, sf_dir, "events")
             .filter(F.col("event_id") < 1000)
             .select("event_id", "event_type")
             .write.mode("overwrite")
-            .json(out)
+            .json(tmp)
         )
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
     schema = "event_id LONG, event_type STRING, _corrupt_record STRING"
     parsed = (
         spark.read.schema(schema)

@@ -14,11 +14,20 @@ Spark-first split:
    so Redis receives ONE increment per (key, field) per batch instead of
    one per event. That per-batch combine is what makes the sink survive
    100 TB: Redis traffic scales with |groups|, not |events|.
-2. **The writer is a thin pipelined apply** (`RedisCounterSink`):
-   ``foreachBatch`` -> ``foreachPartition`` -> pipelined client commands,
-   idempotent via a per-batch marker key (SETNX batch guard) so micro-batch
-   retries don't double-count — the exactly-once upgrade over the
-   reference's at-least-once socket consumption.
+2. **The writer is a two-phase pipelined apply** (`RedisCounterSink`):
+   ``foreachBatch`` -> STAGE: ``foreachPartition`` pipelines the batch's
+   command rows into a per-batch staging hash with HSET (overwrite =
+   idempotent, so partition-level retries are free) -> COMMIT: one
+   transactional pipeline applies the staged increments to the live keys,
+   sets the batch marker and deletes staging ATOMICALLY. A retried
+   micro-batch either sees the marker (skip) or re-stages (idempotent) and
+   re-commits (nothing was applied — MULTI/EXEC is all-or-nothing). This is
+   the exactly-once upgrade over the reference's at-least-once socket
+   consumption; note marker-INSIDE-the-commit-transaction is what makes it
+   sound — a marker set before (or outside) the apply would turn partial
+   failures into silent undercounts. Assumes Spark's sequential micro-batch
+   retry semantics (no two drivers committing the same batch concurrently),
+   which foreachBatch guarantees.
 
 No redis server (or client lib) ships in this container: the import is
 gated and `FakeRedis` implements the tiny command subset for tests and for
@@ -108,14 +117,54 @@ def unique_commands(events: DataFrame) -> DataFrame:
     )
 
 
+class Pipeline:
+    """Buffered command pipeline with redis-py's pipeline surface: queue
+    commands, apply them on ``execute()``. For FakeRedis (in-process,
+    single-threaded) execute() is trivially atomic, matching what
+    MULTI/EXEC gives the real client when ``transaction=True``."""
+
+    def __init__(self, parent) -> None:
+        self._parent = parent
+        self._ops: list[tuple[str, tuple]] = []
+
+    def _queue(self, method: str, *args):
+        self._ops.append((method, args))
+        return self
+
+    def hincrby(self, key, field, delta):
+        return self._queue("hincrby", key, field, delta)
+
+    def zincrby(self, key, delta, member):
+        return self._queue("zincrby", key, delta, member)
+
+    def sadd(self, key, member):
+        return self._queue("sadd", key, member)
+
+    def hset(self, key, field, value):
+        return self._queue("hset", key, field, value)
+
+    def set(self, key, value, nx=False):
+        return self._queue("set", key, value, nx)
+
+    def delete(self, key):
+        return self._queue("delete", key)
+
+    def execute(self) -> list:
+        results = [getattr(self._parent, m)(*a) for m, a in self._ops]
+        self._ops = []
+        return results
+
+
 class FakeRedis:
-    """In-memory stand-in implementing the command subset the sink needs."""
+    """In-memory stand-in with the redis-py command surface the sink needs
+    (counters, staging hashes, marker KV, pipelining)."""
 
     def __init__(self) -> None:
         self.hashes: dict[str, dict[str, int]] = defaultdict(dict)
         self.zsets: dict[str, dict[str, float]] = defaultdict(dict)
         self.sets: dict[str, set[str]] = defaultdict(set)
-        self.markers: set[str] = set()
+        self.kv: dict[str, str] = {}
+        self.staging: dict[str, dict[str, str]] = defaultdict(dict)
 
     def hincrby(self, key: str, field: str, delta: int) -> int:
         h = self.hashes[key]
@@ -132,69 +181,132 @@ class FakeRedis:
         self.sets[key].add(member)
         return len(self.sets[key]) - before
 
-    def set_marker(self, marker: str) -> bool:
-        """SETNX-style batch guard: False if already applied."""
-        if marker in self.markers:
-            return False
-        self.markers.add(marker)
+    # -- staging / marker surface (redis-py semantics) --
+
+    def hset(self, key: str, field: str, value) -> int:
+        fresh = field not in self.staging[key]
+        self.staging[key][field] = str(value)
+        return int(fresh)
+
+    def hgetall(self, key: str) -> dict[str, str]:
+        return dict(self.staging.get(key, {}))
+
+    def get(self, key: str):
+        return self.kv.get(key)
+
+    def set(self, key: str, value, nx: bool = False):
+        if nx and key in self.kv:
+            return None  # redis-py: None when NX blocks the write
+        self.kv[key] = str(value)
         return True
 
+    def delete(self, key: str) -> int:
+        existed = int(key in self.staging or key in self.kv)
+        self.staging.pop(key, None)
+        self.kv.pop(key, None)
+        return existed
 
-def apply_commands(client, rows) -> int:
-    """Apply command rows (HINCRBY/ZINCRBY/SADD) to a client. Returns the
-    number of commands applied. Works for FakeRedis and redis-py alike."""
-    n = 0
-    for r in rows:
-        if r.cmd == "HINCRBY":
-            client.hincrby(r.key, r.field, r.delta)
-        elif r.cmd == "ZINCRBY":
-            client.zincrby(r.key, r.delta, r.member)
-        elif r.cmd == "SADD":
-            client.sadd(r.key, r.member)
-        else:  # pragma: no cover - unknown command is a programming error
-            raise ValueError(f"unknown command {r.cmd!r}")
-        n += 1
-    return n
+    def pipeline(self, transaction: bool = True) -> Pipeline:
+        return Pipeline(self)
+
+
+def _stage_field(r) -> tuple[str, str]:
+    """Encode one command row as an idempotent staging (field, value) pair.
+
+    Post-aggregation each (cmd, key, field/member) identity occurs exactly
+    once per batch, so HSET overwrite makes partition retries no-ops. '|'
+    never appears in keys (':'-joined) so the encoding is unambiguous.
+    """
+    if r.cmd == "HINCRBY":
+        return f"HINCRBY|{r.key}|{r.field}", str(int(r.delta))
+    if r.cmd == "ZINCRBY":
+        return f"ZINCRBY|{r.key}|{r.member}", str(int(r.delta))
+    if r.cmd == "SADD":
+        return f"SADD|{r.key}|{r.member}", "1"
+    raise ValueError(f"unknown command {r.cmd!r}")
+
+
+def stage_writer(client_factory, stage_key: str):
+    """Per-partition staging writer: pipeline HSETs into the batch's staging
+    hash. Safe to re-run (overwrite semantics) — Spark may retry partitions."""
+
+    def _write(rows) -> None:
+        client = client_factory()
+        pipe = client.pipeline(transaction=False)
+        n = 0
+        for r in rows:
+            field, value = _stage_field(r)
+            pipe.hset(stage_key, field, value)
+            n += 1
+        if n:
+            pipe.execute()
+
+    return _write
+
+
+def commit_staged(client, staged: dict, marker: str, stage_key: str) -> int:
+    """Apply staged deltas + marker + staging cleanup in ONE transaction.
+
+    The marker rides INSIDE the same MULTI/EXEC as the increments: either
+    everything applied and the marker exists, or nothing did — a crash
+    mid-commit leaves live counters untouched and the retry re-commits.
+    Returns the number of increment commands applied.
+    """
+    pipe = client.pipeline(transaction=True)
+    for field in sorted(staged):
+        cmd, key, member = field.split("|", 2)
+        if cmd == "HINCRBY":
+            pipe.hincrby(key, member, int(staged[field]))
+        elif cmd == "ZINCRBY":
+            pipe.zincrby(key, int(staged[field]), member)
+        else:  # SADD
+            pipe.sadd(key, member)
+    pipe.set(marker, 1, nx=True)
+    pipe.delete(stage_key)
+    pipe.execute()
+    return len(staged)
 
 
 class RedisCounterSink:
-    """foreachBatch sink: per-batch combined commands, pipelined, idempotent.
+    """foreachBatch sink: stage (idempotent, per-partition pipelines) then
+    commit (single atomic transaction containing increments + batch marker).
 
-    ``client_factory`` is called once per partition on the executor (a real
-    deployment passes a redis-py connection-pool factory; tests pass
-    FakeRedis). The per-batch marker makes retried micro-batches no-ops.
+    ``client_factory`` is called per partition on executors during staging
+    and once on the driver for the commit (a real deployment passes a
+    redis-py connection-pool factory; tests pass FakeRedis or a spool-backed
+    shim). ``distributed`` controls whether staging runs via
+    ``foreachPartition`` on executors (requires a client whose writes are
+    visible across processes — any real Redis) or driver-side over
+    ``toLocalIterator`` (FakeRedis, whose state is process-local); default
+    auto-detects.
     """
 
-    def __init__(self, client_factory, namespace: str = "bootic") -> None:
+    def __init__(
+        self, client_factory, namespace: str = "bootic", distributed=None
+    ) -> None:
         self._factory = client_factory
         self._ns = namespace
+        self._distributed = distributed
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         client = self._factory()
-        if hasattr(client, "set_marker"):
-            fresh = client.set_marker(f"{self._ns}:batch:{batch_id}")
-        else:  # redis-py: NX set as the idempotence guard
-            fresh = bool(client.set(f"{self._ns}:batch:{batch_id}", 1, nx=True))
-        if not fresh:
-            return
-        commands = [
+        marker = f"{self._ns}:batch:{batch_id}"
+        if client.get(marker) is not None:
+            return  # batch fully committed by a previous attempt
+        stage_key = f"{self._ns}:stage:{batch_id}"
+        distributed = self._distributed
+        if distributed is None:
+            distributed = not isinstance(client, FakeRedis)
+        writer = stage_writer(self._factory, stage_key)
+        for cdf in (
             counter_commands(batch_df),
             ranking_commands(batch_df),
             unique_commands(batch_df),
-        ]
-        if _redis is not None and not isinstance(client, FakeRedis):
-            # production path: ship per partition, pipeline per partition
-            factory = self._factory
-
-            def _write(rows):  # pragma: no cover - needs a redis server
-                c = factory()
-                pipe = c.pipeline(transaction=False)
-                apply_commands(pipe, rows)
-                pipe.execute()
-
-            for cdf in commands:
-                cdf.foreachPartition(_write)
-        else:
-            # test path: command volume is |groups|, safe to collect
-            for cdf in commands:
-                apply_commands(client, cdf.toLocalIterator())
+        ):
+            if distributed:
+                # production path: stage from executors, pipeline/partition
+                cdf.foreachPartition(writer)
+            else:
+                # FakeRedis is process-local: same writer, driver-side
+                writer(cdf.toLocalIterator())
+        commit_staged(client, client.hgetall(stage_key), marker, stage_key)

@@ -157,6 +157,34 @@ def test_simhash_banding_complete_for_hamming_k(spark):
     assert len(brute) > 0, "expected some h<=3 simhash pairs at sf0.01"
 
 
+def test_dedup_clusters_bounds_pinned_memory(spark):
+    """Label-propagation must unpersist superseded frames: repeated builds
+    may not accumulate persistent RDDs (ADVICE r1 — the r1 version pinned
+    one cached frame per iteration per run, unbounded in a long session)."""
+    from bootic_stats_aggregates_spark.llm.dedup import llm_dedup_clusters
+
+    build = llm_dedup_clusters.__wrapped__  # bypass the registry plan memo
+    build(spark, SF_DIR).count()
+    build(spark, SF_DIR).count()
+    settled = spark.sparkContext._jsc.getPersistentRDDs().size()
+    build(spark, SF_DIR).count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= settled
+
+
+def test_shingles_empty_for_short_docs(spark):
+    """Docs with <3 tokens must yield an EMPTY shingle set (not a partial
+    shingle) so Spark and the DuckDB oracle agree for all inputs (ADVICE r1)."""
+    from bootic_stats_aggregates_spark.llm.dedup import _shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "one two three four"), (3, ""), (4, "x")],
+        "id int, text string",
+    )
+    got = {r.id: r.s for r in df.select("id", _shingles().alias("s")).collect()}
+    assert got[1] == [] and got[3] == [] and got[4] == []
+    assert got[2] == ["one two three", "two three four"]
+
+
 def test_multimodal_resize_invariants(spark):
     """Every resized payload is exactly width*height bytes; originals'
     sizes are preserved in metadata; one output row per input doc; the

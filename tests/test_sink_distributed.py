@@ -1,0 +1,124 @@
+"""Distributed staging path of the Redis sink (SURVEY.md §2.1 snk_*).
+
+RedisCounterSink's production branch stages command rows from EXECUTORS via
+``foreachPartition`` + pipelined HSETs. FakeRedis can't see cross-process
+writes, so this test uses a filesystem-spooled staging client: executor-side
+pipelines land staged fields as atomically-renamed files (content-hash names
+-> partition retries overwrite idempotently, exactly the HSET-overwrite
+contract), and the driver merges the spool for the commit transaction. The
+final counter state must equal what the driver-local FakeRedis path produces
+for the same batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pytest
+
+from bootic_stats_aggregates_spark.io import table
+from bootic_stats_aggregates_spark.sinks.redis_sink import (
+    FakeRedis,
+    RedisCounterSink,
+)
+
+from conftest import SF_DIR
+
+
+def _make_spool_client(root: str):
+    """A staging client whose HSET pipeline is visible across processes.
+
+    Defined inside a function so cloudpickle ships the classes BY VALUE to
+    executors (the tests/ directory is not importable from Spark workers).
+    """
+
+    class SpoolPipe:
+        def __init__(self) -> None:
+            self.ops: list[tuple[str, str, str]] = []
+
+        def hset(self, key, field, value):
+            self.ops.append((key, field, str(value)))
+            return self
+
+        def execute(self):
+            by_key: dict[str, dict[str, str]] = {}
+            for k, f, v in self.ops:
+                by_key.setdefault(k, {})[f] = v
+            for k, fields in by_key.items():
+                payload = json.dumps(
+                    {"key": k, "fields": dict(sorted(fields.items()))},
+                    sort_keys=True,
+                )
+                # content-hash filename: a retried partition re-writes the
+                # SAME file — the filesystem analog of HSET overwrite
+                name = hashlib.sha1(payload.encode()).hexdigest()
+                tmp = os.path.join(root, f".tmp-{name}-{os.getpid()}")
+                with open(tmp, "w") as fh:
+                    fh.write(payload)
+                os.replace(tmp, os.path.join(root, f"{name}.json"))
+            self.ops = []
+            return []
+
+    class SpoolRedis(FakeRedis):
+        """Live counters/markers stay in-process (driver); staging reads
+        merge the executor-written spool files."""
+
+        def pipeline(self, transaction: bool = True):
+            if transaction:
+                return super().pipeline(transaction=True)  # driver commit
+            return SpoolPipe()  # executor staging
+
+        def hgetall(self, key: str) -> dict:
+            merged: dict[str, str] = {}
+            for fn in sorted(os.listdir(root)):
+                if not fn.endswith(".json"):
+                    continue
+                with open(os.path.join(root, fn)) as fh:
+                    doc = json.load(fh)
+                if doc["key"] == key:
+                    merged.update(doc["fields"])
+            return merged
+
+        def delete(self, key: str) -> int:
+            for fn in list(os.listdir(root)):
+                path = os.path.join(root, fn)
+                if fn.endswith(".json"):
+                    with open(path) as fh:
+                        if json.load(fh)["key"] == key:
+                            os.remove(path)
+            return super().delete(key)
+
+    return SpoolRedis
+
+
+@pytest.fixture
+def batch(spark):
+    return table(spark, SF_DIR, "events").limit(2000)
+
+
+def test_distributed_staging_matches_driver_path(spark, batch, tmp_path):
+    spool = str(tmp_path)
+    SpoolRedis = _make_spool_client(spool)
+    dist_client = SpoolRedis()
+    # the factory closure ships a pickled COPY to executors (which only use
+    # the spool-file pipeline); the driver's calls get the real instance
+    dist_sink = RedisCounterSink(lambda: dist_client, distributed=True)
+    dist_sink(batch, batch_id=7)
+
+    local_client = FakeRedis()
+    RedisCounterSink(lambda: local_client)(batch, batch_id=7)
+
+    assert dict(dist_client.hashes) == dict(local_client.hashes)
+    assert dict(dist_client.zsets) == dict(local_client.zsets)
+    assert dict(dist_client.sets) == dict(local_client.sets)
+    assert dist_client.hashes, "expected non-empty counter state"
+    # staging fully consumed; marker present
+    assert dist_client.hgetall("bootic:stage:7") == {}
+    assert dist_client.get("bootic:batch:7") is not None
+
+    # replay of the committed batch is a no-op
+    snapshot = {k: dict(v) for k, v in dist_client.hashes.items()}
+    dist_sink(batch, batch_id=7)
+    assert {k: dict(v) for k, v in dist_client.hashes.items()} == snapshot

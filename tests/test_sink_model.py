@@ -62,21 +62,56 @@ def test_fakeredis_matches_dict_model(cmds):
     }
 
 
-@given(st.lists(st.tuples(_keys, st.integers(1, 50)), min_size=1, max_size=20))
+def _stage_and_maybe_commit(r, batch_id, rows, crash_before_commit=False):
+    """The sink's two-phase protocol without Spark: marker check -> staged
+    HSETs (idempotent overwrite) -> atomic commit (increments + marker +
+    staging cleanup in one transaction)."""
+    from bootic_stats_aggregates_spark.sinks.redis_sink import (
+        _stage_field,
+        commit_staged,
+    )
+
+    marker = f"m:{batch_id}"
+    if r.get(marker) is not None:
+        return
+    stage_key = f"stage:{batch_id}"
+    pipe = r.pipeline(transaction=False)
+    for row in rows:
+        field, value = _stage_field(row)
+        pipe.hset(stage_key, field, value)
+    pipe.execute()
+    if crash_before_commit:
+        return  # simulated failure AFTER staging, BEFORE the commit txn
+    commit_staged(r, r.hgetall(stage_key), marker, stage_key)
+
+
+class _Row:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+@given(
+    st.lists(st.tuples(_keys, st.integers(1, 50)), min_size=1, max_size=20),
+    st.sets(st.integers(0, 19)),
+)
 @settings(max_examples=100, deadline=None)
-def test_marker_guard_makes_replays_idempotent(batches):
-    """Applying each batch's increments under a SETNX marker: replaying any
-    batch (even all of them, repeatedly) must not change final counters."""
+def test_two_phase_commit_exactly_once(batches, crash_ids):
+    """Replaying any batch — including batches whose first attempt crashed
+    between staging and commit — must yield exactly-once counter totals.
+    (The r1 marker-BEFORE-apply ordering failed this: a crash mid-apply
+    left the marker set and the retry skipped the batch entirely.)"""
     r = FakeRedis()
-
-    def apply_batch(batch_id, key, delta):
-        if r.set_marker(f"m:{batch_id}"):
-            r.hincrby(key, "n", delta)
-
+    rows_of = lambda key, delta: [_Row(cmd="HINCRBY", key=key, field="n", delta=delta)]
     for batch_id, (key, delta) in enumerate(batches):
-        apply_batch(batch_id, key, delta)
-    snapshot = {k: dict(v) for k, v in r.hashes.items()}
-    # adversarial replay: every batch again, twice, out of order
+        _stage_and_maybe_commit(
+            r, batch_id, rows_of(key, delta), crash_before_commit=batch_id in crash_ids
+        )
+    # every batch retried (out of order, twice) — crashed ones now succeed
     for batch_id, (key, delta) in list(enumerate(batches))[::-1] * 2:
-        apply_batch(batch_id, key, delta)
-    assert {k: dict(v) for k, v in r.hashes.items()} == snapshot
+        _stage_and_maybe_commit(r, batch_id, rows_of(key, delta))
+    expected: dict = defaultdict(int)
+    for key, delta in batches:
+        expected[key] += delta
+    assert {k: v["n"] for k, v in r.hashes.items() if v} == dict(expected)
+    # all staging hashes cleaned up, one marker per batch
+    assert not any(r.hgetall(f"stage:{b}") for b in range(len(batches)))
