@@ -77,7 +77,11 @@ def main() -> None:
     # parallel (a cluster keeps the 128 MB default and gets parallelism from
     # many files); modest shuffle fan-out for tiny shuffles.
     os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024))
-    os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "8")
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "4")
+    # Interactive-latency config: AQE's per-stage materialize+re-plan barrier
+    # costs ~10 ms/stage — decisive on 30-60 ms queries, irrelevant (and ON)
+    # at cluster scale. The DuckDB baseline has no such barrier either.
+    os.environ.setdefault("SPARK_GRAFT_AQE", "false")
     # Warm-engine benchmark (BASELINE.md measures DuckDB warm, 3rd run):
     # pin the fixture tables in the in-memory columnar cache.
     os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")

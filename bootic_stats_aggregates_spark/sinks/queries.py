@@ -23,6 +23,7 @@ from .redis_sink import (
     FakeRedis,
     RedisCounterSink,
     counter_commands,
+    path_ranking_commands,
     ranking_commands,
     unique_commands,
 )
@@ -64,6 +65,25 @@ def snk_redis_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def snk_redis_zset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZINCRBY command stream for per-type user rankings."""
     return ranking_commands(table(spark, sf_dir, "events"))
+
+
+@query(
+    "snk_redis_paths",
+    oracle="""
+    SELECT
+      'ZINCRBY' AS cmd,
+      'top_paths:' || event_type || ':' || strftime(ts, '%Y:%m:%d') AS key,
+      '/p/' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)
+        AS member,
+      CAST(count(*) AS BIGINT) AS delta
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def snk_redis_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZINCRBY command stream for per-(type, day) top-page rankings — the
+    reference's path/referrer zsets (`[REF⟂ tracker.go]`), parse_url-backed."""
+    return path_ranking_commands(table(spark, sf_dir, "events"))
 
 
 @query(

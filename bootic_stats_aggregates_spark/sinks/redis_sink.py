@@ -94,6 +94,25 @@ def ranking_commands(events: DataFrame) -> DataFrame:
     )
 
 
+def path_ranking_commands(events: DataFrame) -> DataFrame:
+    """Events -> ZINCRBY command rows for per-(type, day) top PAGES — the
+    reference's actual ranking zset content (top paths/referrers, not just
+    users). The fixture events carry no URL, so one is synthesized from the
+    JSON payload; ``parse_url`` is the real JVM-side extraction a deployment
+    would run on the referrer/page field."""
+    url = F.concat(
+        F.lit("https://shop.example.com/p/"),
+        F.get_json_object("props", "$.k"),
+    )
+    path = F.parse_url(url, F.lit("PATH"))
+    day = F.date_format("ts", "yyyy:MM:dd")
+    agg = events.groupBy(
+        F.concat_ws(":", F.lit("top_paths"), F.col("event_type"), day).alias("key"),
+        path.alias("member"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("delta"))
+    return agg.select(F.lit("ZINCRBY").alias("cmd"), "key", "member", "delta")
+
+
 def unique_commands(events: DataFrame) -> DataFrame:
     """Events -> SADD command rows for per-(type, day) unique visitors.
 
@@ -301,6 +320,7 @@ class RedisCounterSink:
         for cdf in (
             counter_commands(batch_df),
             ranking_commands(batch_df),
+            path_ranking_commands(batch_df),
             unique_commands(batch_df),
         ):
             if distributed:

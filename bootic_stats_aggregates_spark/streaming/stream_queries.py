@@ -220,23 +220,33 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "n_events")
 
 
-_STATE_SCHEMA = "n_events long, cents long"
-_STATEFUL_OUT = "user_id long, n_events long, total_value double"
+_STATE_SCHEMA = "n_events long, cents long, emit_seq long"
+_STATEFUL_OUT = "user_id long, n_events long, total_value double, emit_seq long"
 
 
 def _funnel_update(key, pdfs, state):
     """Per-user running counters in explicit state (GroupState).
 
     Money is accumulated as integer cents so the Python-side running state
-    is exact and matches the decimal-sum oracle.
+    is exact and matches the decimal-sum oracle. ``emit_seq`` is a per-key
+    emission ordinal carried IN the state: the final-state reduction keys on
+    it explicitly instead of assuming the counters are monotonic (ADVICE r1
+    nit — ordering by n_events happened to work only because counts never
+    decrease).
     """
-    n, cents = state.get if state.exists else (0, 0)
+    n, cents, seq = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
         cents += int(round(pdf["value"].sum() * 100))
-    state.update((n, cents))
+    seq += 1
+    state.update((n, cents, seq))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [cents / 100.0],
+            "emit_seq": [seq],
+        }
     )
 
 
@@ -270,12 +280,12 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     out = run_to_memory(result, mode="update")
-    # One emitted row per (user, batch); the last batch's row is the final
-    # state. AvailableNow over a single fixture file = one batch, but keep
-    # the reduction correct under any batching:
+    # One emitted row per (user, batch); the row with the highest emission
+    # ordinal is the final state under ANY micro-batching — an explicit
+    # tie-break, not a monotonic-counter assumption.
     from pyspark.sql import Window
 
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("emit_seq"))
     return (
         out.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

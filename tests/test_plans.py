@@ -115,6 +115,14 @@ def test_ann_lsh_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embed_neardup_lsh_no_cartesian(spark):
+    """The corpus x corpus near-dup production twin must candidate via the
+    (table, bucket) equi-join — never an all-pairs product."""
+    plan = formatted_plan(QUERIES["llm_embed_neardup_lsh"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_plan_hygiene_all_queries(spark):
     """Fleet-wide plan audit: no accidental cartesian products and no
     row-at-a-time Python eval anywhere except the explicitly exempted

@@ -157,6 +157,23 @@ def test_simhash_banding_complete_for_hamming_k(spark):
     assert len(brute) > 0, "expected some h<=3 simhash pairs at sf0.01"
 
 
+def test_embed_neardup_lsh_subset_of_brute(spark):
+    """The bucketed corpus x corpus near-dup twin must return a SUBSET of
+    the brute-force pair scan (candidates only shrink; the verify is the
+    same exact cosine), with non-zero recall even on this borderline-only
+    fixture corpus."""
+    lsh = {
+        (r.vec_id_a, r.vec_id_b, r.cos_sim)
+        for r in QUERIES["llm_embed_neardup_lsh"](spark, SF_DIR).collect()
+    }
+    brute = {
+        (r.vec_id_a, r.vec_id_b, r.cos_sim)
+        for r in QUERIES["llm_embed_neardup"](spark, SF_DIR).collect()
+    }
+    assert lsh <= brute
+    assert len(lsh) > 0, "expected some LSH-recalled near-dup pairs"
+
+
 def test_dedup_clusters_bounds_pinned_memory(spark):
     """Label-propagation must unpersist superseded frames: repeated builds
     may not accumulate persistent RDDs (ADVICE r1 — the r1 version pinned
