@@ -365,3 +365,139 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bpe_tokens"),
         lcount("n_docs"),
     )
+
+
+# -- round 2 additions: benchmark decontamination + hard quality gate --------
+
+CONTAM_NGRAM = 8  # contamination granularity: 8-token shingles (industry norm)
+BENCH_MOD = 7  # deterministic "benchmark" subset: doc_id % 7 == 0 (~14%)
+
+
+@query(
+    "llm_contamination",
+    oracle=f"""
+    -- A training doc is contaminated if it shares >=1 distinct 8-gram with
+    -- the benchmark subset. 8-gram slices via list slicing (1-based,
+    -- inclusive): toks[i:i+{CONTAM_NGRAM - 1}] is {CONTAM_NGRAM} tokens.
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(string_split(text, ' ')) - {CONTAM_NGRAM - 1} + 1),
+               i -> array_to_string(
+                 string_split(text, ' ')[i:i + {CONTAM_NGRAM - 1}], ' ')
+             ))) AS gram
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {CONTAM_NGRAM}
+    ),
+    bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % {BENCH_MOD} = 0
+    )
+    SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared
+    FROM grams g JOIN bench b ON g.gram = b.gram
+    WHERE g.doc_id % {BENCH_MOD} <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 8-token
+    shingle with the held-out benchmark set (here a deterministic doc_id
+    slice standing in for an eval suite).
+
+    Scale shape: the benchmark side is tiny (eval suites are thousands of
+    docs) -> distinct grams BROADCAST; the corpus side is a pure
+    explode->broadcast-hash-join->partial count per doc — NO shuffle of
+    corpus n-grams, which is what makes decontamination a single map-side
+    pass over 100 TB. (At that scale the gram string would be xxhash64'd
+    before the join to shrink the broadcast; kept as raw strings here so
+    the oracle can replay byte-for-byte.)
+    """
+    from .dedup import _shingles
+
+    d = table(spark, sf_dir, "documents")
+    grams8 = _shingles(n=CONTAM_NGRAM)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = (
+        d.filter(is_bench)
+        .select(F.explode(grams8).alias("gram"))
+        .distinct()
+    )
+    corpus = d.filter(~is_bench).select(
+        "doc_id", F.explode(grams8).alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").cast("long").alias("n_shared"))
+    )
+
+
+#: Gopher-style hard gate bounds (Rae et al. 2021 §A1.1, scaled to the
+#: fixture corpus' shorter docs).
+QF_MIN_TOKENS, QF_MAX_TOKENS = 20, 10_000
+QF_MIN_WORD_LEN, QF_MAX_WORD_LEN = 3.0, 10.0
+QF_MIN_STOPWORDS = 2
+
+
+@query(
+    "llm_quality_filter",
+    oracle=f"""
+    WITH m AS (
+      SELECT
+        doc_id,
+        len(string_split(text, ' ')) AS n_tok,
+        CAST(list_sum(list_transform(string_split(text, ' '),
+                                     t -> length(t))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS mean_wl,
+        len(list_intersect(list_distinct(string_split(text, ' ')),
+                           {_STOP_SQL})) AS n_stop
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      CAST(n_tok AS BIGINT) AS n_tok,
+      round(mean_wl, 4) AS mean_word_len,
+      CAST(n_stop AS BIGINT) AS n_stopwords,
+      n_tok BETWEEN {QF_MIN_TOKENS} AND {QF_MAX_TOKENS} AS ok_len,
+      mean_wl BETWEEN {QF_MIN_WORD_LEN} AND {QF_MAX_WORD_LEN} AS ok_word_len,
+      n_stop >= {QF_MIN_STOPWORDS} AS ok_stopwords,
+      (n_tok BETWEEN {QF_MIN_TOKENS} AND {QF_MAX_TOKENS})
+        AND (mean_wl BETWEEN {QF_MIN_WORD_LEN} AND {QF_MAX_WORD_LEN})
+        AND n_stop >= {QF_MIN_STOPWORDS} AS keep
+    FROM m
+    """,
+)
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style HARD quality gate (vs llm_quality_score's soft score):
+    token-count bounds, mean-word-length bounds, minimum stop-word count —
+    each rule surfaced as its own boolean plus the final keep decision, the
+    shape a pipeline needs to audit WHY a doc was dropped.
+
+    Pure per-row projections (one aggregate fold over the token array), so
+    the gate is a map-only pass at any corpus size.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tok = F.size(toks)
+    mean_wl = (
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).cast("double")
+        / n_tok
+    )
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop))
+    ok_len = n_tok.between(QF_MIN_TOKENS, QF_MAX_TOKENS)
+    ok_wl = mean_wl.between(QF_MIN_WORD_LEN, QF_MAX_WORD_LEN)
+    ok_stop = n_stop >= QF_MIN_STOPWORDS
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tok"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        n_stop.cast("long").alias("n_stopwords"),
+        ok_len.alias("ok_len"),
+        ok_wl.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_len & ok_wl & ok_stop).alias("keep"),
+    )

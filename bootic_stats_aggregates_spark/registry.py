@@ -116,6 +116,8 @@ _GATE_PRIORITY: list[str] = [
     "llm_multimodal_resize", "agg_approx_distinct",
     # new in round 2
     "llm_embed_neardup_lsh", "snk_redis_paths",
+    "llm_contamination", "llm_quality_filter", "src_socket_stream",
+    "snk_redis_acct",
 ]
 
 

@@ -1,3 +1,3 @@
 """Structured Streaming operators (SURVEY.md §2.8) + deterministic runner."""
 
-from . import stream_queries  # noqa: F401
+from . import socket_source, stream_queries  # noqa: F401

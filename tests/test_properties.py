@@ -174,6 +174,17 @@ def test_embed_neardup_lsh_subset_of_brute(spark):
     assert len(lsh) > 0, "expected some LSH-recalled near-dup pairs"
 
 
+def test_contamination_nontrivial_and_sound(spark):
+    """The decontamination check must flag a non-empty set at sf0.01 (a
+    0-row result would make the oracle pass vacuously), and never flag a
+    benchmark doc itself."""
+    from bootic_stats_aggregates_spark.llm.text import BENCH_MOD
+
+    rows = QUERIES["llm_contamination"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(r.doc_id % BENCH_MOD != 0 and r.n_shared >= 1 for r in rows)
+
+
 def test_dedup_clusters_bounds_pinned_memory(spark):
     """Label-propagation must unpersist superseded frames: repeated builds
     may not accumulate persistent RDDs (ADVICE r1 — the r1 version pinned
