@@ -42,6 +42,9 @@ EXTRA = {
     "partition_pruned": "src_partition_pruned",
     "chunk_native": "llm_chunk_native",
     "chunk_udtf": "udf_table",
+    "contamination": "llm_contamination",
+    "quality_filter": "llm_quality_filter",
+    "dedup_cascade": "llm_dedup_cascade",
 }
 
 

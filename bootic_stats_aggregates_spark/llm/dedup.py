@@ -570,3 +570,102 @@ def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cand.filter(F.col("hamming") <= HAMMING_K)
+
+
+# -- round 2: the end-to-end training-corpus cascade -------------------------
+
+
+@query(
+    "llm_dedup_cascade",
+    oracle=f"""
+    -- The full curation pipeline in one frame: near-dup cluster
+    -- representative (connected components over the verified pair graph)
+    -- AND quality keep AND not benchmark-contaminated. Exactly the manifest
+    -- a training run consumes.
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_id_b AS a, doc_id_a AS b FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node),
+    quality AS (
+      SELECT doc_id,
+        (len(string_split(text, ' ')) BETWEEN 20 AND 10000)
+        AND (CAST(list_sum(list_transform(string_split(text, ' '),
+                                          t -> length(t))) AS DOUBLE)
+             / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0)
+        AND len(list_intersect(list_distinct(string_split(text, ' ')),
+                               ['a', 'the', 'of', 'to', 'and', 'in', 'is', 'it']))
+            >= 2 AS keep
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(string_split(text, ' ')) - 7 + 1),
+               i -> array_to_string(string_split(text, ' ')[i:i + 7], ' ')
+             ))) AS gram
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 8
+    ),
+    contaminated AS (
+      SELECT DISTINCT g.doc_id
+      FROM grams g
+      JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0) b
+        ON g.gram = b.gram
+      WHERE g.doc_id % 7 <> 0
+    )
+    SELECT
+      d.doc_id,
+      cc.doc_id = cc.cluster_id AS is_representative,
+      q.keep AS quality_ok,
+      c.doc_id IS NULL AS decontaminated,
+      (cc.doc_id = cc.cluster_id) AND q.keep AND c.doc_id IS NULL AS in_corpus
+    FROM documents d
+    JOIN cc USING (doc_id)
+    JOIN quality q USING (doc_id)
+    LEFT JOIN contaminated c USING (doc_id)
+    """,
+)
+def llm_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation cascade — the deliverable a 100 TB training-data
+    pipeline actually ships: per doc, (near-dup representative?, passes the
+    quality gate?, benchmark-clean?) and the final in_corpus decision.
+
+    Pure composition of already-verified stages (clusters, quality filter,
+    contamination), joined on doc_id — each stage keeps its own scale shape
+    (LSH band joins / map-only gate / broadcast gram join), and the cascade
+    adds only doc_id-keyed joins on |corpus|-sized frames.
+    """
+    from .text import llm_contamination, llm_quality_filter
+
+    clusters = llm_dedup_clusters(spark, sf_dir).select(
+        "doc_id", "is_representative"
+    )
+    quality = llm_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("quality_ok")
+    )
+    contam = llm_contamination(spark, sf_dir).select("doc_id")
+    return (
+        clusters.join(quality, "doc_id")
+        .join(
+            contam.withColumn("dirty", F.lit(True)), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            "is_representative",
+            "quality_ok",
+            F.col("dirty").isNull().alias("decontaminated"),
+            (
+                F.col("is_representative")
+                & F.col("quality_ok")
+                & F.col("dirty").isNull()
+            ).alias("in_corpus"),
+        )
+    )

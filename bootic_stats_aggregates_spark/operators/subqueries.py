@@ -74,3 +74,41 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
         F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
     )
+
+
+@query(
+    "sub_exists_in",
+    oracle="""
+    SELECT
+      c_custkey,
+      EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = customer.c_custkey
+                AND o.o_totalprice > 100000) AS has_big_order,
+      c_custkey IN (SELECT o_custkey FROM orders
+                    WHERE o_orderpriority = '1-URGENT') AS has_urgent
+    FROM customer
+    """,
+)
+def sub_exists_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + uncorrelated IN as PROJECTED booleans (not mere
+    semi/anti filters — join_semi/join_anti cover those): Catalyst rewrites
+    both into existence joins (RewritePredicateSubquery), which at 100 TB
+    is one shuffle per subquery on the correlation key instead of a
+    per-row probe. Exercised via spark.sql so the SQL front end's subquery
+    planning — the part a DataFrame translation would skip — is the thing
+    under test.
+    """
+    for t in ("customer", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT
+          c_custkey,
+          EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = customer.c_custkey
+                    AND o.o_totalprice > 100000) AS has_big_order,
+          c_custkey IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT') AS has_urgent
+        FROM customer
+        """
+    )

@@ -364,3 +364,53 @@ def win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long").alias("n_full_funnel"),
     )
+
+
+@query(
+    "win_time_range",
+    oracle="""
+    SELECT
+      event_id,
+      user_id,
+      CAST(round(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+        PARTITION BY user_id
+        ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+      ) / 100.0, 2) AS DOUBLE) AS trailing_1h_value,
+      CAST(count(*) OVER (
+        PARTITION BY user_id
+        ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+      ) AS BIGINT) AS trailing_1h_events
+    FROM events
+    """,
+)
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per event, the trailing 1-hour sum/count for
+    the same user — the rate-limiter / anomaly-detector shape that ROWS
+    frames (win_moving_avg) cannot express, because the frame is defined by
+    event-TIME distance, not row count.
+
+    The frame bound is on WHOLE epoch seconds on both engines (Spark
+    unix_timestamp truncates; the oracle floors DuckDB's fractional
+    epoch() — without the floor, events exactly 3600s apart at differing
+    sub-second offsets disagreed at sf0.1), so the
+    result is deterministic under timestamp ties by construction — every
+    tied row sees the identical frame. Money sums in integer cents.
+    """
+    ev = table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(cents).over(w) / 100.0, 2)
+        .cast("double")
+        .alias("trailing_1h_value"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_1h_events"),
+    )

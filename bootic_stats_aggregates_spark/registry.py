@@ -117,7 +117,7 @@ _GATE_PRIORITY: list[str] = [
     # new in round 2
     "llm_embed_neardup_lsh", "snk_redis_paths",
     "llm_contamination", "llm_quality_filter", "src_socket_stream",
-    "snk_redis_acct",
+    "snk_redis_acct", "llm_dedup_cascade", "sub_exists_in", "win_time_range",
 ]
 
 
