@@ -342,6 +342,26 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HASH_P = 1_000_000_007
 
 
+#: xxhash64 vote fold — the PRODUCTION family: one 64-bit hash per token,
+#: bits read directly off the long. Measured (local[32], sf0.1 docs
+#: replicated to 50k): 28.9k docs/s vs 1.1k docs/s for the polynomial
+#: family below (the per-char rolling hash × 2 seeds + per-bit modular
+#: derivation is ~25× the cost). The polynomial family exists so the
+#: DuckDB oracle can replay signatures bit-for-bit; a cluster deployment
+#: registers the xxhash64 family (same banding math, same operator shape).
+_VOTES_EXPR_XXHASH = """
+    aggregate(
+      transform(filter(array_distinct(split(text, ' ')), t -> length(t) > 0),
+                t -> xxhash64(t)),
+      array_repeat(0L, 64),
+      (acc, h) -> zip_with(
+        acc,
+        transform(sequence(0, 63), b -> IF((shiftright(h, b) & 1) = 1, 1L, -1L)),
+        (a, v) -> a + v
+      )
+    )
+"""
+
 #: 64-slot vote array: fold distinct tokens' (h1, h2) through the 64 KM bits.
 _VOTES_EXPR = f"""
     aggregate(
@@ -376,14 +396,20 @@ _PACK_EXPR = """
 """
 
 
-def simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_bands(
+    spark: SparkSession, sf_dir: str, family: str = "poly"
+) -> DataFrame:
     """(doc_id, band_0..band_3, n_uniq) — shared by query + pair join.
 
-    Two-step select so the expensive vote aggregate is computed once per row
-    and the cheap packing reads the materialized `__v` column.
+    ``family="poly"`` (default, registered) is the cross-engine exact-oracle
+    hash; ``family="xxhash64"`` is the 25×-faster production family (see
+    _VOTES_EXPR_XXHASH) with identical banding semantics. Two-step select so
+    the expensive vote aggregate is computed once per row and the cheap
+    packing reads the materialized `__v` column.
     """
+    votes = {"poly": _VOTES_EXPR, "xxhash64": _VOTES_EXPR_XXHASH}[family]
     d = table(spark, sf_dir, "documents")
-    with_votes = d.select("doc_id", "text", F.expr(_VOTES_EXPR).alias("__v"))
+    with_votes = d.select("doc_id", "text", F.expr(votes).alias("__v"))
     with_bands = with_votes.select(
         "doc_id", "text", F.expr(_PACK_EXPR).alias("__bands")
     )

@@ -410,3 +410,63 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("window.start").alias("day"), "event_type", "n_events"
     )
+
+
+@query(
+    "stream_quality_gate",
+    oracle="""
+    -- batch truth of the streamed curation gate: keep/drop tallies per lang
+    SELECT
+      lang,
+      len(string_split(text, ' ')) BETWEEN 20 AND 10000
+        AND (CAST(list_sum(list_transform(string_split(text, ' '),
+                                          t -> length(t))) AS DOUBLE)
+             / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0)
+        AND len(list_intersect(list_distinct(string_split(text, ' ')),
+                ['a', 'the', 'of', 'to', 'and', 'in', 'is', 'it'])) >= 2
+        AS keep,
+      CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline as a STREAM — documents flow through the
+    Gopher-style hard gate incrementally and the keep/drop tallies per lang
+    must equal the batch truth (streaming==batch equivalence for the LLM
+    path, not just the counter path). This is the 100 TB ingest shape: the
+    gate is stateless per row, so the only streaming state is the final
+    counter aggregate.
+    """
+    from ..llm.text import (
+        QF_MAX_TOKENS,
+        QF_MAX_WORD_LEN,
+        QF_MIN_STOPWORDS,
+        QF_MIN_TOKENS,
+        QF_MIN_WORD_LEN,
+        STOPWORDS,
+    )
+
+    docs = stream_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    mean_wl = (
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).cast("double")
+        / n_tok
+    )
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop))
+    keep = (
+        n_tok.between(QF_MIN_TOKENS, QF_MAX_TOKENS)
+        & mean_wl.between(QF_MIN_WORD_LEN, QF_MAX_WORD_LEN)
+        & (n_stop >= QF_MIN_STOPWORDS)
+    )
+    agg = docs.groupBy("lang", keep.alias("keep")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    out = run_to_memory(agg, mode="complete")
+    return out.select("lang", "keep", "n_docs")

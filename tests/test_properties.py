@@ -174,6 +174,25 @@ def test_embed_neardup_lsh_subset_of_brute(spark):
     assert len(lsh) > 0, "expected some LSH-recalled near-dup pairs"
 
 
+def test_simhash_xxhash_family_same_shape(spark):
+    """The production (xxhash64) simhash family must produce the same
+    schema and valid 16-bit band ranges as the oracle (polynomial) family —
+    only the hash differs, never the banding math."""
+    from pyspark.sql import functions as F
+
+    from bootic_stats_aggregates_spark.llm.dedup import simhash_bands
+
+    fast = simhash_bands(spark, SF_DIR, family="xxhash64")
+    slow = simhash_bands(spark, SF_DIR, family="poly")
+    assert fast.columns == slow.columns
+    assert fast.count() == slow.count()
+    row = fast.agg(
+        *[F.max(f"band_{j}").alias(f"mx{j}") for j in range(4)],
+        *[F.min(f"band_{j}").alias(f"mn{j}") for j in range(4)],
+    ).collect()[0]
+    assert all(0 <= row[f"mn{j}"] and row[f"mx{j}"] <= 0xFFFF for j in range(4))
+
+
 def test_contamination_nontrivial_and_sound(spark):
     """The decontamination check must flag a non-empty set at sf0.01 (a
     0-row result would make the oracle pass vacuously), and never flag a
