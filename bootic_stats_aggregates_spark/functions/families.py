@@ -414,3 +414,36 @@ def fn_trycast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .isNull()
         .alias("bad_date_is_null"),
     )
+
+
+@query(
+    "fn_regex",
+    oracle="""
+    SELECT
+      doc_id,
+      regexp_matches(text, 'scan|join') AS mentions_ops,
+      regexp_extract(text, '([a-z]+)', 1) AS first_word,
+      CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+      regexp_replace(substring(text, 1, 40), '[aeiou]', '_', 'g')
+        AS devoweled_head
+    FROM documents
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function family: match test (rlike), first-group extract,
+    extract_all count, global replace — all JVM-side codegen expressions
+    (the reference's Go regexp equivalents for log/path munging). DuckDB's
+    regexp_replace needs the 'g' flag to match Spark's replace-all default;
+    both engines use RE2-class syntax for these patterns."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("text").rlike("scan|join").alias("mentions_ops"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0))
+        .cast("long")
+        .alias("n_numbers"),
+        F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "_").alias(
+            "devoweled_head"
+        ),
+    )

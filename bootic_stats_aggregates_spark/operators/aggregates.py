@@ -381,3 +381,40 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(HIST_N_BUCKETS - 1),
     ).cast("long")
     return ev.groupBy("event_type", bucket.alias("bucket")).agg(lcount("n"))
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    -- arbitrary (non-hierarchical) grouping sets: (type), (dow), ()
+    SELECT event_type, NULL AS dow, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(1 AS BIGINT) AS gid
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT NULL, CAST(date_part('dow', ts) AS BIGINT),
+           CAST(count(*) AS BIGINT), CAST(2 AS BIGINT)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT NULL, NULL, CAST(count(*) AS BIGINT), CAST(3 AS BIGINT)
+    FROM events
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the margins WITHOUT the cross cells (CUBE
+    computes all 4 sets; dashboards often want exactly these 3). One Expand
+    pass over a single scan, like cube/rollup; grouping_id() disambiguates
+    subtotal NULLs from data NULLs."""
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               dow,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(grouping_id(event_type, dow) AS BIGINT) AS gid
+        FROM (SELECT event_type,
+                     CAST(dayofweek(ts) - 1 AS BIGINT) AS dow
+              FROM events)
+        GROUP BY GROUPING SETS ((event_type), (dow), ())
+        """
+    )

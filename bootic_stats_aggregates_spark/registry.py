@@ -118,7 +118,8 @@ _GATE_PRIORITY: list[str] = [
     "llm_embed_neardup_lsh", "snk_redis_paths",
     "llm_contamination", "llm_quality_filter", "src_socket_stream",
     "snk_redis_acct", "llm_dedup_cascade", "sub_exists_in", "win_time_range",
-    "stream_quality_gate",
+    "stream_quality_gate", "agg_grouping_sets", "fn_regex",
+    "snk_stream_parquet",
 ]
 
 

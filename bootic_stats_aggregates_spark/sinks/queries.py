@@ -209,3 +209,40 @@ def snk_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = f"{tempfile.gettempdir()}/bootic_snk_{uuid.uuid4().hex[:8]}"
     agg.write.mode("overwrite").parquet(out_dir)
     return spark.read.parquet(out_dir)
+
+
+@query(
+    "snk_stream_parquet",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def snk_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING file sink with exactly-once file commits: events stream ->
+    append-mode parquet sink -> re-scan must equal the batch truth.
+
+    The parquet streaming sink commits files through the _spark_metadata
+    transaction log, so a re-read sees exactly the committed set even if a
+    micro-batch died mid-write — the file-system counterpart of the Redis
+    sink's marker transaction, and the standard inter-stage handoff of a
+    100 TB pipeline (stream in, parquet out, next stage scans).
+    """
+    ev = stream_table(spark, sf_dir, "events").select("event_id", "event_type")
+    out = tempfile.mkdtemp(prefix="bootic_stream_pq_")
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bootic_pq_ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):  # pragma: no cover - hang guard
+        q.stop()
+        raise TimeoutError("streaming parquet sink exceeded 300s")
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
