@@ -501,3 +501,57 @@ def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_len & ok_wl & ok_stop).alias("keep"),
     )
+
+
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+_IP_RE = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+
+@query(
+    "llm_pii_redact",
+    oracle=f"""
+    -- The synthetic corpus has no PII, so a deterministic contact line is
+    -- appended per doc (like fn_url's synthesized URLs): detection and
+    -- redaction mechanics are the thing under test, on non-trivial input.
+    WITH w AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@'
+                  || source || '.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.0.' || CAST(doc_id % 100 AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      regexp_matches(t, '{_EMAIL_RE}') AS has_email,
+      CAST(len(regexp_extract_all(t, '{_IP_RE}')) AS BIGINT) AS n_ips,
+      substring(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                               '{_IP_RE}', '<IP>', 'g'), -40) AS redacted_tail
+    FROM w
+    """,
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the curation stage every training corpus
+    runs before release: flag emails, count IP literals, and rewrite both to
+    placeholder tokens. Pure JVM regex projections (map-only at any scale);
+    the fixtures carry no PII, so a deterministic contact line is appended
+    first and the redacted TAIL is compared so the oracle sees the rewrite.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@"), F.col("source"), F.lit(".com from 10."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+    )
+    return d.select(
+        "doc_id",
+        t.rlike(_EMAIL_RE).alias("has_email"),
+        F.size(F.regexp_extract_all(t, F.lit(_IP_RE), 0))
+        .cast("long")
+        .alias("n_ips"),
+        F.substring(redacted, -40, 40).alias("redacted_tail"),
+    )

@@ -123,6 +123,23 @@ def test_embed_neardup_lsh_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_contamination_broadcasts_benchmark(spark):
+    """Decontamination must broadcast the benchmark grams and never shuffle
+    the corpus n-gram stream: the corpus branch under the join is
+    scan -> explode -> join with NO Exchange (the only shuffles are the
+    tiny benchmark dedup and the per-doc count aggregates above the join)."""
+    plan = formatted_plan(QUERIES["llm_contamination"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in plan
+    join_at = tree.index("BroadcastHashJoin")
+    bcast_at = tree.index("BroadcastExchange", join_at)
+    # lines between the join and its broadcast side == the corpus branch
+    corpus_branch = tree[join_at:bcast_at]
+    assert "Generate" in corpus_branch and "Scan parquet" in corpus_branch
+    assert "Exchange" not in corpus_branch
+
+
 def test_plan_hygiene_all_queries(spark):
     """Fleet-wide plan audit: no accidental cartesian products and no
     row-at-a-time Python eval anywhere except the explicitly exempted
