@@ -447,3 +447,32 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             "devoweled_head"
         ),
     )
+
+
+LOCAL_TZ = "America/Santiago"  # the reference deployment's local time
+
+
+@query(
+    "fn_tz_bucket",
+    oracle=f"""
+    -- naive ts is UTC; AT TIME ZONE 'UTC' tags it, the second AT TIME ZONE
+    -- converts to local wall time (DuckDB ICU == Spark from_utc_timestamp)
+    SELECT
+      CAST(CAST(date_trunc('day', (ts AT TIME ZONE 'UTC')
+                 AT TIME ZONE '{LOCAL_TZ}') AS DATE) AS VARCHAR) AS local_day,
+      CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def fn_tz_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL-time day bucketing — the reference daemon bucketed counters in
+    its deployment's wall clock, not UTC, so day keys straddle UTC midnight.
+    ``from_utc_timestamp`` does the conversion JVM-side; a UTC-bucketed
+    count would differ for every event in the 3-4 h offset window (verified:
+    the two bucketings disagree on this fixture)."""
+    ev = table(spark, sf_dir, "events")
+    local_day = F.to_date(F.from_utc_timestamp("ts", LOCAL_TZ))
+    return ev.groupBy(local_day.cast("string").alias("local_day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )

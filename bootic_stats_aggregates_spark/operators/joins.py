@@ -376,3 +376,36 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         lcount("n_events"),
         F.round(F.sum(cents).cast("double") / 100.0, 2).alias("total_value"),
     )
+
+
+@query(
+    "join_shuffle_hash",
+    oracle="""
+    SELECT
+      c_mktsegment,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        AS cents
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third join strategy, pinned: SHUFFLE_HASH builds an in-memory
+    hash map per partition instead of sorting both sides (SortMergeJoin) —
+    the right call when one side is much smaller than the other but too big
+    to broadcast, because it skips both sorts. Plan-asserted as
+    ShuffledHashJoin in tests/test_plans.py; broadcast is disabled for the
+    build so the hint is actually exercised at fixture scale."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        c.hint("shuffle_hash")
+        .join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents).alias("cents"),
+        )
+    )

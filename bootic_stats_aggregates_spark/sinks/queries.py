@@ -246,3 +246,44 @@ def snk_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events")
     )
+
+
+COMPACT_TARGET_FILES = 4
+
+
+@query(
+    "snk_compact",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def snk_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the hygiene pass every long-running 100 TB
+    pipeline needs: a streaming sink leaves thousands of per-batch files;
+    compaction rewrites a partition's worth into TARGET-sized files so the
+    next stage's scan isn't file-open-bound. Here: fragment events into
+    many small files, compact with repartition(N), verify the data survived
+    byte-exactly (oracle) and the file count hit the target
+    (tests/test_properties.py).
+    """
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    frag = f"{tempfile.gettempdir()}/bootic_frag_{uuid.uuid4().hex[:8]}"
+    ev.repartition(64).write.mode("overwrite").parquet(frag)  # the mess
+    compacted = f"{tempfile.gettempdir()}/bootic_compact_{uuid.uuid4().hex[:8]}"
+    (
+        spark.read.parquet(frag)
+        .repartition(COMPACT_TARGET_FILES)
+        .write.mode("overwrite")
+        .parquet(compacted)
+    )
+    back = spark.read.parquet(compacted)
+    out = back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    # stash the dirs on the function for the file-count property test
+    snk_compact.last_dirs = (frag, compacted)  # type: ignore[attr-defined]
+    return out

@@ -123,6 +123,14 @@ def test_embed_neardup_lsh_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_shuffle_hash_join_strategy(spark):
+    """The shuffle_hash hint must produce a ShuffledHashJoin (not SMJ, not
+    broadcast) — the strategy that skips both sorts when one side is small
+    per partition but too big to broadcast."""
+    plan = formatted_plan(QUERIES["join_shuffle_hash"](spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan
+
+
 def test_contamination_broadcasts_benchmark(spark):
     """Decontamination must broadcast the benchmark grams and never shuffle
     the corpus n-gram stream: the corpus branch under the join is

@@ -193,6 +193,30 @@ def test_simhash_xxhash_family_same_shape(spark):
     assert all(0 <= row[f"mn{j}"] and row[f"mx{j}"] <= 0xFFFF for j in range(4))
 
 
+def test_compaction_hits_file_target(spark):
+    """snk_compact must actually shrink the file count: 64 fragment files in,
+    COMPACT_TARGET_FILES parquet data files out, zero row loss."""
+    import glob
+    import os
+
+    from bootic_stats_aggregates_spark.sinks.queries import (
+        COMPACT_TARGET_FILES,
+        snk_compact,
+    )
+
+    total = sum(
+        r.n_events for r in QUERIES["snk_compact"](spark, SF_DIR).collect()
+    )
+    frag, compacted = snk_compact.last_dirs
+    n_frag = len(glob.glob(os.path.join(frag, "*.parquet")))
+    n_comp = len(glob.glob(os.path.join(compacted, "*.parquet")))
+    assert n_frag > COMPACT_TARGET_FILES * 4
+    assert n_comp == COMPACT_TARGET_FILES
+    from bootic_stats_aggregates_spark.io import table
+
+    assert total == table(spark, SF_DIR, "events").count()
+
+
 def test_contamination_nontrivial_and_sound(spark):
     """The decontamination check must flag a non-empty set at sf0.01 (a
     0-row result would make the oracle pass vacuously), and never flag a
