@@ -5,7 +5,7 @@ Prints ONE JSON line: {"metric": ..., "value": <suite sec>, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
 Methodology mirrors BASELINE.md: warm session (JVM + parquet footer cache),
-one untimed warm-up execution per query, then the MIN of 5 timed runs — the
+one untimed warm-up execution per query, then the MIN of N timed runs (default 9) — the
 steady-state statistic least sensitive to co-tenant CPU interference (the
 DuckDB baseline is likewise a warm 3rd-run measurement on an idle box).
 ``value`` is the sum of the four headline MINs — the same four shapes
@@ -15,7 +15,7 @@ Extra (non-headline) queries are reported alongside but not summed.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all), SPARK_GRAFT_SHUFFLE (default 8),
-     SPARK_GRAFT_BENCH_RUNS (default 5).
+     SPARK_GRAFT_BENCH_RUNS (default 9).
 """
 
 from __future__ import annotations
@@ -75,7 +75,9 @@ def _time_stream(fn, spark, sf_dir: str, runs: int) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    # 9 samples: the min of 5 still wobbled ±10% under co-tenant CPU spikes
+    # on the 25-35 ms queries; more samples tighten the steady-state min.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "9"))
     # Local-bench tuning: small input splits so single-file fixtures scan in
     # parallel (a cluster keeps the 128 MB default and gets parallelism from
     # many files); modest shuffle fan-out for tiny shuffles.
@@ -117,7 +119,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_suite_wall_clock (q1+q3+rollup+topk, min of 5, warm)",
+                "metric": f"headline_suite_wall_clock (q1+q3+rollup+topk, min of {runs}, warm)",
                 "value": suite,
                 "unit": "sec",
                 "queries": timings,
