@@ -409,3 +409,54 @@ def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).alias("cents"),
         )
     )
+
+
+RANGE_EPS_SEC = 1.0  # pair events within 1 second of each other
+
+
+@query(
+    "join_range_bucketed",
+    oracle=f"""
+    -- brute-force oracle twin: non-equi |dt| <= eps over all pairs
+    SELECT
+      a.event_id AS a_id,
+      b.event_id AS b_id,
+      round(abs(epoch(a.ts) - epoch(b.ts)), 6) AS dt_sec
+    FROM events a JOIN events b
+      ON a.event_id < b.event_id
+     AND abs(epoch(a.ts) - epoch(b.ts)) <= {RANGE_EPS_SEC}
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join of two LARGE sides — the range-join optimization:
+    neither side is broadcastable at 100 TB and a non-equi join would be a
+    nested-loop product, so time is quantized into eps-sized buckets, one
+    side explodes to its 3 neighbor buckets, and the pair space collapses
+    to a bucket EQUI-join + residual |dt| <= eps filter. Every qualifying
+    pair matches in exactly one bucket (the left row's own), so no dedup is
+    needed. Cost: 3x one side's rows through one shuffle — linear, not
+    quadratic; the oracle replays the brute-force scan at fixture scale.
+    """
+    ev = table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("double")
+    bucket = F.floor(sec / RANGE_EPS_SEC).cast("long")
+    a = ev.select(
+        F.col("event_id").alias("a_id"), sec.alias("a_sec"), bucket.alias("bk")
+    )
+    b = ev.select(
+        F.col("event_id").alias("b_id"),
+        sec.alias("b_sec"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bk"),
+    )
+    return (
+        a.join(b, "bk")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("a_sec") - F.col("b_sec")) <= RANGE_EPS_SEC)
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.round(F.abs(F.col("a_sec") - F.col("b_sec")), 6).alias("dt_sec"),
+        )
+    )

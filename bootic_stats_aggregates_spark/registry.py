@@ -120,7 +120,7 @@ _GATE_PRIORITY: list[str] = [
     "snk_redis_acct", "llm_dedup_cascade", "sub_exists_in", "win_time_range",
     "stream_quality_gate", "agg_grouping_sets", "fn_regex",
     "snk_stream_parquet", "llm_pii_redact", "fn_tz_bucket",
-    "join_shuffle_hash", "snk_compact",
+    "join_shuffle_hash", "snk_compact", "join_range_bucketed",
 ]
 
 

@@ -123,6 +123,14 @@ def test_embed_neardup_lsh_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_range_join_is_equi_bucketed(spark):
+    """The large x large interval join must collapse to a bucket EQUI-join —
+    never a nested-loop/cartesian product of the two sides."""
+    plan = formatted_plan(QUERIES["join_range_bucketed"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_shuffle_hash_join_strategy(spark):
     """The shuffle_hash hint must produce a ShuffledHashJoin (not SMJ, not
     broadcast) — the strategy that skips both sorts when one side is small
