@@ -80,8 +80,18 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             os.rename(tmp, out)
-        except OSError:  # lost the publish race — identical content exists
-            shutil.rmtree(tmp, ignore_errors=True)
+        except OSError:
+            # Either we lost the publish race to an identical _SUCCESS-marked
+            # copy (fine — discard ours), or a stale half-written directory
+            # from a crashed legacy direct write squats at `out`. Only a
+            # _SUCCESS marker proves the occupant is complete; otherwise evict
+            # it and retry the rename so readers never see a partial layout
+            # (ADVICE r2).
+            if os.path.exists(os.path.join(out, "_SUCCESS")):
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                shutil.rmtree(out, ignore_errors=True)
+                os.rename(tmp, out)
     return spark.read.parquet(out)
 
 

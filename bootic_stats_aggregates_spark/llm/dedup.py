@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..helpers import lcount
 from ..io import table
 from ..registry import query
+from .text import quality_keep_sql
 
 #: MinHash config: 32 hashes = 16 bands x 2 rows. P(candidate | jaccard j)
 #: = 1-(1-j^2)^16: j=0.5 -> 0.99, j=0.2 -> 0.48, j=0.05 -> 0.04 — high
@@ -621,14 +622,7 @@ def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cc AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node),
     quality AS (
-      SELECT doc_id,
-        (len(string_split(text, ' ')) BETWEEN 20 AND 10000)
-        AND (CAST(list_sum(list_transform(string_split(text, ' '),
-                                          t -> length(t))) AS DOUBLE)
-             / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0)
-        AND len(list_intersect(list_distinct(string_split(text, ' ')),
-                               ['a', 'the', 'of', 'to', 'and', 'in', 'is', 'it']))
-            >= 2 AS keep
+      SELECT doc_id, {quality_keep_sql()} AS keep
       FROM documents
     ),
     grams AS (

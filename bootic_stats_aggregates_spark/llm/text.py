@@ -438,6 +438,24 @@ QF_MIN_WORD_LEN, QF_MAX_WORD_LEN = 3.0, 10.0
 QF_MIN_STOPWORDS = 2
 
 
+def quality_keep_sql(text_col: str = "text") -> str:
+    """The Gopher-gate keep decision as one inline DuckDB boolean expression.
+
+    Shared by every oracle that embeds the gate (stream_quality_gate,
+    llm_dedup_cascade) so a change to STOPWORDS or the QF_* bounds can never
+    desync those oracles from the Spark side (ADVICE r2)."""
+    return f"""(
+        len(string_split({text_col}, ' '))
+          BETWEEN {QF_MIN_TOKENS} AND {QF_MAX_TOKENS}
+        AND (CAST(list_sum(list_transform(string_split({text_col}, ' '),
+                                          t -> length(t))) AS DOUBLE)
+             / len(string_split({text_col}, ' '))
+               BETWEEN {QF_MIN_WORD_LEN} AND {QF_MAX_WORD_LEN})
+        AND len(list_intersect(list_distinct(string_split({text_col}, ' ')),
+                               {_STOP_SQL})) >= {QF_MIN_STOPWORDS}
+    )"""
+
+
 @query(
     "llm_quality_filter",
     oracle=f"""

@@ -79,48 +79,38 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: Driver-gate priority. The verification driver produces CORRECTNESS rows for
 #: (at most) the FIRST 50 entries of ``queries()`` in iteration order, so the
 #: order below is rotated each round to accumulate driver-verified evidence
-#: across rounds. Round 1 verified slots 1-50 of the old alphabetical-import
-#: order (fn_*/udf_*/llm_*/agg core); round 2 front-loads everything that got
-#: no row in CORRECTNESS_r01.json: the relational core (sources, filters,
-#: joins, windows, sorts/sets, subqueries, the §2.3 aggregate tail) and the
-#: full streaming surface, then sinks and the round-2 oracle fixes. Queries
-#: absent from this list keep their registration order after it.
+#: across rounds. Round 1 verified the old alphabetical-import order
+#: (fn_*/udf_*/llm_*/agg core, 50 rows); round 2 front-loaded the relational
+#: core + streaming surface (50 disjoint rows, all green). Round 3 front-loads
+#: the 26 operators that have never earned a driver row: the five round-1
+#: ``err`` fixes (oracle-coverage gaps, fixed in r2) plus the 21 round-2
+#: additions that sat below the 50-row cap. Slots 27-50 are backfilled with
+#: already-verified ops (re-confirmation is free). Queries absent from this
+#: list keep their registration order after it.
 _GATE_PRIORITY: list[str] = [
-    # §2.3 aggregate tail (untested in r1)
-    "agg_pivot", "agg_cube", "agg_approx_percentile", "agg_histogram",
-    # §2.2 projection / filters
-    "proj_select", "filt_event_type", "filt_predicate", "filt_json_pred",
-    # §2.1 batch sources
-    "src_parquet_scan", "src_json_decode", "src_json_lines",
-    # §2.4 joins
-    "join_broadcast", "join_shuffle", "join_multiway", "q3_topk_join",
-    "join_left_right_outer", "join_semi", "join_anti", "join_theta_range",
-    "join_asof", "join_cross", "join_skew_salted",
-    # §2.6 sorts / limits / set ops
-    "sort_orderby", "sort_limit", "set_union", "set_intersect", "set_except",
-    # subqueries + percentile
-    "sub_scalar_corr", "agg_percentile",
-    # §2.5 windows / rankings
-    "rank_topk_global", "rank_topk_per_group", "rank_rank_dense",
-    "win_lag_lead", "win_running_total", "win_moving_avg", "win_first_last",
-    "win_sessionize", "win_funnel",
-    # §2.8 streaming
-    "src_event_stream", "stream_output_modes", "stream_tumbling",
-    "stream_sliding", "stream_session", "stream_dedup", "stream_stateful",
-    "join_stream_static", "join_stream_stream", "stream_watermark",
-    # sinks (slots 49-50 this round; rest roll to round 3)
-    "snk_redis_hash", "snk_redis_zset",
-    "snk_redis_uniq", "stream_redis_counters", "snk_parquet",
-    # round-2 fixes that erred in r1 (next in line after the sinks)
-    "llm_multimodal_cols", "llm_simhash", "llm_simhash_pairs",
-    "llm_multimodal_resize", "agg_approx_distinct",
-    # new in round 2
-    "llm_embed_neardup_lsh", "snk_redis_paths",
-    "llm_contamination", "llm_quality_filter", "src_socket_stream",
-    "snk_redis_acct", "llm_dedup_cascade", "sub_exists_in", "win_time_range",
+    # --- round-1 `err` rows, fixed in r2, never re-checked by the driver ---
+    "agg_approx_distinct", "llm_simhash", "llm_simhash_pairs",
+    "llm_multimodal_cols", "llm_multimodal_resize",
+    # --- never in a driver top-50 (registered in r1/r2 below the cap) ---
+    "snk_parquet", "snk_redis_uniq", "stream_redis_counters",
+    "snk_redis_paths", "snk_redis_acct", "llm_embed_neardup_lsh",
+    "llm_contamination", "llm_quality_filter",
+    # src_socket_stream opens a real loopback TCP socket: kept mid-list so an
+    # env-specific failure cannot cost a headline slot (VERDICT r2 item 1).
+    "src_socket_stream",
+    "llm_dedup_cascade", "sub_exists_in", "win_time_range",
     "stream_quality_gate", "agg_grouping_sets", "fn_regex",
     "snk_stream_parquet", "llm_pii_redact", "fn_tz_bucket",
     "join_shuffle_hash", "snk_compact", "join_range_bucketed",
+    # --- backfill: already driver-verified (r1/r2), re-confirmed for free ---
+    "q3_topk_join", "rank_topk_per_group", "llm_near_dedup",
+    "llm_exact_dedup", "llm_dedup_clusters", "llm_ann_lsh",
+    "llm_cosine_topk", "llm_knn_classify", "llm_text_stats",
+    "llm_tokenize_ngrams", "llm_tfidf_topterms", "llm_lang_filter",
+    "agg_count_by_bucket", "agg_multi_rollup", "agg_sum_avg_minmax",
+    "agg_distinct_users", "agg_having", "agg_distinct_rows", "agg_pivot",
+    "join_broadcast", "join_asof", "stream_tumbling", "stream_watermark",
+    "win_funnel",
 ]
 
 

@@ -52,9 +52,9 @@ def session_cache(spark: SparkSession, namespace: str) -> dict[Any, Any]:
 _RUNTIME_CONF = {
     # Correctness: oracle comparison assumes UTC bucketing (FIXTURES.md rule 4).
     "spark.sql.session.timeZone": "UTC",
-    # Let AQE re-plan at shuffle boundaries (coalesce tiny partitions, demote
-    # to broadcast, split skewed partitions) — our 100 TB safety net.
-    "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "true"),
+    # spark.sql.adaptive.enabled is set in tune() — read per call, not at
+    # import time, so consumers that import the package before exporting
+    # SPARK_GRAFT_AQE still get the right mode (ADVICE r2).
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     # Dimension tables (region/nation/supplier/part/customer at test SFs) are
     # broadcast-sized; keep the planner eager about it.
@@ -86,6 +86,17 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf may be locked down
             pass
+    try:
+        # Let AQE re-plan at shuffle boundaries (coalesce tiny partitions,
+        # demote to broadcast, split skewed partitions) — our 100 TB safety
+        # net. Read per call like the other env knobs (ADVICE r2): an import
+        # that precedes the env export must not freeze the mode.
+        spark.conf.set(
+            "spark.sql.adaptive.enabled",
+            os.environ.get("SPARK_GRAFT_AQE", "true"),
+        )
+    except Exception:  # pragma: no cover
+        pass
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions()))
     except Exception:  # pragma: no cover

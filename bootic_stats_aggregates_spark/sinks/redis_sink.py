@@ -270,7 +270,17 @@ def commit_staged(client, staged: dict, marker: str, stage_key: str) -> int:
     everything applied and the marker exists, or nothing did — a crash
     mid-commit leaves live counters untouched and the retry re-commits.
     Returns the number of increment commands applied.
+
+    ``staged`` normally comes straight from ``client.hgetall(stage_key)``; a
+    default redis-py client (``decode_responses=False``) returns ``bytes``
+    fields/values, so both are normalized to ``str`` here rather than
+    requiring every client factory to opt into decoding (ADVICE r2).
     """
+
+    def _s(x) -> str:
+        return x.decode("utf-8") if isinstance(x, (bytes, bytearray)) else str(x)
+
+    staged = {_s(f): _s(v) for f, v in staged.items()}
     pipe = client.pipeline(transaction=True)
     for field in sorted(staged):
         cmd, key, member = field.split("|", 2)

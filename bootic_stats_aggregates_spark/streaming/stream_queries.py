@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..helpers import cents
 from ..io import table
+from ..llm.text import quality_keep_sql
 from ..registry import query
 from .runner import run_to_memory, stream_table
 
@@ -414,17 +415,11 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_quality_gate",
-    oracle="""
+    oracle=f"""
     -- batch truth of the streamed curation gate: keep/drop tallies per lang
     SELECT
       lang,
-      len(string_split(text, ' ')) BETWEEN 20 AND 10000
-        AND (CAST(list_sum(list_transform(string_split(text, ' '),
-                                          t -> length(t))) AS DOUBLE)
-             / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0)
-        AND len(list_intersect(list_distinct(string_split(text, ' ')),
-                ['a', 'the', 'of', 'to', 'and', 'in', 'is', 'it'])) >= 2
-        AS keep,
+      {quality_keep_sql()} AS keep,
       CAST(count(*) AS BIGINT) AS n_docs
     FROM documents
     GROUP BY 1, 2

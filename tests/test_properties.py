@@ -270,3 +270,36 @@ def test_multimodal_resize_invariants(spark):
         assert r.orig_bytes > 0
         assert sum(r.payload) % 65521 == r.checksum
     assert QUERIES["llm_multimodal_resize"](spark, SF_DIR).count() == n_docs
+
+
+def test_partitioned_layout_evicts_stale_dir(spark):
+    """A half-written layout dir (no _SUCCESS — crashed legacy direct write)
+    must be evicted and replaced, not served (ADVICE r2, layout.py rename
+    branch)."""
+    import os
+    import shutil
+
+    from bootic_stats_aggregates_spark import layout
+
+    out = os.path.join(
+        layout._LAYOUT_ROOT,
+        layout._sf_tag(SF_DIR),
+        f"events_by_date-{layout._fingerprint(SF_DIR, 'events')}",
+    )
+    backup = None
+    if os.path.exists(out):  # preserve a healthy cached layout for other tests
+        backup = out + ".bak"
+        shutil.rmtree(backup, ignore_errors=True)
+        os.rename(out, backup)
+    try:
+        os.makedirs(out, exist_ok=True)  # stale squatter: exists, no _SUCCESS
+        with open(os.path.join(out, "part-garbage.parquet"), "w") as f:
+            f.write("not parquet")
+        df = layout.partitioned_events(spark, SF_DIR)
+        assert os.path.exists(os.path.join(out, "_SUCCESS"))
+        assert not os.path.exists(os.path.join(out, "part-garbage.parquet"))
+        assert df.count() > 0
+    finally:
+        if backup is not None:
+            shutil.rmtree(out, ignore_errors=True)
+            os.rename(backup, out)

@@ -90,6 +90,26 @@ class _Row:
         self.__dict__.update(kw)
 
 
+def test_commit_staged_accepts_bytes_hgetall():
+    """A default redis-py client (decode_responses=False) hands hgetall back
+    as bytes; commit_staged must normalize rather than TypeError on
+    field.split (ADVICE r2)."""
+    from bootic_stats_aggregates_spark.sinks.redis_sink import commit_staged
+
+    r = FakeRedis()
+    staged = {
+        b"HINCRBY|stats:view:2024:01:01|n": b"7",
+        b"ZINCRBY|rank:prod|42": b"3",
+        b"SADD|uniq:day|9": b"1",
+    }
+    n = commit_staged(r, staged, "m:bytes", "stage:bytes")
+    assert n == 3
+    assert r.hashes["stats:view:2024:01:01"]["n"] == 7
+    assert r.zsets["rank:prod"]["42"] == 3.0
+    assert "9" in r.sets["uniq:day"]
+    assert r.get("m:bytes") is not None
+
+
 @given(
     st.lists(st.tuples(_keys, st.integers(1, 50)), min_size=1, max_size=20),
     st.sets(st.integers(0, 19)),
