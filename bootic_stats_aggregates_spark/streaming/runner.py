@@ -24,6 +24,21 @@ from ..session import tune
 _STAGE_ROOT = "/tmp/bootic_stream_src"
 
 
+def _ckpt_dir() -> str:
+    """Fresh checkpoint dir for one harness run.
+
+    ``SPARK_GRAFT_CKPT_DIR`` overrides the root — bench.py points it at
+    tmpfs (/dev/shm) because checkpoint commits are fsync-heavy small files
+    and the memory-sink harness is non-durable anyway. Production jobs set
+    their own ``checkpointLocation`` on durable storage; this knob only
+    affects the deterministic test/bench path."""
+    root = os.environ.get("SPARK_GRAFT_CKPT_DIR")
+    if root:
+        os.makedirs(root, exist_ok=True)
+        return tempfile.mkdtemp(prefix="bootic_ckpt_", dir=root)
+    return tempfile.mkdtemp(prefix="bootic_ckpt_")
+
+
 def _as_stream_dir(sf_dir: str, name: str) -> str:
     """File-stream sources need a *directory*; stage a symlink to the
     fixture parquet once per (sf_dir, table)."""
@@ -39,23 +54,90 @@ def _as_stream_dir(sf_dir: str, name: str) -> str:
     return d
 
 
-def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Unbounded view of a fixture table (the ZMQ-funnel analog).
+def _fixture_schema(spark: SparkSession, sf_dir: str, name: str):
+    """Raw parquet schema of a fixture table (incl. the nanosAsLong long
+    for events.ts) — shared by every transport so parsed rows are
+    byte-identical regardless of how they arrived."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).schema
 
-    Uses the batch reader's schema (incl. the nanosAsLong long for
-    events.ts) and applies the same ns->us conversion as io.table().
-    """
-    tune(spark)
-    raw_schema = spark.read.parquet(
-        os.path.join(sf_dir, f"{name}.parquet")
-    ).schema
-    df = (
-        spark.readStream.schema(raw_schema)
-        .parquet(_as_stream_dir(sf_dir, name))
-    )
+
+def _convert_event_ts(df: DataFrame, name: str) -> DataFrame:
+    """Same ns->us truncation as io.table(), applied post-ingest."""
     if name == "events":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def kafka_stream_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    bootstrap: str | None = None,
+    topic: str | None = None,
+) -> DataFrame:
+    """Kafka transport for the event stream (VERDICT r2 item 6).
+
+    The reference daemon ingests over a message bus (ZMQ `[REF⟂ main.go]`);
+    Spark's production equivalent is the Kafka source. Requires a broker and
+    the spark-sql-kafka connector on the classpath — neither exists in this
+    sandbox, so the path is gated behind ``SPARK_GRAFT_KAFKA_BOOTSTRAP`` and
+    exercised by a skip-marked test that documents the required env.
+
+    Message contract: one JSON object per Kafka record value, fields exactly
+    the fixture table's columns (events.ts as epoch-nanos long, matching the
+    parquet fixture). Rows parse through the same schema and ns->us
+    conversion as the file transport, so every downstream streaming query is
+    transport-agnostic.
+
+    Scale notes: ``maxOffsetsPerTrigger`` (env
+    ``SPARK_GRAFT_KAFKA_MAX_OFFSETS``) bounds per-micro-batch intake so a
+    backlog replay cannot blow state-store memory; partitions map 1:1 to
+    Kafka partitions, so parallelism is set by the topic, not the engine.
+    """
+    bootstrap = bootstrap or os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP")
+    if not bootstrap:
+        raise RuntimeError(
+            "kafka transport requires SPARK_GRAFT_KAFKA_BOOTSTRAP=host:port "
+            "(and optionally SPARK_GRAFT_KAFKA_TOPIC, default bootic.<table>)"
+        )
+    topic = topic or os.environ.get("SPARK_GRAFT_KAFKA_TOPIC", f"bootic.{name}")
+    tune(spark)
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", os.environ.get("SPARK_GRAFT_KAFKA_OFFSETS", "earliest"))
+    )
+    max_offsets = os.environ.get("SPARK_GRAFT_KAFKA_MAX_OFFSETS")
+    if max_offsets:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets)
+    raw = reader.load()
+    parsed = raw.select(
+        F.from_json(
+            F.col("value").cast("string"), _fixture_schema(spark, sf_dir, name)
+        ).alias("e")
+    ).select("e.*")
+    return _convert_event_ts(parsed, name)
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Unbounded view of a fixture table (the ZMQ-funnel analog).
+
+    Transport is selected by ``SPARK_GRAFT_STREAM_TRANSPORT``: ``files``
+    (default — deterministic fixture replay for the driver harness) or
+    ``kafka`` (production bus; see :func:`kafka_stream_table`). Every
+    registered streaming query goes through this dispatcher, so flipping the
+    env var moves the whole streaming surface onto the bus unchanged.
+    """
+    if os.environ.get("SPARK_GRAFT_STREAM_TRANSPORT", "files") == "kafka":
+        return kafka_stream_table(spark, sf_dir, name)
+    tune(spark)
+    df = (
+        spark.readStream.schema(_fixture_schema(spark, sf_dir, name))
+        .parquet(_as_stream_dir(sf_dir, name))
+    )
+    return _convert_event_ts(df, name)
 
 
 def run_to_memory(
@@ -71,7 +153,7 @@ def run_to_memory(
         result.writeStream.format("memory")
         .queryName(name)
         .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bootic_ckpt_"))
+        .option("checkpointLocation", _ckpt_dir())
         .trigger(availableNow=True)
         .start()
     )
@@ -89,7 +171,7 @@ def run_foreach_batch(
     q = (
         result.writeStream.foreachBatch(fn)
         .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bootic_ckpt_"))
+        .option("checkpointLocation", _ckpt_dir())
         .trigger(availableNow=True)
         .start()
     )

