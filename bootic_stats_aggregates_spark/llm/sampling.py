@@ -1,0 +1,137 @@
+"""Dataset splitting and sequence packing (training-data pipeline ops).
+
+Two operators every LLM pretraining pipeline runs just before the
+trainer sees data:
+
+* ``llm_split_hash`` — deterministic train/val/test assignment. Split
+  membership must be a pure function of the document key (never
+  ``rand()``): re-runs, backfills, and incremental appends all have to
+  land every doc in the same split or the eval set silently leaks into
+  training.
+* ``llm_pack_sequences`` — concat-and-chunk packing: documents are
+  concatenated in a canonical order and cut into fixed token-budget
+  sequences; ``seq_id = floor(prefix_tokens / budget)`` assigns each doc
+  the sequence where it STARTS. This is the standard pretraining packing
+  shape (docs may straddle a boundary; the trainer's chunker handles the
+  tail tokens) expressed as one window prefix-sum — no Python, no
+  iteration.
+
+Both use the same cross-engine multiplicative hash as
+``operators/sampling.py`` and whitespace tokenization consistent with
+``llm/text.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..operators.sampling import HASH_A, HASH_C, HASH_P, oracle_bucket
+from ..registry import query
+
+#: train/val/test percentage boundaries over the 100-bucket key hash.
+TRAIN_PCT, VAL_PCT = 80, 10
+
+#: tokens per packed training sequence.
+PACK_BUDGET = 2048
+
+#: whitespace token count — Spark + DuckDB twins (empty tokens dropped, so
+#: runs of spaces never inflate the count).
+_TOK_SPARK = "size(filter(split(text, ' '), t -> length(t) > 0))"
+_TOK_DUCK = "len(list_filter(string_split(text, ' '), t -> length(t) > 0))"
+
+
+@query(
+    "llm_split_hash",
+    oracle=f"""
+    -- doc-level split assignment: pure function of doc_id, so any engine,
+    -- run, or partitioning assigns identically ({TRAIN_PCT}/{VAL_PCT}/
+    -- {100 - TRAIN_PCT - VAL_PCT})
+    SELECT doc_id, lang,
+           CASE
+             WHEN {oracle_bucket('doc_id')} < {TRAIN_PCT} THEN 'train'
+             WHEN {oracle_bucket('doc_id')} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def llm_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split of the document corpus.
+
+    Scale story: map-only projection — no shuffle, no sort, no state; an
+    incremental append assigns new docs without touching old ones, and the
+    assignment survives any repartitioning (unlike ``randomSplit``, whose
+    membership depends on partition layout and seed plumbing).
+    """
+    d = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(HASH_A) + F.lit(HASH_C)) % F.lit(HASH_P) % 100
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "llm_pack_sequences",
+    oracle=f"""
+    -- concat-and-chunk packing replay: prefix token sums per lang in
+    -- doc_id order; a doc belongs to the sequence where it starts
+    WITH toks AS (
+      SELECT lang, doc_id, {_TOK_DUCK} AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST((sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens) // {PACK_BUDGET} AS BIGINT) AS seq_id
+      FROM toks
+    )
+    SELECT lang, seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM packed
+    GROUP BY lang, seq_id
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into {budget}-token training sequences per language.
+
+    ``seq_id = floor(prefix_tokens / budget)`` over (lang, doc_id order):
+    one window prefix-sum, one aggregation — both JVM codegen. Scale
+    story: the window partitions by ``lang``; at 100 TB the partition key
+    gains a shard component (e.g. ``(lang, pmod(xxhash64(doc_id), 1024))``)
+    so no single executor owns a whole language — packing within a shard
+    is the industry-standard relaxation (order only matters within the
+    stream a trainer reads). The aggregation reuses the window's
+    partitioning, so the second shuffle moves only group rows.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", "doc_id", F.expr(_TOK_SPARK).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # integer `div`, not float `/`: prefix sums at 100 TB exceed 2^53 and
+    # would silently lose precision through a double
+    packed = toks.withColumn(
+        "prefix", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).withColumn("seq_id", F.expr(f"prefix div {PACK_BUDGET}").cast("long"))
+    return packed.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )

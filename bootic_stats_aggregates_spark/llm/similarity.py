@@ -461,3 +461,168 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the OTHER standard scale path alongside LSH.
+# A coarse quantizer assigns every corpus vector to its nearest of K cells;
+# a query probes only its NPROBE nearest cells and scores those vectors
+# exactly. Corpus is partitioned by cell ONCE (reused across query batches);
+# read amplification ~= NPROBE / K of the corpus per query batch.
+#
+# The centroids here are FIXED literals (seeded, rounded) like the LSH
+# planes, so the DuckDB oracle replays assignment + probing + scoring
+# identically and the whole operator is exact-checked. A production deploy
+# would train them with k-means (spark.ml KMeans over a sample) and broadcast
+# the fitted centers — same operator shape, same plan.
+# ---------------------------------------------------------------------------
+
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+#: Deterministic centroids, rounded to 4 decimals so the SQL literal and the
+#: Python float are the same double. Cell dots are rounded to 6 decimals
+#: before argmax/probe ranking so engine-side float-sum ordering can never
+#: flip an assignment.
+_CENTROIDS = np.round(
+    np.random.RandomState(7).normal(size=(IVF_CELLS, EMB_DIM)), 4
+)
+
+
+def _cell_dots(emb: Column) -> Column:
+    """array<double> of rounded dot(emb, centroid_j) for every cell j."""
+    return F.array(
+        *[
+            F.round(
+                _dot(emb, F.array(*[F.lit(float(v)) for v in _CENTROIDS[j]])), 6
+            )
+            for j in range(IVF_CELLS)
+        ]
+    )
+
+
+def _cell_dots_sql(vec_expr: str) -> str:
+    dots = ", ".join(
+        "round(list_sum(list_transform(list_zip(%s, [%s]),"
+        " x -> CAST(x[1] AS DOUBLE) * x[2])), 6)"
+        % (vec_expr, ", ".join(repr(float(v)) for v in _CENTROIDS[j]))
+        for j in range(IVF_CELLS)
+    )
+    return f"[{dots}]"
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {_NRM_SQL} AS nrm,
+             {_cell_dots_sql('embedding')} AS ds
+      FROM embeddings
+    ),
+    -- coarse assignment: first index of the max cell dot (0-based)
+    assigned AS (
+      SELECT vec_id, embedding, nrm,
+             list_position(ds, list_max(ds)) - 1 AS cell
+      FROM e
+    ),
+    -- each query probes its NPROBE best cells (desc dot, asc cell on ties)
+    probes AS (
+      SELECT vec_id AS q_vec_id,
+             unnest(list_transform(
+               list_slice(
+                 list_sort(list_transform(range(1, {IVF_CELLS} + 1),
+                                          j -> {{'nd': -ds[j], 'j': j - 1}})),
+                 1, {IVF_NPROBE}),
+               x -> x.j)) AS cell
+      FROM e WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT p.q_vec_id, a.vec_id
+      FROM probes p JOIN assigned a USING (cell)
+      WHERE a.vec_id <> p.q_vec_id
+    ),
+    scored AS (
+      SELECT c.q_vec_id, c.vec_id,
+        round(list_sum(list_transform(list_zip(q.embedding, a.embedding),
+                                      x -> CAST(x[1] AS DOUBLE)
+                                           * CAST(x[2] AS DOUBLE)))
+              / (q.nrm * a.nrm), 6) AS cos_sim
+      FROM cand c
+      JOIN assigned a ON a.vec_id = c.vec_id
+      JOIN e q ON q.vec_id = c.q_vec_id
+    )
+    SELECT q_vec_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_vec_id ORDER BY cos_sim DESC, vec_id
+      ) AS rk
+      FROM scored
+    )
+    WHERE rk <= {TOP_K}
+    """
+
+
+@query("llm_ann_ivf", oracle=_ivf_oracle())
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into {IVF_CELLS} cells,
+    probe {IVF_NPROBE} cells per query, exact cosine on the survivors.
+
+    Scale story: assignment is a map-only projection (no shuffle); the
+    candidate join is an equi-join on ``cell`` — at 100 TB the corpus would
+    be written out partitioned by cell so a query batch touches only
+    NPROBE/K of the files (partition pruning does the skipping). The probe
+    list is tiny (queries x NPROBE rows) and broadcasts. No pair ever
+    forms outside a probed cell, so cost is linear in the probed fraction,
+    never quadratic. Recall vs the brute-force twin is pinned in
+    tests/test_properties.py.
+    """
+    e = _scored_vectors(spark, sf_dir).withColumn(
+        "ds", _cell_dots(F.col("emb"))
+    )
+    # argmax via first-position-of-max: deterministic on (rounded) ties in
+    # both engines
+    assigned = e.withColumn(
+        "cell", (F.array_position("ds", F.array_max("ds")) - 1).cast("int")
+    )
+    # per-query probe cells: sort (negated dot, cell) ascending, keep NPROBE
+    probe_struct = F.array(
+        *[
+            F.struct(
+                (-F.col("ds")[j]).alias("nd"), F.lit(j).alias("j")
+            )
+            for j in range(IVF_CELLS)
+        ]
+    )
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_vec_id"),
+            F.explode(
+                F.transform(
+                    F.slice(F.sort_array(probe_struct), 1, IVF_NPROBE),
+                    lambda x: x["j"],
+                )
+            ).alias("cell"),
+        )
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assigned.select("vec_id", "cell"), "cell")
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "vec_id")
+    )
+    q = _scored_vectors(spark, sf_dir).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm")), 6
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        cand.join(F.broadcast(q), "q_vec_id")
+        .join(_scored_vectors(spark, sf_dir), "vec_id")
+        .select("q_vec_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+    )

@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     aggregates,
     filters,
     joins,
+    sampling,
     sorts_sets,
     sources,
     subqueries,

@@ -214,6 +214,57 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_hll_mergeable",
+    oracle="""
+    -- Datasketches-HLL day sketches unioned to months: the estimate is
+    -- engine-specific, so the exact-checkable claims are (a) the exact
+    -- month-level distinct, (b) the day count that was merged, and (c) the
+    -- estimate landing inside a 10% envelope (lgK=12 -> rsd ~1.6%, ~6
+    -- sigma headroom).
+    SELECT
+      CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+      TRUE AS within_10pct
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch REUSE across rollup levels — the 100 TB uniques story.
+
+    ``approx_count_distinct`` re-scans raw events for every level;
+    datasketches HLL (``hll_sketch_agg`` / ``hll_union_agg``) aggregates
+    raw data ONCE into per-day sketches (O(kB) each), then every coarser
+    level (month here, quarter/year/all-time the same way) merges the
+    stored sketches without touching raw data again — exactly how a daily
+    batch pipeline maintains rolling uniques over an unbounded history.
+    The estimate is asserted into a deterministic error-envelope boolean
+    against the exact count (same framing as agg_approx_distinct).
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    monthly = daily.groupBy(F.date_trunc("month", "day").alias("month")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    exact = ev.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return monthly.join(exact, "month").select(
+        "month",
+        "exact_users",
+        "n_days",
+        (
+            (F.col("approx_users") >= F.round(F.col("exact_users") * 0.9))
+            & (F.col("approx_users") <= F.round(F.col("exact_users") * 1.1))
+        ).alias("within_10pct"),
+    )
+
+
+@query(
     "agg_having",
     oracle="""
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_events

@@ -194,3 +194,33 @@ def test_dynamic_partition_pruning(spark):
     the partitioned fact scan."""
     plan = formatted_plan(QUERIES["join_dpp_pruned"](spark, SF_DIR))
     assert "dynamicpruning" in plan.lower(), "no DPP subquery in fact scan"
+
+
+def test_hash_sample_is_map_only(spark):
+    """Deterministic sampling must stay a scan+project+filter — a shuffle
+    or sort anywhere means it stopped being embarrassingly parallel."""
+    plan = formatted_plan(QUERIES["sample_hash_det"](spark, SF_DIR))
+    assert "Exchange" not in plan, "hash sample should not shuffle"
+    assert "Sort" not in plan, "hash sample should not sort"
+
+
+def test_split_hash_is_map_only(spark):
+    """Train/val/test assignment is a pure projection — same invariant."""
+    plan = formatted_plan(QUERIES["llm_split_hash"](spark, SF_DIR))
+    assert "Exchange" not in plan, "hash split should not shuffle"
+
+
+def test_stratified_cap_prepruned(spark):
+    """The per-stratum cap must use WindowGroupLimit so each map task keeps
+    at most CAP rows per stratum before the exchange."""
+    plan = formatted_plan(QUERIES["sample_stratified_cap"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+
+
+def test_pack_sequences_reuses_partitioning(spark):
+    """Packing is one window + one aggregation on the same lang key: the
+    plan must contain exactly one exchange (the agg reuses the window's
+    hash partitioning instead of reshuffling)."""
+    plan = formatted_plan(QUERIES["llm_pack_sequences"](spark, SF_DIR))
+    n_exchanges = plan.count("Exchange (")  # tree nodes, not detail headers
+    assert n_exchanges == 1, f"expected 1 exchange, saw {n_exchanges}:\n{plan}"

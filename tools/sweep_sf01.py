@@ -17,7 +17,9 @@ pair-space the oracle can afford. Cross-slice pairs are (necessarily) not
 enumerated — that is exactly the bound VERDICT r2 prescribed ("cap the
 DuckDB side's pair space by pre-filtering doc_id ranges").
 
-Usage: python tools/sweep_sf01.py  → one JSON line per (op, slice) + summary.
+Usage: python tools/sweep_sf01.py [op ...]  → one JSON line per (op, slice)
+plus a summary line. With no args, sweeps every op (long: ~3 min/slice on
+the DuckDB side — prefer one op per invocation under a timeout).
 """
 
 from __future__ import annotations
@@ -107,8 +109,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries, osql = all_queries(), all_oracles()
 
+    wanted = sys.argv[1:] or list(SWEEPS)
     results: dict[str, bool] = {}
     for op, (table, col, windows) in SWEEPS.items():
+        if op not in wanted:
+            continue
         ok = True
         for lo, hi in windows:
             d = stage_slice(table, col, lo, hi)
