@@ -45,6 +45,9 @@ EXTRA = {
     "contamination": "llm_contamination",
     "quality_filter": "llm_quality_filter",
     "dedup_cascade": "llm_dedup_cascade",
+    "ann_ivf": "llm_ann_ivf",
+    "pack_sequences": "llm_pack_sequences",
+    "hash_sample": "sample_hash_det",
 }
 
 

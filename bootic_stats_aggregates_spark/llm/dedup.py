@@ -267,6 +267,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = edges.cache()
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
     changed = -1
+    prev_ckpt = None  # JVM RDD behind the superseded localCheckpoint frame
     for it in range(MAX_CC_ITERS):
         neighbor_min = (
             labels.join(edges, labels.doc_id == edges.src)
@@ -289,7 +290,18 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
-        labels.unpersist()  # superseded — don't pin one frame per iteration
+        # Superseded — don't pin one frame per iteration. `unpersist()` frees
+        # the round-0 `.cache()`; for checkpointed rounds it is a CacheManager
+        # no-op, so the pinned RDD behind the LogicalRDD must be dropped
+        # explicitly (waiting on the ContextCleaner leaves up to
+        # graph-diameter label frames resident — real memory pressure when a
+        # frame is |corpus| rows). Safe: lineage truncation means the blocks
+        # can't be recomputed, but nothing downstream reads a superseded round.
+        labels.unpersist()
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist(False)
+        lp = new_labels._jdf.queryExecution().logical()
+        prev_ckpt = lp.rdd() if lp.getClass().getSimpleName() == "LogicalRDD" else None
         labels = new_labels
         if changed == 0:
             break

@@ -17,9 +17,10 @@ pair-space the oracle can afford. Cross-slice pairs are (necessarily) not
 enumerated — that is exactly the bound VERDICT r2 prescribed ("cap the
 DuckDB side's pair space by pre-filtering doc_id ranges").
 
-Usage: python tools/sweep_sf01.py [op ...]  → one JSON line per (op, slice)
-plus a summary line. With no args, sweeps every op (long: ~3 min/slice on
-the DuckDB side — prefer one op per invocation under a timeout).
+Usage: python tools/sweep_sf01.py [op[:slice_idx] ...]  → one JSON line per
+(op, slice) plus a summary line. With no args, sweeps every op (long:
+~3-5 min/slice on the DuckDB side — prefer one op, or one op:slice, per
+invocation under a timeout).
 """
 
 from __future__ import annotations
@@ -56,7 +57,7 @@ SWEEPS: dict[str, tuple[str, str, list[tuple[int, int]]]] = {
     "llm_dedup_clusters": ("documents", "doc_id", _DOC_W),
     "llm_simhash_pairs": ("documents", "doc_id", _DOC_W),
     "llm_dedup_cascade": ("documents", "doc_id", _DOC_W),
-    "llm_embed_neardup": ("embeddings", "doc_id", _EMB_W),
+    "llm_embed_neardup": ("embeddings", "vec_id", _EMB_W),
     "join_range_bucketed": ("events", "event_id", _EVT_W),
 }
 
@@ -74,8 +75,13 @@ def stage_slice(table: str, col: str, lo: int, hi: int) -> str:
         if t != table:
             os.symlink(src, os.path.join(d, f"{t}.parquet"))
     con = duckdb.connect()
+    # events.ts must stay an INSTANT type: a plain DuckDB TIMESTAMP writes
+    # parquet isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ and
+    # refuses to cast to double (the real fixture is TIMESTAMP(NANOS),
+    # handled by io.table's nanosAsLong path instead).
+    proj = "* REPLACE (CAST(ts AS TIMESTAMPTZ) AS ts)" if table == "events" else "*"
     con.execute(
-        f"COPY (SELECT * FROM read_parquet('{SF_DIR}/{table}.parquet') "
+        f"COPY (SELECT {proj} FROM read_parquet('{SF_DIR}/{table}.parquet') "
         f"WHERE {col} >= {lo} AND {col} < {hi}) "
         f"TO '{d}/{table}.parquet' (FORMAT PARQUET)"
     )
@@ -109,11 +115,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries, osql = all_queries(), all_oracles()
 
-    wanted = sys.argv[1:] or list(SWEEPS)
+    wanted: dict[str, int | None] = {}
+    for arg in sys.argv[1:]:
+        op, _, idx = arg.partition(":")
+        wanted[op] = int(idx) if idx else None
+    if not wanted:
+        wanted = {op: None for op in SWEEPS}
     results: dict[str, bool] = {}
     for op, (table, col, windows) in SWEEPS.items():
         if op not in wanted:
             continue
+        if wanted[op] is not None:
+            windows = [windows[wanted[op]]]
         ok = True
         for lo, hi in windows:
             d = stage_slice(table, col, lo, hi)
