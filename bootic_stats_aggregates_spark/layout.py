@@ -56,6 +56,24 @@ def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir)) or "sf"
 
 
+def publish_atomic(tmp: str, out: str) -> None:
+    """Publish a freshly staged directory with one atomic rename.
+
+    On rename failure: either we lost the publish race to an identical
+    _SUCCESS-marked copy (fine — discard ours), or a stale half-written
+    directory from a crashed legacy direct write squats at ``out``. Only a
+    _SUCCESS marker proves the occupant is complete; otherwise evict it and
+    retry so readers never see a partial layout (ADVICE r2)."""
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            shutil.rmtree(out, ignore_errors=True)
+            os.rename(tmp, out)
+
+
 def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` re-materialized as ``.../events_by_date/event_date=*/``.
 
@@ -78,20 +96,7 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("event_date")
             .parquet(tmp)
         )
-        try:
-            os.rename(tmp, out)
-        except OSError:
-            # Either we lost the publish race to an identical _SUCCESS-marked
-            # copy (fine — discard ours), or a stale half-written directory
-            # from a crashed legacy direct write squats at `out`. Only a
-            # _SUCCESS marker proves the occupant is complete; otherwise evict
-            # it and retry the rename so readers never see a partial layout
-            # (ADVICE r2).
-            if os.path.exists(os.path.join(out, "_SUCCESS")):
-                shutil.rmtree(tmp, ignore_errors=True)
-            else:
-                shutil.rmtree(out, ignore_errors=True)
-                os.rename(tmp, out)
+        publish_atomic(tmp, out)
     return spark.read.parquet(out)
 
 

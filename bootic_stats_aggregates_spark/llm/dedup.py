@@ -219,13 +219,11 @@ def llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MAX_CC_ITERS = 20
 
-
-@query(
-    "llm_dedup_clusters",
-    oracle=f"""
-    -- Connected components over the near-dup pair graph via recursive CTE:
-    -- a doc's cluster id is the min doc_id reachable from it (edges both
-    -- directions); docs with no near-dups are their own singleton cluster.
+#: Shared oracle for BOTH connected-components implementations (min-label
+#: propagation and large-star/small-star): a doc's cluster id is the min
+#: doc_id reachable from it over the near-dup pair graph (edges both
+#: directions); docs with no near-dups are their own singleton cluster.
+_CC_ORACLE_SQL = f"""
     WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
     edges AS (
       SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
@@ -243,8 +241,20 @@ MAX_CC_ITERS = 20
       CAST(cluster_id AS BIGINT) AS cluster_id,
       doc_id = cluster_id AS is_representative
     FROM cc
-    """,
-)
+    """
+
+
+def _pinned_ckpt_rdd(df: DataFrame):
+    """The JVM RDD pinned behind a ``localCheckpoint``-ed DataFrame (None if
+    the frame is not a LogicalRDD). ``DataFrame.unpersist`` is a CacheManager
+    no-op for checkpoint frames, so iterative algorithms unpersist this
+    handle explicitly when a round's frame is superseded — waiting on the
+    ContextCleaner would leave one |corpus|-row frame resident per round."""
+    lp = df._jdf.queryExecution().logical()
+    return lp.rdd() if lp.getClass().getSimpleName() == "LogicalRDD" else None
+
+
+@query("llm_dedup_clusters", oracle=_CC_ORACLE_SQL)
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTER assignment — the actual dedup deliverable
     (keep ``is_representative``, drop the rest).
@@ -300,8 +310,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.unpersist()
         if prev_ckpt is not None:
             prev_ckpt.unpersist(False)
-        lp = new_labels._jdf.queryExecution().logical()
-        prev_ckpt = lp.rdd() if lp.getClass().getSimpleName() == "LogicalRDD" else None
+        prev_ckpt = _pinned_ckpt_rdd(new_labels)
         labels = new_labels
         if changed == 0:
             break
@@ -312,6 +321,122 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"connected components did not converge in {MAX_CC_ITERS} rounds "
             "(graph diameter too large — switch to large-star/small-star)"
         )
+    return labels.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+    )
+
+
+#: Alternating large-star/small-star converges in O(log^2 n) rounds; each
+#: round is one LS + one SS pass. 16 is ample for any graph the LSH stage
+#: can emit at fixture scale (and generous headroom for adversarial chains).
+MAX_STAR_ROUNDS = 16
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One large-star pass over a SYMMETRIC adjacency list (src, dst):
+    every node u connects its strictly-larger neighbors to
+    ``m(u) = min(N(u) + {u})``. Emits canonical (a > b) edges."""
+    m = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("nbr_min"))
+        .select("src", F.least("src", F.col("nbr_min")).alias("m"))
+    )
+    return (
+        sym.filter(F.col("dst") > F.col("src"))
+        .join(m, "src")
+        .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    """One small-star pass: every node u connects itself and its
+    strictly-smaller neighbors to the smallest of them. Canonical out."""
+    smaller = sym.filter(F.col("dst") < F.col("src"))
+    m = smaller.groupBy("src").agg(F.min("dst").alias("m"))
+    linked = (
+        smaller.join(m, "src")
+        .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+        .union(m.select(F.col("src").alias("a"), F.col("m").alias("b")))
+    )
+    return linked.filter(F.col("a") != F.col("b")).distinct()
+
+
+def cc_star_labels(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Connected components by alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    ``docs`` is (doc_id); ``pairs`` is undirected edges (doc_id_a, doc_id_b)
+    in any orientation. Returns (doc_id, cluster_id) where cluster_id is the
+    component minimum — identical semantics to min-label propagation, but
+    O(log^2 n) rounds instead of O(diameter): on a 100 TB corpus an
+    adversarial near-dup CHAIN (template pages, boilerplate gradients) makes
+    diameter — and therefore min-label round count — linear, while star
+    contraction stays logarithmic. Per round: two groupBy-min + two
+    equi-joins + distinct, all key-partitioned shuffles, no driver data
+    motion beyond the two convergence scalars.
+    """
+    canon = (
+        pairs.select(
+            F.greatest("doc_id_a", "doc_id_b").alias("a"),
+            F.least("doc_id_a", "doc_id_b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_ckpt = _pinned_ckpt_rdd(canon)
+    converged = canon.isEmpty()
+    for _ in range(MAX_STAR_ROUNDS):
+        if converged:
+            break
+        sym = canon.union(canon.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        sym = sym.withColumnsRenamed({"a": "src", "b": "dst"})
+        ls = _large_star(sym)
+        ls_sym = ls.union(ls.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        nxt = _small_star(
+            ls_sym.withColumnsRenamed({"a": "src", "b": "dst"})
+        ).localCheckpoint(eager=True)
+        # Fixpoint test on canonical DISTINCT edge sets: equal cardinality
+        # plus empty one-way difference <=> equal sets (two scalar actions).
+        converged = (
+            nxt.count() == canon.count()
+            and nxt.exceptAll(canon).isEmpty()
+        )
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist(False)
+        prev_ckpt = _pinned_ckpt_rdd(nxt)
+        canon = nxt
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not converge in {MAX_STAR_ROUNDS} rounds"
+        )
+    # At the fixpoint the graph is a union of disjoint stars centered at
+    # component minima: every non-center appears as `a` pointing at its
+    # center `b`. The min-agg is belt-and-braces for the final read.
+    centers = canon.groupBy(F.col("a").alias("doc_id")).agg(
+        F.min("b").alias("ctr")
+    )
+    labels = docs.join(centers, "doc_id", "left").select(
+        "doc_id", F.coalesce("ctr", F.col("doc_id")).alias("cluster_id")
+    )
+    # Result frames derive from the final checkpoint; it stays pinned until
+    # the consumer drops the DataFrame (ContextCleaner reclaims it).
+    return labels
+
+
+@query("llm_cc_star", oracle=_CC_ORACLE_SQL)
+def llm_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment via large-star/small-star contraction —
+    the production-scale twin of :func:`llm_dedup_clusters` (same verified
+    pair graph, same output contract, same oracle). Registered separately so
+    both the O(diameter) and the O(log^2 n) paths stay driver-verified."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    labels = cc_star_labels(docs, pairs)
     return labels.select(
         "doc_id",
         F.col("cluster_id").cast("long").alias("cluster_id"),

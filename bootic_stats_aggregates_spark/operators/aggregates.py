@@ -469,3 +469,106 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type), (dow), ())
         """
     )
+
+
+#: Count-min sketch shape: 4 independent rows x 512 counters. Hash family is
+#: the cross-engine multiplicative-congruential form used by the sampling
+#: operators (operators/sampling.py) with distinct public mixing constants
+#: (xxhash/murmurish primes), so DuckDB can replay the sketch bit-for-bit.
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOPK = 20
+CMS_P = 1_000_000_007
+CMS_A = [2_654_435_761, 2_246_822_519, 3_266_489_917, 668_265_263]
+CMS_B = [1_013_904_223, 374_761_393, 2_654_435_769, 88_675_123]
+
+
+def _cms_cells_sql(src: str) -> str:
+    """(user_id, j, cell) rows for every input row x every sketch row."""
+    a = " ".join(f"WHEN {j} THEN {CMS_A[j]}" for j in range(CMS_DEPTH))
+    b = " ".join(f"WHEN {j} THEN {CMS_B[j]}" for j in range(CMS_DEPTH))
+    return f"""
+      SELECT user_id, j,
+             ((user_id * (CASE j {a} END) + (CASE j {b} END))
+              % {CMS_P}) % {CMS_WIDTH} AS cell
+      FROM {src}
+      CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS j)
+    """
+
+
+@query(
+    "agg_heavy_hitters_cms",
+    oracle=f"""
+    -- count-min sketch replay: build the 4x512 counter grid, then estimate
+    -- every candidate as min over its 4 cells; top-{CMS_TOPK} by estimate
+    WITH counters AS (
+      SELECT j, cell, count(*) AS cnt
+      FROM ({_cms_cells_sql('events')})
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT user_id, min(cnt) AS cms_est
+      FROM ({_cms_cells_sql('(SELECT DISTINCT user_id FROM events)')}) cc
+      JOIN counters USING (j, cell)
+      GROUP BY user_id
+    ),
+    exact AS (
+      SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id
+    )
+    SELECT
+      e.user_id,
+      CAST(est.cms_est AS BIGINT) AS cms_est,
+      CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+      est.cms_est >= e.exact_cnt AS no_underestimate
+    FROM est JOIN exact e USING (user_id)
+    ORDER BY cms_est DESC, e.user_id
+    LIMIT {CMS_TOPK}
+    """,
+)
+def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch — the mergeable frequent-items
+    sketch beside the HLL family (``agg_approx_distinct`` /
+    ``agg_hll_mergeable``): hot-key detection (who to salt, what to cache)
+    without an exact per-key aggregate.
+
+    Scale story: the sketch is a FIXED 4x512 grid of mergeable counts —
+    the groupBy(j, cell) partial-aggregates map-side, so the shuffle moves
+    at most depth x width rows per map task no matter how many billions of
+    events scanned, and day-level sketches union by element-wise addition
+    (same counters, further summed). Estimation never underestimates
+    (asserted per row); the candidate set here is the exact distinct-key
+    list so the oracle can replay the whole pipeline — a 100 TB deployment
+    feeds candidates from a sampled or prior-window key list instead.
+    The explode is a 4-literal array fan-out (Generate, map-side): no join
+    builds the grid.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id")
+
+    def cells(df: DataFrame) -> DataFrame:
+        j = F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("j")
+        out = df.select("user_id", j)
+        a = F.element_at(F.array(*[F.lit(x) for x in CMS_A]), F.col("j") + 1)
+        b = F.element_at(F.array(*[F.lit(x) for x in CMS_B]), F.col("j") + 1)
+        return out.withColumn(
+            "cell", ((F.col("user_id") * a + b) % CMS_P) % CMS_WIDTH
+        )
+
+    counters = cells(ev).groupBy("j", "cell").agg(F.count(F.lit(1)).alias("cnt"))
+    est = (
+        cells(ev.distinct())
+        .join(counters, ["j", "cell"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            F.col("cms_est").cast("long").alias("cms_est"),
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("no_underestimate"),
+        )
+        .orderBy(F.desc("cms_est"), "user_id")
+        .limit(CMS_TOPK)
+    )

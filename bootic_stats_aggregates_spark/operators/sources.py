@@ -88,15 +88,14 @@ def src_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet truth.
     """
     import os
-    import shutil
     import uuid
 
-    from ..layout import _LAYOUT_ROOT, _fingerprint
+    from ..layout import _LAYOUT_ROOT, _fingerprint, publish_atomic
     from ..session import tune
 
     tune(spark)
     # fingerprint + atomic publish: same staleness/race discipline as the
-    # layout materializations (ADVICE r1)
+    # layout materializations (ADVICE r1/r2)
     out = os.path.join(
         _LAYOUT_ROOT,
         "jsonl",
@@ -112,10 +111,7 @@ def src_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .json(tmp)
         )
-        try:
-            os.rename(tmp, out)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+        publish_atomic(tmp, out)
     schema = "event_id LONG, event_type STRING, _corrupt_record STRING"
     parsed = (
         spark.read.schema(schema)
@@ -127,4 +123,106 @@ def src_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.filter(F.col("_corrupt_record").isNull())
         .groupBy("event_id", "event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+#: Every 97th order key gets a deliberately unparseable o_totalprice in the
+#: staged CSV — deterministic, so the DuckDB oracle can predict exactly which
+#: rows the PERMISSIVE reader must reject.
+CSV_CORRUPT_MOD = 97
+
+
+@query(
+    "src_csv_robust",
+    oracle=f"""
+    -- replay of the staged-CSV read: rows whose o_orderkey % {CSV_CORRUPT_MOD} = 0
+    -- were written with a non-numeric o_totalprice and must land in the
+    -- corrupt-record column; everything else parses
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(CASE WHEN o_orderkey % {CSV_CORRUPT_MOD} <> 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_valid,
+      CAST(sum(CASE WHEN o_orderkey % {CSV_CORRUPT_MOD} = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_corrupt,
+      CAST(round(sum(CASE WHEN o_orderkey % {CSV_CORRUPT_MOD} <> 0
+                          THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                          ELSE 0 END) / 100.0, 2) AS DOUBLE) AS valid_total
+    FROM orders
+    """,
+)
+def src_csv_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion with an EXPLICIT schema and corrupt-record accounting —
+    the file-drop side door every production ingest grows next to its
+    primary transport.
+
+    The fixture is staged to CSV once (o_orderpriority exercises the string path) with a deterministic corruption: every
+    {mod}th order's o_totalprice is prefixed with a letter. The read
+    declares the schema (at 100 TB, inference means scanning everything
+    twice) and PERMISSIVE mode routes unparseable rows to
+    ``_corrupt_record`` instead of failing the job — the counts and the
+    valid-row money sum are verified against the parquet truth. Scale:
+    CSV splits by byte ranges like any text source; the aggregate is a
+    single map-side-combined pass.
+    """
+    import os
+    import uuid
+
+    from ..layout import _LAYOUT_ROOT, _fingerprint, publish_atomic
+    from ..session import tune
+
+    tune(spark)
+    out = os.path.join(
+        _LAYOUT_ROOT,
+        "csv",
+        os.path.basename(os.path.normpath(sf_dir)),
+        f"orders-{_fingerprint(sf_dir, 'orders')}",
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        tmp = f"{out}.tmp-{uuid.uuid4().hex}"
+        o = table(spark, sf_dir, "orders")
+        price = F.col("o_totalprice").cast("string")
+        (
+            o.select(
+                "o_orderkey",
+                "o_custkey",
+                F.when(
+                    F.col("o_orderkey") % CSV_CORRUPT_MOD == 0,
+                    F.concat(F.lit("x"), price),
+                )
+                .otherwise(price)
+                .alias("o_totalprice"),
+                "o_orderpriority",
+            )
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(tmp)
+        )
+        publish_atomic(tmp, out)
+    schema = (
+        "o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE, "
+        "o_orderpriority STRING, _corrupt_record STRING"
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return parsed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(~bad, 1).otherwise(0)).cast("long").alias("n_valid"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_corrupt"),
+        F.round(
+            F.sum(
+                F.when(
+                    ~bad, F.round(F.col("o_totalprice") * 100).cast("long")
+                ).otherwise(0)
+            ).cast("double")
+            / 100.0,
+            2,
+        )
+        .cast("double")
+        .alias("valid_total"),
     )

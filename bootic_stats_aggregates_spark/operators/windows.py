@@ -414,3 +414,111 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("trailing_1h_value"),
         F.count(F.lit(1)).over(w).cast("long").alias("trailing_1h_events"),
     )
+
+
+@query(
+    "win_cohort_retention",
+    oracle="""
+    -- cohort = UTC month of a user's first event; one row per
+    -- (cohort, months-since-cohort) with the count of still-active users
+    WITH activity AS (
+      SELECT DISTINCT user_id, date_trunc('month', ts) AS act_month
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, min(act_month) AS cohort_month
+      FROM activity GROUP BY user_id
+    )
+    SELECT
+      c.cohort_month,
+      CAST(date_diff('month', c.cohort_month, a.act_month) AS BIGINT)
+        AS offset_months,
+      CAST(count(*) AS BIGINT) AS n_active_users
+    FROM activity a JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def win_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the dashboard behind every "users who
+    signed up in March, still active in June" panel the reference daemon's
+    counters feed (SURVEY.md §2.3 reconstruction).
+
+    One scan: events collapse to DISTINCT (user, month) activity first —
+    at 100 TB that's the only pass over raw data, and it shrinks the input
+    by the per-user event multiplicity before anything joins. Cohort
+    assignment is a min-aggregate REUSING the activity frame (no second
+    scan), and the activity-x-cohort equi-join is co-partitioned on
+    user_id with the cohort aggregate's own shuffle. Every aggregate is
+    mergeable (count, min), so the whole matrix distributes and unions
+    across day/month partitions of the fact table.
+    """
+    ev = table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("month", "ts").alias("act_month")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(
+        F.min("act_month").alias("cohort_month")
+    )
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_month",
+            F.months_between("act_month", "cohort_month")
+            .cast("long")
+            .alias("offset_months"),
+        )
+        .agg(lcount("n_active_users"))
+    )
+
+
+@query(
+    "win_gap_islands",
+    oracle="""
+    -- gaps-and-islands: maximal runs of CONSECUTIVE active days per user.
+    -- day minus its per-user rank is constant within a run (the classic
+    -- islands anchor), so one window + one aggregate finds every streak.
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+      FROM days
+    )
+    SELECT user_id,
+           CAST(min(day) AS VARCHAR) AS streak_start,
+           CAST(max(day) AS VARCHAR) AS streak_end,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM tagged
+    GROUP BY user_id, anchor
+    """,
+)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity STREAKS (gaps-and-islands): for every user, each maximal
+    run of consecutive active days — the engagement metric behind every
+    "7-day streak" badge and churn-risk gap report.
+
+    ``day - row_number()`` is constant exactly within a consecutive run, so
+    streaks fall out of one window + one hash aggregate — no self-joins, no
+    iteration. Scale: events collapse to DISTINCT (user, day) in the first
+    (and only) pass over raw data; the window partitions by user_id and the
+    aggregate reuses that locality; day counts per user are bounded
+    (≤ 365/year), so no skewed-partition risk.
+    """
+    ev = table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    tagged = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return (
+        tagged.groupBy("user_id", "anchor")
+        .agg(
+            F.min("day").cast("string").alias("streak_start"),
+            F.max("day").cast("string").alias("streak_end"),
+            lcount("n_days"),
+        )
+        .select("user_id", "streak_start", "streak_end", "n_days")
+    )

@@ -287,3 +287,65 @@ def snk_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stash the dirs on the function for the file-count property test
     snk_compact.last_dirs = (frag, compacted)  # type: ignore[attr-defined]
     return out
+
+
+@query(
+    "snk_partition_overwrite",
+    oracle="""
+    -- replay of the dynamic partition overwrite: the earliest day's
+    -- partition is rewritten to purchases-only; every other day untouched
+    WITH ev AS (
+      SELECT *, CAST(date_trunc('day', ts) AS DATE) AS event_date FROM events
+    ),
+    final AS (
+      SELECT * FROM ev WHERE event_date <> (SELECT min(event_date) FROM ev)
+      UNION ALL
+      SELECT * FROM ev
+      WHERE event_date = (SELECT min(event_date) FROM ev)
+        AND event_type = 'purchase'
+    )
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(count(DISTINCT event_date) AS BIGINT) AS n_days,
+      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM final
+    """,
+)
+def snk_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite — the idempotent-backfill sink: rewrite
+    exactly the partitions present in the incoming frame, leave every other
+    partition byte-untouched. This is how a 100 TB pipeline reprocesses one
+    bad day without static-overwrite's truncate-the-table hazard and
+    without read-modify-write of the whole dataset.
+
+    Here: events land partitioned by day, then the earliest day is
+    re-backfilled as purchases-only via
+    ``partitionOverwriteMode=dynamic``; the read-back aggregate proves the
+    other days survived and the target day was replaced. The replacement
+    day is selected with a broadcast min-join — no driver collect in the
+    dataflow.
+    """
+    ev = table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = f"{tempfile.gettempdir()}/bootic_dynpart_{uuid.uuid4().hex[:8]}"
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(path)
+    first_day = ev.agg(F.min("event_date").alias("event_date"))
+    replacement = ev.join(first_day, "event_date").filter(
+        F.col("event_type") == "purchase"
+    )
+    (
+        replacement.select(ev.columns)  # same column order as first write
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    out = back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("event_date").cast("long").alias("n_days"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    snk_partition_overwrite.last_dir = path  # type: ignore[attr-defined]
+    return out

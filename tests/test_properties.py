@@ -257,6 +257,100 @@ def test_dedup_clusters_bounds_pinned_memory(spark):
         )
 
 
+def test_partition_overwrite_touches_only_target(spark):
+    """Dynamic partition overwrite must physically rewrite ONLY the
+    partitions present in the incoming frame: every other partition's files
+    (path + size + mtime) are bit-identical afterwards."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bootic_stats_aggregates_spark.io import table
+
+    ev = table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    import tempfile
+    import uuid
+
+    path = f"{tempfile.gettempdir()}/bootic_dynpart_test_{uuid.uuid4().hex[:8]}"
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(path)
+
+    def snapshot():
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot()
+    first_day = ev.agg(F.min("event_date").alias("event_date"))
+    target = [r.event_date for r in first_day.collect()][0]
+    (
+        ev.join(first_day, "event_date")
+        .filter(F.col("event_type") == "purchase")
+        .select(ev.columns)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+    after = snapshot()
+    tag = f"event_date={target}"
+    untouched_before = {p: v for p, v in before.items() if tag not in p}
+    untouched_after = {p: v for p, v in after.items() if tag not in p}
+    assert untouched_before == untouched_after, "non-target partitions changed"
+    assert {p for p in before if tag in p}.isdisjoint(after), (
+        "target partition files were not replaced"
+    )
+
+
+def test_cc_star_adversarial_chain(spark):
+    """Star contraction must label a long PATH graph — the adversarial case
+    whose diameter makes min-label propagation linear-round — within its
+    logarithmic round budget, and must agree with component minima on a mix
+    of path + cliques + isolated nodes."""
+    from bootic_stats_aggregates_spark.llm.dedup import cc_star_labels
+
+    # path 100..159 (diameter 59 >> MAX_STAR_ROUNDS), two cliques, isolates
+    path = [(i, i + 1) for i in range(100, 159)]
+    clique1 = [(a, b) for a in range(7, 10) for b in range(a + 1, 10)]
+    clique2 = [(203, 201), (202, 203), (201, 202)]  # shuffled orientation
+    edges = spark.createDataFrame(
+        path + clique1 + clique2, "doc_id_a long, doc_id_b long"
+    )
+    nodes = sorted(
+        {n for e in path + clique1 + clique2 for n in e} | {999, 1000}
+    )
+    docs = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in cc_star_labels(docs, edges).collect()
+    }
+    expected = {n: 100 for n in range(100, 160)}
+    expected.update({n: 7 for n in range(7, 10)})
+    expected.update({n: 201 for n in (201, 202, 203)})
+    expected.update({999: 999, 1000: 1000})
+    assert got == expected
+
+
+def test_cc_star_agrees_with_minlabel(spark):
+    """Both registered CC implementations must produce identical cluster
+    assignments on the real near-dup pair graph."""
+    star = {
+        (r.doc_id, r.cluster_id)
+        for r in QUERIES["llm_cc_star"](spark, SF_DIR).collect()
+    }
+    minlabel = {
+        (r.doc_id, r.cluster_id)
+        for r in QUERIES["llm_dedup_clusters"](spark, SF_DIR).collect()
+    }
+    assert star == minlabel
+
+
 def test_shingles_empty_for_short_docs(spark):
     """Docs with <3 tokens must yield an EMPTY shingle set (not a partial
     shingle) so Spark and the DuckDB oracle agree for all inputs (ADVICE r1)."""
