@@ -48,6 +48,10 @@ EXTRA = {
     "ann_ivf": "llm_ann_ivf",
     "pack_sequences": "llm_pack_sequences",
     "hash_sample": "sample_hash_det",
+    "cohort_retention": "win_cohort_retention",
+    "gap_islands": "win_gap_islands",
+    "trailing_uniques": "win_trailing_uniques",
+    "cms_heavy_hitters": "agg_heavy_hitters_cms",
 }
 
 

@@ -572,3 +572,60 @@ def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cms_est"), "user_id")
         .limit(CMS_TOPK)
     )
+
+
+#: Composite argmax comparand: total-cents shifted past the key space so a
+#: single BIGINT orders by (total, user_id) — DuckDB's arg_max/arg_min take
+#: exactly two scalar arguments, so the tie-break must live inside the
+#: comparand. Bound: user_id < 1e9 (fixture max ~1e5; a cluster deployment
+#: with wider keys raises SHIFT or pre-dedupes totals).
+ARGMAX_SHIFT = 1_000_000_000
+
+
+@query(
+    "agg_argmax",
+    oracle=f"""
+    -- argmax/argmin family: per event type, WHICH user produced the
+    -- highest / lowest total value (deterministic tie-break on user_id
+    -- folded into a single shifted-BIGINT comparand)
+    WITH totals AS (
+      SELECT event_type, user_id,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT
+      event_type,
+      CAST(arg_max(user_id, cents * {ARGMAX_SHIFT} + user_id) AS BIGINT)
+        AS top_user,
+      CAST(round(max(cents) / 100.0, 2) AS DOUBLE) AS top_total,
+      CAST(arg_min(user_id, cents * {ARGMAX_SHIFT} + user_id) AS BIGINT)
+        AS bottom_user,
+      CAST(round(min(cents) / 100.0, 2) AS DOUBLE) AS bottom_total
+    FROM totals
+    GROUP BY event_type
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``max_by`` / ``min_by`` (argmax) — "WHO was the top spender", not
+    just "what was the top spend": the lookup every leaderboard panel does
+    with a self-join unless the engine has an argmax aggregate.
+
+    Two hash aggregates: per-(type, user) totals in integer cents, then
+    one ``max_by``/``min_by`` pass per type. Both are mergeable (max_by
+    merges by comparing comparands), so the plan partial-aggregates
+    map-side and distributes like any counter. The (total, user) tie-break
+    is folded into one shifted BIGINT so Spark and DuckDB order
+    identically.
+    """
+    ev = table(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    comp = F.col("cents") * ARGMAX_SHIFT + F.col("user_id")
+    return totals.groupBy("event_type").agg(
+        F.max_by("user_id", comp).cast("long").alias("top_user"),
+        F.round(F.max("cents") / 100.0, 2).cast("double").alias("top_total"),
+        F.min_by("user_id", comp).cast("long").alias("bottom_user"),
+        F.round(F.min("cents") / 100.0, 2).cast("double").alias("bottom_total"),
+    )

@@ -522,3 +522,49 @@ def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "streak_start", "streak_end", "n_days")
     )
+
+
+@query(
+    "win_trailing_uniques",
+    oracle="""
+    -- trailing-7-day active users (WAU) per as-of day: each active
+    -- (user, day) contributes to the 7 as-of days it falls inside —
+    -- fan-out + one distinct-agg, no range self-join
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    fan AS (
+      SELECT user_id, day + CAST(g.g AS INTEGER) AS as_of_day
+      FROM days CROSS JOIN generate_series(0, 6) AS g(g)
+    )
+    SELECT CAST(as_of_day AS VARCHAR) AS as_of_day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM fan
+    GROUP BY 1
+    """,
+)
+def win_trailing_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active uniques (the WAU curve) for every as-of day.
+
+    The naive formulation is a RANGE self-join (every as-of day joins a
+    week of activity) — quadratic in days touched and a shuffle monster.
+    Instead each DISTINCT (user, day) fans out map-side to the 7 as-of
+    days whose trailing window contains it (``explode(sequence(...))``,
+    a Generate — no join, no extra shuffle), and one distinct-aggregate
+    finishes. Scale: raw events collapse to (user, day) in the first pass;
+    the fan-out multiplies that already-tiny frame by exactly W=7; swap the
+    literal for 30 to get MAU. Exact counts, not sketches — the HLL twin
+    for unbounded windows is ``agg_hll_mergeable``.
+    """
+    ev = table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    fan = days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("as_of_day"),
+    )
+    return fan.groupBy(F.col("as_of_day").cast("string").alias("as_of_day")).agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
