@@ -460,3 +460,59 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("a_sec") - F.col("b_sec")), 6).alias("dt_sec"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    -- NULL-safe equi-join (IS NOT DISTINCT FROM / <=>): the NULL key
+    -- bucket must MATCH across sides, where plain = would drop it.
+    -- k10 is NULL for payloads with k % 10 = 7 (deterministic).
+    WITH keyed AS (
+      SELECT nullif(CAST(json_extract(props, '$.k') AS BIGINT) % 10, 7)
+               AS k10,
+             user_id, value
+      FROM events
+    ),
+    l AS (
+      SELECT k10, CAST(count(*) AS BIGINT) AS n_events
+      FROM keyed GROUP BY k10
+    ),
+    r AS (
+      SELECT k10, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM keyed GROUP BY k10
+    )
+    SELECT l.k10, l.n_events, r.n_users
+    FROM l JOIN r ON l.k10 IS NOT DISTINCT FROM r.k10
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (``<=>`` / IS NOT DISTINCT FROM) — the join
+    predicate class plain ``=`` silently breaks: with standard equality a
+    NULL join key matches NOTHING, so the NULL bucket vanishes from the
+    result; dimension keys with honest unknowns need NULL to match NULL.
+
+    Spark plans ``eqNullSafe`` as a true equi-join (hashable — the key is
+    wrapped, not turned into a nested loop), so broadcast/SMJ strategies
+    and partial aggregation all still apply; the plan is asserted
+    cartesian-free fleet-wide. The NULL bucket is synthesized
+    deterministically (payload ``k % 10 = 7 -> NULL``) so both engines
+    build identical sides.
+    """
+    ev = table(spark, sf_dir, "events")
+    k10 = F.nullif(
+        F.get_json_object("props", "$.k").cast("long") % 10, F.lit(7)
+    ).alias("k10")
+    keyed = ev.select(k10, "user_id", "value")
+    left = keyed.groupBy("k10").agg(lcount("n_events"))
+    # distinct attribute name on the right: both sides derive from the same
+    # parent frame, and identically-named keys would trip self-join column
+    # disambiguation
+    right = (
+        keyed.groupBy("k10")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .withColumnRenamed("k10", "rk10")
+    )
+    return left.join(
+        right, F.col("k10").eqNullSafe(F.col("rk10"))
+    ).select("k10", "n_events", "n_users")

@@ -112,3 +112,41 @@ def sub_exists_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer
         """
     )
+
+
+@query(
+    "sub_lateral_topn",
+    oracle="""
+    -- LATERAL correlated top-N: the two richest customers of EVERY nation
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) t
+    """,
+)
+def sub_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with per-group ORDER BY + LIMIT — the
+    "top N per outer row" idiom written the way an analyst writes it.
+
+    Catalyst DECORRELATES this (DecorrelateInnerQuery): the per-nation
+    LIMIT becomes a group-limit under one equi-join — no per-outer-row
+    re-execution, no nested loop (verified: the plan is a broadcast hash
+    join over a pre-limited customer side). Same result as the
+    ``row_number() <= k`` formulation (``rank_topk_per_group``), but this
+    surface exercises the SQL lifecycle path and the decorrelation rule.
+    ORDER BY carries c_custkey as total-order tie-break (FIXTURES rule 2).
+    """
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        """
+    )

@@ -84,8 +84,8 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: core + streaming surface (50 disjoint rows, all green). Round 3 front-loads
 #: the 26 operators that have never earned a driver row: the five round-1
 #: ``err`` fixes (oracle-coverage gaps, fixed in r2) plus the 21 round-2
-#: additions that sat below the 50-row cap. Slots 27-40 are the fourteen
-#: round-3 additions (first chance at a row); slots 41-50 are backfilled
+#: additions that sat below the 50-row cap. Slots 27-42 are the sixteen
+#: round-3 additions (first chance at a row); slots 43-50 are backfilled
 #: with already-verified ops (re-confirmation is free). Queries absent from
 #: this list keep their registration order after it.
 _GATE_PRIORITY: list[str] = [
@@ -108,12 +108,12 @@ _GATE_PRIORITY: list[str] = [
     "llm_pack_sequences", "agg_hll_mergeable", "llm_ann_ivf",
     "llm_cc_star", "win_cohort_retention", "agg_heavy_hitters_cms",
     "src_csv_robust", "win_gap_islands", "snk_partition_overwrite",
-    "win_trailing_uniques", "agg_argmax",
+    "win_trailing_uniques", "agg_argmax", "sub_lateral_topn",
+    "join_null_safe",
     # --- backfill: already driver-verified (r1/r2), re-confirmed for free ---
     "q3_topk_join", "rank_topk_per_group", "llm_near_dedup",
     "llm_exact_dedup", "llm_dedup_clusters", "llm_ann_lsh",
-    "llm_cosine_topk", "llm_knn_classify", "llm_text_stats",
-    "llm_tokenize_ngrams",
+    "llm_cosine_topk", "llm_knn_classify",
 ]
 
 
