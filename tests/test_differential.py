@@ -143,6 +143,65 @@ JOIN_CASES = [
         FROM t JOIN s ON t.u BETWEEN s.u - 1 AND s.u + 1
         """,
     ),
+    # NULL-safe equality: the NULL bucket must MATCH across sides (m x n over
+    # the NULL rows) where the inner_dup_null_keys case drops it entirely.
+    (
+        "null_safe_join",
+        """
+        SELECT t.id AS tid, s.id AS sid
+        FROM t JOIN s ON t.k IS NOT DISTINCT FROM s.k
+        """,
+    ),
+    # LATERAL correlated top-2 per key with total-order tie-break: random
+    # duplicate (k, u) pairs force the tie-break to decide membership.
+    (
+        "lateral_top2_per_key",
+        """
+        SELECT ks.k, l.id
+        FROM (SELECT DISTINCT k FROM t WHERE k IS NOT NULL) ks,
+        LATERAL (
+          SELECT id FROM t WHERE t.k = ks.k ORDER BY u DESC, id LIMIT 2
+        ) l
+        """,
+    ),
+]
+
+#: Single-table cases for the round-3 analytics additions: argmax with a
+#: shifted-comparand tie-break (random duplicate u per k), gaps-and-islands
+#: over random integer id sets, and the VALUES fan-out distinct count that
+#: backs the trailing-uniques shape.
+R3_CASES = [
+    (
+        "argmax_shifted_tiebreak",
+        """
+        SELECT k,
+               CAST(max_by(id, u * 1000000 + id) AS BIGINT) AS top_id,
+               CAST(min_by(id, u * 1000000 + id) AS BIGINT) AS bottom_id
+        FROM t GROUP BY k
+        """,
+    ),
+    (
+        "gaps_islands_int_runs",
+        """
+        SELECT k,
+               CAST(min(id) AS BIGINT) AS start_id,
+               CAST(max(id) AS BIGINT) AS end_id,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (
+          SELECT k, id,
+                 id - row_number() OVER (PARTITION BY k ORDER BY id) AS anchor
+          FROM t
+        ) GROUP BY k, anchor
+        """,
+    ),
+    (
+        "fanout_distinct_buckets",
+        """
+        SELECT u + o AS bucket, CAST(count(DISTINCT id) AS BIGINT) AS uniq
+        FROM t CROSS JOIN (VALUES (0), (1), (2)) AS g(o)
+        GROUP BY 1
+        """,
+    ),
 ]
 
 _rows = st.lists(
@@ -186,8 +245,8 @@ def _assert_engines_agree(spark, con, name: str, sql: str) -> None:
 
 @pytest.mark.parametrize(
     "name,sql",
-    CASES + WINDOW_CASES,
-    ids=[c[0] for c in CASES + WINDOW_CASES],
+    CASES + WINDOW_CASES + R3_CASES,
+    ids=[c[0] for c in CASES + WINDOW_CASES + R3_CASES],
 )
 @given(rows=_rows)
 @settings(
