@@ -37,10 +37,29 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
-#: Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long via
-#: ``nanosAsLong``; we floor-divide to micros, which is exactly what DuckDB's
-#: TIMESTAMP_NS->TIMESTAMP conversion does (verified empirically).
+#: Columns stored as parquet TIMESTAMP(NANOS). How Spark surfaces them
+#: depends on the minor version: with ``nanosAsLong`` honored they arrive as
+#: raw epoch-ns longs; newer 4.1.x builds ignore that legacy conf and read
+#: them natively as TIMESTAMP_NTZ (micros, floor-truncated — same truncation
+#: DuckDB applies converting TIMESTAMP_NS->TIMESTAMP). normalize_ts() maps
+#: both forms to the session-UTC TIMESTAMP the whole engine is written
+#: against, so downstream code sees one type regardless of Spark build.
 _NANOS_COLS = {"events": ("ts",)}
+
+
+def normalize_ts(df: DataFrame, col: str) -> DataFrame:
+    """Normalize a parquet TIMESTAMP(NANOS) column to plain TIMESTAMP (UTC).
+
+    Long (legacy nanosAsLong) -> floor ns to us; TIMESTAMP_NTZ (native 4.1.x
+    read) -> reinterpret as UTC instant (session timezone is pinned to UTC in
+    tune(), so the wall values are identical). Idempotent on TIMESTAMP.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 #: DataFrame handles per (live session, sf_dir, table): re-listing the file
 #: and re-inferring the schema costs ~100 ms per spark.read call (measured)
@@ -70,8 +89,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_COLS.get(name, ()):
-        if isinstance(df.schema[col].dataType, T.LongType):
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        df = normalize_ts(df, col)
     if _cache_tables():
         # single-row-group files arrive as 1 partition; spread the cached
         # columnar blocks over a moderate partition count at fill time so

@@ -61,9 +61,11 @@ _RUNTIME_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Arrow for any pandas interchange (UDF fallbacks, toPandas in tests).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # events.ts is parquet TIMESTAMP(NANOS) which Spark refuses by default;
-    # read it as a raw long and convert in io.table() (floor ns->us, matching
-    # DuckDB's truncation — verified empirically this session).
+    # events.ts is parquet TIMESTAMP(NANOS). Older Spark builds refuse it
+    # unless this legacy conf maps it to a raw long; newer 4.1.x builds
+    # ignore the conf and read it natively as TIMESTAMP_NTZ (micros,
+    # floor-truncated). io.normalize_ts() handles BOTH forms, so the conf
+    # stays only for back-compat with builds that still honor it.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

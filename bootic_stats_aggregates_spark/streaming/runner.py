@@ -18,7 +18,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import normalize_ts, table
 from ..session import tune
 
 _STAGE_ROOT = "/tmp/bootic_stream_src"
@@ -55,16 +55,21 @@ def _as_stream_dir(sf_dir: str, name: str) -> str:
 
 
 def _fixture_schema(spark: SparkSession, sf_dir: str, name: str):
-    """Raw parquet schema of a fixture table (incl. the nanosAsLong long
-    for events.ts) — shared by every transport so parsed rows are
-    byte-identical regardless of how they arrived."""
+    """Raw parquet schema of a fixture table (events.ts in whatever form
+    this Spark build surfaces parquet NANOS as — long or TIMESTAMP_NTZ) —
+    shared by every transport so parsed rows are byte-identical regardless
+    of how they arrived."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).schema
 
 
 def _convert_event_ts(df: DataFrame, name: str) -> DataFrame:
-    """Same ns->us truncation as io.table(), applied post-ingest."""
+    """Same ns-column normalization as io.table(), applied post-ingest.
+
+    Schema-aware (long / TIMESTAMP_NTZ / TIMESTAMP) so the streaming
+    transports keep working across Spark builds that changed how parquet
+    TIMESTAMP(NANOS) is surfaced (see io._NANOS_COLS)."""
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_ts(df, "ts")
     return df
 
 
