@@ -135,3 +135,66 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("first_doc"),
         F.max("doc_id").cast("long").alias("last_doc"),
     )
+
+
+#: Target sampling rate per language, in 1000ths (dataset-mixing weights:
+#: upweight head language, downsample the rest — values are illustrative;
+#: a real mix is tuned against the token budget). Literal constants so both
+#: engines compute membership from the same numbers.
+MIX_RATES_PCT10 = {"en": 1000, "fr": 500, "es": 500, "zh": 250, "de": 250}
+_MIX_DEFAULT = 100  # unknown languages: keep 10%
+
+
+def _mix_case_sql() -> str:
+    arms = "\n             ".join(
+        f"WHEN '{lang}' THEN {r}" for lang, r in sorted(MIX_RATES_PCT10.items())
+    )
+    return f"CASE lang {arms}\n             ELSE {_MIX_DEFAULT} END"
+
+
+@query(
+    "llm_mix_weights",
+    oracle=f"""
+    -- dataset-mixing downsample: deterministic per-language keep rates
+    WITH decided AS (
+      SELECT lang,
+             ({oracle_bucket('doc_id', 1000)}) < ({_mix_case_sql()}) AS keep
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+           round(CAST(count(*) FILTER (WHERE keep) AS DOUBLE)
+                 / count(*), 4) AS kept_ratio
+    FROM decided
+    GROUP BY lang
+    """,
+)
+def llm_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixing downsampler — per-language keep rates, reproducibly.
+
+    Pretraining mixes re-weight sources (upsample head language, damp the
+    tail) by SAMPLING, and the sample must be a pure function of the doc
+    key: re-runs and incremental appends must keep exactly the same docs
+    or the mix drifts between pipeline runs. Membership is the shared
+    multiplicative key hash against a per-language threshold — a map-only
+    projection (no shuffle for the decision; one hash agg to report), so
+    at 100 TB the mix pass is a streaming filter. The realized ratios ride
+    along and land within ~1/sqrt(n) of the targets (pseudo-uniform hash),
+    which the oracle checks exactly, not statistically.
+    """
+    d = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(HASH_A) + F.lit(HASH_C)) % F.lit(
+        HASH_P
+    ) % 1000
+    rate = F.lit(_MIX_DEFAULT)
+    for lang, r in MIX_RATES_PCT10.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    keep = bucket < rate
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(keep).cast("long").alias("n_kept"),
+        F.round(F.count_if(keep).cast("double") / F.count(F.lit(1)), 4).alias(
+            "kept_ratio"
+        ),
+    )

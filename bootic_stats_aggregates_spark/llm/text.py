@@ -573,3 +573,100 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_ips"),
         F.substring(redacted, -40, 40).alias("redacted_tail"),
     )
+
+
+@query(
+    "llm_entropy",
+    oracle="""
+    -- unigram (token) Shannon entropy per document, bits. Low entropy =
+    -- repetitive/templated text; a standard corpus quality signal.
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           round(CAST(entropy(tok) AS DOUBLE), 4) AS token_entropy
+    FROM (
+      SELECT doc_id, text, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    )
+    GROUP BY doc_id, text
+    """,
+)
+def llm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token entropy — the "templated text" quality signal.
+
+    H = log2(N) - (Σ c·log2 c)/N over per-token counts c: both terms are
+    plain mergeable sums, so the shape is explode -> two stacked hash aggs
+    (doc×token, then doc), each with map-side partial combine. No windows,
+    no Python. At 100 TB the first agg keys on (doc_id, token) — high
+    cardinality but perfectly spreadable; nothing is held per-doc beyond
+    two running sums. DuckDB's ``entropy()`` aggregate (log2-based,
+    count-weighted — verified) replays the math exactly; rounded to 4
+    decimals per determinism rule 3.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return cnt.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.round(
+            F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 4
+        ).alias("token_entropy"),
+    )
+
+
+@query(
+    "llm_repetition",
+    oracle="""
+    -- Gopher-style repetition signal: fraction of word bigrams that are
+    -- duplicates of an earlier bigram in the same document
+    SELECT doc_id,
+           CAST(len(bgs) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(bgs)) AS BIGINT) AS n_uniq,
+           round(1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs), 4)
+             AS dup_ratio
+    FROM (
+      SELECT doc_id,
+             list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' '
+                    || string_split(text, ' ')[i+1]
+             ) AS bgs
+      FROM documents
+    )
+    WHERE len(bgs) > 0
+    """,
+)
+def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-bigram ratio per document (Gopher repetition filter).
+
+    Entirely map-side: tokens -> zipped bigram array -> ``size`` vs
+    ``size(array_distinct(...))`` per row — no explode, no shuffle, no
+    per-doc state. That means the filter streams over a 100 TB corpus as a
+    pure projection (the plan is scan -> project -> filter; asserted
+    shuffle-free fleet-wide by the plan-hygiene test). The reference has no
+    analog; this is SURVEY §2.9's text-analysis family extended with the
+    repetition signal real curation pipelines gate on.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # guard: sequence(0, -1) would DESCEND for 1-token docs, so gate the
+    # bigram build on size >= 2 (same contract as the oracle's range())
+    bgs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    withb = d.select("doc_id", bgs.alias("bgs")).filter(F.size("bgs") > 0)
+    n, u = F.size("bgs"), F.size(F.array_distinct("bgs"))
+    return withb.select(
+        "doc_id",
+        n.cast("long").alias("n_bigrams"),
+        u.cast("long").alias("n_uniq"),
+        F.round(F.lit(1.0) - u.cast("double") / n, 4).alias("dup_ratio"),
+    )

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..helpers import (
+    cents,
     charge_sum,
     davg,
     dsum,
@@ -628,4 +629,156 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("cents") / 100.0, 2).cast("double").alias("top_total"),
         F.min_by("user_id", comp).cast("long").alias("bottom_user"),
         F.round(F.min("cents") / 100.0, 2).cast("double").alias("bottom_total"),
+    )
+
+
+@query(
+    "agg_filtered",
+    oracle=f"""
+    -- conditional aggregates in ONE pass (FILTER clause): the reference
+    -- keeps separate Redis counters per condition; one scan feeds them all
+    SELECT
+      event_type,
+      CAST(count(*) AS BIGINT) AS n_total,
+      CAST(count(*) FILTER (WHERE date_part('hour', ts) BETWEEN 9 AND 17)
+           AS BIGINT) AS n_business_hours,
+      CAST(count(*) FILTER (WHERE date_part('dow', ts) IN (0, 6))
+           AS BIGINT) AS n_weekend,
+      CAST(count(DISTINCT user_id) FILTER (WHERE value > 300)
+           AS BIGINT) AS uniq_big_spenders,
+      round(CAST(sum(CASE WHEN value > 300
+                          THEN CAST(round(value * 100) AS BIGINT)
+                          ELSE 0 END) AS DOUBLE) / 100.0, 2) AS sum_big_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (FILTER-clause) aggregates — many counters, ONE scan.
+
+    The reference daemon maintains a separate Redis counter per condition
+    (business-hours views, weekend orders, big-spender uniques ...) by
+    fanning each event into several HINCRBYs `[REF⟂ tracker.go]`. The
+    columnar equivalent is a single hash aggregate whose slots are guarded
+    by predicates: ``count_if`` / ``sum(CASE ...)`` all fold into the same
+    partial-agg pass, so N conditions cost one shuffle, not N scans. All
+    slots are mergeable, so the plan distributes unchanged at 100 TB.
+    """
+    ev = table(spark, sf_dir, "events")
+    hour = F.hour("ts")
+    dow = F.dayofweek("ts") - 1  # Spark 1=Sun -> DuckDB 0=Sun
+    big = F.col("value") > 300
+    return ev.groupBy("event_type").agg(
+        lcount("n_total"),
+        F.count_if(hour.between(9, 17)).cast("long").alias("n_business_hours"),
+        F.count_if(dow.isin(0, 6)).cast("long").alias("n_weekend"),
+        F.count_distinct(F.when(big, F.col("user_id")))
+        .cast("long")
+        .alias("uniq_big_spenders"),
+        F.round(
+            F.sum(F.when(big, cents("value")).otherwise(F.lit(0))).cast("double")
+            / 100.0,
+            2,
+        ).alias("sum_big_value"),
+    )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    -- bitmap-exact distinct with sketch REUSE: month uniques from merged
+    -- day bitmaps; DuckDB replays both levels from raw rows
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS day_uniq
+      FROM events GROUP BY 1, 2
+    ),
+    monthly AS (
+      SELECT event_type, date_trunc('month', ts) AS month,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_month
+      FROM events GROUP BY 1, 2
+    ),
+    dsums AS (
+      SELECT event_type, date_trunc('month', day) AS month,
+             CAST(sum(day_uniq) AS BIGINT) AS sum_day_uniq
+      FROM daily GROUP BY 1, 2
+    )
+    SELECT m.event_type, m.month, m.uniq_month, d.sum_day_uniq
+    FROM monthly m JOIN dsums d USING (event_type, month)
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct via bitmaps — the third uniques strategy.
+
+    ``agg_distinct_users`` is exact but its partials are raw key sets;
+    ``agg_approx_distinct``/``agg_hll_mergeable`` are mergeable but
+    approximate. Bitmaps give both: per (group, bucket-of-4096-ids) the
+    partial is a fixed 512-byte bitmap, ``bitmap_or_agg`` merges day ->
+    month WITHOUT re-scanning raw events, and ``bitmap_count`` reads off
+    exact cardinalities. This is the Redis SETBIT/BITCOUNT uniques pattern
+    `[REF⟂ tracker.go SADD]` done columnar. At 100 TB the rollup tree reads
+    day-level bitmap partitions (thousands of times smaller than raw
+    events) — the same reuse shape as the HLL row, with zero error.
+    """
+    ev = table(spark, sf_dir, "events")
+    bm_day = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.bitmap_bucket_number("user_id").alias("bkt"),
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    # day -> month merge touches only the small bitmap frames
+    month_uniq = (
+        bm_day.groupBy(
+            "event_type", F.date_trunc("month", "day").alias("month"), "bkt"
+        )
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("event_type", "month")
+        .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("uniq_month"))
+    )
+    sum_day = (
+        bm_day.groupBy("event_type", "day")
+        .agg(F.sum(F.bitmap_count("bm")).alias("day_uniq"))
+        .groupBy("event_type", F.date_trunc("month", "day").alias("month"))
+        .agg(F.sum("day_uniq").cast("long").alias("sum_day_uniq"))
+    )
+    return month_uniq.join(sum_day, ["event_type", "month"])
+
+
+@query(
+    "agg_corr_stats",
+    oracle="""
+    -- bivariate statistics family: correlation, covariance, regression
+    SELECT
+      l_returnflag,
+      CAST(count(*) AS BIGINT) AS n,
+      round(CAST(corr(l_extendedprice, l_quantity) AS DOUBLE), 4)
+        AS corr_price_qty,
+      round(CAST(covar_samp(l_extendedprice, l_quantity) AS DOUBLE), 2)
+        AS covar_price_qty,
+      round(CAST(regr_slope(l_extendedprice, l_quantity) AS DOUBLE), 4)
+        AS slope,
+      round(CAST(regr_intercept(l_extendedprice, l_quantity) AS DOUBLE), 2)
+        AS intercept
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (corr / covar / linear regression) per group.
+
+    All four are single-pass mergeable co-moment aggregates (count, means,
+    M2, co-M2 partials merge associatively), so one shuffle serves the
+    whole family at any scale — the planner fuses them into one hash-agg
+    slot set. Rounded before hashing: Spark merges partials in partition
+    order while DuckDB folds serially, so the last ~1e-10 relative digits
+    are legitimately engine-specific (FIXTURES.md determinism rule 3).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    price, qty = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        lcount("n"),
+        F.round(F.corr(price, qty), 4).alias("corr_price_qty"),
+        F.round(F.covar_samp(price, qty), 2).alias("covar_price_qty"),
+        F.round(F.regr_slope(price, qty), 4).alias("slope"),
+        F.round(F.regr_intercept(price, qty), 2).alias("intercept"),
     )

@@ -150,3 +150,52 @@ def sub_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@query(
+    "sub_not_in_null",
+    oracle="""
+    -- NOT IN under three-valued logic: a NULL probe key is NEITHER in nor
+    -- not-in the list, so the NULL bucket must vanish from the result —
+    -- the classic NOT IN trap done right on both engines.
+    WITH keyed AS (
+      SELECT nullif(CAST(json_extract(props, '$.k') AS BIGINT) % 10, 7)
+               AS k10,
+             user_id
+      FROM events
+    )
+    SELECT k10, CAST(count(*) AS BIGINT) AS n_events
+    FROM keyed
+    WHERE k10 NOT IN (SELECT DISTINCT k10 FROM keyed
+                      WHERE k10 IS NOT NULL AND k10 < 3)
+    GROUP BY k10
+    """,
+)
+def sub_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a NULLABLE probe key — the anti-join variant
+    ``join_anti`` (NOT EXISTS) does NOT cover: under three-valued logic
+    ``NULL NOT IN (...)`` is UNKNOWN, so rows with a NULL key are dropped,
+    whereas NOT EXISTS would keep them. Catalyst plans this as a
+    null-aware anti join (the build side's static type stays nullable
+    through ``nullif``), which Spark executes broadcast-only — exactly
+    right at 100 TB where the excluded-key list is small and the probe
+    side is the fact stream. The NULL bucket is synthesized
+    deterministically (payload ``k % 10 = 7 -> NULL``, same family as
+    ``join_null_safe``) so both engines face identical data.
+    """
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH keyed AS (
+          SELECT nullif(CAST(get_json_object(props, '$.k') AS BIGINT) % 10, 7)
+                   AS k10,
+                 user_id
+          FROM events
+        )
+        SELECT k10, CAST(count(*) AS BIGINT) AS n_events
+        FROM keyed
+        WHERE k10 NOT IN (SELECT DISTINCT k10 FROM keyed
+                          WHERE k10 IS NOT NULL AND k10 < 3)
+        GROUP BY k10
+        """
+    )

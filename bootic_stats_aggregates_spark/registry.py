@@ -110,10 +110,10 @@ _GATE_PRIORITY: list[str] = [
     "src_csv_robust", "win_gap_islands", "snk_partition_overwrite",
     "win_trailing_uniques", "agg_argmax", "sub_lateral_topn",
     "join_null_safe",
+    "agg_filtered", "agg_bitmap_distinct", "agg_corr_stats",
+    "llm_entropy", "llm_repetition", "llm_mix_weights", "sub_not_in_null",
     # --- backfill: already driver-verified (r1/r2), re-confirmed for free ---
-    "q3_topk_join", "rank_topk_per_group", "llm_near_dedup",
-    "llm_exact_dedup", "llm_dedup_clusters", "llm_ann_lsh",
-    "llm_cosine_topk", "llm_knn_classify",
+    "q3_topk_join",
 ]
 
 
