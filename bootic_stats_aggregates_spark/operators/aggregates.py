@@ -772,6 +772,13 @@ def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     slot set. Rounded before hashing: Spark merges partials in partition
     order while DuckDB folds serially, so the last ~1e-10 relative digits
     are legitimately engine-specific (FIXTURES.md determinism rule 3).
+
+    ANSI caveat (found by the differential harness): under Spark 4's
+    default ANSI mode, corr/regr on a SINGLE-ROW or zero-variance group
+    raises DIVIDE_BY_ZERO where DuckDB returns NULL. The lineitem
+    returnflag groups are huge, so this op is safe; a deployment grouping
+    by a high-cardinality key must pre-filter degenerate groups (see
+    tests/test_differential.py::test_bivariate_stats_close).
     """
     li = table(spark, sf_dir, "lineitem")
     price, qty = F.col("l_extendedprice"), F.col("l_quantity")

@@ -164,6 +164,16 @@ JOIN_CASES = [
         ) l
         """,
     ),
+    # NOT IN with a guaranteed-non-NULL build list but a NULLABLE probe key
+    # (sub_not_in_null): probe rows with NULL k must drop (UNKNOWN), not
+    # null-extend like NOT EXISTS would.
+    (
+        "not_in_nullable_probe",
+        """
+        SELECT id FROM t
+        WHERE t.k NOT IN (SELECT k FROM s WHERE k IS NOT NULL)
+        """,
+    ),
 ]
 
 #: Single-table cases for the round-3 analytics additions: argmax with a
@@ -200,6 +210,22 @@ R3_CASES = [
         SELECT u + o AS bucket, CAST(count(DISTINCT id) AS BIGINT) AS uniq
         FROM t CROSS JOIN (VALUES (0), (1), (2)) AS g(o)
         GROUP BY 1
+        """,
+    ),
+    # FILTER-clause aggregates (agg_filtered): predicate-guarded count /
+    # distinct slots must see exactly the rows the guard admits, including
+    # all-NULL and empty-guard groups.
+    (
+        "filter_clause_aggs",
+        """
+        SELECT k,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (WHERE u > 0) AS BIGINT) AS n_pos,
+               CAST(count(DISTINCT u) FILTER (WHERE v > 0) AS BIGINT)
+                 AS uniq_posv,
+               CAST(sum(CAST(round(v * 100) AS BIGINT))
+                    FILTER (WHERE u < 0) AS BIGINT) AS cents_neg
+        FROM t GROUP BY k
         """,
     ),
 ]
@@ -279,5 +305,86 @@ def test_differential_joins(spark, name, sql, left, right):
         _register(spark, con, "t", _to_pdf(left))
         _register(spark, con, "s", _to_pdf(right))
         _assert_engines_agree(spark, con, name, sql)
+    finally:
+        con.close()
+
+
+@given(rows=_rows)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_entropy_formula_vs_duckdb(spark, rows):
+    """llm_entropy's cross-engine claim, off the fixtures: Spark's
+    H = log2(N) - (Σ c·log2 c)/N identity must equal DuckDB's native
+    ``entropy()`` aggregate on random (group, value) tables — compared with
+    a float tolerance, since the two compute paths are algebraically equal
+    but round differently in the last bits."""
+    con = duckdb.connect()
+    try:
+        _register(spark, con, "t", _to_pdf(rows))
+        a = spark.sql(
+            """
+            SELECT k, log2(CAST(sum(c) AS DOUBLE))
+                     - sum(c * log2(CAST(c AS DOUBLE))) / sum(c) AS ent
+            FROM (SELECT k, u, count(*) AS c FROM t GROUP BY k, u)
+            GROUP BY k
+            """
+        ).toPandas()
+        b = con.execute("SELECT k, entropy(u) AS ent FROM t GROUP BY k").fetch_df()
+        a = a.sort_values("k", na_position="last").reset_index(drop=True)
+        b = b.sort_values("k", na_position="last").reset_index(drop=True)
+        assert len(a) == len(b)
+        assert list(a["k"].fillna("<null>")) == list(b["k"].fillna("<null>"))
+        for x, y in zip(a["ent"], b["ent"]):
+            assert abs(x - y) < 1e-9, (x, y)
+    finally:
+        con.close()
+
+
+@given(rows=_rows)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bivariate_stats_close(spark, rows):
+    """agg_corr_stats off the fixtures: corr / covar_samp / regr_slope on
+    random tables agree across engines within float tolerance (exact
+    equality is not promised — partials merge in different orders — which
+    is exactly why the registered op rounds before hashing). Restricted to
+    groups where the statistics are defined: Spark's ANSI mode raises
+    DIVIDE_BY_ZERO on single-row / zero-variance groups where DuckDB
+    returns NULL — a real engine difference, bounded here by the HAVING
+    guard (the same guard a production query needs under ANSI)."""
+    con = duckdb.connect()
+    try:
+        _register(spark, con, "t", _to_pdf(rows))
+        # the guard must be a PRE-filter (WHERE k IN ...): HAVING would run
+        # after Spark has already evaluated corr on the degenerate group
+        sql = """
+            SELECT k,
+                   corr(v, u) AS c,
+                   covar_samp(v, u) AS cv,
+                   regr_slope(v, u) AS sl
+            FROM t
+            WHERE k IN (SELECT k FROM t GROUP BY k
+                        HAVING count(*) >= 2
+                           AND stddev_samp(u) > 0 AND stddev_samp(v) > 0)
+            GROUP BY k
+        """
+        a = spark.sql(sql).toPandas().sort_values("k", na_position="last")
+        b = con.execute(sql).fetch_df().sort_values("k", na_position="last")
+        assert len(a) == len(b)
+        for col in ("c", "cv", "sl"):
+            for x, y in zip(a[col], b[col]):
+                if pd.isnull(x) or pd.isnull(y):
+                    # single-point / zero-variance groups: both engines
+                    # must agree the statistic is undefined
+                    assert pd.isnull(x) and pd.isnull(y), (col, x, y)
+                else:
+                    tol = 1e-6 * max(abs(x), abs(y), 1.0)
+                    assert abs(x - y) <= tol, (col, x, y)
     finally:
         con.close()
