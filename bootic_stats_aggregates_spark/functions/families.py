@@ -476,3 +476,40 @@ def fn_tz_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(local_day.cast("string").alias("local_day")).agg(
         F.count(F.lit(1)).cast("long").alias("n_events")
     )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+    -- struct family: pack, dotted field access, JSON serialization
+    SELECT
+      event_id,
+      struct_pack(uid := user_id, et := event_type).uid AS uid,
+      struct_pack(uid := user_id, et := event_type).et AS et,
+      to_json(struct_pack(uid := user_id, et := event_type))::VARCHAR
+        AS packed_json
+    FROM events
+    WHERE event_id % 97 = 0
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT scalar family — pack, field access, JSON round-trip.
+
+    Completes the nested-type function surface beside ``fn_array`` /
+    ``fn_map`` / ``fn_json``: ``named_struct`` packs columns, ``getField``
+    projects back out (Catalyst collapses pack->access to the raw column —
+    no runtime cost), and ``to_json`` serializes with the same compact
+    key-order-preserving format DuckDB's ``to_json(struct_pack(...))``
+    emits (verified byte-identical on integer/string fields). All JVM
+    codegen projections, map-only at any scale.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    packed = F.named_struct(
+        F.lit("uid"), F.col("user_id"), F.lit("et"), F.col("event_type")
+    )
+    return ev.select(
+        "event_id",
+        packed.getField("uid").alias("uid"),
+        packed.getField("et").alias("et"),
+        F.to_json(packed).alias("packed_json"),
+    )

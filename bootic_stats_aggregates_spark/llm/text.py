@@ -670,3 +670,57 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.cast("long").alias("n_uniq"),
         F.round(F.lit(1.0) - u.cast("double") / n, 4).alias("dup_ratio"),
     )
+
+
+@query(
+    "llm_unigram_logprob",
+    oracle="""
+    -- corpus-LM quality signal: mean log2 unigram probability per doc
+    -- (the cheap stand-in for LM perplexity filtering)
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    corpus AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c_corp FROM toks GROUP BY tok
+    ),
+    total AS (SELECT sum(c_corp) AS t FROM corpus),
+    doc AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c_doc
+      FROM toks GROUP BY doc_id, tok
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.c_doc) AS BIGINT) AS n_tokens,
+           round(CAST(sum(d.c_doc * log2(CAST(c.c_corp AS DOUBLE)
+                                         / (SELECT t FROM total)))
+                      / sum(d.c_doc) AS DOUBLE), 4) AS mean_logprob
+    FROM doc d JOIN corpus c USING (tok)
+    GROUP BY d.doc_id
+    """,
+)
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean log2 unigram probability per doc under the CORPUS distribution
+    — the cheap language-model quality filter (docs of rare/garbled tokens
+    score low; the usual stand-in where a KenLM-style perplexity gate
+    would run). Two stacked hash aggs (doc×token, token) + one equi-join
+    on token. Scale: the token join is the classic Zipf-skewed join — head
+    tokens dominate — which AQE's skew-split handles at cluster scale
+    (same mitigation as join_skew_salted documents explicitly); everything
+    else is mergeable partial aggregation. Rounded per determinism rule 3.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    doc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c_doc"))
+    corpus = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_corp"))
+    total = float(
+        corpus.agg(F.sum("c_corp").alias("t")).collect()[0]["t"]
+    )  # one scalar to the driver: the corpus token count (literal at plan time)
+    joined = doc.join(corpus, "tok")
+    return joined.groupBy("doc_id").agg(
+        F.sum("c_doc").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("c_doc") * F.log2(F.col("c_corp") / F.lit(total)))
+            / F.sum("c_doc"),
+            4,
+        ).alias("mean_logprob"),
+    )

@@ -226,3 +226,76 @@ def src_csv_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("valid_total"),
     )
+
+
+#: Binary-file staging root (one dir per sf fixture, content-addressed by
+#: the doc subset definition below; _SUCCESS marks a complete stage).
+_BIN_STAGE_ROOT = "/tmp/bootic_binfiles"
+BINFILE_MAX_DOC = 200  # docs staged as standalone files (driver-side loop)
+
+
+def _stage_binary_files(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the first ``BINFILE_MAX_DOC`` documents as standalone
+    binary files (one file per doc, bytes = UTF-8 text). Test-harness
+    staging only — at scale the files already live in an object store; the
+    engine-side contract starts at ``spark.read.format('binaryFile')``."""
+    import os
+
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(_BIN_STAGE_ROOT, key)
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker):
+        return d
+    rows = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BINFILE_MAX_DOC)
+        .select("doc_id", "text")
+        .collect()  # staging loop, bounded at BINFILE_MAX_DOC rows
+    )
+    os.makedirs(d, exist_ok=True)
+    for r in rows:
+        with open(os.path.join(d, f"doc_{r.doc_id}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    with open(marker, "w"):
+        pass
+    return d
+
+
+@query(
+    "src_binary_files",
+    oracle=f"""
+    -- binaryFile-source ingest of opaque blobs: per-file byte length and
+    -- content digest must equal what the row-store already knows
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    WHERE doc_id < {BINFILE_MAX_DOC}
+    """,
+)
+def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-blob ingestion via the ``binaryFile`` source — the missing
+    first hop of the multimodal pipeline (SURVEY §2.9): images/audio
+    arrive as FILES in an object store, not as parquet columns. The
+    source yields (path, modificationTime, length, content BINARY) with
+    pushed-down path globs; doc identity is recovered from the file name
+    and the payload hashed JVM-side (``md5`` over BINARY — no Python).
+    The oracle replays length+digest from the row-store copy of the same
+    bytes (ASCII corpus, so string length == byte length). At 100 TB the
+    scan parallelizes per-file with ``maxPartitionBytes`` packing; the
+    fixture stage loop is harness-only and bounded ({BINFILE_MAX_DOC}
+    files).
+    """
+    d = _stage_binary_files(spark, sf_dir)
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(d)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("digest"),
+        )
+    )

@@ -112,8 +112,10 @@ _GATE_PRIORITY: list[str] = [
     "join_null_safe",
     "agg_filtered", "agg_bitmap_distinct", "agg_corr_stats",
     "llm_entropy", "llm_repetition", "llm_mix_weights", "sub_not_in_null",
-    # --- backfill: already driver-verified (r1/r2), re-confirmed for free ---
-    "q3_topk_join",
+    # slots 50+: past the driver's 50-row cap this round; next round's
+    # rotation front-loads whichever of these miss a row.
+    "fn_struct", "src_binary_files", "llm_unigram_logprob",
+    "snk_observe_audit",
 ]
 
 

@@ -349,3 +349,55 @@ def snk_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     snk_partition_overwrite.last_dir = path  # type: ignore[attr-defined]
     return out
+
+
+@query(
+    "snk_observe_audit",
+    oracle="""
+    -- write-path audit metrics: the counters a pipeline records WHILE
+    -- writing (no second scan), replayed as plain aggregates
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(min(event_id) AS BIGINT) AS min_id,
+      CAST(max(event_id) AS BIGINT) AS max_id,
+      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+      CAST(count(*) FILTER (WHERE value > 300) AS BIGINT) AS n_big
+    FROM events
+    """,
+)
+def snk_observe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path audit metrics via ``DataFrame.observe`` — the lineage
+    counters every production sink records (rows written, distinct keys,
+    money total, anomaly count) WITHOUT a second scan: ``observe`` attaches
+    accumulator-style aggregates to the plan, the parquet write action
+    drives them, and the metrics surface after the single pass. At 100 TB
+    a re-scan for auditing doubles the I/O bill; this is the Spark-native
+    way to not pay it. The returned one-row frame is the audit record the
+    oracle replays with plain SQL. (DISTINCT aggregates are rejected in
+    observed metrics — Spark enforces mergeable-only — so the uniques
+    audit would use approx_count_distinct; kept exact-only here.)
+    """
+    from pyspark.sql import Observation
+
+    ev = table(spark, sf_dir, "events")
+    obs = Observation("audit")
+    out = f"{tempfile.gettempdir()}/bootic_audit_{uuid.uuid4().hex[:8]}"
+    (
+        ev.observe(
+            obs,
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("event_id").cast("long").alias("min_id"),
+            F.max("event_id").cast("long").alias("max_id"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.count_if(F.col("value") > 300).cast("long").alias("n_big"),
+        )
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["min_id"], m["max_id"], m["cents"], m["n_big"])],
+        "n_rows long, min_id long, max_id long, cents long, n_big long",
+    )
