@@ -513,3 +513,62 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         packed.getField("et").alias("et"),
         F.to_json(packed).alias("packed_json"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    -- VARIANT-typed dynamic JSON: typed path extraction from a nested
+    -- payload, replayed by DuckDB's JSON path functions
+    WITH payload AS (
+      SELECT event_id,
+             '{"k":' || CAST(json_extract(props, '$.k') AS BIGINT)
+             || ',"user":{"id":' || user_id
+             || ',"vip":' || CAST(user_id % 7 = 0 AS VARCHAR)
+             || '},"tags":["' || event_type || '","t'
+             || CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 5
+                     AS VARCHAR)
+             || '"]}' AS j
+      FROM events WHERE event_id % 89 = 0
+    )
+    SELECT event_id,
+           CAST(json_extract(j, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(j, '$.user.id') AS BIGINT) AS uid,
+           CAST(json_extract(j, '$.user.vip') AS BOOLEAN) AS vip,
+           json_extract_string(j, '$.tags[1]') AS tag1,
+           CAST(NULL AS BIGINT) AS wrong_type
+    FROM payload
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT type (Spark 4) — schema-on-read JSON done right.
+
+    The reference decodes dynamic JSON per event `[REF⟂ main.go]`; the
+    pre-4.x Spark answers are ``get_json_object`` (re-parses the string per
+    path — fn_json) or a rigid ``from_json`` schema. VARIANT parses ONCE
+    into a binary-encoded tree; every ``variant_get`` path walks that
+    encoding with a typed cast, ``try_variant_get`` returns NULL on type
+    mismatch instead of failing the job — the right failure mode for a
+    100 TB heterogeneous event corpus. The nested payload is synthesized
+    deterministically from columns (fixture props are flat ``{"k": n}``)
+    and DuckDB replays extraction with JSON path functions.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 89 == 0)
+    k = F.get_json_object("props", "$.k").cast("long")
+    j = F.concat(
+        F.lit('{"k":'), k,
+        F.lit(',"user":{"id":'), F.col("user_id"),
+        F.lit(',"vip":'), (F.col("user_id") % 7 == 0).cast("string"),
+        F.lit('},"tags":["'), F.col("event_type"),
+        F.lit('","t'), (k % 5).cast("string"), F.lit('"]}'),
+    )
+    v = F.parse_json(j)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "long").alias("k"),
+        F.variant_get(v, "$.user.id", "long").alias("uid"),
+        F.variant_get(v, "$.user.vip", "boolean").alias("vip"),
+        F.variant_get(v, "$.tags[1]", "string").alias("tag1"),
+        # a tags array is not a BIGINT: try_variant_get -> NULL, job survives
+        F.try_variant_get(v, "$.tags", "long").alias("wrong_type"),
+    )

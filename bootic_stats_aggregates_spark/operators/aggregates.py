@@ -789,3 +789,42 @@ def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(price, qty), 4).alias("slope"),
         F.round(F.regr_intercept(price, qty), 2).alias("intercept"),
     )
+
+
+COLLECT_HEAD = 5  # sorted-prefix length gathered per group
+
+
+@query(
+    "agg_collect_sorted",
+    oracle=f"""
+    -- deterministic group gathering: the first {COLLECT_HEAD} distinct
+    -- user ids per event type, as a CSV string (arrays sort unstably
+    -- across engines; a canonical string is hash-comparable)
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           array_to_string(
+             list_sort(list(DISTINCT user_id))[1:{COLLECT_HEAD}], ','
+           ) AS first_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group gathering (``collect_list``/``collect_set``) made
+    deterministic: collected arrays arrive in partition order, so the raw
+    aggregate is nondeterministic by construction — the fix is
+    ``array_sort`` before anything reads the result, here canonicalized
+    further to a bounded CSV prefix so the oracle hash is stable. Scale
+    caution baked into the shape: UNBOUNDED collect per group is how OOMs
+    happen at 100 TB, so the contract exposes only a fixed-size prefix
+    (the full sorted set stays distributed; ``slice`` happens after sort,
+    per group, before anything is materialized).
+    """
+    ev = table(spark, sf_dir, "events")
+    gathered = F.slice(
+        F.array_sort(F.collect_set("user_id")), 1, COLLECT_HEAD
+    )
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.array_join(gathered, ",").alias("first_users"),
+    )

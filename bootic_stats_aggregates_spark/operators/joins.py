@@ -516,3 +516,93 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.join(
         right, F.col("k10").eqNullSafe(F.col("rk10"))
     ).select("k10", "n_events", "n_users")
+
+
+#: Runtime-filter confs for join_bloom_pruned, applied around materialize
+#: (restored afterwards so the rest of the fleet plans normally). The scan
+#: threshold is 0 because the local fixture is MBs, not the 10 GB default —
+#: on a real cluster the defaults fire on their own.
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_pruned_plan(spark: SparkSession, sf_dir: str):
+    """(joined DataFrame, restore_fn) with runtime bloom-filter confs ON.
+
+    Exposed separately so tests can assert ``might_contain`` in the
+    executed plan; callers must invoke restore_fn after materializing.
+    """
+    # load (and tune) the tables FIRST: table() -> tune() re-applies the
+    # fleet confs, so arming the bloom confs must come after or the
+    # re-raised broadcast threshold makes the join broadcastable and
+    # InjectRuntimeFilter skips it
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = table(spark, sf_dir, "lineitem")
+
+    saved = {}
+    for k, v in _BLOOM_CONFS.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+
+    def restore():
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    joined = (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    return joined, restore
+
+
+@query(
+    "join_bloom_pruned",
+    oracle="""
+    -- runtime bloom-filter join pruning: result identical to the plain
+    -- join; the bloom filter only prunes probe rows that cannot match
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime BLOOM-FILTER join pruning — row-level runtime filtering,
+    the third pruning tier beside static partition pruning and DPP: the
+    selective dim filter (1-URGENT keeps ~20% of orders) builds a bloom
+    filter over the surviving join keys, which is pushed into the FACT
+    side's scan as ``might_contain`` — probe rows that cannot match die
+    at the scan, before paying the shuffle. At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling the
+    matching fifth. Spark only arms it for big scans (10 GB default), so
+    the builder lowers the threshold around materialization and restores
+    it; ``tests/test_plans.py`` asserts might_contain in the armed plan.
+    The result is frozen via localCheckpoint under the armed confs, so
+    what the driver hashes is what the bloom plan computed.
+    """
+    joined, restore = bloom_pruned_plan(spark, sf_dir)
+    try:
+        # materialize under the armed confs (planning happens at action
+        # time, so the confs must still be set when the job runs)
+        return joined.localCheckpoint(eager=True)
+    finally:
+        restore()

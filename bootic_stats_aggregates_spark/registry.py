@@ -115,7 +115,8 @@ _GATE_PRIORITY: list[str] = [
     # slots 50+: past the driver's 50-row cap this round; next round's
     # rotation front-loads whichever of these miss a row.
     "fn_struct", "src_binary_files", "llm_unigram_logprob",
-    "snk_observe_audit",
+    "snk_observe_audit", "fn_variant", "agg_collect_sorted",
+    "join_bloom_pruned",
 ]
 
 

@@ -233,3 +233,23 @@ def test_pack_sequences_reuses_partitioning(spark):
     plan = formatted_plan(fresh(spark, "llm_pack_sequences"))
     n_exchanges = plan.count("Exchange (")  # tree nodes, not detail headers
     assert n_exchanges == 1, f"expected 1 exchange, saw {n_exchanges}:\n{plan}"
+
+
+def test_bloom_filter_join_pruning(spark):
+    """join_bloom_pruned's armed plan pushes a bloom-filter membership
+    probe (might_contain over the selective orders side's join keys) into
+    the lineitem scan — row-level runtime filtering ahead of the shuffle."""
+    from bootic_stats_aggregates_spark.operators.joins import bloom_pruned_plan
+
+    joined, restore = bloom_pruned_plan(spark, SF_DIR)
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter did not arm"
+    finally:
+        restore()
+
+
+def test_repetition_is_map_only(spark):
+    """llm_repetition claims a shuffle-free scan->project->filter plan."""
+    plan = formatted_plan(fresh(spark, "llm_repetition"))
+    assert "Exchange" not in plan, "repetition signal should not shuffle"
