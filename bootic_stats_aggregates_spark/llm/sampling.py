@@ -198,3 +198,66 @@ def llm_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_ratio"
         ),
     )
+
+
+SHUFFLE_SHARD_DOCS = 256  # docs per training shard after the global shuffle
+_SHUF_BUCKETS = 1024  # hash-range buckets for the two-phase distributed rank
+
+_SHUF_ORDER = f"(doc_id * {HASH_A} + {HASH_C}) % {HASH_P}"
+
+
+@query(
+    "llm_corpus_shuffle",
+    oracle=f"""
+    -- deterministic corpus shuffle: training order is a pure function of
+    -- the key hash, so every re-run (and both engines) shuffles alike
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY {_SHUF_ORDER}, doc_id)
+                AS BIGINT) AS shuffle_rank,
+           CAST((row_number() OVER (ORDER BY {_SHUF_ORDER}, doc_id) - 1)
+                // {SHUFFLE_SHARD_DOCS} AS BIGINT) AS shard_id
+    FROM documents
+    """,
+)
+def llm_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + shard assignment — the pretraining
+    step after packing: training order must be random-looking but a PURE
+    FUNCTION of the doc key (re-runs, resumed jobs, and multi-worker
+    loaders must all see the same order; ``rand()`` would reshuffle every
+    run). Order = multiplicative key hash with doc_id tie-break; shard =
+    rank div SHUFFLE_SHARD_DOCS (floor division on BOTH engines — DuckDB's
+    ``/`` on integers is float division and its BIGINT cast rounds, so the
+    oracle uses ``//``).
+
+    Global rank WITHOUT a global window: a naive
+    ``row_number() OVER (ORDER BY h)`` drags every row through ONE
+    partition — the classic scale killer. Instead the rank is two-phase:
+    (1) range-bucket the hash space (``h div bucket_width`` preserves
+    order across buckets), (2) per-bucket ``row_number`` — distributed,
+    each bucket a partition — plus each bucket's start offset from a
+    {_SHUF_BUCKETS}-row prefix-sum joined back by bucket. Same answer,
+    no single-partition stage; the oracle replays the naive global
+    ordering and must agree exactly.
+    """
+    d = table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(HASH_A) + F.lit(HASH_C)) % F.lit(HASH_P)
+    width = HASH_P // _SHUF_BUCKETS + 1
+    hb = F.floor(h / F.lit(width)).alias("hb")
+    keyed = d.select("doc_id", h.alias("h"), hb)
+    counts = keyed.groupBy("hb").agg(F.count(F.lit(1)).alias("c"))
+    # prefix sum over the tiny bucket table (bounded rows; single
+    # partition here is fine and stays fine at any corpus size)
+    off_w = Window.orderBy("hb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "hb", F.coalesce(F.sum("c").over(off_w), F.lit(0)).alias("off")
+    )
+    intra_w = Window.partitionBy("hb").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    rank = (F.col("off") + F.row_number().over(intra_w)).cast("long")
+    return (
+        keyed.join(F.broadcast(offsets), "hb")
+        .select(
+            "doc_id",
+            rank.alias("shuffle_rank"),
+            F.floor((rank - 1) / SHUFFLE_SHARD_DOCS).cast("long").alias("shard_id"),
+        )
+    )

@@ -116,7 +116,8 @@ _GATE_PRIORITY: list[str] = [
     # rotation front-loads whichever of these miss a row.
     "fn_struct", "src_binary_files", "llm_unigram_logprob",
     "snk_observe_audit", "fn_variant", "agg_collect_sorted",
-    "join_bloom_pruned",
+    "join_bloom_pruned", "stream_incr_dedup", "snk_jsonl_export",
+    "llm_corpus_shuffle",
 ]
 
 

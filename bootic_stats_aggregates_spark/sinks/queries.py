@@ -401,3 +401,46 @@ def snk_observe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["min_id"], m["max_id"], m["cents"], m["n_big"])],
         "n_rows long, min_id long, max_id long, cents long, n_big long",
     )
+
+
+@query(
+    "snk_jsonl_export",
+    oracle="""
+    -- JSONL export shards, read back: per-language doc counts and char
+    -- totals must survive the write -> re-read round trip byte-exactly
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(CAST(doc_id % 1000 AS BIGINT)) AS BIGINT) AS id_check
+    FROM documents
+    WHERE n_chars > 100
+    GROUP BY lang
+    """,
+)
+def snk_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus export — the handoff format every LLM trainer ingests:
+    curated docs written as newline-delimited JSON, sharded by language
+    (``partitionBy('lang')`` → one directory per lang, parallel shard
+    files inside). The round trip is the test: re-read the shards WITH an
+    explicit schema (no inference scan) and re-aggregate; counts, char
+    totals, and an id checksum must equal the pre-export truth, proving
+    no row, field, or encoding was lost in serialization. At 100 TB the
+    export is a map-only write sharded by the partition column; readers
+    get per-lang directory pruning for free.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 100)
+    out = f"{tempfile.gettempdir()}/bootic_jsonl_{uuid.uuid4().hex[:8]}"
+    (
+        d.select("doc_id", "lang", "text", "n_chars")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .json(out)
+    )
+    back = spark.read.schema(
+        "doc_id long, text string, n_chars long, lang string"
+    ).json(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.col("doc_id") % 1000).cast("long").alias("id_check"),
+    )

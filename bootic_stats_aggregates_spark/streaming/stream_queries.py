@@ -465,3 +465,53 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(agg, mode="complete")
     return out.select("lang", "keep", "n_docs")
+
+
+@query(
+    "stream_incr_dedup",
+    oracle="""
+    -- incremental corpus dedup: arriving docs are deduped within the
+    -- stream AND against the already-ingested corpus; per-lang counts of
+    -- genuinely-new texts are deterministic regardless of arrival order
+    WITH corpus AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 4 = 0
+    ),
+    arriving AS (
+      SELECT DISTINCT lang, md5(text) AS h
+      FROM documents WHERE doc_id % 4 <> 0
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_new
+    FROM arriving a
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = a.h)
+    GROUP BY lang
+    """,
+)
+def stream_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus deduplication — the STREAMING shape of
+    ``llm_exact_dedup``: documents arrive continuously and must be dropped
+    if (a) an identical text already landed earlier in the stream
+    (``dropDuplicates`` keyed on the content hash — state-store backed) or
+    (b) it already exists in the ingested corpus (stream-static LEFT ANTI
+    join against the corpus hash set — re-planned per micro-batch, so
+    corpus growth between batches is picked up). This is how a pipeline
+    keeps a 100 TB corpus duplicate-free without re-running batch dedup:
+    per-batch state lookups + an anti join, never a full rescan. Corpus =
+    ``doc_id % 4 == 0`` docs (deterministic); output counts only distinct
+    (lang, hash) pairs so arrival order cannot change the answer.
+    """
+    corpus = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    arriving = (
+        stream_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 != 0)
+        .select("lang", F.md5("text").alias("h"))
+        .dropDuplicates(["lang", "h"])
+    )
+    new = arriving.join(corpus, "h", "left_anti")
+    agg = new.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    out = run_to_memory(agg, mode="complete")
+    return out.select("lang", "n_new")

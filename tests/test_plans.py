@@ -253,3 +253,12 @@ def test_repetition_is_map_only(spark):
     """llm_repetition claims a shuffle-free scan->project->filter plan."""
     plan = formatted_plan(fresh(spark, "llm_repetition"))
     assert "Exchange" not in plan, "repetition signal should not shuffle"
+
+
+def test_corpus_shuffle_rank_is_distributed(spark):
+    """llm_corpus_shuffle's big side must rank inside hash-range buckets
+    (hashpartitioning on hb), never via a single global-order window over
+    the whole corpus; the only SinglePartition stage allowed is the tiny
+    bucket-offset prefix sum."""
+    plan = formatted_plan(fresh(spark, "llm_corpus_shuffle"))
+    assert "hashpartitioning(hb" in plan, "per-bucket rank window missing"
