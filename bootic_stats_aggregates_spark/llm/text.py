@@ -724,3 +724,60 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_logprob"),
     )
+
+
+#: Conjunctive keyword query answered by the inverted index (terms chosen
+#: from the fixture vocabulary's mid-frequency band so the result is
+#: selective but non-empty at every SF).
+SEARCH_TERMS = ["hash", "join"]
+_TERMS_SQL = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+
+
+@query(
+    "llm_inverted_index",
+    oracle=f"""
+    -- inverted-index AND query: docs containing EVERY search term, with
+    -- per-term counts — the posting-list intersection, relationally
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS total_hits,
+           CAST(count(*) AS BIGINT) AS n_terms_present
+    FROM (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      )
+      WHERE tok IN ({_TERMS_SQL})
+      GROUP BY doc_id, tok
+    )
+    GROUP BY doc_id
+    HAVING count(*) = {len(SEARCH_TERMS)}
+    """,
+)
+def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search via inverted-index semantics — posting-list AND
+    intersection done relationally: explode to (doc, term) postings,
+    keep only query terms (the filter lands BEFORE the shuffle, so the
+    full posting space never materializes), count per (doc, term), and a
+    doc qualifies when it holds ALL query terms (``HAVING count = |q|``
+    — the classic set-cover trick, no joins at all for conjunctive
+    queries). At 100 TB the real deployment materializes the posting
+    table once, partitioned by term (directory-pruned lookups); the
+    per-query plan here is one filtered scan + two hash aggs, both
+    mergeable.
+    """
+    d = table(spark, sf_dir, "documents")
+    postings = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok").isin(*SEARCH_TERMS))
+    per_term = postings.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("total_hits"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_present"),
+        )
+        .filter(F.col("n_terms_present") == len(SEARCH_TERMS))
+    )

@@ -299,3 +299,70 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("content").alias("digest"),
         )
     )
+
+
+@query(
+    "src_schema_evolution",
+    oracle="""
+    -- schema-evolution read: v1 shards lack the quality column; a merged
+    -- scan must null-fill v1 rows and keep v2 values — no row lost
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(quality) AS BIGINT) AS n_with_quality,
+           CAST(sum(CASE WHEN quality IS NULL THEN 0
+                         ELSE CAST(round(quality * 1000) AS BIGINT)
+                    END) AS BIGINT) AS quality_milli
+    FROM (
+      SELECT lang, CAST(NULL AS DOUBLE) AS quality
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT lang, round(CAST(n_chars AS DOUBLE) / 1000, 3) AS quality
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    GROUP BY lang
+    """,
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet shards (``mergeSchema``): real
+    corpora accrete columns over time — v1 shards were written before the
+    ``quality`` column existed, v2 shards carry it. A merged scan must
+    union the schemas, null-fill the missing column on old shards, and
+    lose no rows. Spark's parquet source does exactly this with
+    ``mergeSchema=true`` (footer-schema union at planning time; at 100 TB
+    you pay one footer read per distinct schema, not per file — and pin
+    the merged schema explicitly in production to avoid even that). Both
+    shard generations are staged from the fixture deterministically
+    (doc_id parity) and the oracle replays the union semantics.
+    """
+    import os
+    import tempfile
+
+    d = table(spark, sf_dir, "documents")
+    key = sf_dir.strip("/").replace("/", "_")
+    base = os.path.join(tempfile.gettempdir(), "bootic_schemaevo", key)
+    marker = os.path.join(base, "_SUCCESS")
+    if not os.path.exists(marker):
+        v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+        v2 = d.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id",
+            "lang",
+            F.round(F.col("n_chars").cast("double") / 1000, 3).alias("quality"),
+        )
+        v1.write.mode("overwrite").parquet(os.path.join(base, "gen=v1"))
+        v2.write.mode("overwrite").parquet(os.path.join(base, "gen=v2"))
+        with open(marker, "w"):
+            pass
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=v1"), os.path.join(base, "gen=v2")
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("quality").cast("long").alias("n_with_quality"),
+        F.sum(
+            F.when(
+                F.col("quality").isNull(), F.lit(0)
+            ).otherwise(F.round(F.col("quality") * 1000).cast("long"))
+        )
+        .cast("long")
+        .alias("quality_milli"),
+    )

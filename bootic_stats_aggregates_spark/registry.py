@@ -117,7 +117,8 @@ _GATE_PRIORITY: list[str] = [
     "fn_struct", "src_binary_files", "llm_unigram_logprob",
     "snk_observe_audit", "fn_variant", "agg_collect_sorted",
     "join_bloom_pruned", "stream_incr_dedup", "snk_jsonl_export",
-    "llm_corpus_shuffle",
+    "llm_corpus_shuffle", "src_schema_evolution", "snk_merge_upsert",
+    "llm_inverted_index",
 ]
 
 

@@ -444,3 +444,74 @@ def snk_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("sum_chars"),
         F.sum(F.col("doc_id") % 1000).cast("long").alias("id_check"),
     )
+
+
+@query(
+    "snk_merge_upsert",
+    oracle="""
+    -- MERGE-style upsert without a table format: base counters + an
+    -- update batch -> last-writer-wins rewrite; matched keys take the
+    -- update, unmatched keep base, brand-new keys insert
+    WITH base AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE date_part('day', ts) <= 25 GROUP BY 1, 2
+    ),
+    updates AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE date_part('day', ts) >= 20 GROUP BY 1, 2
+    )
+    SELECT
+      coalesce(u.event_type, b.event_type) AS event_type,
+      coalesce(u.day, b.day) AS day,
+      coalesce(u.n, b.n) AS n,
+      u.n IS NOT NULL AS from_update
+    FROM base b FULL OUTER JOIN updates u
+      ON b.event_type = u.event_type AND b.day = u.day
+    """,
+)
+def snk_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a lakehouse table format: the
+    partition-rewrite upsert every parquet-only pipeline runs — matched
+    keys take the update row (last writer wins), unmatched base rows
+    survive, new keys insert. Expressed as one FULL OUTER equi-join +
+    coalesce projection, which is exactly what Delta/Iceberg MERGE plans
+    under the hood; here the rewrite target is plain parquet, written and
+    re-read so the materialized state is what gets checked. At 100 TB the
+    join shuffles only the two counter tables (small) — the raw events
+    never re-scan — and pairing with dynamic partition overwrite
+    (snk_partition_overwrite) bounds the rewrite to touched partitions.
+    """
+    ev = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    base = (
+        ev.filter(F.dayofmonth("ts") <= 25)
+        .groupBy("event_type", day)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    updates = (
+        ev.filter(F.dayofmonth("ts") >= 20)
+        .groupBy("event_type", day)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    b, u = base.alias("b"), updates.alias("u")
+    merged = (
+        b.join(
+            u,
+            (F.col("b.event_type") == F.col("u.event_type"))
+            & (F.col("b.day") == F.col("u.day")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("u.event_type"), F.col("b.event_type")).alias(
+                "event_type"
+            ),
+            F.coalesce(F.col("u.day"), F.col("b.day")).alias("day"),
+            F.coalesce(F.col("u.n"), F.col("b.n")).alias("n"),
+            F.col("u.n").isNotNull().alias("from_update"),
+        )
+    )
+    out = f"{tempfile.gettempdir()}/bootic_merge_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
