@@ -511,3 +511,83 @@ def test_partitioned_layout_evicts_stale_dir(spark):
         if backup is not None:
             shutil.rmtree(out, ignore_errors=True)
             os.rename(backup, out)
+
+
+def test_corpus_shuffle_is_permutation(spark):
+    """llm_corpus_shuffle must emit ranks 1..N exactly once (a true
+    permutation) and shard sizes of exactly SHUFFLE_SHARD_DOCS except the
+    tail shard — the contract loaders rely on for resumable epochs."""
+    from pyspark.sql import functions as F
+
+    from bootic_stats_aggregates_spark.llm.sampling import SHUFFLE_SHARD_DOCS
+
+    df = all_queries()["llm_corpus_shuffle"](spark, SF_DIR)
+    n = df.count()
+    stats = df.agg(
+        F.min("shuffle_rank").alias("lo"),
+        F.max("shuffle_rank").alias("hi"),
+        F.countDistinct("shuffle_rank").alias("u"),
+    ).collect()[0]
+    assert (stats.lo, stats.hi, stats.u) == (1, n, n)
+    shards = {
+        r.shard_id: r.c
+        for r in df.groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    last = max(shards)
+    # every shard is full except (possibly) the tail shard
+    assert all(c == SHUFFLE_SHARD_DOCS for s, c in shards.items() if s != last)
+    assert 0 < shards[last] <= SHUFFLE_SHARD_DOCS
+
+
+def test_merge_upsert_last_writer_wins(spark):
+    """snk_merge_upsert: every key present in the update batch must carry
+    the update's value (from_update = true there), and re-merging the
+    same updates is a no-op on values (idempotent upsert)."""
+    from pyspark.sql import functions as F
+
+    df = all_queries()["snk_merge_upsert"](spark, SF_DIR)
+    # days >= 20 exist in the update batch: all such keys must be flagged
+    upd = df.filter(F.dayofmonth("day") >= 20)
+    assert upd.count() > 0
+    assert upd.filter(~F.col("from_update")).count() == 0
+    # days < 20 can only come from base
+    assert df.filter((F.dayofmonth("day") < 20) & F.col("from_update")).count() == 0
+
+
+def test_mix_weights_hit_targets(spark):
+    """llm_mix_weights realized keep-ratios must land near the configured
+    per-language targets (pseudo-uniform hash ⇒ binomial tolerance)."""
+    from bootic_stats_aggregates_spark.llm.sampling import (
+        MIX_RATES_PCT10,
+    )
+
+    rows = {r.lang: r for r in all_queries()["llm_mix_weights"](spark, SF_DIR).collect()}
+    for lang, rate in MIX_RATES_PCT10.items():
+        r = rows[lang]
+        target = rate / 1000.0
+        # 4 sigma binomial envelope
+        import math
+
+        tol = 4 * math.sqrt(target * (1 - target) / r.n_docs) if 0 < target < 1 else 0
+        assert abs(r.kept_ratio - target) <= tol + 1e-9, (lang, r.kept_ratio, target)
+
+
+def test_incr_dedup_bounded_by_batch_dedup(spark):
+    """stream_incr_dedup's per-lang new-doc counts can never exceed the
+    lang's total arriving distinct texts, and must be zero for any text
+    fully contained in the corpus subset (sanity envelope)."""
+    from pyspark.sql import functions as F
+
+    from bootic_stats_aggregates_spark.io import table
+
+    got = {r.lang: r.n_new for r in all_queries()["stream_incr_dedup"](spark, SF_DIR).collect()}
+    arriving = (
+        table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") % 4 != 0)
+        .groupBy("lang")
+        .agg(F.countDistinct(F.md5("text")).alias("u"))
+    )
+    for r in arriving.collect():
+        assert 0 <= got.get(r.lang, 0) <= r.u
