@@ -572,3 +572,45 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a tags array is not a BIGINT: try_variant_get -> NULL, job survives
         F.try_variant_get(v, "$.tags", "long").alias("wrong_type"),
     )
+
+
+@query(
+    "fn_xml",
+    oracle="""
+    -- XML ingestion: typed extraction from an XML event payload; the
+    -- oracle recomputes the expected fields from the source columns
+    -- (what a correct parse MUST recover), so the XML round trip itself
+    -- is the thing under test
+    SELECT event_id,
+           user_id AS uid,
+           event_type AS et,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE event_id % 101 = 0
+    """,
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML payload parsing (``from_xml``, Spark 4) — the third wire format
+    beside JSON (fn_json/src_json_*) and VARIANT (fn_variant): legacy
+    feeds still deliver XML, and the engine must type it without Python.
+    An XML document is synthesized per event (fixtures carry none), parsed
+    with an explicit schema, and the extracted fields must round-trip
+    byte-exactly back to the source columns — which is exactly what the
+    oracle states, no XML needed on the DuckDB side. ``from_xml`` is a
+    JVM codegen expression: map-only, no shuffle, scales like any
+    projection.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 101 == 0)
+    xml = F.concat(
+        F.lit("<event><uid>"), F.col("user_id"),
+        F.lit("</uid><et>"), F.col("event_type"),
+        F.lit("</et><cents>"), F.round(F.col("value") * 100).cast("long"),
+        F.lit("</cents></event>"),
+    )
+    parsed = F.from_xml(xml, "uid BIGINT, et STRING, cents BIGINT")
+    return ev.select(
+        "event_id",
+        parsed.getField("uid").alias("uid"),
+        parsed.getField("et").alias("et"),
+        parsed.getField("cents").alias("cents"),
+    )

@@ -828,3 +828,46 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("n_users"),
         F.array_join(gathered, ",").alias("first_users"),
     )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    -- unpivot (melt): the wide per-type counter row back to long form —
+    -- the inverse of agg_pivot, needed whenever a dashboard-shaped table
+    -- must feed a relational pipeline again
+    WITH wide AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+               AS view_n,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS click_n,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS purchase_n
+      FROM events GROUP BY 1
+    )
+    SELECT day, kind, n FROM wide
+    UNPIVOT (n FOR kind IN (view_n, click_n, purchase_n))
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of ``agg_pivot``: a dashboard-shaped
+    wide row (one column per event type) turned back into long
+    (day, kind, n) rows. Spark's ``DataFrame.unpivot`` plans an Expand
+    node — each input row fans to one output row per value column in the
+    SAME task, so the reshape is map-only: no shuffle beyond the one that
+    built the wide table. DuckDB's UNPIVOT drops NULL cells by default and
+    Spark keeps them; the wide table here is dense (FILTER counts, never
+    NULL) so both engines see identical fan-out.
+    """
+    ev = table(spark, sf_dir, "events")
+    wide = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count_if(F.col("event_type") == "view").cast("long").alias("view_n"),
+        F.count_if(F.col("event_type") == "click").cast("long").alias("click_n"),
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("long")
+        .alias("purchase_n"),
+    )
+    return wide.unpivot(
+        ["day"], ["view_n", "click_n", "purchase_n"], "kind", "n"
+    )

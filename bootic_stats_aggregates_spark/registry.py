@@ -118,7 +118,8 @@ _GATE_PRIORITY: list[str] = [
     "snk_observe_audit", "fn_variant", "agg_collect_sorted",
     "join_bloom_pruned", "stream_incr_dedup", "snk_jsonl_export",
     "llm_corpus_shuffle", "src_schema_evolution", "snk_merge_upsert",
-    "llm_inverted_index",
+    "llm_inverted_index", "stream_chained_stateful", "fn_xml",
+    "agg_unpivot",
 ]
 
 

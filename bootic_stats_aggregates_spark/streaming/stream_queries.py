@@ -515,3 +515,43 @@ def stream_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = new.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_new"))
     out = run_to_memory(agg, mode="complete")
     return out.select("lang", "n_new")
+
+
+@query(
+    "stream_chained_stateful",
+    oracle="""
+    -- two stateful operators CHAINED in one streaming query: dedup state
+    -- feeding windowed-aggregation state; final counts equal the batch
+    -- truth over single-delivery events
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in a single streaming query (Spark
+    3.4+): redelivery dedup (state keyed on event_id within the
+    watermark) flows DIRECTLY into an event-time tumbling aggregation
+    (window state) — one query, two state stores, no intermediate sink.
+    Before operator chaining landed, pipelines materialized between
+    stateful steps (extra storage + latency); this is the fused shape a
+    production ingest runs. The input is the stream unioned with itself
+    (every event delivered twice), so the dedup stage is provably doing
+    work: final window counts equal the single-delivery batch truth.
+    Complete output mode surfaces the whole materialized window state
+    (append would emit only watermark-expired windows, and AvailableNow
+    terminates before the fixture's watermark expires anything).
+    """
+    a = stream_table(spark, sf_dir, "events")
+    b = stream_table(spark, sf_dir, "events")
+    doubled = a.unionByName(b).withWatermark("ts", "30 days")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
+    agg = deduped.groupBy(
+        F.window("ts", "1 hour"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    out = run_to_memory(agg, mode="complete")
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "n_events"
+    )
