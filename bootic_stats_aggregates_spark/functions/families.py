@@ -614,3 +614,46 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("et").alias("et"),
         parsed.getField("cents").alias("cents"),
     )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+    -- collation-aware grouping: case-insensitive keys must merge under
+    -- UTF8_LCASE exactly as DuckDB's lower()-normalized grouping does
+    WITH mixed AS (
+      SELECT CASE user_id % 3
+               WHEN 0 THEN upper(event_type)
+               WHEN 1 THEN event_type
+               ELSE concat(upper(substr(event_type, 1, 1)),
+                           substr(event_type, 2))
+             END AS w
+      FROM events
+    )
+    SELECT lower(w) AS k, CAST(count(*) AS BIGINT) AS n
+    FROM mixed GROUP BY 1
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4): UTF8_LCASE makes equality,
+    grouping, and joins case-insensitive WITHOUT rewriting every
+    expression through lower() — the collation rides on the type, so the
+    hash aggregate's keys compare case-insensitively natively. A
+    mixed-case key column is synthesized deterministically (upper /
+    as-is / initcap by user id), grouped under the collation, and the
+    output key is canonicalized to lower() only for the oracle hash
+    (which representative casing survives a distributed agg is
+    partition-order-dependent by design).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        F.when(F.col("user_id") % 3 == 0, F.upper("event_type"))
+        .when(F.col("user_id") % 3 == 1, F.col("event_type"))
+        .otherwise(F.initcap("event_type"))
+    )
+    return (
+        ev.select(F.collate(w, "UTF8_LCASE").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lower("w").alias("k"), "n")
+    )

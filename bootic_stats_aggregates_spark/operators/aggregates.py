@@ -871,3 +871,41 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["day"], ["view_n", "click_n", "purchase_n"], "kind", "n"
     )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    -- ordered string aggregation (LISTAGG WITHIN GROUP): deterministic
+    -- CSV of sampled user ids per event type
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           string_agg(CAST(user_id AS VARCHAR), ','
+                      ORDER BY user_id, event_id) AS ids
+    FROM events
+    WHERE event_id % 997 = 0
+    GROUP BY event_type
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg (SQL:2023, Spark 4) — ordered string
+    concatenation per group. Determinism requires WITHIN GROUP (ORDER BY
+    ...) with a total order; without it the concatenation order is
+    partition arrival order (same trap as collect_list —
+    agg_collect_sorted). Bounded input (sampled ids) keeps the strings
+    small: unbounded LISTAGG at 100 TB is the same OOM shape as
+    unbounded collect, and real deployments cap or bucket it. Exercised
+    through the SQL front end since WITHIN GROUP is parser surface.
+    """
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               listagg(CAST(user_id AS STRING), ',')
+                 WITHIN GROUP (ORDER BY user_id, event_id) AS ids
+        FROM events
+        WHERE event_id % 997 = 0
+        GROUP BY event_type
+        """
+    )

@@ -119,7 +119,7 @@ _GATE_PRIORITY: list[str] = [
     "join_bloom_pruned", "stream_incr_dedup", "snk_jsonl_export",
     "llm_corpus_shuffle", "src_schema_evolution", "snk_merge_upsert",
     "llm_inverted_index", "stream_chained_stateful", "fn_xml",
-    "agg_unpivot",
+    "agg_unpivot", "fn_collation", "agg_string_agg",
 ]
 
 
