@@ -228,6 +228,19 @@ R3_CASES = [
         FROM t GROUP BY k
         """,
     ),
+    # UNPIVOT (agg_unpivot): both engines share the SQL:2023 clause; the
+    # melt must fan every row to one output row per value column (cells
+    # are non-NULL here — DuckDB drops NULL cells where Spark keeps them,
+    # a real divergence the registered op documents and avoids).
+    (
+        "unpivot_melt",
+        """
+        SELECT id, kind, CAST(val AS DOUBLE) AS val
+        FROM (SELECT id, CAST(u AS DOUBLE) AS u,
+                     CAST(round(v, 2) AS DOUBLE) AS v FROM t)
+        UNPIVOT (val FOR kind IN (u, v))
+        """,
+    ),
 ]
 
 _rows = st.lists(
