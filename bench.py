@@ -52,6 +52,14 @@ EXTRA = {
     "gap_islands": "win_gap_islands",
     "trailing_uniques": "win_trailing_uniques",
     "cms_heavy_hitters": "agg_heavy_hitters_cms",
+    "bitmap_distinct": "agg_bitmap_distinct",
+    "token_entropy": "llm_entropy",
+    "unigram_logprob": "llm_unigram_logprob",
+    "inverted_index": "llm_inverted_index",
+    "corpus_shuffle": "llm_corpus_shuffle",
+    # join_bloom_pruned is intentionally NOT benched: its builder freezes
+    # the armed-plan result via localCheckpoint (registry-memoized), so a
+    # repeat timing would measure the checkpoint read, not the join.
 }
 
 

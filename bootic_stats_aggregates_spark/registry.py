@@ -112,8 +112,9 @@ _GATE_PRIORITY: list[str] = [
     "join_null_safe",
     "agg_filtered", "agg_bitmap_distinct", "agg_corr_stats",
     "llm_entropy", "llm_repetition", "llm_mix_weights", "sub_not_in_null",
-    # slots 50+: past the driver's 50-row cap this round; next round's
-    # rotation front-loads whichever of these miss a row.
+    # fn_struct is slot 50 (the cap's last row); everything below is past
+    # the driver's 50-row cap this round — all locally verified at sf0.01
+    # AND sf0.1; next round's rotation front-loads whichever miss a row.
     "fn_struct", "src_binary_files", "llm_unigram_logprob",
     "snk_observe_audit", "fn_variant", "agg_collect_sorted",
     "join_bloom_pruned", "stream_incr_dedup", "snk_jsonl_export",
