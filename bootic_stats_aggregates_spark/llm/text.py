@@ -781,3 +781,79 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_terms_present") == len(SEARCH_TERMS))
     )
+
+
+BOILER_CHUNK_TOKENS = 20  # tokens per boilerplate-detection chunk
+
+
+@query(
+    "llm_boilerplate_chunks",
+    oracle=f"""
+    -- cross-document boilerplate: fixed-size token chunks appearing in
+    -- MORE THAN ONE document (shared passages / template text); per doc,
+    -- what fraction of its chunks are corpus-repeated
+    WITH chunks AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, CAST(ceil(len(string_split(text, ' '))
+                             / {BOILER_CHUNK_TOKENS}.0) AS BIGINT)),
+               i -> array_to_string(
+                 string_split(text, ' ')[i * {BOILER_CHUNK_TOKENS} + 1
+                                         : (i + 1) * {BOILER_CHUNK_TOKENS}],
+                 ' ')
+             ) AS cs
+      FROM documents
+    ),
+    posted AS (
+      SELECT doc_id, unnest(cs) AS chunk FROM chunks
+    ),
+    freq AS (
+      SELECT chunk, count(DISTINCT doc_id) AS df FROM posted GROUP BY chunk
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE f.df > 1) AS BIGINT) AS n_shared,
+           round(CAST(count(*) FILTER (WHERE f.df > 1) AS DOUBLE)
+                 / count(*), 4) AS shared_ratio
+    FROM posted p JOIN freq f USING (chunk)
+    GROUP BY p.doc_id
+    """,
+)
+def llm_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection — the passage-granular dedup
+    signal between exact dedup (whole doc) and MinHash (whole doc,
+    fuzzy): cut every doc into fixed {BOILER_CHUNK_TOKENS}-token chunks,
+    count per-chunk document frequency, and score each doc by the
+    fraction of its chunks shared with ANY other doc (header/footer/
+    template text lights up here long before whole-doc similarity does).
+    Shape: native chunker (sequence->transform->slice, codegen) ->
+    explode -> chunk-df hash agg -> hash join back -> per-doc agg. The
+    chunk join is Zipf-skewed exactly like the token join in
+    llm_unigram_logprob — AQE skew-split territory at 100 TB; nothing is
+    quadratic (chunk space is linear in corpus tokens).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(BOILER_CHUNK_TOKENS))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * BOILER_CHUNK_TOKENS + 1, BOILER_CHUNK_TOKENS), " "
+        ),
+    )
+    posted = d.select("doc_id", F.explode(chunks).alias("chunk"))
+    freq = posted.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    shared = F.count_if(F.col("df") > 1)
+    return (
+        posted.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            shared.cast("long").alias("n_shared"),
+            F.round(shared.cast("double") / F.count(F.lit(1)), 4).alias(
+                "shared_ratio"
+            ),
+        )
+    )

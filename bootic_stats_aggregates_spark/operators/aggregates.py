@@ -909,3 +909,71 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """
     )
+
+
+MAD_K = 3.0  # outlier threshold in MAD units (~2 sigma for normal data)
+
+
+@query(
+    "agg_mad_outliers",
+    oracle=f"""
+    -- robust outlier accounting: median + MAD per group (immune to the
+    -- very outliers being hunted, unlike mean/stddev), then count rows
+    -- beyond {MAD_K} MAD units
+    WITH med AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             any_value(m.med) AS med,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(any_value(m.med) AS DOUBLE), 4) AS med,
+           round(CAST(any_value(m.mad) AS DOUBLE), 4) AS mad,
+           CAST(count(*) FILTER (
+             WHERE abs(e.value - m.med) > {MAD_K} * m.mad
+           ) AS BIGINT) AS n_outliers
+    FROM events e JOIN mad m USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: median + MAD (median absolute
+    deviation) instead of mean + stddev — the moment-based pair is
+    dragged by the very outliers being hunted; the quantile-based pair is
+    breakdown-resistant to 50% contamination. Two exact-percentile
+    passes (median, then median of |x - med|) + one broadcast join of
+    the tiny per-group stats back onto the scan. Exact interpolated
+    percentiles are NOT mergeable — at 100 TB the streaming/rollup path
+    swaps in approx_percentile sketches (agg_approx_percentile) and this
+    exact twin stays the batch auditor. Both engines interpolate
+    linearly (F.percentile == quantile_cont), rounded per rule 3.
+    """
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+            "mad"
+        ),
+    )
+    scored = ev.join(F.broadcast(mad), "event_type")
+    return scored.groupBy("event_type").agg(
+        lcount("n"),
+        F.round(F.first("med"), 4).alias("med"),
+        F.round(F.first("mad"), 4).alias("mad"),
+        F.count_if(
+            F.abs(F.col("value") - F.col("med")) > MAD_K * F.col("mad")
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )

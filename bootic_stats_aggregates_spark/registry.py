@@ -121,6 +121,7 @@ _GATE_PRIORITY: list[str] = [
     "llm_corpus_shuffle", "src_schema_evolution", "snk_merge_upsert",
     "llm_inverted_index", "stream_chained_stateful", "fn_xml",
     "agg_unpivot", "fn_collation", "agg_string_agg",
+    "llm_boilerplate_chunks", "agg_mad_outliers",
 ]
 
 
