@@ -657,3 +657,54 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .select(F.lower("w").alias("k"), "n")
     )
+
+
+_I64_MAX = 9_223_372_036_854_775_807
+
+
+@query(
+    "fn_try_arith",
+    oracle=f"""
+    -- ANSI-safe arithmetic: overflow / zero-division yield NULL (not a
+    -- failed job). The oracle states the expected outcomes with guarded
+    -- CASE arms so DuckDB never evaluates the overflowing branch.
+    WITH src AS (
+      SELECT event_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+             user_id % 100 AS m
+      FROM events WHERE event_id % 103 = 0
+    )
+    SELECT event_id,
+           CASE WHEN k <= m THEN {_I64_MAX} - m + k END AS sum_or_null,
+           CASE WHEN k % 7 <> 0 THEN
+             round(CAST(m AS DOUBLE) / (k % 7), 6) END AS div_or_null,
+           CASE WHEN k <= 1 THEN (({_I64_MAX} - m) // 2 + 1) * k
+           END AS prod_or_null
+    FROM src
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic family (``try_add`` / ``try_divide`` /
+    ``try_multiply``): under Spark 4's default ANSI mode, overflow and
+    zero-division THROW — correct for catching bugs, fatal for a 100 TB
+    job where one poisoned row kills the stage hours in. The try_*
+    family localizes the failure to a NULL the pipeline can quarantine.
+    Overflow cases are synthesized deterministically near INT64_MAX
+    (``try_add`` overflows when the payload k exceeds the headroom m;
+    ``try_multiply`` overflows for any k > 1), division by ``k % 7``
+    exercises the zero path. Map-only codegen projections.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 103 == 0)
+    k = F.get_json_object("props", "$.k").cast("long")
+    m = F.col("user_id") % 100
+    near_max = F.lit(_I64_MAX) - m
+    return ev.select(
+        "event_id",
+        F.try_add(near_max, k).alias("sum_or_null"),
+        F.round(F.try_divide(m.cast("double"), (k % 7)), 6).alias(
+            "div_or_null"
+        ),
+        F.try_multiply(F.floor(near_max / 2).cast("long") + 1, k).alias(
+            "prod_or_null"
+        ),
+    )

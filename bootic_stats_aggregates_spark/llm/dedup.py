@@ -826,3 +826,60 @@ def llm_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("in_corpus"),
         )
     )
+
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+@query(
+    "llm_ngram_containment",
+    oracle=f"""
+    -- ASYMMETRIC containment |A∩B|/|A|: catches doc A embedded inside a
+    -- larger doc B, which symmetric jaccard dilutes below threshold.
+    -- Ordered pairs (a contained-in b), brute oracle at fixture scale.
+    WITH sh AS (
+      SELECT doc_id,
+        CASE WHEN len(string_split(text,' ')) < 3 THEN []
+        ELSE list_distinct(list_transform(
+          range(1, len(string_split(text,' ')) - 2 + 1),
+          i -> string_split(text,' ')[i] || ' ' ||
+               string_split(text,' ')[i+1] || ' ' ||
+               string_split(text,' ')[i+2]
+        )) END AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(a.s), 6) AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE len(a.s) > 0
+      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+          >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def llm_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT |A∩B|/|A| — the asymmetric near-dup measure
+    jaccard cannot provide: a 50-token doc pasted verbatim inside a
+    5000-token doc has jaccard ≈ 0.01 (invisible to llm_near_dedup's 0.5
+    threshold) but containment 1.0 from the small side. Real curation
+    pipelines run BOTH: jaccard for peers, containment for
+    quote/excerpt/aggregation-page detection. Ordered pairs because the
+    measure is directional. This is the brute oracle twin at fixture
+    scale; the 100 TB path routes candidates through the SAME MinHash
+    band join as llm_near_dedup (banding keys off the small side's
+    signature — min-wise hashes are containment-friendly since A's mins
+    survive in A∪B), then pays exact containment only on candidates.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles().alias("s")
+    )
+    a = d.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("s_a"))
+    b = d.select(F.col("doc_id").alias("doc_id_b"), F.col("s").alias("s_b"))
+    cont = (
+        F.size(F.array_intersect("s_a", "s_b")).cast("double") / F.size("s_a")
+    )
+    return (
+        a.join(b, F.col("doc_id_a") != F.col("doc_id_b"))
+        .filter((F.size("s_a") > 0) & (cont >= CONTAINMENT_THRESHOLD))
+        .select("doc_id_a", "doc_id_b", F.round(cont, 6).alias("containment"))
+    )

@@ -606,3 +606,72 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         return joined.localCheckpoint(eager=True)
     finally:
         restore()
+
+
+ASOF_TOLERANCE_SEC = 600  # max staleness: match dropped if view older than 10 min
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    -- as-of join WITH a staleness tolerance (pandas merge_asof semantics):
+    -- the most recent view at-or-before each click counts only if it is
+    -- at most {ASOF_TOLERANCE_SEC} s old; staler matches become NULL
+    WITH raw AS (
+      SELECT c.event_id AS click_id, c.user_id,
+             date_trunc('second', c.ts) AS click_sec,
+             date_trunc('second', v.ts) AS asof_view_sec,
+             epoch(c.ts) - epoch(v.ts) AS age_sec
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON c.user_id = v.user_id AND v.ts <= c.ts
+    )
+    SELECT click_id, user_id, click_sec,
+           -- dropped_stale computed FIRST and from age_sec only: DuckDB
+           -- lateral column references let the re-used asof_view_sec
+           -- alias shadow the source column in later expressions
+           coalesce(age_sec > {ASOF_TOLERANCE_SEC}, FALSE) AS dropped_stale,
+           CASE WHEN age_sec <= {ASOF_TOLERANCE_SEC} THEN asof_view_sec
+                ELSE NULL END AS asof_view_sec
+    FROM raw
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas ``merge_asof(tolerance=)``
+    semantics): attribution windows expire — a click ten minutes after
+    the last view is organic, not attributed — so the carried-forward
+    match is kept only while fresher than {ASOF_TOLERANCE_SEC} s, else
+    nulled (with a flag distinguishing "stale-dropped" from "never had a
+    view"). Same single-shuffle union + last(ignorenulls) carry-forward
+    as join_asof — the tolerance is a pure post-projection, so the scale
+    shape is unchanged (linear, no pair blow-up). Oracle: DuckDB native
+    ASOF LEFT JOIN + the same staleness CASE.
+    """
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = views.unionByName(clicks).withColumn(
+        "asof_view_ts", F.last("view_ts", ignorenulls=True).over(w)
+    )
+    age = F.unix_timestamp("ts") - F.unix_timestamp("asof_view_ts")
+    fresh = age <= ASOF_TOLERANCE_SEC
+    return merged.filter(F.col("kind") == 1).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.date_trunc("second", "ts").alias("click_sec"),
+        F.when(fresh, F.date_trunc("second", "asof_view_ts")).alias(
+            "asof_view_sec"
+        ),
+        (F.col("asof_view_ts").isNotNull() & ~fresh).alias("dropped_stale"),
+    )

@@ -122,6 +122,7 @@ _GATE_PRIORITY: list[str] = [
     "llm_inverted_index", "stream_chained_stateful", "fn_xml",
     "agg_unpivot", "fn_collation", "agg_string_agg",
     "llm_boilerplate_chunks", "agg_mad_outliers",
+    "llm_ngram_containment", "join_asof_tolerance", "fn_try_arith",
 ]
 
 

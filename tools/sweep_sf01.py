@@ -53,6 +53,7 @@ _EVT_W = [(0, 12000), (44000, 56000), (88000, 100001)]
 
 SWEEPS: dict[str, tuple[str, str, list[tuple[int, int]]]] = {
     "llm_ngram_jaccard": ("documents", "doc_id", _DOC_W),
+    "llm_ngram_containment": ("documents", "doc_id", _DOC_W),
     "llm_near_dedup": ("documents", "doc_id", _DOC_W),
     "llm_dedup_clusters": ("documents", "doc_id", _DOC_W),
     "llm_simhash_pairs": ("documents", "doc_id", _DOC_W),
