@@ -857,3 +857,78 @@ def llm_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "llm_url_dedup",
+    oracle="""
+    -- crawl URL canonicalization + dedup: scheme/host case-folded,
+    -- default port and fragment dropped, utm_* tracking params stripped,
+    -- then group by canonical form. Same string surgery on both engines.
+    WITH urls AS (
+      SELECT doc_id,
+             'HTTP://Src' || (doc_id % 20) || '.Example.COM:80/doc/'
+             || (doc_id % 500) || CASE WHEN doc_id % 3 = 0
+                  THEN '?utm_source=feed&utm_campaign=x' || (doc_id % 7)
+                  ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(url), '#.*$', ''),
+                 '\\?utm_[^#]*$', ''),
+               ':80/', '/') AS curl
+      FROM urls
+    )
+    SELECT curl,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(min(doc_id) AS BIGINT) AS keeper
+    FROM canon
+    GROUP BY curl
+    HAVING count(*) > 1
+    """,
+)
+def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-URL canonicalization dedup — the FIRST dedup any web corpus
+    runs, before any content hashing: the same page arrives as
+    ``HTTP://Host:80/p?utm_source=...#frag`` and ``http://host/p``.
+    Canonicalize (case-fold scheme+host, drop default port, strip
+    fragment and utm_* tracking params) then hash-group on the canonical
+    form, keeping the lowest doc_id. All JVM regex/string projections +
+    one hash agg — map-side combine applies, so at 100 TB it costs one
+    shuffle of |unique URLs|. URLs are synthesized deterministically from
+    doc ids (fixtures carry none); ~doc_id%500 collisions guarantee real
+    duplicate groups at every SF.
+    """
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTP://Src"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".Example.COM:80/doc/"), (F.col("doc_id") % 500).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&utm_campaign=x"),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), r"#.*$", ""),
+            r"\?utm_[^#]*$", "",
+        ),
+        ":80/", "/",
+    )
+    return (
+        d.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min("doc_id").cast("long").alias("keeper"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )

@@ -568,3 +568,53 @@ def win_trailing_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fan.groupBy(F.col("as_of_day").cast("string").alias("as_of_day")).agg(
         F.countDistinct("user_id").cast("long").alias("wau")
     )
+
+
+@query(
+    "win_mom_growth",
+    oracle="""
+    -- period-over-period reporting: monthly revenue, absolute delta and
+    -- percent growth vs the previous month, per event type
+    WITH monthly AS (
+      SELECT event_type, date_trunc('month', ts) AS month,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, month,
+           round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+           round(CAST(cents - lag(cents) OVER w AS DOUBLE) / 100.0, 2)
+             AS delta,
+           round(CAST(cents - lag(cents) OVER w AS DOUBLE)
+                 / lag(cents) OVER w * 100, 4) AS pct_growth
+    FROM monthly
+    WINDOW w AS (PARTITION BY event_type ORDER BY month)
+    """,
+)
+def win_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth — the period-comparison reporting shape
+    (MoM/YoY deltas and percent change) every dashboard derives from the
+    reference's monthly counter keys `[REF⟂ keys.go]` by reading two keys
+    and subtracting client-side; here it is one windowed projection over
+    the monthly rollup. The window partitions by event type over months
+    — tiny after aggregation, so the lag costs nothing; the heavy lifting
+    stays in the mergeable cents rollup. First month's delta/growth is
+    NULL (no prior period) on both engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    monthly = ev.groupBy(
+        "event_type", F.date_trunc("month", "ts").alias("month")
+    ).agg(F.sum(cents("value")).alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("month")
+    prev = F.lag("cents").over(w)
+    return monthly.select(
+        "event_type",
+        "month",
+        F.round(F.col("cents").cast("double") / 100.0, 2).alias("revenue"),
+        F.round((F.col("cents") - prev).cast("double") / 100.0, 2).alias(
+            "delta"
+        ),
+        F.round(
+            (F.col("cents") - prev).cast("double") / prev * 100, 4
+        ).alias("pct_growth"),
+    )

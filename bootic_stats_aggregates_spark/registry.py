@@ -123,6 +123,7 @@ _GATE_PRIORITY: list[str] = [
     "agg_unpivot", "fn_collation", "agg_string_agg",
     "llm_boilerplate_chunks", "agg_mad_outliers",
     "llm_ngram_containment", "join_asof_tolerance", "fn_try_arith",
+    "llm_url_dedup", "win_mom_growth",
 ]
 
 
