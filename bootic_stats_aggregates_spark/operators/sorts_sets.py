@@ -115,3 +115,49 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").cast("long").alias("nationkey")
     )
     return c.exceptAll(s)
+
+
+@query(
+    "set_union_evolved",
+    oracle="""
+    -- schema-drift-tolerant UNION: two event generations with different
+    -- column sets unioned BY NAME, missing columns null-filled
+    WITH gen1 AS (
+      SELECT event_id, event_type,
+             CAST(NULL AS DOUBLE) AS value, 'v1' AS gen
+      FROM events WHERE event_id % 2 = 0
+    ),
+    gen2 AS (
+      SELECT event_id, event_type, value, 'v2' AS gen
+      FROM events WHERE event_id % 2 = 1
+    )
+    SELECT event_type, gen,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(value) AS BIGINT) AS n_with_value
+    FROM (SELECT * FROM gen1 UNION ALL BY NAME SELECT * FROM gen2)
+    GROUP BY event_type, gen
+    """,
+)
+def set_union_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift-tolerant union (``unionByName`` +
+    ``allowMissingColumns``) — the in-flight twin of
+    ``src_schema_evolution``: two pipeline generations emit different
+    column sets (v1 predates ``value``), and the union must align BY NAME
+    and null-fill, never by position (positional UNION silently pairs
+    mismatched columns — the classic drift bug). Both generations are
+    carved deterministically from the fixture (event_id parity); DuckDB's
+    ``UNION ALL BY NAME`` replays the alignment. Map-only: the union is a
+    plan-level concatenation, no shuffle until the audit agg.
+    """
+    ev = table(spark, sf_dir, "events")
+    gen1 = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", F.lit("v1").alias("gen")
+    )
+    gen2 = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "value", F.lit("v2").alias("gen")
+    )
+    unioned = gen1.unionByName(gen2, allowMissingColumns=True)
+    return unioned.groupBy("event_type", "gen").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("value").cast("long").alias("n_with_value"),
+    )

@@ -618,3 +618,44 @@ def win_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents") - prev).cast("double") / prev * 100, 4
         ).alias("pct_growth"),
     )
+
+
+@query(
+    "win_share_of_total",
+    oracle="""
+    -- ratio-to-report: each event type's share of its day's total value
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, event_type,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type,
+           round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+           round(CAST(cents AS DOUBLE)
+                 / sum(cents) OVER (PARTITION BY day), 6) AS share
+    FROM daily
+    """,
+)
+def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each event type's share of its day's total — the
+    normalization shape behind every "% of traffic" dashboard panel. One
+    mergeable cents rollup, then an unordered window sum over the tiny
+    aggregated frame (no frame clause: the whole partition is the
+    denominator — no sort required, Spark plans it as a single
+    WindowExec over |days x types| rows). Integer-cents denominator keeps
+    the division bit-identical across engines before round(6).
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.sum(cents("value")).alias("cents"))
+    w = Window.partitionBy("day")
+    return daily.select(
+        "day",
+        "event_type",
+        F.round(F.col("cents").cast("double") / 100.0, 2).alias("revenue"),
+        F.round(
+            F.col("cents").cast("double") / F.sum("cents").over(w), 6
+        ).alias("share"),
+    )

@@ -123,7 +123,8 @@ _GATE_PRIORITY: list[str] = [
     "agg_unpivot", "fn_collation", "agg_string_agg",
     "llm_boilerplate_chunks", "agg_mad_outliers",
     "llm_ngram_containment", "join_asof_tolerance", "fn_try_arith",
-    "llm_url_dedup", "win_mom_growth",
+    "llm_url_dedup", "win_mom_growth", "set_union_evolved",
+    "win_share_of_total",
 ]
 
 
