@@ -932,3 +932,90 @@ def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_dups") > 1)
     )
+
+
+PMI_TOP_TOKENS = 8  # vocabulary slice for the pairwise PMI matrix
+
+
+@query(
+    "llm_cooccurrence_pmi",
+    oracle=f"""
+    -- pairwise PMI over the {PMI_TOP_TOKENS} most frequent tokens:
+    -- log2(P(a,b) / (P(a)P(b))) with doc-level presence probabilities
+    WITH pres AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      )
+    ),
+    freq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM pres GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, df FROM freq ORDER BY df DESC, tok LIMIT {PMI_TOP_TOKENS}
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM pres),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b,
+             CAST(count(*) AS BIGINT) AS co_df
+      FROM (SELECT p.doc_id, p.tok FROM pres p JOIN top USING (tok)) a
+      JOIN (SELECT p.doc_id, p.tok FROM pres p JOIN top USING (tok)) b
+        ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY a.tok, b.tok
+    )
+    SELECT p.tok_a, p.tok_b, p.co_df,
+           round(log2(CAST(p.co_df AS DOUBLE) * n.n_docs
+                      / (fa.df * fb.df)), 6) AS pmi
+    FROM pairs p
+    JOIN top fa ON p.tok_a = fa.tok
+    JOIN top fb ON p.tok_b = fb.tok
+    CROSS JOIN n
+    """,
+)
+def llm_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise PMI (pointwise mutual information) over the head
+    vocabulary — the corpus-statistics primitive behind collocation
+    mining and static word vectors: PMI > 0 means two tokens share
+    documents more than independence predicts. Bounded by construction:
+    presence pairs are built only for the top {PMI_TOP_TOKENS} tokens
+    (selected by global top-k with a total order, i.e.
+    TakeOrderedAndProject — no vocab-wide window), so the self-join fans
+    each doc to at most C({PMI_TOP_TOKENS},2) pairs — linear in corpus
+    size, never |vocab|². The unconstrained version is the classic
+    quadratic blow-up; a wider matrix shards the token list and unions.
+    """
+    d = table(spark, sf_dir, "documents")
+    pres = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    freq = pres.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    top = freq.orderBy(F.desc("df"), "tok").limit(PMI_TOP_TOKENS)
+    n_docs = pres.select("doc_id").distinct().count()  # scalar (plan literal)
+    kept = pres.join(F.broadcast(top.select("tok")), "tok")
+    a = kept.select("doc_id", F.col("tok").alias("tok_a"))
+    b = kept.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("co_df"))
+    )
+    fa = top.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    fb = top.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(fa), "tok_a")
+        .join(F.broadcast(fb), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "co_df",
+            F.round(
+                F.log2(
+                    F.col("co_df").cast("double")
+                    * F.lit(n_docs)
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

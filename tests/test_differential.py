@@ -241,6 +241,17 @@ R3_CASES = [
         UNPIVOT (val FOR kind IN (u, v))
         """,
     ),
+    # ROLLUP with NULL keys in the DATA: grouping(k) must disambiguate a
+    # data-NULL group (g=0) from the rollup's subtotal row (g=1) — the
+    # trap where both render as NULL in the key column.
+    (
+        "rollup_grouping_disambiguation",
+        """
+        SELECT k, CAST(grouping(k) AS BIGINT) AS is_subtotal,
+               CAST(count(*) AS BIGINT) AS n
+        FROM t GROUP BY ROLLUP (k)
+        """,
+    ),
 ]
 
 _rows = st.lists(
