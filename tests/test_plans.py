@@ -174,6 +174,7 @@ def test_plan_hygiene_all_queries(spark):
         "join_cross",        # cartesian by definition (tiny x tiny)
         "join_theta_range",  # non-equi join: BNLJ with broadcast side IS the plan
         "llm_ngram_jaccard", # brute-force verify twin of the LSH path
+        "llm_ngram_containment",  # brute oracle twin (scale path: MinHash bands)
         "llm_embed_neardup", # exhaustive pair scan, small-SF oracle twin
         "llm_cosine_topk",   # broadcast query-set x corpus (bounded side)
         "llm_knn_classify",  # built on llm_cosine_topk
