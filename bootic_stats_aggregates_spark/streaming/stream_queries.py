@@ -555,3 +555,71 @@ def stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("window.start").alias("window_start"), "event_type", "n_events"
     )
+
+
+N_BACKPRESSURE_SHARDS = 4  # staged source files; one micro-batch each
+
+
+@query(
+    "stream_backpressure",
+    oracle="""
+    -- bounded micro-batch intake: the final counters must equal the
+    -- batch truth NO MATTER how the backlog was split into batches
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded micro-batch intake (``maxFilesPerTrigger``) — backlog
+    replay without state-store blowup: when a stream restarts against
+    hours of accumulated input, unbounded intake loads the whole backlog
+    into one giant micro-batch (peak state memory, checkpoint stall);
+    capping files-per-trigger drains it in bounded slices. The events
+    fixture is staged into N_BACKPRESSURE_SHARDS files and ingested one
+    file per trigger — so this AvailableNow run provably executes
+    multiple micro-batches — and the final counters equal the batch
+    truth, which is exactly the mergeable-aggregate guarantee the
+    engine's counters rely on (batch-split independence). The Kafka
+    transport's maxOffsetsPerTrigger knob (runner.py) is the same
+    control on the bus.
+    """
+    import os
+    import shutil
+
+    from .runner import _STAGE_ROOT
+
+    key = f"{sf_dir.strip('/').replace('/', '_')}__events_sharded"
+    d = os.path.join(_STAGE_ROOT, key)
+    marker = os.path.join(d, "_STAGED")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        (
+            table(spark, sf_dir, "events")
+            .repartition(N_BACKPRESSURE_SHARDS)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        with open(marker, "w"):
+            pass
+    ev = (
+        spark.readStream.schema(table(spark, sf_dir, "events").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    # exact distinct is not streaming-mergeable across micro-batches;
+    # count it from the deduped (type, user) pairs instead
+    pairs = ev.select("event_type", "user_id").dropDuplicates(
+        ["event_type", "user_id"]
+    )
+    uniq = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("uniq_users")
+    )
+    n = run_to_memory(agg, mode="complete").select("event_type", "n_events")
+    u = run_to_memory(uniq, mode="complete")
+    return n.join(u, "event_type")
