@@ -626,3 +626,58 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= TOP_K)
     )
+
+
+@query(
+    "llm_embedding_audit",
+    oracle="""
+    -- embedding hygiene audit: per label, vector count, dimension check,
+    -- norm statistics, and degenerate-vector accounting — the data-quality
+    -- gate an embedding store runs before any ANN index build
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(*) FILTER (WHERE len(embedding) <> 64) AS BIGINT)
+             AS n_bad_dim,
+           CAST(count(*) FILTER (
+             WHERE sqrt(list_aggregate(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)
+                              * CAST(x AS DOUBLE)), 'sum')) < 1e-6
+           ) AS BIGINT) AS n_zero_norm,
+           round(CAST(avg(sqrt(list_aggregate(
+             list_transform(embedding, x -> CAST(x AS DOUBLE)
+                            * CAST(x AS DOUBLE)), 'sum'))) AS DOUBLE), 4)
+             AS avg_norm,
+           round(CAST(min(sqrt(list_aggregate(
+             list_transform(embedding, x -> CAST(x AS DOUBLE)
+                            * CAST(x AS DOUBLE)), 'sum'))) AS DOUBLE), 4)
+             AS min_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def llm_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-store hygiene audit — the gate before any ANN index
+    build or similarity job: wrong-dimension vectors break dot products,
+    zero-norm vectors make cosine undefined (NaN poison that silently
+    propagates through a whole top-k), and a drifting norm distribution
+    flags a broken encoder. All native higher-order folds
+    (``aggregate`` over the float array, JVM codegen) + one hash agg per
+    label — map-only until the tiny per-label reduction, so the audit
+    streams over any corpus as a scan. Float32→double casts are applied
+    identically on both engines before the fold so the sums are
+    bit-comparable (determinism rule 3 rounding on top).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm = F.sqrt(sq)
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.count_if(F.size("embedding") != 64).cast("long").alias("n_bad_dim"),
+        F.count_if(norm < 1e-6).cast("long").alias("n_zero_norm"),
+        F.round(F.avg(norm), 4).alias("avg_norm"),
+        F.round(F.min(norm), 4).alias("min_norm"),
+    )

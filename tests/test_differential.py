@@ -174,6 +174,21 @@ JOIN_CASES = [
         WHERE t.k NOT IN (SELECT k FROM s WHERE k IS NOT NULL)
         """,
     ),
+    # Bag-semantics set ops: INTERSECT ALL keeps min(multiplicity),
+    # EXCEPT ALL subtracts multiplicities, and NULL keys MATCH NULL keys
+    # in set operations (unlike join equality) — three traps at once.
+    (
+        "intersect_except_all_bags",
+        """
+        SELECT 'i' AS op, k, u FROM (
+          SELECT k, u FROM t INTERSECT ALL SELECT k, u FROM s
+        )
+        UNION ALL
+        SELECT 'e' AS op, k, u FROM (
+          SELECT k, u FROM t EXCEPT ALL SELECT k, u FROM s
+        )
+        """,
+    ),
 ]
 
 #: Single-table cases for the round-3 analytics additions: argmax with a
