@@ -366,3 +366,75 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("quality_milli"),
     )
+
+
+SYNTH_N = 50_000  # synthetic rows generated engine-side (no input files)
+
+
+@query(
+    "src_synthetic_events",
+    oracle=f"""
+    -- engine-side data synthesis (spark.range analog): deterministic
+    -- columns derived from the sequence id — the scale-testing source
+    -- that needs no input files; DuckDB replays from range()
+    WITH g AS (
+      SELECT range AS id FROM range({SYNTH_N})
+    ),
+    synth AS (
+      SELECT id,
+             CASE id % 5 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+               WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+               ELSE 'error' END AS event_type,
+             TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (id % 86400) SECOND
+               AS ts,
+             (id * 2654435761 + 1013904223) % 1000000007 % 10000 AS uid,
+             CAST((id * 48271) % 50000 AS DOUBLE) / 100.0 AS value
+      FROM g
+    )
+    SELECT event_type,
+           date_trunc('hour', ts) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT uid) AS BIGINT) AS uniq,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM synth
+    GROUP BY 1, 2
+    """,
+)
+def src_synthetic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-side synthetic data generation — ``spark.range`` as a
+    SOURCE: deterministic columns derived from the sequence id (modular
+    type dispatch, wrapped-clock timestamps, multiplicative-hash user
+    ids, LCG values). This is how every scale experiment in ``tools/``
+    manufactures 10M-100M-row inputs without touching disk: range() is
+    split across executors with zero I/O, every derived column is
+    codegen, and the SAME expressions reproduce the dataset bit-for-bit
+    at any parallelism — which is exactly what the oracle checks against
+    DuckDB's range() replay. At 100 TB this is the load-generator shape:
+    crank SYNTH_N, nothing else changes.
+    """
+    g = spark.range(SYNTH_N).select(F.col("id"))
+    etype = (
+        F.when(F.col("id") % 5 == 0, "view")
+        .when(F.col("id") % 5 == 1, "click")
+        .when(F.col("id") % 5 == 2, "purchase")
+        .when(F.col("id") % 5 == 3, "signup")
+        .otherwise("error")
+    )
+    ts = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
+        secs=(F.col("id") % 86400).cast("double")
+    )
+    uid = (F.col("id") * 2654435761 + 1013904223) % 1000000007 % 10000
+    value = ((F.col("id") * 48271) % 50000).cast("double") / 100.0
+    synth = g.select(
+        etype.alias("event_type"), ts.alias("ts"),
+        uid.alias("uid"), value.alias("value"),
+    )
+    return synth.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("uid").cast("long").alias("uniq"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
