@@ -427,3 +427,70 @@ def test_bivariate_stats_close(spark, rows):
                     assert abs(x - y) <= tol, (col, x, y)
     finally:
         con.close()
+
+
+@given(rows=_rows)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_vs_duckdb_native(spark, rows):
+    """join_asof's union + last(ignorenulls) carry-forward against
+    DuckDB's NATIVE ASOF LEFT JOIN on random tables — the differential
+    the fixture can't give: duplicate timestamps (ties must resolve to
+    the <= match), users with no prior 'view', and interleaved orders.
+    Rows with even id play views, odd id play clicks; the carried value
+    is the view timestamp itself, so tie choice cannot diverge. NULL
+    keys are excluded: DuckDB's ASOF implementation does not honor
+    null-safe equality on the match prefix (found by this test), and the
+    registered join_asof keys on non-null user_id."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    con = duckdb.connect()
+    try:
+        pdf = _to_pdf(rows)
+        _register(spark, con, "t", pdf)
+        duck = con.execute(
+            """
+            SELECT c.id AS click_id,
+                   c.k AS user_k,
+                   v.u AS asof_u
+            FROM (SELECT * FROM t WHERE id % 2 = 1 AND k IS NOT NULL) c
+            ASOF LEFT JOIN
+                 (SELECT * FROM t WHERE id % 2 = 0 AND k IS NOT NULL) v
+              ON c.k = v.k AND v.u <= c.u
+            """
+        ).fetch_df()
+        sdf = spark.table("t").filter(F.col("k").isNotNull())
+        views = sdf.filter(F.col("id") % 2 == 0).select(
+            "k", "u", "id", F.lit(0).alias("kind"), F.col("u").alias("view_u")
+        )
+        clicks = sdf.filter(F.col("id") % 2 == 1).select(
+            "k", "u", "id", F.lit(1).alias("kind"),
+            F.lit(None).cast("long").alias("view_u"),
+        )
+        w = (
+            Window.partitionBy("k")
+            .orderBy("u", "kind", "id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        merged = views.unionByName(clicks).withColumn(
+            "asof_u", F.last("view_u", ignorenulls=True).over(w)
+        )
+        got = (
+            merged.filter(F.col("kind") == 1)
+            .select(F.col("id").alias("click_id"), F.col("k").alias("user_k"),
+                    "asof_u")
+            .toPandas()
+        )
+        a = got.sort_values(["click_id"]).reset_index(drop=True)
+        b = duck.sort_values(["click_id"]).reset_index(drop=True)
+        assert len(a) == len(b)
+        for col in ("click_id", "user_k", "asof_u"):
+            av = [None if pd.isnull(x) else x for x in a[col]]
+            bv = [None if pd.isnull(x) else x for x in b[col]]
+            assert av == bv, (col, av, bv)
+    finally:
+        con.close()
