@@ -708,3 +708,39 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prod_or_null"
         ),
     )
+
+
+@query(
+    "fn_binary_codec",
+    oracle="""
+    -- binary codec family: hex / base64 round trips over real payload
+    -- bytes; decode(unhex(hex(x))) must be the identity
+    SELECT event_id,
+           hex(CAST(event_type AS BLOB)) AS type_hex,
+           base64(CAST(event_type AS BLOB)) AS type_b64,
+           CAST(unhex(hex(CAST(event_type AS BLOB))) AS VARCHAR)
+             AS roundtrip,
+           CAST(octet_length(CAST(props AS BLOB)) AS BIGINT) AS props_bytes
+    FROM events
+    WHERE event_id % 107 = 0
+    """,
+)
+def fn_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec family (hex / base64 / round-trip identity) — the
+    wire-format plumbing for binary payload columns: content digests ship
+    as hex, blobs cross JSON boundaries as base64, and
+    ``decode(unhex(hex(x)))`` must be the identity or the multimodal
+    pipeline corrupts payloads silently. All JVM codegen expressions over
+    BINARY; DuckDB replays with its own hex/base64 over BLOB casts
+    (byte-identical for the ASCII fixture strings). Map-only at any
+    scale.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 107 == 0)
+    b = F.encode("event_type", "utf-8")
+    return ev.select(
+        "event_id",
+        F.hex(b).alias("type_hex"),
+        F.base64(b).alias("type_b64"),
+        F.decode(F.unhex(F.hex(b)), "utf-8").alias("roundtrip"),
+        F.octet_length("props").cast("long").alias("props_bytes"),
+    )

@@ -977,3 +977,65 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_outliers"),
     )
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle="""
+    -- higher central moments per group, computed from EXPLICIT power
+    -- sums on both engines: the builtin skewness/kurtosis aggregates use
+    -- different bias corrections per engine (sample vs population), so
+    -- the shared ground truth is the raw-moment algebra itself
+    WITH moments AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(value) AS m1,
+             avg(value * value) AS m2,
+             avg(value * value * value) AS m3,
+             avg(value * value * value * value) AS m4
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(CAST(
+             (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+             / pow(m2 - m1 * m1, 1.5) AS DOUBLE), 4) AS skew_pop,
+           round(CAST(
+             (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1)
+             / pow(m2 - m1 * m1, 2) - 3 AS DOUBLE), 4) AS kurt_excess_pop
+    FROM moments
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per group — distribution-shape
+    monitoring (a value distribution that suddenly skews or grows tails
+    flags ingestion bugs before averages move). Deliberately computed
+    from explicit power sums rather than the builtin aggregates: Spark's
+    ``skewness``/``kurtosis`` are population-form while DuckDB's are
+    bias-corrected sample-form, so the builtins can NEVER hash-match —
+    the raw-moment algebra is the engine-neutral ground truth, and power
+    sums are plain mergeable avg slots (one fused hash agg, distributes
+    unchanged). Population formulas; rounded per rule 3.
+    """
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value")
+    mom = ev.groupBy("event_type").agg(
+        lcount("n"),
+        F.avg(v).alias("m1"),
+        F.avg(v * v).alias("m2"),
+        F.avg(v * v * v).alias("m3"),
+        F.avg(v * v * v * v).alias("m4"),
+    )
+    m1, m2, m3, m4 = [F.col(c) for c in ("m1", "m2", "m3", "m4")]
+    var = m2 - m1 * m1
+    return mom.select(
+        "event_type",
+        "n",
+        F.round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5), 4)
+        .alias("skew_pop"),
+        F.round(
+            (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1)
+            / F.pow(var, 2)
+            - 3,
+            4,
+        ).alias("kurt_excess_pop"),
+    )
