@@ -744,3 +744,42 @@ def fn_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.decode(F.unhex(F.hex(b)), "utf-8").alias("roundtrip"),
         F.octet_length("props").cast("long").alias("props_bytes"),
     )
+
+
+@query(
+    "fn_levenshtein",
+    oracle="""
+    -- edit-distance fuzzy matching: every nation name against every
+    -- region name (bounded dim x dim), distance and a near-match flag
+    SELECT n.n_name, r.r_name,
+           CAST(levenshtein(n.n_name, r.r_name) AS BIGINT) AS dist,
+           levenshtein(n.n_name, r.r_name)
+             <= greatest(length(n.n_name), length(r.r_name)) / 2
+             AS near_match
+    FROM nation n CROSS JOIN region r
+    """,
+)
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance (Levenshtein) fuzzy matching — the string-similarity
+    primitive behind entity resolution and typo-tolerant joins, JVM-side
+    (no Python). Exercised as a bounded dim×dim comparison (25×5 pairs);
+    the 100 TB discipline is the same as every similarity op here: NEVER
+    all-pairs on large sides — block first (prefix/phonetic/q-gram
+    buckets, the same shape as the LSH band joins), pay edit distance
+    only inside blocks. The near-match flag uses a length-relative
+    threshold so it scales with token size.
+    """
+    n = table(spark, sf_dir, "nation").select("n_name")
+    r = table(spark, sf_dir, "region").select("r_name")
+    dist = F.levenshtein("n_name", "r_name")
+    return n.crossJoin(F.broadcast(r)).select(
+        "n_name",
+        "r_name",
+        dist.cast("long").alias("dist"),
+        (
+            dist
+            <= F.floor(
+                F.greatest(F.length("n_name"), F.length("r_name")) / 2
+            )
+        ).alias("near_match"),
+    )

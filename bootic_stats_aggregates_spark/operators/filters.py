@@ -100,3 +100,41 @@ def filt_json_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(k > 50).select(
         "event_id", "event_type", k.alias("k")
     )
+
+
+#: Large literal IN-list: deterministic subset of user ids (every 7th of
+#: the first 3500 — 500 entries, above Spark's OptimizeIn threshold).
+IN_LIST = tuple(range(0, 3500, 7))
+
+
+@query(
+    "filt_in_large_list",
+    oracle=f"""
+    -- 500-element IN list: the engine must evaluate it as a SET probe,
+    -- not 500 chained equality ORs
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS uniq
+    FROM events
+    WHERE user_id IN ({", ".join(str(x) for x in IN_LIST)})
+    GROUP BY event_type
+    """,
+)
+def filt_in_large_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large literal IN-list (500 entries) — the filter shape BI tools
+    and id-allowlists generate constantly. Catalyst's OptimizeIn rewrite
+    converts it to an InSet hash probe (O(1) per row) instead of 500
+    chained OR comparisons (O(n) per row and a codegen blowup); above
+    ~spark.sql.optimizer.inSetConversionThreshold this is automatic.
+    The membership math itself is oracle-checked; the plan shape keeps
+    the predicate scannable at 100 TB.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id").isin(*IN_LIST))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("uniq"),
+        )
+    )

@@ -175,6 +175,7 @@ def test_plan_hygiene_all_queries(spark):
         "join_theta_range",  # non-equi join: BNLJ with broadcast side IS the plan
         "llm_ngram_jaccard", # brute-force verify twin of the LSH path
         "llm_ngram_containment",  # brute oracle twin (scale path: MinHash bands)
+        "fn_levenshtein",    # bounded dim x dim broadcast (25 x 5 names)
         "llm_embed_neardup", # exhaustive pair scan, small-SF oracle twin
         "llm_cosine_topk",   # broadcast query-set x corpus (bounded side)
         "llm_knn_classify",  # built on llm_cosine_topk
@@ -263,3 +264,10 @@ def test_corpus_shuffle_rank_is_distributed(spark):
     bucket-offset prefix sum."""
     plan = formatted_plan(fresh(spark, "llm_corpus_shuffle"))
     assert "hashpartitioning(hb" in plan, "per-bucket rank window missing"
+
+
+def test_large_in_list_becomes_inset(spark):
+    """filt_in_large_list's 500-element IN must compile to an InSet hash
+    probe (OptimizeIn), not 500 chained OR equalities."""
+    plan = formatted_plan(fresh(spark, "filt_in_large_list"))
+    assert "INSET" in plan.upper(), "OptimizeIn did not fire"
