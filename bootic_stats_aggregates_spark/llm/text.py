@@ -1019,3 +1019,92 @@ def llm_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@query(
+    "llm_bigram_logprob",
+    oracle="""
+    -- bigram-LM quality signal: mean log2 P(w_i | w_{i-1}) under corpus
+    -- bigram statistics — the step up from the unigram gate (catches
+    -- word-salad text whose unigrams are individually common)
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    bgs AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(ts)),
+               i -> ts[i] || ' ' || ts[i+1]
+             )) AS bg
+      FROM toks WHERE len(ts) >= 2
+    ),
+    doc_bg AS (
+      SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c_doc
+      FROM bgs GROUP BY doc_id, bg
+    ),
+    corpus_bg AS (
+      SELECT bg, CAST(count(*) AS BIGINT) AS c_bg FROM bgs GROUP BY bg
+    ),
+    ctx AS (
+      SELECT string_split(bg, ' ')[1] AS w0,
+             CAST(sum(c_bg) AS BIGINT) AS c_ctx
+      FROM corpus_bg GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.c_doc) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(d.c_doc * log2(CAST(cb.c_bg AS DOUBLE) / cx.c_ctx))
+                      / sum(d.c_doc) AS DOUBLE), 4) AS mean_logprob
+    FROM doc_bg d
+    JOIN corpus_bg cb USING (bg)
+    JOIN ctx cx ON string_split(d.bg, ' ')[1] = cx.w0
+    GROUP BY d.doc_id
+    """,
+)
+def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean log2 bigram conditional probability per doc — the quality
+    gate one rung above ``llm_unigram_logprob``: word-salad text built
+    from individually-common tokens scores HIGH on unigrams but LOW here,
+    because P(w_i | w_{i-1}) = c(bigram)/c(context) punishes never-seen
+    transitions. Shape: bigram explode → (doc×bigram, bigram) stacked
+    hash aggs → context counts derived FROM the bigram table (no second
+    corpus scan) → two equi-joins, both Zipf-skewed like every token
+    join (AQE skew-split at cluster scale). All counts are mergeable;
+    rounded per determinism rule 3.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bgs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    posted = d.select("doc_id", F.explode(bgs).alias("bg"))
+    doc_bg = posted.groupBy("doc_id", "bg").agg(
+        F.count(F.lit(1)).alias("c_doc")
+    )
+    corpus_bg = posted.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = (
+        corpus_bg.groupBy(
+            F.split("bg", " ").getItem(0).alias("w0")
+        ).agg(F.sum("c_bg").alias("c_ctx"))
+    )
+    joined = (
+        doc_bg.join(corpus_bg, "bg")
+        .withColumn("w0", F.split("bg", " ").getItem(0))
+        .join(ctx, "w0")
+    )
+    return joined.groupBy("doc_id").agg(
+        F.sum("c_doc").cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum(
+                F.col("c_doc")
+                * F.log2(F.col("c_bg").cast("double") / F.col("c_ctx"))
+            )
+            / F.sum("c_doc"),
+            4,
+        ).alias("mean_logprob"),
+    )
