@@ -675,3 +675,57 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("asof_view_ts").isNotNull() & ~fresh).alias("dropped_stale"),
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    -- FORWARD as-of: for each click, the user's NEXT view at-or-after —
+    -- the time-to-next-event shape (response latency, conversion lag)
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           date_trunc('second', c.ts) AS click_sec,
+           date_trunc('second', v.ts) AS next_view_sec,
+           CAST(floor(epoch(v.ts)) - floor(epoch(c.ts)) AS BIGINT)
+             AS wait_sec
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND v.ts >= c.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — ``join_asof`` mirrored in time: for each
+    click, the user's NEXT view at-or-after (time-to-next-event: response
+    latency, conversion lag, retry gaps). Same union + carry-forward
+    construction, scanned in DESCENDING time order so the carried view is
+    the nearest one at-or-after; views sort before clicks at equal ts
+    (kind ascending) because ``>=`` admits the simultaneous view. Still
+    one shuffle on user_id + one sort — linear, no pair blow-up; DuckDB's
+    native ASOF with ``>=`` replays it.
+    """
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("kind").asc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = views.unionByName(clicks).withColumn(
+        "next_view_ts", F.last("view_ts", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("kind") == 1).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.date_trunc("second", "ts").alias("click_sec"),
+        F.date_trunc("second", "next_view_ts").alias("next_view_sec"),
+        (F.unix_timestamp("next_view_ts") - F.unix_timestamp("ts"))
+        .cast("long")
+        .alias("wait_sec"),
+    )
