@@ -659,3 +659,65 @@ def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").cast("double") / F.sum("cents").over(w), 6
         ).alias("share"),
     )
+
+
+@query(
+    "win_decile_report",
+    oracle="""
+    -- user-spend decile report: rank users into ntile(10) by total
+    -- spend (total-order tie-break), then aggregate per decile — the
+    -- segmentation table behind "top 10% of users drive X%"
+    WITH totals AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT user_id, cents,
+             ntile(10) OVER (ORDER BY cents DESC, user_id) AS decile
+      FROM totals
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS revenue,
+           round(CAST(sum(cents) AS DOUBLE)
+                 / (SELECT sum(cents) FROM totals), 6) AS revenue_share
+    FROM ranked
+    GROUP BY decile
+    """,
+)
+def win_decile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-decile segmentation — ntile(10) over per-user totals with a
+    total-order tie-break (cents DESC, user_id: ntile assigns boundary
+    ties by position, so the order must be total or the report is
+    nondeterministic), then per-decile users/revenue/share. The ntile
+    window runs over the AGGREGATED user-totals frame — |users| rows,
+    thousands of times smaller than raw events — so the single-partition
+    window is benign here; were totals themselves huge, the two-phase
+    rank of llm_corpus_shuffle applies verbatim. Integer-cents
+    everywhere; share divides by the same exact total on both engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(F.sum(cents("value")).alias("cnts"))
+    grand = totals.agg(F.sum("cnts").alias("g"))
+    w = Window.orderBy(F.desc("cnts"), "user_id")
+    ranked = totals.withColumn("decile", F.ntile(10).over(w))
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("cnts").alias("sum_cents"),
+        )
+        .crossJoin(F.broadcast(grand))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_users",
+            F.round(F.col("sum_cents").cast("double") / 100.0, 2).alias(
+                "revenue"
+            ),
+            F.round(
+                F.col("sum_cents").cast("double") / F.col("g"), 6
+            ).alias("revenue_share"),
+        )
+    )

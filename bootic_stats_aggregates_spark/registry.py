@@ -127,7 +127,7 @@ _GATE_PRIORITY: list[str] = [
     "win_share_of_total", "llm_cooccurrence_pmi", "stream_backpressure",
     "llm_embedding_audit", "src_synthetic_events", "agg_skew_kurtosis",
     "fn_binary_codec", "fn_levenshtein", "filt_in_large_list",
-    "llm_bigram_logprob", "join_asof_forward",
+    "llm_bigram_logprob", "join_asof_forward", "win_decile_report",
 ]
 
 

@@ -176,6 +176,7 @@ def test_plan_hygiene_all_queries(spark):
         "llm_ngram_jaccard", # brute-force verify twin of the LSH path
         "llm_ngram_containment",  # brute oracle twin (scale path: MinHash bands)
         "fn_levenshtein",    # bounded dim x dim broadcast (25 x 5 names)
+        "win_decile_report", # crossJoin(broadcast(<1-row grand total>))
         "llm_embed_neardup", # exhaustive pair scan, small-SF oracle twin
         "llm_cosine_topk",   # broadcast query-set x corpus (bounded side)
         "llm_knn_classify",  # built on llm_cosine_topk
