@@ -678,8 +678,11 @@ _I64_MAX = 9_223_372_036_854_775_807
            CASE WHEN k <= m THEN {_I64_MAX} - m + k END AS sum_or_null,
            CASE WHEN k % 7 <> 0 THEN
              round(CAST(m AS DOUBLE) / (k % 7), 6) END AS div_or_null,
-           CASE WHEN k <= 1 THEN (({_I64_MAX} - m) // 2 + 1) * k
-           END AS prod_or_null
+           -- exact try_multiply replay: product in HUGEINT, NULL iff the
+           -- result leaves the BIGINT range (a k<=1 guard is NOT the
+           -- boundary — for even m, (({_I64_MAX}-m)//2+1)*2 fits)
+           TRY_CAST(CAST(({_I64_MAX} - m) // 2 + 1 AS HUGEINT) * k
+                    AS BIGINT) AS prod_or_null
     FROM src
     """,
 )
@@ -704,9 +707,12 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.try_divide(m.cast("double"), (k % 7)), 6).alias(
             "div_or_null"
         ),
-        F.try_multiply(F.floor(near_max / 2).cast("long") + 1, k).alias(
-            "prod_or_null"
-        ),
+        # `div` is exact 64-bit integer division; `near_max / 2` would go
+        # through double precision and round 2^63-1-m up to 2^63 for small m
+        # (ADVICE r3 high: 9 mismatching k=1 rows at sf0.1).
+        F.try_multiply(
+            F.expr(f"({_I64_MAX}L - user_id % 100) div 2") + 1, k
+        ).alias("prod_or_null"),
     )
 
 

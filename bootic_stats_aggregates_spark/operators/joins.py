@@ -621,18 +621,23 @@ ASOF_TOLERANCE_SEC = 600  # max staleness: match dropped if view older than 10 m
       SELECT c.event_id AS click_id, c.user_id,
              date_trunc('second', c.ts) AS click_sec,
              date_trunc('second', v.ts) AS asof_view_sec,
-             epoch(c.ts) - epoch(v.ts) AS age_sec
+             -- whole-second age, matching Spark's unix_timestamp (which
+             -- floors to seconds BEFORE subtracting): a fractional age
+             -- straddling the threshold must not flip fresh/stale
+             -- between engines (ADVICE r3)
+             floor(epoch(c.ts)) - floor(epoch(v.ts)) AS age_sec
       FROM (SELECT * FROM events WHERE event_type = 'click') c
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         ON c.user_id = v.user_id AND v.ts <= c.ts
     )
+    -- column order mirrors the Spark select exactly (click_sec,
+    -- asof_view_sec, dropped_stale) for positional schema compares;
+    -- the CASE reads the raw-CTE asof_view_sec before the alias shadows
+    -- it, and dropped_stale reads only age_sec, never the shadowed alias
     SELECT click_id, user_id, click_sec,
-           -- dropped_stale computed FIRST and from age_sec only: DuckDB
-           -- lateral column references let the re-used asof_view_sec
-           -- alias shadow the source column in later expressions
-           coalesce(age_sec > {ASOF_TOLERANCE_SEC}, FALSE) AS dropped_stale,
            CASE WHEN age_sec <= {ASOF_TOLERANCE_SEC} THEN asof_view_sec
-                ELSE NULL END AS asof_view_sec
+                ELSE NULL END AS asof_view_sec,
+           coalesce(age_sec > {ASOF_TOLERANCE_SEC}, FALSE) AS dropped_stale
     FROM raw
     """,
 )

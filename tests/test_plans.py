@@ -272,3 +272,59 @@ def test_large_in_list_becomes_inset(spark):
     probe (OptimizeIn), not 500 chained OR equalities."""
     plan = formatted_plan(fresh(spark, "filt_in_large_list"))
     assert "INSET" in plan.upper(), "OptimizeIn did not fire"
+
+
+#: Queries whose *build* legitimately runs Spark jobs: executing is the
+#: point of the op (sinks, streaming micro-batches), the algorithm is
+#: iterative (driver-side convergence loop), or the op stages a physical
+#: layout first (bucketed/partitioned/evolved fixture writes). Everything
+#: else must be a pure lazy plan — VERDICT r3 item 8's permanent guard
+#: against the llm_unigram_logprob class (driver-side .collect() of a
+#: scalar that belongs in a broadcast crossJoin).
+BUILD_RUNS_JOBS_OK = {
+    # sinks: the write IS the operator; the returned frame is the read-back
+    "snk_parquet", "snk_compact", "snk_jsonl_export", "snk_merge_upsert",
+    "snk_observe_audit", "snk_partition_overwrite", "snk_stream_parquet",
+    "snk_redis_hash", "snk_redis_zset", "snk_redis_acct", "snk_redis_paths",
+    "snk_redis_uniq", "stream_redis_counters",
+    # streaming: building runs the micro-batch(es) to a sink
+    "stream_tumbling", "stream_sliding", "stream_session", "stream_dedup",
+    "stream_stateful", "stream_watermark", "stream_output_modes",
+    "stream_quality_gate", "stream_incr_dedup", "stream_chained_stateful",
+    "stream_backpressure", "src_event_stream", "src_socket_stream",
+    "join_stream_static", "join_stream_stream",
+    # physical-layout staging: writes bucketed/partitioned/evolved fixtures
+    "join_bucketed_colocated", "join_dpp_pruned", "src_partition_pruned",
+    "src_schema_evolution", "src_binary_files", "src_csv_robust",
+    "src_synthetic_events",
+    # iterative driver-side convergence loops (documented O(log n) rounds)
+    "llm_cc_star", "llm_dedup_clusters", "llm_dedup_cascade",
+    # eager localCheckpoint under temporarily-armed session confs
+    "join_bloom_pruned",
+}
+
+
+def test_build_is_lazy_fleet_wide(spark):
+    """Building every non-exempt queries() entry must schedule ZERO Spark
+    jobs — a DataFrame is a plan, not a computation. A .collect()/.count()
+    smuggled into plan construction makes the query eager and double-scans
+    at scale (this caught llm_unigram_logprob and llm_cooccurrence_pmi)."""
+    from bootic_stats_aggregates_spark.io import load_all
+
+    load_all(spark, SF_DIR)  # pre-warm: parquet schema inference is a job
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    failures = []
+    for qid in sorted(QUERIES):
+        if qid in BUILD_RUNS_JOBS_OK:
+            continue
+        group = f"lazy-gate-{qid}"
+        sc.setJobGroup(group, f"laziness gate: {qid}")
+        try:
+            fresh(spark, qid)
+        finally:
+            sc.setJobGroup("lazy-gate-idle", "idle")
+        jobs = tracker.getJobIdsForGroup(group)
+        if jobs:
+            failures.append(f"{qid}: build scheduled {len(jobs)} job(s)")
+    assert not failures, "\n".join(failures)
