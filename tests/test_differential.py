@@ -494,3 +494,206 @@ def test_asof_join_vs_duckdb_native(spark, rows):
             assert av == bv, (col, av, bv)
     finally:
         con.close()
+
+
+@given(rows=_rows)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_forward_vs_duckdb_native(spark, rows):
+    """join_asof_forward's time-mirrored carry (DESC scan, views before
+    clicks at equal keys) against DuckDB's native ASOF with ``>=`` — the
+    r3 tie/null frontier (VERDICT r3 item 7): equal timestamps must admit
+    the simultaneous view on both engines, users whose every view is
+    strictly earlier must yield NULL, and duplicate view timestamps must
+    not diverge (the carried value is the view timestamp itself)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    con = duckdb.connect()
+    try:
+        pdf = _to_pdf(rows)
+        _register(spark, con, "t", pdf)
+        duck = con.execute(
+            """
+            SELECT c.id AS click_id, c.k AS user_k, v.u AS next_u
+            FROM (SELECT * FROM t WHERE id % 2 = 1 AND k IS NOT NULL) c
+            ASOF LEFT JOIN
+                 (SELECT * FROM t WHERE id % 2 = 0 AND k IS NOT NULL) v
+              ON c.k = v.k AND v.u >= c.u
+            """
+        ).fetch_df()
+        sdf = spark.table("t").filter(F.col("k").isNotNull())
+        views = sdf.filter(F.col("id") % 2 == 0).select(
+            "k", "u", "id", F.lit(0).alias("kind"), F.col("u").alias("view_u")
+        )
+        clicks = sdf.filter(F.col("id") % 2 == 1).select(
+            "k", "u", "id", F.lit(1).alias("kind"),
+            F.lit(None).cast("long").alias("view_u"),
+        )
+        w = (
+            Window.partitionBy("k")
+            .orderBy(F.col("u").desc(), F.col("kind").asc(), F.col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        merged = views.unionByName(clicks).withColumn(
+            "next_u", F.last("view_u", ignorenulls=True).over(w)
+        )
+        got = (
+            merged.filter(F.col("kind") == 1)
+            .select(F.col("id").alias("click_id"), F.col("k").alias("user_k"),
+                    "next_u")
+            .toPandas()
+        )
+        a = got.sort_values(["click_id"]).reset_index(drop=True)
+        b = duck.sort_values(["click_id"]).reset_index(drop=True)
+        assert len(a) == len(b)
+        for col in ("click_id", "user_k", "next_u"):
+            av = [None if pd.isnull(x) else x for x in a[col]]
+            bv = [None if pd.isnull(x) else x for x in b[col]]
+            assert av == bv, (col, av, bv)
+    finally:
+        con.close()
+
+
+@given(rows=_rows)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_tolerance_vs_duckdb_native(spark, rows):
+    """join_asof_tolerance's staleness gate on random tables: the backward
+    carry plus an age<=TOL post-filter must agree with DuckDB's native
+    ASOF + the same CASE — including the exact-boundary age (u spans only
+    [-3,3] so TOL=2 forces matches AT the threshold), never-matched keys
+    (dropped_stale must be FALSE, not NULL), and equal timestamps
+    (age 0)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    TOL = 2
+    con = duckdb.connect()
+    try:
+        pdf = _to_pdf(rows)
+        _register(spark, con, "t", pdf)
+        duck = con.execute(
+            f"""
+            WITH raw AS (
+              SELECT c.id AS click_id, v.u AS matched_u,
+                     c.u - v.u AS age
+              FROM (SELECT * FROM t WHERE id % 2 = 1 AND k IS NOT NULL) c
+              ASOF LEFT JOIN
+                   (SELECT * FROM t WHERE id % 2 = 0 AND k IS NOT NULL) v
+                ON c.k = v.k AND v.u <= c.u
+            )
+            SELECT click_id,
+                   CASE WHEN age <= {TOL} THEN matched_u END AS fresh_u,
+                   coalesce(age > {TOL}, FALSE) AS dropped_stale
+            FROM raw
+            """
+        ).fetch_df()
+        sdf = spark.table("t").filter(F.col("k").isNotNull())
+        views = sdf.filter(F.col("id") % 2 == 0).select(
+            "k", "u", "id", F.lit(0).alias("kind"), F.col("u").alias("view_u")
+        )
+        clicks = sdf.filter(F.col("id") % 2 == 1).select(
+            "k", "u", "id", F.lit(1).alias("kind"),
+            F.lit(None).cast("long").alias("view_u"),
+        )
+        w = (
+            Window.partitionBy("k")
+            .orderBy("u", "kind", "id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        merged = views.unionByName(clicks).withColumn(
+            "asof_u", F.last("view_u", ignorenulls=True).over(w)
+        )
+        age = F.col("u") - F.col("asof_u")
+        got = (
+            merged.filter(F.col("kind") == 1)
+            .select(
+                F.col("id").alias("click_id"),
+                F.when(age <= TOL, F.col("asof_u")).alias("fresh_u"),
+                (F.col("asof_u").isNotNull() & (age > TOL)).alias(
+                    "dropped_stale"
+                ),
+            )
+            .toPandas()
+        )
+        a = got.sort_values(["click_id"]).reset_index(drop=True)
+        b = duck.sort_values(["click_id"]).reset_index(drop=True)
+        assert len(a) == len(b)
+        for col in ("click_id", "fresh_u", "dropped_stale"):
+            av = [None if pd.isnull(x) else x for x in a[col]]
+            bv = [None if pd.isnull(x) else x for x in b[col]]
+            assert av == bv, (col, av, bv)
+    finally:
+        con.close()
+
+
+@given(rows=_rows)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ntile_boundary_ties(spark, rows):
+    """win_decile_report's ntile under adversarial cardinalities: group
+    sizes not divisible by the tile count (the first ``n % tiles`` tiles
+    get the extra row — both engines must split identically) and heavy
+    ORDER BY ties (u spans only [-3,3]); the id tie-break makes the
+    order total, which is exactly the determinism rule the registered op
+    follows."""
+    con = duckdb.connect()
+    try:
+        _register(spark, con, "t", _to_pdf(rows))
+        sql = """
+            SELECT id,
+                   CAST(ntile(4) OVER (ORDER BY u, id) AS BIGINT) AS quartile,
+                   CAST(ntile(10) OVER (PARTITION BY k ORDER BY v DESC, id)
+                        AS BIGINT) AS decile_in_k
+            FROM t
+        """
+        _assert_engines_agree(spark, con, "ntile_boundary_ties", sql)
+    finally:
+        con.close()
+
+
+@given(rows=_rows)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_max_by_extreme_comparands(spark, rows):
+    """agg_argmax's max_by/min_by at the comparand's 64-bit bounds
+    (VERDICT r3 item 7): comparands pinned to I64_MAX-id / I64_MIN+id
+    (exact integer arithmetic, no overflow en route) must pick the same
+    argument in both engines, with NULL-comparand rows ignored by both.
+    The comparand is unique per row by construction — max_by under ties
+    is explicitly nondeterministic in both engines, so ties are the one
+    shape a differential must NOT generate."""
+    con = duckdb.connect()
+    try:
+        _register(spark, con, "t", _to_pdf(rows))
+        sql = """
+            SELECT k,
+                   CAST(max_by(id, big) AS BIGINT) AS arg_hi,
+                   CAST(min_by(id, big) AS BIGINT) AS arg_lo,
+                   CAST(max(big) AS BIGINT) AS hi,
+                   CAST(count(big) AS BIGINT) AS n_cmp
+            FROM (
+              SELECT k, id,
+                     CASE WHEN u > 0 THEN 9223372036854775807 - id
+                          WHEN u < 0 THEN -9223372036854775807 + id
+                          ELSE NULL END AS big
+              FROM t
+            )
+            GROUP BY k
+        """
+        _assert_engines_agree(spark, con, "max_by_extreme_comparands", sql)
+    finally:
+        con.close()
