@@ -36,6 +36,7 @@ the oracle-checked `stream_redis_counters` query.
 
 from __future__ import annotations
 
+import os
 from collections import defaultdict
 
 from pyspark.sql import DataFrame
@@ -227,6 +228,34 @@ class FakeRedis:
 
     def pipeline(self, transaction: bool = True) -> Pipeline:
         return Pipeline(self)
+
+
+#: Names a real Redis server as a redis:// URL (e.g.
+#: ``redis://localhost:6379/15``). Point it at a DEDICATED test database:
+#: the env-gated integration test flushes the db it connects to.
+REDIS_URL_ENV = "SPARK_GRAFT_REDIS_URL"
+
+
+def client_factory_from_env(default_factory=FakeRedis):
+    """Client factory for the sink, switchable to a real server by env.
+
+    When :data:`REDIS_URL_ENV` is set AND redis-py is importable, returns a
+    factory opening real connections from the URL — the factory captures
+    only the URL string, so cloudpickle ships it to executors and each
+    partition opens its own connection (the redis-py connection pool is not
+    picklable and must never cross process boundaries). Otherwise returns
+    ``default_factory`` (FakeRedis), keeping every consumer runnable in
+    this server-less container (VERDICT r3 item 9: the test gated on this
+    lifts automatically the day the sandbox gains a redis server).
+    """
+    url = os.environ.get(REDIS_URL_ENV)
+    if url and _redis is not None:
+
+        def factory(u: str = url):
+            return _redis.Redis.from_url(u)
+
+        return factory
+    return default_factory
 
 
 def _stage_field(r) -> tuple[str, str]:

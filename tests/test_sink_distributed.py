@@ -122,3 +122,52 @@ def test_distributed_staging_matches_driver_path(spark, batch, tmp_path):
     snapshot = {k: dict(v) for k, v in dist_client.hashes.items()}
     dist_sink(batch, batch_id=7)
     assert {k: dict(v) for k, v in dist_client.hashes.items()} == snapshot
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_REDIS_URL"),
+    reason="SPARK_GRAFT_REDIS_URL not set (no redis server in this "
+    "container); points at a DEDICATED test db — the test flushes it",
+)
+def test_real_redis_server_smoke(spark, batch):
+    """End-to-end RedisCounterSink against a REAL redis server (env-gated,
+    VERDICT r3 item 9): distributed executor-side staging, transactional
+    commit, bytes-typed replies, idempotent replay — then state equality
+    against the FakeRedis driver path on the same batch."""
+    from bootic_stats_aggregates_spark.sinks.redis_sink import (
+        client_factory_from_env,
+    )
+
+    factory = client_factory_from_env()
+    assert factory is not FakeRedis, "redis-py missing despite URL set"
+    client = factory()
+    client.flushdb()  # dedicated test database per the env var contract
+
+    sink = RedisCounterSink(factory, distributed=True)
+    sink(batch, batch_id=11)
+
+    expected = FakeRedis()
+    RedisCounterSink(lambda: expected)(batch, batch_id=11)
+
+    def _dec(b):
+        return b.decode() if isinstance(b, (bytes, bytearray)) else str(b)
+
+    for key, fields in expected.hashes.items():
+        if ":stage:" in key:
+            continue
+        got = {_dec(f): _dec(v) for f, v in client.hgetall(key).items()}
+        assert got == {f: str(v) for f, v in fields.items()}, key
+    for key, members in expected.zsets.items():
+        got = {
+            _dec(m): s for m, s in client.zrange(key, 0, -1, withscores=True)
+        }
+        assert got == {m: float(s) for m, s in members.items()}, key
+    for key, members in expected.sets.items():
+        got = {_dec(m) for m in client.smembers(key)}
+        assert got == set(members), key
+    # marker present, staging consumed, replay is a no-op
+    assert client.get("bootic:batch:11") is not None
+    assert client.hgetall("bootic:stage:11") == {}
+    before = client.hgetall(next(iter(expected.hashes)))
+    sink(batch, batch_id=11)
+    assert client.hgetall(next(iter(expected.hashes))) == before
