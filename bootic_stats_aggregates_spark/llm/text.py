@@ -1118,3 +1118,120 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_logprob"),
     )
+
+
+@query(
+    "llm_ngram_novelty",
+    oracle="""
+    -- per-doc novelty: fraction of a doc's distinct 3-gram shingles that
+    -- appear in NO other document — the inverse signal to boilerplate
+    -- (high novelty = unique content; near-zero = template/copy). Docs
+    -- shorter than 3 tokens have no shingles and drop out (both engines).
+    WITH sh AS (
+      SELECT doc_id,
+        CASE WHEN len(string_split(text,' ')) < 3 THEN []
+        ELSE list_distinct(list_transform(
+          range(1, len(string_split(text,' ')) - 2 + 1),
+          i -> string_split(text,' ')[i] || ' ' ||
+               string_split(text,' ')[i+1] || ' ' ||
+               string_split(text,' ')[i+2]
+        )) END AS s
+      FROM documents
+    ),
+    posted AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    -- shingles are distinct per doc, so count(*) IS document frequency
+    freq AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM posted GROUP BY g)
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE f.df = 1) AS BIGINT) AS n_novel,
+           round(CAST(count(*) FILTER (WHERE f.df = 1) AS DOUBLE)
+                 / count(*), 4) AS novelty_ratio
+    FROM posted p JOIN freq f USING (g)
+    GROUP BY p.doc_id
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty — the complement of
+    :func:`llm_boilerplate_chunks`: the fraction of a document's distinct
+    3-gram shingles appearing in no OTHER document. Curation uses it as a
+    keep-signal (high-novelty docs carry information the corpus doesn't
+    already have) where boilerplate-share is a drop-signal. Shape:
+    codegen shingler -> explode -> shingle-df hash agg -> hash join back
+    -> per-doc agg; all mergeable, nothing quadratic (shingle space is
+    linear in corpus tokens), and the shingle join is Zipf-skewed like
+    every token join — AQE skew-split at cluster scale.
+    """
+    from .dedup import _shingles
+
+    d = table(spark, sf_dir, "documents")
+    posted = d.select("doc_id", F.explode(_shingles()).alias("g"))
+    freq = posted.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    novel = F.count_if(F.col("df") == 1)
+    return (
+        posted.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            novel.cast("long").alias("n_novel"),
+            F.round(
+                novel.cast("double") / F.count(F.lit(1)), 4
+            ).alias("novelty_ratio"),
+        )
+    )
+
+
+ZIPF_TOP_TERMS = 1000  # head-vocabulary slice the power law is fitted on
+
+
+@query(
+    "llm_zipf_slope",
+    oracle=f"""
+    -- corpus Zipf fit: regress ln(freq) on ln(rank) over the top
+    -- {ZIPF_TOP_TERMS} terms. A healthy natural-language corpus sits near
+    -- slope -1; machine-generated or deduplicated-to-death corpora drift.
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, n FROM freq ORDER BY n DESC, tok LIMIT {ZIPF_TOP_TERMS}
+    ),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS r FROM top
+    )
+    SELECT round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4)
+             AS zipf_slope,
+           round(regr_intercept(ln(CAST(n AS DOUBLE)),
+                                ln(CAST(r AS DOUBLE))), 4) AS ln_c,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM ranked
+    """,
+)
+def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health Zipf diagnostic: fit ln(freq) ~ ln(rank) over the
+    head vocabulary. Natural corpora follow freq ∝ rank^s with s ≈ -1;
+    a slope drifting toward 0 flags synthetic/templated text, a cliff
+    past -1.5 flags over-deduplication — the cheap corpus-level sibling
+    of the per-doc logprob gates. Shape: token hash agg -> global top-k
+    (TakeOrderedAndProject, no vocab-wide sort) -> rank over the
+    {ZIPF_TOP_TERMS}-row head (bounded single-partition window, same
+    justification as llm_cooccurrence_pmi's top slice) -> one regression
+    aggregate. Output is a single row; rounded per determinism rule 3.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    top = freq.orderBy(F.desc("n"), "tok").limit(ZIPF_TOP_TERMS)
+    w = Window.orderBy(F.desc("n"), "tok")
+    ranked = top.select(
+        F.col("n"), F.row_number().over(w).alias("r")
+    )
+    ln_n = F.log(F.col("n").cast("double"))
+    ln_r = F.log(F.col("r").cast("double"))
+    return ranked.agg(
+        F.round(F.regr_slope(ln_n, ln_r), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(ln_n, ln_r), 4).alias("ln_c"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )

@@ -19,7 +19,7 @@ make money sums order-independent (helpers.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..helpers import (
@@ -1038,4 +1038,119 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 3,
             4,
         ).alias("kurt_excess_pop"),
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    -- deterministic per-group MODE: the modal hour-of-day per event type,
+    -- ties broken toward the earlier hour. Both engines ship a mode()
+    -- aggregate, but its tie choice is explicitly nondeterministic in
+    -- each — so the registered op states the tie-break in the plan
+    -- (count desc, hour asc) instead of trusting engine luck.
+    SELECT event_type, modal_hour, n_at_mode
+    FROM (
+      SELECT event_type,
+             CAST(date_part('hour', ts) AS BIGINT) AS modal_hour,
+             CAST(count(*) AS BIGINT) AS n_at_mode,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY count(*) DESC, date_part('hour', ts)
+             ) AS rn
+      FROM events
+      GROUP BY event_type, date_part('hour', ts)
+    )
+    WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent value) per group — here the modal
+    hour-of-day per event type (the "when does traffic peak" report).
+    Spark 4 and DuckDB both have ``mode()``, but both document arbitrary
+    tie choice; a differential-checked engine cannot ship that, so the op
+    is the explicit two-phase shape: hash agg to (group, value, n), then
+    a per-group top-1 window with a total order (n desc, value asc).
+    Scale: the window input is |groups x distinct values| (tiny — 5 types
+    x 24 hours), already aggregated; WindowGroupLimit prunes to 1 row per
+    group map-side at any cardinality.
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").alias("modal_hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.col("modal_hour")
+    )
+    return (
+        hourly.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("modal_hour").cast("long").alias("modal_hour"),
+            F.col("n").cast("long").alias("n_at_mode"),
+        )
+    )
+
+
+@query(
+    "agg_calendar_fill",
+    oracle="""
+    -- zero-filled daily time series: every (event_type, day) cell in the
+    -- corpus' date span, 0 where no events occurred — the gap-filling
+    -- reporting shape (charts and window functions break on missing days)
+    WITH bounds AS (
+      SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+      FROM events
+    ),
+    days AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT t.event_type, d.day, coalesce(n, 0) AS n_events
+    FROM days d
+    CROSS JOIN types t
+    LEFT JOIN daily USING (event_type, day)
+    """,
+)
+def agg_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: the dense (event_type x day) grid over the data's
+    own date span with explicit zeros — the precondition for any
+    moving-average or month-over-month window (missing days silently
+    shrink window frames). The date spine is generated IN the plan
+    (min/max agg -> sequence -> explode; one row in, |days| rows out — no
+    driver-side collect, laziness-gate clean) and cross-joined with the
+    distinct-types frame; both sides of that cross join are broadcast-
+    sized at ANY corpus scale (days x types, not events). The facts then
+    LEFT-join onto the spine so absent cells survive as zeros.
+    """
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    spine = days.crossJoin(types)
+    return (
+        F.broadcast(spine)
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        )
     )

@@ -734,3 +734,105 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wait_sec"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    -- NEAREST as-of (pandas merge_asof direction='nearest'): for each
+    -- click, the view closest in time in EITHER direction; equidistant
+    -- ties resolve to the earlier (backward) view. Ages compare as
+    -- whole seconds (floored epochs) to match unix_timestamp semantics.
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    v AS (SELECT * FROM events WHERE event_type = 'view'),
+    b AS (
+      SELECT c.event_id AS cid, v.ts AS bts
+      FROM c ASOF LEFT JOIN v
+        ON c.user_id = v.user_id AND v.ts <= c.ts
+    ),
+    f AS (
+      SELECT c.event_id AS cid, v.ts AS fts
+      FROM c ASOF LEFT JOIN v
+        ON c.user_id = v.user_id AND v.ts >= c.ts
+    ),
+    m AS (
+      SELECT c.event_id, c.user_id, c.ts, b.bts, f.fts,
+             floor(epoch(c.ts)) - floor(epoch(b.bts)) AS back_age,
+             floor(epoch(f.fts)) - floor(epoch(c.ts)) AS fwd_age
+      FROM c
+      JOIN b ON c.event_id = b.cid
+      JOIN f ON c.event_id = f.cid
+    )
+    SELECT event_id AS click_id, user_id,
+           date_trunc('second', ts) AS click_sec,
+           date_trunc('second',
+             CASE WHEN bts IS NULL THEN fts
+                  WHEN fts IS NULL THEN bts
+                  WHEN back_age <= fwd_age THEN bts ELSE fts
+             END) AS nearest_view_sec,
+           CAST(CASE WHEN bts IS NULL THEN fwd_age
+                     WHEN fts IS NULL THEN -back_age
+                     WHEN back_age <= fwd_age THEN -back_age ELSE fwd_age
+                END AS BIGINT) AS offset_sec
+    FROM m
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — completes the as-of family (backward
+    :func:`join_asof`, forward :func:`join_asof_forward`): each click
+    attributes to the view closest in time in either direction, the
+    pandas ``merge_asof(direction='nearest')`` semantic (useful when
+    clock skew makes "the view just after" as plausible as "just
+    before"). Equidistant ties take the earlier view. Built as ONE
+    union shuffled ONCE on user_id with two window passes (ascending
+    carry-forward = latest view at-or-before, descending = earliest
+    view at-or-after) and a pure projection choosing the closer side —
+    still linear, no pair blow-up, and Catalyst reuses the single
+    hashpartitioning exchange for both sorts. Offset is signed
+    (negative = attributed view precedes the click).
+    """
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    asc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    desc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("kind").asc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        views.unionByName(clicks)
+        .withColumn("back_ts", F.last("view_ts", ignorenulls=True).over(asc))
+        .withColumn("fwd_ts", F.last("view_ts", ignorenulls=True).over(desc))
+    )
+    back_age = F.unix_timestamp("ts") - F.unix_timestamp("back_ts")
+    fwd_age = F.unix_timestamp("fwd_ts") - F.unix_timestamp("ts")
+    nearest = (
+        F.when(F.col("back_ts").isNull(), F.col("fwd_ts"))
+        .when(F.col("fwd_ts").isNull(), F.col("back_ts"))
+        .when(back_age <= fwd_age, F.col("back_ts"))
+        .otherwise(F.col("fwd_ts"))
+    )
+    offset = (
+        F.when(F.col("back_ts").isNull(), fwd_age)
+        .when(F.col("fwd_ts").isNull(), -back_age)
+        .when(back_age <= fwd_age, -back_age)
+        .otherwise(fwd_age)
+    )
+    return merged.filter(F.col("kind") == 1).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.date_trunc("second", "ts").alias("click_sec"),
+        F.date_trunc("second", nearest).alias("nearest_view_sec"),
+        offset.cast("long").alias("offset_sec"),
+    )

@@ -721,3 +721,70 @@ def win_decile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+@query(
+    "win_percentile_band",
+    oracle="""
+    -- rank-based customer-value percentiles within market segment:
+    -- percent_rank / cume_dist are functions of the ORDER BY value's
+    -- RANK, so ties (equal spend) land identical scores in both engines
+    -- with no tie-break column needed — unlike ntile, which is
+    -- positional and does need one (win_decile_report).
+    WITH spend AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+                  AS BIGINT) AS spend_cents
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_mktsegment
+    )
+    SELECT c_custkey, c_mktsegment, spend_cents,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CASE WHEN percent_rank() OVER w >= 0.99 THEN 'p99'
+                WHEN percent_rank() OVER w >= 0.90 THEN 'p90'
+                WHEN percent_rank() OVER w >= 0.50 THEN 'p50'
+                ELSE 'rest' END AS band
+    FROM spend
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend_cents)
+    """,
+)
+def win_percentile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based percentile scoring per group (``percent_rank`` /
+    ``cume_dist``) with banding — the "where does this customer sit
+    within their segment" report, and the window-family gap left after
+    ntile (positional) and rank/dense_rank (ordinal). Both functions are
+    defined on the rank of the ORDER BY value, so equal spends score
+    identically — deterministic under ties BY CONSTRUCTION, which is why
+    this op needs no tie-break column while win_decile_report does.
+    Shape: exact cents agg (one shuffle) then one window pass per
+    segment; at scale the window partitions by segment and spills
+    per-partition, no global sort.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("spend_cents")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("spend_cents")
+    return spend.select(
+        "c_custkey",
+        "c_mktsegment",
+        "spend_cents",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.when(F.percent_rank().over(w) >= 0.99, "p99")
+        .when(F.percent_rank().over(w) >= 0.90, "p90")
+        .when(F.percent_rank().over(w) >= 0.50, "p50")
+        .otherwise("rest")
+        .alias("band"),
+    )

@@ -181,6 +181,10 @@ def test_plan_hygiene_all_queries(spark):
         "llm_cosine_topk",   # broadcast query-set x corpus (bounded side)
         "llm_knn_classify",  # built on llm_cosine_topk
         "llm_tfidf_topterms",# crossJoin(broadcast(<1-row global count>))
+        "llm_unigram_logprob",   # crossJoin(broadcast(<1-row corpus total>))
+        "llm_cooccurrence_pmi",  # crossJoin(broadcast(<1-row doc count>))
+        "agg_calendar_fill", # date-spine x types grid: both sides broadcast-
+                             # sized at any corpus scale (days x types)
     }
     python_ok = {
         "udf_plain",  # the fenced-off last-resort surface
@@ -328,3 +332,18 @@ def test_build_is_lazy_fleet_wide(spark):
         if jobs:
             failures.append(f"{qid}: build scheduled {len(jobs)} job(s)")
     assert not failures, "\n".join(failures)
+
+
+def test_asof_nearest_single_shuffle(spark):
+    """join_asof_nearest claims both direction windows reuse ONE
+    hashpartitioning exchange on user_id: two Sort+Window passes, no
+    second shuffle, and never a join of the pair space."""
+    plan = formatted_plan(fresh(spark, "join_asof_nearest"))
+    body = plan.split("===== Subqueries =====")[0]
+    n_exchanges = sum(
+        1 for ln in body.splitlines() if ln.strip().startswith("(")
+        and "Exchange" in ln
+    )
+    assert n_exchanges == 1, f"expected 1 exchange, plan has {n_exchanges}"
+    assert plan.count("Window") >= 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
