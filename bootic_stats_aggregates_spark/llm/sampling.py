@@ -261,3 +261,95 @@ def llm_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((rank - 1) / SHUFFLE_SHARD_DOCS).cast("long").alias("shard_id"),
         )
     )
+
+
+#: per-band keep percentages for quality-weighted sampling.
+QS_HIGH_CUT, QS_MID_CUT = 0.8, 0.5
+QS_MID_PCT, QS_LOW_PCT = 50, 10
+
+#: the llm_quality_score heuristic, restated once per engine (the band
+#: thresholds must bucket IDENTICAL scores on both sides).
+_Q_SPARK_STOP = "array('a','the','of','to','and','in','is','it')"
+_Q_DUCK_STOP = "['a','the','of','to','and','in','is','it']"
+
+
+@query(
+    "llm_quality_sample",
+    oracle=f"""
+    -- quality-weighted deterministic sampling: high-quality docs all
+    -- kept, mid kept at {QS_MID_PCT}%, low at {QS_LOW_PCT}% — membership
+    -- a pure hash of doc_id within each band (reproducible under any
+    -- partitioning, append-stable, replayable cross-engine)
+    WITH scored AS (
+      SELECT doc_id, lang,
+        round(
+          0.4 * least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+          + 0.3 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0,
+                        1.0)
+          + 0.3 * (1.0 - CAST(len(list_intersect(
+                     list_distinct(string_split(text, ' ')), {_Q_DUCK_STOP}))
+                     AS DOUBLE)
+                   / len(list_distinct(string_split(text, ' ')))),
+          6) AS quality,
+        CAST({oracle_bucket('doc_id')} AS BIGINT) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, quality, bucket,
+           CASE WHEN quality >= {QS_HIGH_CUT} THEN 'high'
+                WHEN quality >= {QS_MID_CUT} THEN 'mid'
+                ELSE 'low' END AS band
+    FROM scored
+    WHERE (quality >= {QS_HIGH_CUT})
+       OR (quality >= {QS_MID_CUT} AND bucket < {QS_MID_PCT})
+       OR (quality < {QS_MID_CUT} AND bucket < {QS_LOW_PCT})
+    """,
+)
+def llm_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling — the curation move between "keep
+    everything above a cutoff" (llm_quality_filter) and "uniform N%"
+    (sample_hash_det): keep ALL high-quality docs, thin the middle band
+    to {QS_MID_PCT}%, keep a {QS_LOW_PCT}% floor of the low band (low-
+    quality text still contributes robustness; dropping it entirely
+    shifts the training distribution). Membership composes the
+    llm_quality_score heuristic with the cross-engine key hash, so the
+    kept set is a pure function of (text, doc_id): append-stable,
+    partition-independent, re-run-identical. Map-only at any scale —
+    score, hash, and band are all codegen projections; no shuffle.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    uniq = F.array_distinct(toks)
+    stop = F.expr(_Q_SPARK_STOP)
+    quality = F.round(
+        0.4 * F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0))
+        + 0.3 * F.least(F.size(toks).cast("double") / 50.0, F.lit(1.0))
+        + 0.3
+        * (
+            F.lit(1.0)
+            - F.size(F.array_intersect(uniq, stop)).cast("double")
+            / F.size(uniq)
+        ),
+        6,
+    )
+    bucket = (
+        (F.col("doc_id") * F.lit(HASH_A) + F.lit(HASH_C)) % F.lit(HASH_P)
+    ) % F.lit(100)
+    scored = d.select(
+        "doc_id",
+        "lang",
+        quality.alias("quality"),
+        bucket.cast("long").alias("bucket"),
+    )
+    keep = (
+        (F.col("quality") >= QS_HIGH_CUT)
+        | ((F.col("quality") >= QS_MID_CUT) & (F.col("bucket") < QS_MID_PCT))
+        | ((F.col("quality") < QS_MID_CUT) & (F.col("bucket") < QS_LOW_PCT))
+    )
+    band = (
+        F.when(F.col("quality") >= QS_HIGH_CUT, "high")
+        .when(F.col("quality") >= QS_MID_CUT, "mid")
+        .otherwise("low")
+    )
+    return scored.filter(keep).select(
+        "doc_id", "lang", "quality", "bucket", band.alias("band")
+    )

@@ -681,3 +681,86 @@ def llm_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(norm), 4).alias("avg_norm"),
         F.round(F.min(norm), 4).alias("min_norm"),
     )
+
+
+_QTZ_P = 1_000_000_007  # digest modulus (same cross-engine family as SimHash)
+
+
+@query(
+    "llm_embed_quantize",
+    oracle=f"""
+    -- symmetric int8 quantization of the embedding column (the ANN-index
+    -- / storage compression step): q_i = floor(x_i / max|x| * 127 + 0.5),
+    -- zero-vectors map to all-zero. Output is scalar digests of the
+    -- quantized sequence (order-sensitive polynomial hash), not the raw
+    -- array — array stringification differs across engines, digests don't.
+    WITH q AS (
+      SELECT vec_id, label,
+             CAST(len(embedding) AS BIGINT) AS n_dims,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS mx,
+             list_transform(
+               embedding,
+               x -> CASE
+                 WHEN list_max(list_transform(embedding,
+                                              y -> abs(CAST(y AS DOUBLE)))) = 0
+                 THEN 0
+                 ELSE CAST(floor(CAST(x AS DOUBLE)
+                      / list_max(list_transform(embedding,
+                                                y -> abs(CAST(y AS DOUBLE))))
+                      * 127 + 0.5) AS BIGINT)
+               END
+             ) AS qv
+      FROM embeddings
+    )
+    SELECT vec_id, label, n_dims,
+           round(mx / 127, 6) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max,
+           CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), qv),
+                            (acc, v) -> (acc * 131 + v + 128) % {_QTZ_P})
+                AS BIGINT) AS q_digest
+    FROM q
+    """,
+)
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    compression step every large ANN deployment runs before indexing
+    (4x smaller than float32, SIMD-friendly dot products): per-vector
+    absmax scaling, round-half-up via ``floor(x*127/mx + 0.5)`` (an
+    explicit, engine-agnostic rounding rule — banker's-rounding
+    differences between engines never enter), zero-vectors quantize to
+    zeros instead of dividing by zero. Map-only codegen (higher-order
+    transform/aggregate over the float array, promoted to double on both
+    engines so the IEEE results are bit-identical); the comparison
+    surface is scalar digests including an order-sensitive polynomial
+    hash of the quantized sequence. At 100 TB this runs embarrassingly
+    parallel and feeds llm_ann_ivf's cells with 1/4 the bytes.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    absd = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    mx = F.array_max(absd)
+    qv = F.transform(
+        "embedding",
+        lambda x: F.when(mx == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(x.cast("double") / mx * 127 + 0.5)
+        ),
+    )
+    digest = F.aggregate(
+        qv,
+        F.lit(7).cast("long"),
+        lambda acc, v: (acc * 131 + v + 128) % _QTZ_P,
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.round(mx / 127, 6).alias("scale"),
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, v: a + v).alias(
+            "q_sum"
+        ),
+        F.array_min(qv).cast("long").alias("q_min"),
+        F.array_max(qv).cast("long").alias("q_max"),
+        digest.cast("long").alias("q_digest"),
+    )
