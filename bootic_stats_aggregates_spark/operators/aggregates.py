@@ -1154,3 +1154,86 @@ def agg_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+@query(
+    "agg_product",
+    oracle="""
+    -- multiplicative aggregate: per-order compound discount factor,
+    -- EXACT in wide integers. Discounts are 2-decimal, so each line's
+    -- keep-fraction is an integer percentage; fixture orders carry up to
+    -- 13 lines, so the group product reaches 100^13 = 1e26 — past BIGINT
+    -- and past double exactness — hence the HUGEINT fold here and the
+    -- DECIMAL(38,0) fold on the Spark side. The double factor is then
+    -- derived by the SAME cast+division of the SAME exact integer in
+    -- both engines. A log-space first cut hit guaranteed half-way cases
+    -- (products of 2-decimal numbers land exactly on the rounding grid,
+    -- where exp(sum(ln)) vs native product() round in opposite
+    -- directions); a BIGINT fold overflowed at 13 lines.
+    WITH folded AS (
+      SELECT l_orderkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             list_reduce(
+               list_prepend(1::HUGEINT,
+                 list_transform(list(100 - round(l_discount * 100)),
+                                x -> CAST(x AS HUGEINT))),
+               (a, b) -> a * b) AS iprod
+      FROM lineitem
+      GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, n_lines,
+           CAST(iprod AS VARCHAR) AS compound_digits,
+           CAST((iprod * 1000000)
+                // CAST('1' || repeat('00', CAST(n_lines AS INT)) AS HUGEINT)
+                AS BIGINT) AS compound_e6
+    FROM folded
+    """,
+)
+def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative aggregate (PRODUCT) — compound factors (stacked
+    discounts, retention multipliers) that engines with a native
+    ``product()`` get for free and Spark must compose. The exact path
+    folds the collected integer percentages in DECIMAL(38,0) — integer
+    multiplication is commutative and associative exactly, so the result
+    is partition-order-independent, and 38 digits cover the fixture's
+    worst group (13 lines -> 1e26; an int64 fold overflowed ANSI-mode).
+    The 6-decimal factor is derived by EXACT integer division (floor of
+    millionths) — a first cut exposed both float failure modes in one op:
+    ``exp(sum(ln x))`` flipped 14/14.7k groups at the rounding grid, and
+    even the exact product diverged last-ulp once ``pow()`` entered
+    (Java Math.pow vs libm). For UNBOUNDED groups the scale path is the
+    log-space mergeable form with those documented tolerances. One
+    shuffle on l_orderkey either way.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    ipct = (F.lit(100) - F.round(F.col("l_discount") * 100)).cast("long")
+    iprod = F.aggregate(
+        F.collect_list(ipct.alias("ipct")),
+        F.lit(1).cast("decimal(38,0)"),
+        lambda acc, x: (acc * x).cast("decimal(38,0)"),
+    )
+    denom = F.concat(
+        F.lit("1"), F.repeat(F.lit("00"), F.col("n_lines").cast("int"))
+    ).cast("decimal(38,0)")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            iprod.alias("iprod"),
+        )
+        .select(
+            "l_orderkey",
+            "n_lines",
+            F.col("iprod").cast("string").alias("compound_digits"),
+            F.expr("iprod * 1000000")
+            .cast("decimal(38,0)")
+            .alias("_num"),
+            denom.alias("_den"),
+        )
+        .select(
+            "l_orderkey",
+            "n_lines",
+            "compound_digits",
+            F.expr("CAST(_num div _den AS BIGINT)").alias("compound_e6"),
+        )
+    )

@@ -14,9 +14,13 @@ columns; tests/test_plans.py asserts it.
 
 from __future__ import annotations
 
+import tempfile
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..helpers import cents
 from ..io import table
 from ..registry import query
 
@@ -437,4 +441,42 @@ def src_synthetic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long"))
         .cast("long")
         .alias("cents"),
+    )
+
+
+@query(
+    "src_orc",
+    oracle="""
+    -- ORC round-trip: whatever lands in the columnar ORC layout must
+    -- come back value-identical; the oracle computes the same rollup
+    -- straight from the parquet truth
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(min(user_id) AS BIGINT) AS min_uid,
+           CAST(max(user_id) AS BIGINT) AS max_uid
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source: the second columnar wire format a Spark-native engine
+    must read (Hive-era lakes are ORC; Spark ships a vectorized ORC
+    reader with the same predicate-pushdown + column-pruning surface as
+    parquet). The fixture is parquet-only, so the op materializes the
+    events table as ORC once (snappy, per-column stats) and re-scans it;
+    the rollup off the ORC scan must equal the rollup DuckDB computes
+    from the parquet truth — types (timestamp, string, double, long)
+    survive the format hop. Scale: identical to the parquet scan story —
+    split-per-stripe parallel read, stripe-level min/max skipping.
+    """
+    ev = table(spark, sf_dir, "events")
+    out = f"{tempfile.gettempdir()}/bootic_orc_{uuid.uuid4().hex[:8]}"
+    ev.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(cents("value")).cast("long").alias("cents"),
+        F.min("user_id").cast("long").alias("min_uid"),
+        F.max("user_id").cast("long").alias("max_uid"),
     )

@@ -788,3 +788,71 @@ def win_percentile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("rest")
         .alias("band"),
     )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+    -- positional window probes: running 3rd-smallest-position value and
+    -- first/last NON-NULL payload per partition (IGNORE NULLS semantics)
+    WITH src AS (
+      SELECT event_id, event_type, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_id % 7 <> 0
+                  THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k_val
+      FROM events WHERE event_id % 11 = 0
+    )
+    SELECT event_id, event_type, cents,
+           nth_value(cents, 3) OVER w_run AS third_cents,
+           first_value(k_val IGNORE NULLS) OVER w_full AS first_k,
+           last_value(k_val IGNORE NULLS) OVER w_full AS last_k
+    FROM src
+    WINDOW
+      w_run AS (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_full AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window probes (``nth_value`` + ``first``/``last`` with
+    IGNORE NULLS) — the window-family gap after lag/lead (relative
+    offsets) and first/last plain (frame edges): "the 3rd event's amount
+    so far" and "the first/last event that actually carried a payload".
+    NULLs are synthesized deterministically (every 7th event drops its
+    payload) so the IGNORE NULLS skip path is exercised on both engines.
+    Frames are spelled out as ROWS with a full (ts, event_id) tie-broken
+    ordering — FIXTURES.md rule 2 — because nth_value under a RANGE frame
+    is tie-dependent. Shape: one shuffle on event_type, two frame
+    evaluations over the same sort — Spark computes both in a single
+    Window physical node.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    src = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        cents("value").alias("cents"),
+        F.when(
+            F.col("event_id") % 7 != 0,
+            F.get_json_object("props", "$.k").cast("long"),
+        ).alias("k_val"),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return src.select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.nth_value("cents", 3).over(w_run).alias("third_cents"),
+        F.first("k_val", ignorenulls=True).over(w_full).alias("first_k"),
+        F.last("k_val", ignorenulls=True).over(w_full).alias("last_k"),
+    )

@@ -84,10 +84,11 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: core + streaming surface; round 3 the 26 then-unverified ops + 24 round-3
 #: additions — all 150 rows green, no value-failure ever. Round 4 front-loads
 #: the LAST 37 operators that have never earned a driver row (the round-3
-#: additions that sat below the cap), completing 182/182 driver-verified
-#: coverage; slots 38-50 are backfilled with round-1 rows that have not been
-#: re-confirmed since r1 (re-confirmation is free and ages out the oldest
-#: evidence). Verification status of every entry, stated precisely (ADVICE
+#: additions that sat below the cap), then the operators newly registered
+#: DURING round 4 (slots 38-45), so every op that has never seen a driver row
+#: sits inside the 50-row gate; the remaining slots re-confirm round-1 rows
+#: that have not been checked since r1 (re-confirmation is free and ages out
+#: the oldest evidence). Verification status of every entry, stated precisely (ADVICE
 #: r3 item 2): all 182 registered pairs pass the local oracle gate at sf0.01
 #: (tests/test_oracle.py, exact value compare); the sf0.1 sweep was re-run
 #: this round for every op whose oracle cost is linear in the input
@@ -114,11 +115,13 @@ _GATE_PRIORITY: list[str] = [
     "src_binary_files", "src_schema_evolution", "src_synthetic_events",
     "snk_observe_audit", "snk_jsonl_export", "snk_merge_upsert",
     "stream_incr_dedup", "stream_chained_stateful", "stream_backpressure",
-    # --- slots 38-50: round-1 rows never re-confirmed since r1 ---
-    "agg_count_by_bucket", "agg_multi_rollup", "agg_sum_avg_minmax",
-    "fn_string", "fn_date", "fn_math", "llm_exact_dedup", "llm_near_dedup",
-    "llm_dedup_clusters", "llm_cosine_topk", "llm_text_stats",
-    "udf_scalar_pandas", "llm_chunk_native",
+    # --- slots 38-45: round-4 additions (registered this round, no row yet) ---
+    "join_asof_nearest", "agg_mode", "agg_calendar_fill",
+    "win_percentile_band", "llm_ngram_novelty", "llm_zipf_slope",
+    "llm_quality_sample", "llm_embed_quantize",
+    # --- slots 46-50: round-1 rows never re-confirmed since r1 ---
+    "agg_count_by_bucket", "agg_multi_rollup", "fn_string",
+    "llm_exact_dedup", "llm_near_dedup",
 ]
 
 
