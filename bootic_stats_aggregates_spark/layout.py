@@ -225,3 +225,73 @@ def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
+
+
+def _interleave_sql(x: str, y: str, bits: int) -> str:
+    """Morton/Z-order bit interleave as a closed-form integer expression —
+    identical text runs on both engines (& | << >> are common syntax)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@query(
+    "layout_zorder",
+    oracle=f"""
+    -- replay of the Z-value computation + per-tile bounding boxes: a
+    -- Z-order tile of 256 consecutive z values must be a 16x16 rectangle
+    -- in (user bucket, hour bucket) space — tight on BOTH dimensions
+    WITH coords AS (
+      SELECT user_id % 256 AS xb,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) % 256 AS yb
+      FROM events
+    ),
+    zvals AS (
+      SELECT xb, yb, ({_interleave_sql('xb', 'yb', 8)}) AS z FROM coords
+    )
+    SELECT CAST(z // 256 AS BIGINT) AS tile,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(xb) AS BIGINT) AS x_lo, CAST(max(xb) AS BIGINT) AS x_hi,
+           CAST(min(yb) AS BIGINT) AS y_lo, CAST(max(yb) AS BIGINT) AS y_hi
+    FROM zvals
+    GROUP BY 1
+    """,
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton-curve) multi-dimensional clustering — the layout
+    trick behind Delta/Iceberg ``OPTIMIZE ZORDER BY``: interleaving the
+    bits of two predicate dimensions gives ONE sort key whose consecutive
+    ranges are small rectangles in BOTH dimensions, so parquet row-group
+    min/max stats prune scans for predicates on EITHER column. A plain
+    sort clusters only its leading column; at 100 TB the write path is
+    ``repartitionByRange(z).sortWithinPartitions(z)`` before the parquet
+    write, and every file then carries tight (user, hour) stats. The
+    registered query verifies the geometric property the pruning relies
+    on: each 256-wide z tile is a 16x16 bounding box (the oracle checks
+    every tile's box exactly). The z computation itself is a map-only
+    integer expression — shift/mask/or in whole-stage codegen, one hash
+    aggregate for the tile stats.
+    """
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    coords = ev.select(
+        (F.col("user_id") % 256).alias("xb"),
+        (
+            F.floor(F.col("ts").cast("double") / 3600).cast("long") % 256
+        ).alias("yb"),
+    )
+    z = coords.select(
+        "xb", "yb", F.expr(_interleave_sql("xb", "yb", 8)).alias("z")
+    )
+    return (
+        z.groupBy(F.expr("CAST(z div 256 AS BIGINT)").alias("tile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("xb").cast("long").alias("x_lo"),
+            F.max("xb").cast("long").alias("x_hi"),
+            F.min("yb").cast("long").alias("y_lo"),
+            F.max("yb").cast("long").alias("y_hi"),
+        )
+    )

@@ -764,3 +764,92 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(qv).cast("long").alias("q_max"),
         digest.cast("long").alias("q_digest"),
     )
+
+
+#: SemDeDup keep/drop threshold — cos >= this to a lower-id cell-mate
+#: drops the vector. Same rounded-6 cosine as every other similarity op.
+SEMDEDUP_COS = 0.4
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {_NRM_SQL} AS nrm,
+             {_cell_dots_sql('embedding')} AS ds
+      FROM embeddings
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, nrm,
+             list_position(ds, list_max(ds)) - 1 AS cell
+      FROM e
+    ),
+    -- a vector is dropped iff some LOWER-id member of its own cell is
+    -- within the threshold (keep-first-id: deterministic, order-free)
+    drops AS (
+      SELECT DISTINCT e.vec_id
+      FROM assigned e JOIN assigned q
+        ON q.cell = e.cell AND q.vec_id < e.vec_id
+      WHERE round({_DOT_SQL} / (q.nrm * e.nrm), 6) >= {SEMDEDUP_COS}
+    )
+    SELECT a.vec_id,
+           CAST(a.cell AS BIGINT) AS cell,
+           d.vec_id IS NULL AS kept
+    FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id
+    """
+
+
+@query("llm_semdedup", oracle=_semdedup_oracle())
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup — SEMANTIC deduplication by embedding clustering (Abbas et
+    al. 2023, arXiv:2303.09540): cluster the corpus by coarse quantization,
+    then drop every vector that sits within a cosine threshold of an
+    earlier member of its OWN cluster. This is the production complement
+    of llm_embed_neardup: instead of enumerating near-dup pairs it emits
+    the keep/drop manifest a curation pipeline applies. Keep-lowest-id is
+    the documented tie-break, making the manifest a pure function of the
+    corpus (append-stable, rerun-stable).
+
+    Scale shape: cell assignment is a map-only projection (reused from the
+    IVF index — one shared set of centroids quantizes both the search and
+    the dedup paths); the pair scan is an equi-self-join ON CELL, so the
+    quadratic blowup is confined to one cluster's membership, never the
+    corpus — at 100 TB each cell is its own partition and oversized cells
+    sub-shard by a second-level quantizer. No all-pairs stage exists;
+    tests/test_plans.py's fleet audit confirms no cartesian.
+    """
+    e = _scored_vectors(spark, sf_dir).withColumn(
+        "ds", _cell_dots(F.col("emb"))
+    )
+    assigned = e.select(
+        "vec_id",
+        "emb",
+        "nrm",
+        (F.array_position("ds", F.array_max("ds")) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+    lower = assigned.select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "cell",
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm")), 6
+    )
+    drops = (
+        assigned.join(lower, "cell")
+        .filter(F.col("q_vec_id") < F.col("vec_id"))
+        .filter(cos >= SEMDEDUP_COS)
+        .select("vec_id")
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        assigned.join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.col("dropped").isNull().alias("kept"),
+        )
+    )

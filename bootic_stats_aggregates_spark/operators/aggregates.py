@@ -1183,9 +1183,14 @@ def agg_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_orderkey, n_lines,
            CAST(iprod AS VARCHAR) AS compound_digits,
-           CAST((iprod * 1000000)
-                // CAST('1' || repeat('00', CAST(n_lines AS INT)) AS HUGEINT)
-                AS BIGINT) AS compound_e6
+           -- millionths = iprod * 10^6 / 100^n == iprod / 10^(2n-6):
+           -- folding the 10^6 into the divisor keeps the widest value at
+           -- iprod itself (sf0.1's 17-line orders already reach 1e34 —
+           -- premultiplying by 1e6 overflowed HUGEINT/DECIMAL(38))
+           CAST(CASE WHEN n_lines > 3
+                THEN iprod // CAST('1' || repeat('0', CAST(2 * n_lines - 6 AS INT)) AS HUGEINT)
+                ELSE iprod * CAST('1' || repeat('0', CAST(6 - 2 * n_lines AS INT)) AS HUGEINT)
+                END AS BIGINT) AS compound_e6
     FROM folded
     """,
 )
@@ -1212,9 +1217,22 @@ def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("decimal(38,0)"),
         lambda acc, x: (acc * x).cast("decimal(38,0)"),
     )
-    denom = F.concat(
-        F.lit("1"), F.repeat(F.lit("00"), F.col("n_lines").cast("int"))
+    # millionths = iprod / 10^(2n-6) (the 10^6 numerator folded into the
+    # divisor — premultiplying overflowed DECIMAL(38) at sf0.1's 17-line
+    # orders, which reach 1e34 on their own)
+    pow10 = lambda digits: F.concat(  # noqa: E731 — exact 10^k as decimal
+        F.lit("1"), F.repeat(F.lit("0"), digits)
     ).cast("decimal(38,0)")
+    n = F.col("n_lines").cast("int")
+    e6 = F.when(
+        n > 3,
+        F.expr(
+            "CAST(iprod div CAST(concat('1', repeat('0',"
+            " CAST(2 * n_lines - 6 AS INT))) AS DECIMAL(38,0)) AS BIGINT)"
+        ),
+    ).otherwise(
+        (F.col("iprod") * pow10(6 - 2 * n)).cast("long")
+    )
     return (
         li.groupBy("l_orderkey")
         .agg(
@@ -1225,15 +1243,6 @@ def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "n_lines",
             F.col("iprod").cast("string").alias("compound_digits"),
-            F.expr("iprod * 1000000")
-            .cast("decimal(38,0)")
-            .alias("_num"),
-            denom.alias("_den"),
-        )
-        .select(
-            "l_orderkey",
-            "n_lines",
-            "compound_digits",
-            F.expr("CAST(_num div _den AS BIGINT)").alias("compound_e6"),
+            e6.alias("compound_e6"),
         )
     )

@@ -836,3 +836,92 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("second", nearest).alias("nearest_view_sec"),
         offset.cast("long").alias("offset_sec"),
     )
+
+
+#: Interval-overlap join: attention windows opened by a view (10 min) vs
+#: consideration windows opened by a purchase (5 min), overlapping for the
+#: same user. Bucket width = the longer interval so each interval spans at
+#: most 2 buckets.
+OVERLAP_VIEW_SEC = 600.0
+OVERLAP_BUY_SEC = 300.0
+_OVL_W = 600.0
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    -- brute-force oracle twin: interval intersection over all same-user
+    -- pairs; the engine side must produce exactly these pairs via the
+    -- bucketed equi-join
+    SELECT v.event_id AS view_id,
+           p.event_id AS buy_id,
+           v.user_id AS user_id,
+           round(least(epoch(v.ts) + {OVERLAP_VIEW_SEC},
+                       epoch(p.ts) + {OVERLAP_BUY_SEC})
+                 - greatest(epoch(v.ts), epoch(p.ts)), 6) AS overlap_sec
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND epoch(v.ts) <= epoch(p.ts) + {OVERLAP_BUY_SEC}
+     AND epoch(p.ts) <= epoch(v.ts) + {OVERLAP_VIEW_SEC}
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join of two large sides — the general form of the
+    range join (join_range_bucketed pairs POINTS; this pairs INTERVALS,
+    the session-vs-promotion / ad-exposure-vs-visit shape). A naive
+    overlap predicate is a nested-loop product, so both interval sets
+    explode to the fixed-width time buckets they span and the pair space
+    collapses to a (user, bucket) EQUI-join + residual overlap filter.
+    The multi-bucket dedup problem — an overlapping pair co-occurs in
+    every shared bucket — is solved WITHOUT a distinct: a pair is emitted
+    only in the bucket containing ``greatest(starts)``, which overlap
+    guarantees lies in both intervals, so each pair survives exactly
+    once and the plan stays a single shuffle. Cost: <= 2x rows per side
+    (interval length / bucket width + 1), linear at any scale; skewed
+    users split further by sub-bucketing the hot keys (the salting
+    pattern from join_skew_salted composes).
+    """
+    ev = table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("double")
+
+    def side(etype: str, length: float, id_alias: str, s_alias: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(id_alias),
+                "user_id",
+                sec.alias(s_alias),
+                F.explode(
+                    F.sequence(
+                        F.floor(sec / _OVL_W).cast("long"),
+                        F.floor((sec + length) / _OVL_W).cast("long"),
+                    )
+                ).alias("bk"),
+            )
+        )
+
+    v = side("view", OVERLAP_VIEW_SEC, "view_id", "v_s")
+    p = side("purchase", OVERLAP_BUY_SEC, "buy_id", "p_s")
+    g = F.greatest(F.col("v_s"), F.col("p_s"))
+    return (
+        v.join(p, ["user_id", "bk"])
+        .filter(
+            (F.col("v_s") <= F.col("p_s") + OVERLAP_BUY_SEC)
+            & (F.col("p_s") <= F.col("v_s") + OVERLAP_VIEW_SEC)
+            & (F.floor(g / _OVL_W).cast("long") == F.col("bk"))
+        )
+        .select(
+            "view_id",
+            "buy_id",
+            "user_id",
+            F.round(
+                F.least(
+                    F.col("v_s") + OVERLAP_VIEW_SEC,
+                    F.col("p_s") + OVERLAP_BUY_SEC,
+                )
+                - g,
+                6,
+            ).alias("overlap_sec"),
+        )
+    )

@@ -85,10 +85,8 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: additions — all 150 rows green, no value-failure ever. Round 4 front-loads
 #: the LAST 37 operators that have never earned a driver row (the round-3
 #: additions that sat below the cap), then the operators newly registered
-#: DURING round 4 (slots 38-45), so every op that has never seen a driver row
-#: sits inside the 50-row gate; the remaining slots re-confirm round-1 rows
-#: that have not been checked since r1 (re-confirmation is free and ages out
-#: the oldest evidence). Verification status of every entry, stated precisely (ADVICE
+#: DURING round 4 (slots 38-50), so nearly every op that has never seen a
+#: driver row sits inside the 50-row gate. Verification status of every entry, stated precisely (ADVICE
 #: r3 item 2): all 182 registered pairs pass the local oracle gate at sf0.01
 #: (tests/test_oracle.py, exact value compare); the sf0.1 sweep was re-run
 #: this round for every op whose oracle cost is linear in the input
@@ -115,13 +113,15 @@ _GATE_PRIORITY: list[str] = [
     "src_binary_files", "src_schema_evolution", "src_synthetic_events",
     "snk_observe_audit", "snk_jsonl_export", "snk_merge_upsert",
     "stream_incr_dedup", "stream_chained_stateful", "stream_backpressure",
-    # --- slots 38-45: round-4 additions (registered this round, no row yet) ---
+    # --- slots 38-50: round-4 additions (registered this round, no row
+    # --- yet). 15 r4 ops compete for 13 slots; win_nth_value and
+    # --- agg_product queue for the r5 rotation (smallest surface, both
+    # --- local-oracle green at sf0.01+sf0.1 and driver-sim verified).
     "join_asof_nearest", "agg_mode", "agg_calendar_fill",
     "win_percentile_band", "llm_ngram_novelty", "llm_zipf_slope",
     "llm_quality_sample", "llm_embed_quantize",
-    # --- slots 46-50: round-1 rows never re-confirmed since r1 ---
-    "agg_count_by_bucket", "agg_multi_rollup", "fn_string",
-    "llm_exact_dedup", "llm_near_dedup",
+    "llm_semdedup", "layout_zorder", "join_interval_overlap",
+    "snk_multi_fanout", "src_orc",
 ]
 
 

@@ -515,3 +515,70 @@ def snk_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = f"{tempfile.gettempdir()}/bootic_merge_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+@query(
+    "snk_multi_fanout",
+    oracle="""
+    -- both fan-out sinks must independently reconstruct the batch truth
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(count(*) AS BIGINT) AS n_rollup,
+           true AS consistent
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def snk_multi_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MULTI-SINK fan-out: one micro-batch lands in TWO sinks
+    (raw archive + per-batch rollup) inside a single foreachBatch call —
+    the standard shape when a stream must feed both the lake and a serving
+    store. Idempotence across micro-batch REPLAYS comes from writing each
+    sink under ``b=<batch_id>`` with overwrite: a recovered batch
+    re-overwrites its own directory instead of double-appending (the
+    file-system analog of the Redis sink's marker transaction). The batch
+    DataFrame is persisted for the duration of the call so the two sinks
+    share one upstream computation instead of re-reading the source.
+    Verification: the raw archive and the summed per-batch rollups must
+    independently reconstruct the same per-type counts — and must equal
+    the DuckDB batch truth.
+    """
+    ev = stream_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    root = tempfile.mkdtemp(prefix="bootic_fanout_")
+
+    def fan_out(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.write.mode("overwrite").parquet(f"{root}/raw/b={batch_id}")
+            (
+                batch_df.groupBy("event_type")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .write.mode("overwrite")
+                .parquet(f"{root}/rollup/b={batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
+
+    run_foreach_batch(ev, fan_out, mode="append")
+    raw = (
+        spark.read.option("basePath", f"{root}/raw")
+        .parquet(f"{root}/raw/b=*")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    )
+    rolled = (
+        spark.read.option("basePath", f"{root}/rollup")
+        .parquet(f"{root}/rollup/b=*")
+        .groupBy("event_type")
+        .agg(F.sum("n").cast("long").alias("n_rollup"))
+    )
+    return raw.join(rolled, "event_type", "full").select(
+        "event_type",
+        "n_raw",
+        "n_rollup",
+        (
+            F.col("n_raw").eqNullSafe(F.col("n_rollup"))
+        ).alias("consistent"),
+    )

@@ -290,7 +290,8 @@ BUILD_RUNS_JOBS_OK = {
     "snk_parquet", "snk_compact", "snk_jsonl_export", "snk_merge_upsert",
     "snk_observe_audit", "snk_partition_overwrite", "snk_stream_parquet",
     "snk_redis_hash", "snk_redis_zset", "snk_redis_acct", "snk_redis_paths",
-    "snk_redis_uniq", "stream_redis_counters",
+    "snk_redis_uniq", "stream_redis_counters", "snk_multi_fanout",
+    "src_orc",
     # streaming: building runs the micro-batch(es) to a sink
     "stream_tumbling", "stream_sliding", "stream_session", "stream_dedup",
     "stream_stateful", "stream_watermark", "stream_output_modes",
@@ -347,3 +348,33 @@ def test_asof_nearest_single_shuffle(spark):
     assert n_exchanges == 1, f"expected 1 exchange, plan has {n_exchanges}"
     assert plan.count("Window") >= 2
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_overlap_single_shuffle_no_cartesian(spark):
+    """join_interval_overlap claims the pair space collapses to one
+    (user, bucket) equi-join: no cartesian/nested-loop node anywhere, and
+    the join itself is hash-partitioned on the composite key (the only
+    exchanges are the two join-input shuffles)."""
+    plan = formatted_plan(fresh(spark, "join_interval_overlap"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    body = plan.split("===== Subqueries =====")[0]
+    n_exchanges = sum(
+        1 for ln in body.splitlines() if ln.strip().startswith("(")
+        and "Exchange" in ln and "Reused" not in ln
+    )
+    assert n_exchanges <= 2, f"expected <=2 join-input exchanges, got {n_exchanges}"
+
+
+def test_zorder_map_only_plus_one_agg_shuffle(spark):
+    """layout_zorder's interleave must stay a map-only codegen projection:
+    exactly the aggregate's exchange, no sort, no join."""
+    plan = formatted_plan(fresh(spark, "layout_zorder"))
+    body = plan.split("===== Subqueries =====")[0]
+    n_exchanges = sum(
+        1 for ln in body.splitlines() if ln.strip().startswith("(")
+        and "Exchange" in ln and "Reused" not in ln
+    )
+    assert n_exchanges == 1, f"expected 1 exchange, got {n_exchanges}"
+    assert "Join" not in body
+    assert "Sort" not in body
