@@ -57,6 +57,9 @@ EXTRA = {
     "unigram_logprob": "llm_unigram_logprob",
     "inverted_index": "llm_inverted_index",
     "corpus_shuffle": "llm_corpus_shuffle",
+    "semdedup": "llm_semdedup",
+    "interval_overlap": "join_interval_overlap",
+    "zorder_tiles": "layout_zorder",
     # join_bloom_pruned is intentionally NOT benched: its builder freezes
     # the armed-plan result via localCheckpoint (registry-memoized), so a
     # repeat timing would measure the checkpoint read, not the join.

@@ -697,3 +697,75 @@ def test_max_by_extreme_comparands(spark, rows):
         _assert_engines_agree(spark, con, "max_by_extreme_comparands", sql)
     finally:
         con.close()
+
+
+@given(rows=_rows)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_interval_overlap_bucketing_vs_bruteforce(spark, rows):
+    """join_interval_overlap's dedup-free bucket trick on random data:
+    explode-to-spanned-buckets + emit-only-in-greatest(starts)-bucket
+    must reproduce DuckDB's brute-force inequality join EXACTLY —
+    including touching endpoints (closed intervals), duplicate
+    timestamps, negative coordinates (floor-division direction), and
+    intervals spanning 1..3 buckets. Evens open [u, u+2], odds [u, u+1],
+    bucket width 2, keyed by k."""
+    import pyspark.sql.functions as F
+
+    con = duckdb.connect()
+    try:
+        pdf = _to_pdf(rows)
+        _register(spark, con, "iv", pdf)
+        duck = con.execute(
+            """
+            SELECT a.id AS a_id, b.id AS b_id,
+                   CAST(least(a.u + 2, b.u + 1) - greatest(a.u, b.u)
+                        AS BIGINT) AS ov
+            FROM (SELECT * FROM iv WHERE id % 2 = 0) a
+            JOIN (SELECT * FROM iv WHERE id % 2 = 1) b
+              ON a.k = b.k AND a.u <= b.u + 1 AND b.u <= a.u + 2
+            """
+        ).fetch_df()
+        W = 2
+        t = spark.table("iv")
+
+        def side(parity: int, length: int, ida: str, ua: str):
+            return t.filter(t.id % 2 == parity).select(
+                F.col("id").alias(ida),
+                "k",
+                F.col("u").alias(ua),
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col("u") / W).cast("long"),
+                        F.floor((F.col("u") + length) / W).cast("long"),
+                    )
+                ).alias("bk"),
+            )
+
+        a = side(0, 2, "a_id", "a_u")
+        b = side(1, 1, "b_id", "b_u")
+        g = F.greatest(F.col("a_u"), F.col("b_u"))
+        got = (
+            a.join(b, ["k", "bk"])
+            .filter(
+                (F.col("a_u") <= F.col("b_u") + 1)
+                & (F.col("b_u") <= F.col("a_u") + 2)
+                & (F.floor(g / W).cast("long") == F.col("bk"))
+            )
+            .select(
+                "a_id",
+                "b_id",
+                (
+                    F.least(F.col("a_u") + 2, F.col("b_u") + 1) - g
+                ).cast("long").alias("ov"),
+            )
+            .toPandas()
+        )
+        av = sorted(map(tuple, got.itertuples(index=False)))
+        bv = sorted(map(tuple, duck.itertuples(index=False)))
+        assert av == bv, (av, bv)
+    finally:
+        con.close()

@@ -604,3 +604,89 @@ def test_transform_with_state_probe(spark):
     # dependency present: the new API is usable; nothing more to assert
     # here — adopting it is an implementation choice, not a correctness
     # gate (applyInPandasWithState remains valid).
+
+
+def test_semdedup_manifest_matches_bruteforce(spark):
+    """llm_semdedup's keep/drop manifest re-derived by brute force in
+    numpy: a vector is dropped iff SOME lower-id member of its own cell
+    has rounded cosine >= threshold. Checks both directions (no spurious
+    drops, no missed drops) against the full 500x500 pair matrix."""
+    import numpy as np
+
+    from bootic_stats_aggregates_spark.llm.similarity import (
+        _CENTROIDS,
+        SEMDEDUP_COS,
+    )
+
+    rows = QUERIES["llm_semdedup"](spark, SF_DIR).collect()
+    got = {r.vec_id: (r.cell, r.kept) for r in rows}
+
+    import pandas as pd  # noqa: F401 — via pyarrow below
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    pdf = tbl.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    emb = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    vec_ids = pdf["vec_id"].to_numpy()
+    # cell assignment: first index of max rounded centroid dot
+    ds = np.round(emb @ _CENTROIDS.T, 6)
+    cells = np.argmax(ds, axis=1)
+    nrm = np.sqrt((emb * emb).sum(axis=1))
+    cos = np.round((emb @ emb.T) / np.outer(nrm, nrm), 6)
+    for i, vid in enumerate(vec_ids):
+        lower = [
+            j
+            for j in range(len(vec_ids))
+            if cells[j] == cells[i] and vec_ids[j] < vid
+        ]
+        should_drop = any(cos[i, j] >= SEMDEDUP_COS for j in lower)
+        cell_got, kept_got = got[int(vid)]
+        assert cell_got == cells[i], (vid, cell_got, cells[i])
+        assert kept_got == (not should_drop), (vid, kept_got, should_drop)
+    assert any(not kept for _, kept in got.values()), (
+        "fixture should produce at least one semantic drop"
+    )
+
+
+def test_zorder_interleave_roundtrip(spark):
+    """The closed-form bit interleave must be the true Morton code:
+    Spark's expression output == a Python reference interleave, and
+    deinterleaving recovers (x, y) exactly, for all 65536 pairs' worth of
+    structure sampled on a 256-point diagonal + random grid."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bootic_stats_aggregates_spark.layout import _interleave_sql
+
+    rng = random.Random(7)
+    pts = [(i, 255 - i) for i in range(256)] + [
+        (rng.randrange(256), rng.randrange(256)) for _ in range(500)
+    ]
+
+    def morton(x: int, y: int) -> int:
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    sdf = spark.createDataFrame(pts, "xb long, yb long").withColumn(
+        "z", F.expr(_interleave_sql("xb", "yb", 8))
+    )
+    for r in sdf.collect():
+        assert r.z == morton(r.xb, r.yb), (r.xb, r.yb, r.z)
+        # deinterleave recovers the coordinates
+        x = sum((((r.z >> (2 * i)) & 1) << i) for i in range(8))
+        y = sum((((r.z >> (2 * i + 1)) & 1) << i) for i in range(8))
+        assert (x, y) == (r.xb, r.yb)
+
+
+def test_zorder_tiles_are_bounded_boxes(spark):
+    """Every 256-wide z tile must span at most 16 distinct values in each
+    dimension — the bounding-box property parquet row-group pruning
+    exploits after a z-sorted write."""
+    for r in QUERIES["layout_zorder"](spark, SF_DIR).collect():
+        assert r.x_hi - r.x_lo <= 15, r
+        assert r.y_hi - r.y_lo <= 15, r
