@@ -198,3 +198,77 @@ def llm_chunk_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.explode(chunks).alias("ch")).select(
         "doc_id", "ch.chunk_id", "ch.chunk_text", "ch.n_tokens"
     )
+
+
+#: Sliding-window chunking: window of OVERLAP_SIZE tokens advancing by
+#: OVERLAP_STRIDE (overlap = SIZE - STRIDE) — the context-preserving
+#: chunking used for retrieval corpora and LM pretraining windows.
+OVERLAP_SIZE = 12
+OVERLAP_STRIDE = 8
+
+_CHUNK_OVERLAP_ORACLE = f"""
+    SELECT
+      doc_id,
+      CAST(i AS INT) AS win_id,
+      CAST(i * {OVERLAP_STRIDE} AS INT) AS start_tok,
+      array_to_string(
+        string_split(text, ' ')
+          [i*{OVERLAP_STRIDE}+1 : i*{OVERLAP_STRIDE}+{OVERLAP_SIZE}], ' '
+      ) AS chunk_text,
+      CAST(least({OVERLAP_SIZE},
+           len(string_split(text, ' ')) - i*{OVERLAP_STRIDE}) AS INT)
+        AS n_tokens
+    FROM (
+      SELECT doc_id, text,
+             unnest(range(0,
+               CAST(ceil(greatest(len(string_split(text, ' '))
+                                  - {OVERLAP_SIZE}, 0)
+                         / {OVERLAP_STRIDE}.0) AS BIGINT) + 1)) AS i
+      FROM documents
+    )
+    """
+
+
+@query("llm_chunk_overlap", oracle=_CHUNK_OVERLAP_ORACLE)
+def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc -> OVERLAPPING token windows (size {size}, stride {stride}) in
+    pure column expressions — the retrieval/pretraining chunking where
+    consecutive windows share ``size - stride`` tokens so no answer span
+    is ever split across a boundary. Window count is
+    ``ceil(max(len - size, 0) / stride) + 1``: every token is covered,
+    the final window may be short (its true length is emitted), and a
+    doc shorter than one window still yields exactly one. Same 1:N
+    codegen fan-out as llm_chunk_native — transform over a per-row index
+    sequence + slice/concat_ws, map-only, never leaves the JVM.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_wins = (
+        F.ceil(
+            F.greatest(F.size(toks) - OVERLAP_SIZE, F.lit(0))
+            / F.lit(float(OVERLAP_STRIDE))
+        ).cast("int")
+        + 1
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), n_wins - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("win_id"),
+            (i * OVERLAP_STRIDE).cast("int").alias("start_tok"),
+            F.concat_ws(
+                " ",
+                F.slice(toks, i * OVERLAP_STRIDE + 1, OVERLAP_SIZE),
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(OVERLAP_SIZE), F.size(toks) - i * OVERLAP_STRIDE
+            ).cast("int").alias("n_tokens"),
+        ),
+    )
+    return d.select("doc_id", F.explode(wins).alias("w")).select(
+        "doc_id", "w.win_id", "w.start_tok", "w.chunk_text", "w.n_tokens"
+    )
+
+
+llm_chunk_overlap.__doc__ = llm_chunk_overlap.__doc__.format(
+    size=OVERLAP_SIZE, stride=OVERLAP_STRIDE
+)

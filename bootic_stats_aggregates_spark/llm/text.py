@@ -1235,3 +1235,71 @@ def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(ln_n, ln_r), 4).alias("ln_c"),
         F.count(F.lit(1)).cast("long").alias("n_terms"),
     )
+
+
+@query(
+    "llm_corpus_manifest",
+    oracle="""
+    -- dataset-card manifest: per (lang, length band) doc/token/char
+    -- accounting plus each cell's share of the corpus — the summary table
+    -- every released training set ships with
+    WITH banded AS (
+      SELECT lang,
+             CASE WHEN n_chars >= 800 THEN 'long'
+                  WHEN n_chars >= 300 THEN 'mid'
+                  ELSE 'short' END AS band,
+             len(string_split(text, ' ')) AS n_toks,
+             n_chars
+      FROM documents
+    )
+    SELECT lang, band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(count(*) * 1000000 //
+                (SELECT count(*) FROM documents) AS BIGINT) AS docs_ppm
+    FROM banded
+    GROUP BY lang, band
+    """,
+)
+def llm_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus manifest (dataset-card rollup): per (language, length band)
+    document / token / character totals and each cell's parts-per-million
+    share of the corpus. The share denominator stays IN-PLAN as a
+    broadcast one-row crossJoin (the lazy-total pattern shared with
+    llm_tfidf_topterms — no driver-side collect, laziness gate applies),
+    and the share itself is exact FLOORED integer millionths — integer
+    division on both engines, immune to round-half conventions. All aggregates are
+    mergeable sums/counts: one shuffle on (lang, band) plus the one-row
+    total at any corpus size.
+    """
+    d = table(spark, sf_dir, "documents")
+    total = d.agg(F.count(F.lit(1)).cast("long").alias("_total"))
+    banded = d.select(
+        "lang",
+        F.when(F.col("n_chars") >= 800, "long")
+        .when(F.col("n_chars") >= 300, "mid")
+        .otherwise("short")
+        .alias("band"),
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+        "n_chars",
+    )
+    return (
+        banded.groupBy("lang", "band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "band",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            F.expr("CAST((n_docs * 1000000) div _total AS BIGINT)").alias(
+                "docs_ppm"
+            ),
+        )
+    )

@@ -16,6 +16,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..helpers import cents
 from ..io import table
 from ..registry import query
 from ..streaming.runner import run_foreach_batch, stream_table
@@ -582,3 +583,43 @@ def snk_multi_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_raw").eqNullSafe(F.col("n_rollup"))
         ).alias("consistent"),
     )
+
+
+@query(
+    "snk_csv_export",
+    oracle="""
+    -- the CSV hop must be lossless: quoted delimiters, negative cents,
+    -- and the rollup values all survive write -> schema'd re-read
+    SELECT event_type || ',' || 'export' AS label,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) - 50000 AS BIGINT)
+             AS cents_adj
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def snk_csv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV EXPORT sink (the interchange format downstream spreadsheets and
+    legacy loaders still demand): rollup -> header'd CSV -> re-read with
+    a DECLARED schema must round-trip value-identically. The label column
+    embeds the delimiter itself so the writer's quoting and the reader's
+    unquoting are both on trial, and the cents column is shifted negative
+    to cover sign round-trips. Money travels as integer cents — exporting
+    floats to text and re-parsing them is the classic CSV corruption. The
+    export is a plain partitioned write (one file per partition, no
+    coordination) at any scale.
+    """
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.sum(cents("value")) - 50000).cast("long").alias("cents_adj"),
+    ).select(
+        F.concat(F.col("event_type"), F.lit(",export")).alias("label"),
+        "n_events",
+        "cents_adj",
+    )
+    out = f"{tempfile.gettempdir()}/bootic_csvexp_{uuid.uuid4().hex[:8]}"
+    agg.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(
+        "label STRING, n_events LONG, cents_adj LONG"
+    ).option("header", True).csv(out)

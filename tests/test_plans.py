@@ -291,7 +291,7 @@ BUILD_RUNS_JOBS_OK = {
     "snk_observe_audit", "snk_partition_overwrite", "snk_stream_parquet",
     "snk_redis_hash", "snk_redis_zset", "snk_redis_acct", "snk_redis_paths",
     "snk_redis_uniq", "stream_redis_counters", "snk_multi_fanout",
-    "src_orc",
+    "src_orc", "snk_csv_export",
     # streaming: building runs the micro-batch(es) to a sink
     "stream_tumbling", "stream_sliding", "stream_session", "stream_dedup",
     "stream_stateful", "stream_watermark", "stream_output_modes",
