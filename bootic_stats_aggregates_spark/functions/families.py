@@ -789,3 +789,57 @@ def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("near_match"),
     )
+
+
+@query(
+    "fn_date_arith",
+    oracle="""
+    -- calendar arithmetic family over real order dates; every computed
+    -- date travels as a 'yyyy-mm-dd' string so DATE-type physical
+    -- encodings can never leak into the comparison
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS DATE)::VARCHAR
+             AS d_plus_90,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)::VARCHAR
+             AS m_plus_2,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom,
+           CAST(CAST(o_orderdate AS DATE)
+                + CAST(CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0 THEN 7
+                            ELSE (8 - isodow(o_orderdate)) % 7 END
+                       AS INT) AS VARCHAR) AS next_mon,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          DATE '2026-01-01') AS BIGINT) AS days_left,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow
+    FROM orders WHERE o_orderkey % 53 = 0
+    """,
+)
+def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic family — the scheduling/rollover math every
+    reporting pipeline leans on: day offsets, END-OF-MONTH-CLAMPED month
+    adds (Jan 31 + 1 month = Feb 29, both engines clamp), last_day,
+    next-weekday (Spark ``next_day`` is STRICTLY after — a Monday rolls
+    to the following Monday; the oracle replays that with isodow
+    arithmetic), day-count to a horizon, and the ISO week/quarter/
+    weekday fields. Every derived date is emitted as a plain
+    'yyyy-mm-dd' string so the comparison tests calendar SEMANTICS, not
+    date encodings. Map-only codegen projections at any scale.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 53 == 0)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.cast("string").alias("d"),
+        F.date_add(d, 90).cast("string").alias("d_plus_90"),
+        F.add_months(d, 2).cast("string").alias("m_plus_2"),
+        F.last_day(d).cast("string").alias("eom"),
+        F.next_day(d, "MON").cast("string").alias("next_mon"),
+        F.datediff(F.lit("2026-01-01").cast("date"), d)
+        .cast("long")
+        .alias("days_left"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.quarter(d).cast("long").alias("qtr"),
+        (F.weekday(d) + 1).cast("long").alias("iso_dow"),
+    )

@@ -1246,3 +1246,52 @@ def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
             e6.alias("compound_e6"),
         )
     )
+
+
+@query(
+    "agg_approx_top_k",
+    oracle="""
+    -- exact replay: the sketch tracks up to 10k distinct items, the
+    -- fixture has 5 event types, so the heavy-hitter estimates are exact
+    -- and re-ranked deterministically by (count desc, item)
+    SELECT day, item, cnt,
+           CAST(row_number() OVER (
+             PARTITION BY day ORDER BY cnt DESC, item
+           ) AS BIGINT) AS rk
+    FROM (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             event_type AS item,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events
+      GROUP BY 1, 2
+    )
+    """,
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` — Spark 4's native frequent-items SKETCH (the
+    third sibling of approx_count_distinct and approx_percentile, and
+    the engine-side analog of agg_heavy_hitters_cms's hand-built CMS).
+    The sketch state is mergeable, so per-group top-k runs as a normal
+    partial/final aggregate — no global sort, no per-group row explosion
+    before the agg. Contract discipline, same as agg_approx_distinct:
+    the sketch is EXACT while distinct items <= maxItemsTracked (5 types
+    vs the 10k default here), and the sketch's own arbitrary tie order
+    is normalized by re-ranking the exploded output on (count desc,
+    item) — the oracle replays exact counts. At unbounded cardinality
+    the estimates carry CMS-style error instead; that regime is
+    documented, not silently relied on.
+    """
+    ev = table(spark, sf_dir, "events")
+    sk = ev.groupBy(
+        F.col("ts").cast("date").cast("string").alias("day")
+    ).agg(F.expr("approx_top_k(event_type, 10)").alias("top"))
+    w = Window.partitionBy("day").orderBy(F.desc("cnt"), "item")
+    return (
+        sk.select("day", F.explode("top").alias("e"))
+        .select(
+            "day",
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("long").alias("cnt"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+    )
