@@ -623,3 +623,105 @@ def stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = run_to_memory(agg, mode="complete").select("event_type", "n_events")
     u = run_to_memory(uniq, mode="complete")
     return n.join(u, "event_type")
+
+
+@query(
+    "stream_topk_rank",
+    oracle="""
+    -- the streaming ranking must converge to the batch truth: top-3
+    -- users per event type by count, rank tie-broken by user_id
+    SELECT event_type, user_id, n, rk FROM (
+      SELECT event_type, user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(row_number() OVER (
+               PARTITION BY event_type ORDER BY count(*) DESC, user_id
+             ) AS BIGINT) AS rk
+      FROM events
+      GROUP BY event_type, user_id
+    ) WHERE rk <= 3
+    """,
+)
+def stream_topk_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING top-k rankings — the reference's actual dashboard
+    product (`ZINCRBY top_users:<type>` + `ZREVRANGE`, SURVEY.md §2.5):
+    per-key counters accumulate incrementally in the stream; the k-best
+    cut is computed ON THE SINK, not in the stream. That split is the
+    scale design, not a workaround: ranking inside the stream would need
+    a non-mergeable global order over all keys per micro-batch, while
+    counters are mergeable update-mode state and the sink-side top-k
+    reads |keys| rows, exactly like ZREVRANGE reads a Redis zset.
+    Update-mode emissions only grow, so max-per-key == final count under
+    any micro-batch split; the rank is tie-broken on user_id.
+    """
+    ev = stream_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    updates = run_to_memory(agg, mode="update")
+    counters = updates.groupBy("event_type", "user_id").agg(
+        F.max("n").cast("long").alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), "user_id")
+    return (
+        counters.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "stream_approx_uniques",
+    oracle="""
+    -- HLL is THE streaming uniques design (PFADD semantics): sketch
+    -- state is mergeable and O(kB)/group where an exact distinct would
+    -- buffer every id in state forever. Estimate is engine-specific;
+    -- the exact-checkable claim is the 10% envelope vs exact counts
+    -- (rsd=0.02 requested, ~5 sigma headroom), same discipline as
+    -- agg_approx_distinct.
+    SELECT date_trunc('day', ts) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_10pct
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_approx_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING unique visitors per day via approx_count_distinct — the
+    reference's PFADD/PFCOUNT surface as bounded-state streaming: the
+    HLL sketch is mergeable update-mode state, so memory per group is
+    the sketch size regardless of how many ids flow through — the 100 TB
+    streaming-uniques answer (exact distinct on a stream buffers every
+    id in the state store forever). Per-batch estimates only grow, so
+    max-per-key is the final sketch value; the deterministic claim is
+    the exact count plus a within-envelope boolean, exactly like the
+    batch twin agg_approx_distinct. (Exact distinct is NOT legal inside
+    a streaming aggregation — Spark rejects it because its state is
+    unmergeable and unbounded, which is the point — so the exact
+    reference values come from the batch twin of the same fixture.)
+    """
+    from .runner import batch_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.approx_count_distinct("user_id", 0.02)
+        .cast("long")
+        .alias("approx_users"),
+    )
+    updates = run_to_memory(agg, mode="update")
+    final = updates.groupBy("day").agg(
+        F.max("approx_users").cast("long").alias("approx_users"),
+    )
+    exact = (
+        batch_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    )
+    return final.join(exact, "day").select(
+        "day",
+        "exact_users",
+        (
+            (F.col("approx_users") >= F.round(F.col("exact_users") * 0.9))
+            & (F.col("approx_users") <= F.round(F.col("exact_users") * 1.1))
+        ).alias("within_10pct"),
+    )

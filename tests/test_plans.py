@@ -297,6 +297,7 @@ BUILD_RUNS_JOBS_OK = {
     "stream_stateful", "stream_watermark", "stream_output_modes",
     "stream_quality_gate", "stream_incr_dedup", "stream_chained_stateful",
     "stream_backpressure", "src_event_stream", "src_socket_stream",
+    "stream_topk_rank", "stream_approx_uniques",
     "join_stream_static", "join_stream_stream",
     # physical-layout staging: writes bucketed/partitioned/evolved fixtures
     "join_bucketed_colocated", "join_dpp_pruned", "src_partition_pruned",
