@@ -183,6 +183,7 @@ def test_plan_hygiene_all_queries(spark):
         "llm_tfidf_topterms",# crossJoin(broadcast(<1-row global count>))
         "llm_unigram_logprob",   # crossJoin(broadcast(<1-row corpus total>))
         "llm_cooccurrence_pmi",  # crossJoin(broadcast(<1-row doc count>))
+        "llm_corpus_manifest",   # crossJoin(broadcast(<1-row corpus total>))
         "agg_calendar_fill", # date-spine x types grid: both sides broadcast-
                              # sized at any corpus scale (days x types)
     }
