@@ -480,3 +480,70 @@ def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("user_id").cast("long").alias("min_uid"),
         F.max("user_id").cast("long").alias("max_uid"),
     )
+
+
+@query(
+    "src_corrupt_tolerant",
+    oracle="""
+    -- only the two valid staged files' rows survive; the poisoned file
+    -- contributes nothing and kills nothing
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE event_id % 2 = 0
+    GROUP BY event_type
+    """,
+)
+def src_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRUPT-FILE-tolerant scan: at 100 TB some parquet footer is
+    always truncated (killed writer, partial upload) and one bad file
+    must not fail a thousand-task stage. The op stages two valid parquet
+    files (even event_ids, split in half) next to one deliberately
+    poisoned ``.parquet`` (garbage bytes, no magic footer) and scans the
+    directory under ``spark.sql.files.ignoreCorruptFiles=true`` — the
+    job completes with exactly the valid files' rows, verified against
+    the parquet truth. The conf is set only for the duration of the
+    build (armed/restored) so other queries keep fail-fast semantics;
+    the quarantine-and-alert pattern for the skipped file is the
+    ``snk_observe_audit`` side of the house.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 2 == 0)
+    root = f"{tempfile.gettempdir()}/bootic_corrupt_{uuid.uuid4().hex[:8]}"
+    ev.filter(F.col("event_id") % 4 == 0).write.mode("overwrite").parquet(
+        f"{root}/part_a"
+    )
+    ev.filter(F.col("event_id") % 4 == 2).write.mode("overwrite").parquet(
+        f"{root}/part_b"
+    )
+    import glob
+    import os
+    import shutil
+
+    stage = f"{root}/staged"
+    os.makedirs(stage, exist_ok=True)
+    for i, f in enumerate(
+        sorted(
+            glob.glob(f"{root}/part_a/*.parquet")
+            + glob.glob(f"{root}/part_b/*.parquet")
+        )
+    ):
+        shutil.copy(f, f"{stage}/valid-{i:04d}.parquet")
+    with open(f"{stage}/poisoned-0000.parquet", "wb") as fh:
+        fh.write(b"\x00NOT A PARQUET FILE\xff" * 64)
+
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        # explicit schema: inference samples footers and may land on the
+        # poisoned file first — production tolerant reads always declare
+        back = spark.read.schema(ev.schema).parquet(stage)
+        out = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events")
+        )
+        # materialize the scan while the tolerant conf is armed: the conf
+        # is read at execution time, so it must outlive this builder only
+        # if the plan were lazy — localCheckpoint freezes the result
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+    return out
