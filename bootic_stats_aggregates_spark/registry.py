@@ -114,13 +114,13 @@ _GATE_PRIORITY: list[str] = [
     "snk_observe_audit", "snk_jsonl_export", "snk_merge_upsert",
     "stream_incr_dedup", "stream_chained_stateful", "stream_backpressure",
     # --- slots 38-50: round-4 additions (registered this round, no row
-    # --- yet). 23 r4 ops compete for 13 slots; the 10 others
+    # --- yet). 24 r4 ops compete for 13 slots; the 11 others
     # --- (win_nth_value, agg_product, llm_chunk_overlap,
     # --- llm_corpus_manifest, snk_csv_export, fn_date_arith,
     # --- agg_approx_top_k, udf_arrow_scalar, stream_topk_rank,
-    # --- stream_approx_uniques) queue for the r5 rotation — all 10 are
-    # --- local-oracle green at sf0.01 AND sf0.1 and driver-sim verified
-    # --- (fresh process, hostile timezone).
+    # --- stream_approx_uniques, src_corrupt_tolerant) queue for the r5
+    # --- rotation — all 11 are local-oracle green at sf0.01 AND sf0.1
+    # --- and driver-sim verified (fresh process, hostile timezone).
     "join_asof_nearest", "agg_mode", "agg_calendar_fill",
     "win_percentile_band", "llm_ngram_novelty", "llm_zipf_slope",
     "llm_quality_sample", "llm_embed_quantize",

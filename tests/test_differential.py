@@ -769,3 +769,67 @@ def test_interval_overlap_bucketing_vs_bruteforce(spark, rows):
         assert av == bv, (av, bv)
     finally:
         con.close()
+
+
+@given(rows=_rows)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_date_arith_vs_duckdb(spark, rows):
+    """fn_date_arith's calendar semantics on ADVERSARIAL dates: map each
+    random id to a date around month ends and leap boundaries
+    (2024-02-29 territory), then compare Spark's add_months / last_day /
+    next_day / weekofyear against DuckDB's interval math and isodow
+    replay — the clamp rules and the strictly-after next-weekday rule
+    must agree on every generated date."""
+    import pyspark.sql.functions as F
+
+    con = duckdb.connect()
+    try:
+        pdf = _to_pdf(rows)
+        # derive a date per row: spread ids across ~6 years including two
+        # leap years, biased toward month boundaries via the u column
+        _register(spark, con, "dt", pdf)
+        duck = con.execute(
+            """
+            WITH d AS (
+              SELECT id,
+                     DATE '2022-01-28' + CAST(id % 2200 AS INT)
+                       + CAST(u AS INT) AS dd
+              FROM dt
+            )
+            SELECT id,
+                   CAST(dd + INTERVAL 1 MONTH AS DATE)::VARCHAR AS m1,
+                   CAST(dd + INTERVAL 13 MONTH AS DATE)::VARCHAR AS m13,
+                   CAST(last_day(dd) AS VARCHAR) AS eom,
+                   CAST(dd + CAST(CASE WHEN (12 - isodow(dd)) % 7 = 0 THEN 7
+                               ELSE (12 - isodow(dd)) % 7 END AS INT)
+                        AS VARCHAR) AS next_fri,
+                   CAST(weekofyear(dd) AS BIGINT) AS iso_week
+            FROM d
+            """
+        ).fetch_df()
+        sdf = spark.table("dt")
+        dd = F.date_add(
+            F.lit("2022-01-28").cast("date"),
+            (F.col("id") % 2200 + F.col("u")).cast("int"),
+        )
+        got = sdf.select(
+            "id",
+            F.add_months(dd, 1).cast("string").alias("m1"),
+            F.add_months(dd, 13).cast("string").alias("m13"),
+            F.last_day(dd).cast("string").alias("eom"),
+            F.next_day(dd, "FRI").cast("string").alias("next_fri"),
+            F.weekofyear(dd).cast("long").alias("iso_week"),
+        ).toPandas()
+        a = got.sort_values("id").reset_index(drop=True)
+        b = duck.sort_values("id").reset_index(drop=True)
+        assert len(a) == len(b)
+        for col in ("m1", "m13", "eom", "next_fri", "iso_week"):
+            av = list(a[col])
+            bv = list(b[col])
+            assert av == bv, (col, av, bv)
+    finally:
+        con.close()
