@@ -853,3 +853,65 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dropped").isNull().alias("kept"),
         )
     )
+
+
+def _semdedup_cell_manifest(pdf):
+    """Per-cell keep/drop via blocked BLAS (tools/semdedup_scale.py's
+    measured 145M pairs/s inner loop; the HOF twin measures 2M)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    E = np.stack(pdf["emb"].to_numpy()).astype("float64")
+    nrm = np.sqrt((E * E).sum(axis=1))
+    dropped = np.zeros(len(pdf), dtype=bool)
+    block = 1024
+    for s in range(0, len(pdf), block):
+        e = min(s + block, len(pdf))
+        if s > 0:
+            sims = (E[s:e] @ E[:s].T) / np.outer(nrm[s:e], nrm[:s])
+            dropped[s:e] |= (np.round(sims, 6) >= SEMDEDUP_COS).any(axis=1)
+        intra = (E[s:e] @ E[s:e].T) / np.outer(nrm[s:e], nrm[s:e])
+        tril = np.tril(np.round(intra, 6) >= SEMDEDUP_COS, k=-1)
+        dropped[s:e] |= tril.any(axis=1)
+    return pd.DataFrame(
+        {
+            "vec_id": pdf["vec_id"],
+            "cell": pdf["cell"].astype("int64"),
+            "kept": ~dropped,
+        }
+    )
+
+
+@query("llm_semdedup_arrow", oracle=_semdedup_oracle())
+def llm_semdedup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION twin of llm_semdedup: identical keep/drop contract
+    (same oracle SQL), inner loop as ``groupBy(cell).applyInPandas``
+    with a blocked BLAS triangular scan instead of per-pair
+    higher-order-function folds. The HOF form stays registered because
+    its arithmetic is column-expression-exact against DuckDB; this form
+    is what ships at scale — tools/semdedup_scale.py pins the ~70x
+    throughput gap (HOF lambdas evaluate interpreted, outside codegen)
+    and asserts both paths emit identical manifests at 200k vectors.
+    One shuffle on cell; quadratic work confined per cell; Arrow batches
+    in, Arrow batches out, no driver collect.
+    """
+    import numpy as np  # noqa: F401 — fail fast if the worker lacks numpy
+
+    e = _scored_vectors(spark, sf_dir).withColumn(
+        "ds", _cell_dots(F.col("emb"))
+    )
+    assigned = e.select(
+        "vec_id",
+        "emb",
+        (F.array_position("ds", F.array_max("ds")) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(
+            _semdedup_cell_manifest, "vec_id long, cell long, kept boolean"
+        )
+        .select("vec_id", "cell", "kept")
+    )
