@@ -843,3 +843,53 @@ def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter(d).cast("long").alias("qtr"),
         (F.weekday(d) + 1).cast("long").alias("iso_dow"),
     )
+
+
+#: Demo key for the at-rest crypto family. A REAL deployment injects the
+#: key from a secret manager per job; a literal is fine for verifying the
+#: cipher plumbing on synthetic fixture data.
+_AES_DEMO_KEY = "0000111122223333"
+
+
+@query(
+    "fn_aes_roundtrip",
+    oracle="""
+    -- DuckDB has no AES builtin, so the oracle verifies the claims the
+    -- cipher must satisfy rather than the ciphertext: exact round-trip
+    -- identity, and the deterministic ECB ciphertext length (whole
+    -- 16-byte blocks, PKCS#5: one extra block when len % 16 = 0)
+    SELECT event_id,
+           event_type || '/' || CAST(user_id AS VARCHAR) AS plain,
+           event_type || '/' || CAST(user_id AS VARCHAR) AS decrypted,
+           TRUE AS roundtrip_ok,
+           CAST((strlen(event_type || '/' || CAST(user_id AS VARCHAR))
+                 // 16 + 1) * 16 AS BIGINT) AS cipher_bytes
+    FROM events WHERE event_id % 101 = 0
+    """,
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-rest column encryption (``aes_encrypt``/``aes_decrypt``) — the
+    PII-column discipline between llm_pii_redact (destroy) and plain
+    storage (leak): encrypt the sensitive column before the write, carry
+    ciphertext through the pipeline, decrypt at the authorized edge.
+    ECB mode is used HERE because the op's contract is cross-engine
+    determinism (GCM salts a random IV per call — right for production,
+    unverifiable by replay); the docstring is explicit that real
+    deployments use GCM + a managed key. The oracle cannot run AES, so
+    it pins the falsifiable claims: decrypt(encrypt(x)) == x exactly,
+    and the PKCS#5 padded length law — both computed from the plaintext
+    alone. Map-only codegen projections.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 101 == 0)
+    plain = F.concat_ws("/", "event_type", F.col("user_id").cast("string"))
+    enc = F.aes_encrypt(plain, F.lit(_AES_DEMO_KEY), F.lit("ECB"))
+    dec = F.aes_decrypt(
+        F.unbase64(F.base64(enc)), F.lit(_AES_DEMO_KEY), F.lit("ECB")
+    ).cast("string")
+    return ev.select(
+        "event_id",
+        plain.alias("plain"),
+        dec.alias("decrypted"),
+        (dec == plain).alias("roundtrip_ok"),
+        F.octet_length(enc).cast("long").alias("cipher_bytes"),
+    )

@@ -547,3 +547,57 @@ def src_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
     return out
+
+
+@query(
+    "src_recursive_glob",
+    oracle="""
+    -- the nested-directory read must recover exactly the staged subset:
+    -- parquet files under y=.../m=... trees, with the non-parquet noise
+    -- file excluded by the glob filter
+    SELECT CAST(date_part('year', ts) AS BIGINT) AS y,
+           CAST(date_part('month', ts) AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE event_id % 3 = 0
+    GROUP BY 1, 2
+    """,
+)
+def src_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive nested-directory ingestion — the lake layout a pipeline
+    INHERITS rather than chooses: files scattered under ``y=/m=/``-style
+    trees that are NOT registered partition columns (so partition
+    discovery can't see them), plus non-data noise (a _manifest.txt
+    dropped by some other tool). ``recursiveFileLookup`` walks the tree
+    ignoring partition inference and ``pathGlobFilter`` admits only
+    ``*.parquet`` — together recovering exactly the staged rows. The
+    year/month in the OUTPUT come from the data itself, the only honest
+    source once directory names stop being partition values. Listing at
+    100 TB parallelizes over the driver-side file index exactly like any
+    multi-directory scan.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    root = f"{tempfile.gettempdir()}/bootic_rglob_{uuid.uuid4().hex[:8]}"
+    staged = ev.withColumn("y", F.year("ts")).withColumn("m", F.month("ts"))
+    staged.write.partitionBy("y", "m").mode("overwrite").parquet(root)
+
+    import os
+
+    # drop non-parquet noise the glob filter must skip (a sidecar file
+    # in the middle of the tree, not just at the root)
+    for dirpath, dirnames, filenames in os.walk(root):
+        if any(f.endswith(".parquet") for f in filenames):
+            with open(os.path.join(dirpath, "_manifest.txt"), "w") as fh:
+                fh.write("not data\n")
+            break
+    back = (
+        spark.read.option("recursiveFileLookup", True)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(root)
+    )
+    # recursiveFileLookup disables partition discovery: y/m directory
+    # names are invisible, so derive them from the data
+    return back.groupBy(
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))

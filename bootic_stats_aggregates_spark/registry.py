@@ -87,7 +87,7 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: additions that sat below the cap), then the operators newly registered
 #: DURING round 4 (slots 38-50), so nearly every op that has never seen a
 #: driver row sits inside the 50-row gate. Verification status of every entry, stated precisely (ADVICE
-#: r3 item 2): all 182 registered pairs pass the local oracle gate at sf0.01
+#: r3 item 2): all 209 registered pairs pass the local oracle gate at sf0.01
 #: (tests/test_oracle.py, exact value compare); the sf0.1 sweep was re-run
 #: this round for every op whose oracle cost is linear in the input
 #: (pytest with SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 — log kept at
@@ -114,13 +114,15 @@ _GATE_PRIORITY: list[str] = [
     "snk_observe_audit", "snk_jsonl_export", "snk_merge_upsert",
     "stream_incr_dedup", "stream_chained_stateful", "stream_backpressure",
     # --- slots 38-50: round-4 additions (registered this round, no row
-    # --- yet). 24 r4 ops compete for 13 slots; the 11 others
+    # --- yet). 27 r4 ops compete for 13 slots; the 14 others
     # --- (win_nth_value, agg_product, llm_chunk_overlap,
     # --- llm_corpus_manifest, snk_csv_export, fn_date_arith,
     # --- agg_approx_top_k, udf_arrow_scalar, stream_topk_rank,
-    # --- stream_approx_uniques, src_corrupt_tolerant) queue for the r5
-    # --- rotation — all 11 are local-oracle green at sf0.01 AND sf0.1
-    # --- and driver-sim verified (fresh process, hostile timezone).
+    # --- stream_approx_uniques, src_corrupt_tolerant,
+    # --- llm_semdedup_arrow, fn_aes_roundtrip, src_recursive_glob)
+    # --- queue for the r5 rotation — all 14 are local-oracle green at
+    # --- sf0.01 AND sf0.1 and driver-sim verified (fresh process,
+    # --- hostile timezone).
     "join_asof_nearest", "agg_mode", "agg_calendar_fill",
     "win_percentile_band", "llm_ngram_novelty", "llm_zipf_slope",
     "llm_quality_sample", "llm_embed_quantize",

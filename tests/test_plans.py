@@ -303,7 +303,7 @@ BUILD_RUNS_JOBS_OK = {
     # physical-layout staging: writes bucketed/partitioned/evolved fixtures
     "join_bucketed_colocated", "join_dpp_pruned", "src_partition_pruned",
     "src_schema_evolution", "src_binary_files", "src_csv_robust",
-    "src_synthetic_events", "src_corrupt_tolerant",
+    "src_synthetic_events", "src_corrupt_tolerant", "src_recursive_glob",
     # iterative driver-side convergence loops (documented O(log n) rounds)
     "llm_cc_star", "llm_dedup_clusters", "llm_dedup_cascade",
     # eager localCheckpoint under temporarily-armed session confs
