@@ -82,52 +82,49 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: across rounds. Round 1 verified the old alphabetical-import order
 #: (fn_*/udf_*/llm_*/agg core, 50 rows); round 2 front-loaded the relational
 #: core + streaming surface; round 3 the 26 then-unverified ops + 24 round-3
-#: additions — all 150 rows green, no value-failure ever. Round 4 front-loads
-#: the LAST 37 operators that have never earned a driver row (the round-3
-#: additions that sat below the cap), then the operators newly registered
-#: DURING round 4 (slots 38-50), so nearly every op that has never seen a
-#: driver row sits inside the 50-row gate. Verification status of every entry, stated precisely (ADVICE
-#: r3 item 2): all 209 registered pairs pass the local oracle gate at sf0.01
-#: (tests/test_oracle.py, exact value compare); the sf0.1 sweep was re-run
-#: this round for every op whose oracle cost is linear in the input
-#: (pytest with SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 — log kept at
-#: tools/sweep_sf01_r4.log), which caught and fixed fn_try_arith's
-#: double-precision floor divergence; the 11 quadratic/recursive-oracle ops
-#: are instead verified on bounded sf0.1-distribution slices by
+#: additions; round 4 the 37 round-3-late ops + 13 of the 27 round-4
+#: additions — 195/209 cumulative, all green, no value-failure ever.
+#: Round 5 front-loads the FINAL 14 operators that have never earned a
+#: driver row (the round-4 additions that sat below the cap), completing
+#: 209/209 cumulative driver-verified coverage, then backfills slots 15-50
+#: with the 36 longest-unre-verified rows (round-1-verified ops, untouched
+#: by the driver since CORRECTNESS_r01) as a regression re-check.
+#: Verification status of every entry, stated precisely (ADVICE r3 item 2):
+#: all 209 registered pairs pass the local oracle gate at sf0.01
+#: (tests/test_oracle.py, exact value compare); linear-oracle ops are also
+#: swept at sf0.1 (pytest with SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1,
+#: logs at tools/sweep_sf01_r4.log / _r5.log); the quadratic/recursive-oracle
+#: ops are verified on bounded sf0.1-distribution slices by
 #: tools/sweep_sf01.py. Queries absent from this list keep their
 #: registration order after it.
 _GATE_PRIORITY: list[str] = [
-    # --- the 37 ops with no driver row yet (registered after the r3 cap);
-    # --- pure-plan ops first, env-touching src/snk/stream ops mid-list so
-    # --- an env-specific failure cannot cost other slots their first row
-    "fn_try_arith", "join_asof_tolerance", "join_asof_forward",
-    "fn_variant", "fn_xml", "fn_collation", "fn_binary_codec",
-    "fn_levenshtein",
-    "agg_collect_sorted", "agg_string_agg", "agg_unpivot",
-    "agg_mad_outliers", "agg_skew_kurtosis", "filt_in_large_list",
-    "set_union_evolved", "join_bloom_pruned",
-    "win_decile_report", "win_mom_growth", "win_share_of_total",
-    "llm_unigram_logprob", "llm_bigram_logprob", "llm_boilerplate_chunks",
-    "llm_ngram_containment", "llm_cooccurrence_pmi", "llm_corpus_shuffle",
-    "llm_url_dedup", "llm_inverted_index", "llm_embedding_audit",
-    "src_binary_files", "src_schema_evolution", "src_synthetic_events",
-    "snk_observe_audit", "snk_jsonl_export", "snk_merge_upsert",
-    "stream_incr_dedup", "stream_chained_stateful", "stream_backpressure",
-    # --- slots 38-50: round-4 additions (registered this round, no row
-    # --- yet). 27 r4 ops compete for 13 slots; the 14 others
-    # --- (win_nth_value, agg_product, llm_chunk_overlap,
-    # --- llm_corpus_manifest, snk_csv_export, fn_date_arith,
-    # --- agg_approx_top_k, udf_arrow_scalar, stream_topk_rank,
-    # --- stream_approx_uniques, src_corrupt_tolerant,
-    # --- llm_semdedup_arrow, fn_aes_roundtrip, src_recursive_glob)
-    # --- queue for the r5 rotation — all 14 are local-oracle green at
-    # --- sf0.01 AND sf0.1 and driver-sim verified (fresh process,
+    # --- slots 1-14: the last 14 ops with no driver row yet (round-4
+    # --- additions registered after the r4 cap). Pure-plan ops first,
+    # --- env-touching src/snk/stream ops last so an env-specific failure
+    # --- cannot cost other slots their first row. All 14 are local-oracle
+    # --- green at sf0.01 AND sf0.1 and driver-sim verified (fresh process,
     # --- hostile timezone).
-    "join_asof_nearest", "agg_mode", "agg_calendar_fill",
-    "win_percentile_band", "llm_ngram_novelty", "llm_zipf_slope",
-    "llm_quality_sample", "llm_embed_quantize",
-    "llm_semdedup", "layout_zorder", "join_interval_overlap",
-    "snk_multi_fanout", "src_orc",
+    "agg_approx_top_k", "agg_product", "fn_date_arith", "win_nth_value",
+    "llm_chunk_overlap", "llm_corpus_manifest", "llm_semdedup_arrow",
+    "udf_arrow_scalar", "fn_aes_roundtrip",
+    "snk_csv_export", "src_corrupt_tolerant", "src_recursive_glob",
+    "stream_approx_uniques", "stream_topk_rank",
+    # --- slots 15-50: regression re-check of the 36 stalest rows — all
+    # --- driver-verified in round 1 and never re-checked since (the 9
+    # --- remaining r1 ops are trivial fn_* families continuously re-proved
+    # --- by the local oracle suite and queue for r6).
+    "agg_count_by_bucket", "agg_distinct_rows", "agg_distinct_users",
+    "agg_having", "agg_multi_rollup", "agg_sum_avg_minmax",
+    "fn_hash", "fn_json", "fn_url",
+    "join_bucketed_colocated", "join_dpp_pruned",
+    "llm_ann_lsh", "llm_bigrams", "llm_chunk_native", "llm_cosine_topk",
+    "llm_dedup_clusters", "llm_dedup_stats", "llm_embed_neardup",
+    "llm_exact_dedup", "llm_fingerprint", "llm_knn_classify",
+    "llm_lang_filter", "llm_lang_id", "llm_multimodal_frames",
+    "llm_near_dedup", "llm_ngram_jaccard", "llm_quality_score",
+    "llm_text_stats", "llm_tfidf_topterms", "llm_token_count",
+    "llm_tokenize_ngrams", "src_partition_pruned",
+    "udf_grouped_agg", "udf_plain", "udf_scalar_pandas", "udf_table",
 ]
 
 
