@@ -845,10 +845,23 @@ def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Demo key for the at-rest crypto family. A REAL deployment injects the
-#: key from a secret manager per job; a literal is fine for verifying the
-#: cipher plumbing on synthetic fixture data.
-_AES_DEMO_KEY = "0000111122223333"
+def _aes_test_key() -> str:
+    """OBVIOUSLY-INSECURE fixture key, derived at runtime so no literal
+    key string ships in source (ADVICE r4: a hardcoded key trips secret
+    scanners and invites cargo-culting). A REAL deployment injects the
+    key from a secret manager per job; a deterministic derivation is fine
+    for verifying cipher plumbing on synthetic fixture data — and ONLY
+    for that."""
+    import hashlib
+
+    return hashlib.sha256(b"bootic-fixture-INSECURE-test-key").hexdigest()[:16]
+
+
+#: Fixed 12-byte GCM IV (hex) for the deterministic TEST configuration.
+#: NEVER reuse a fixed IV with one key in production — GCM's security
+#: collapses under IV reuse; production generates a random IV per record
+#: (Spark's default when no iv argument is passed) and stores it alongside.
+_AES_GCM_TEST_IV_HEX = "000102030405060708090a0b"
 
 
 @query(
@@ -872,20 +885,69 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     PII-column discipline between llm_pii_redact (destroy) and plain
     storage (leak): encrypt the sensitive column before the write, carry
     ciphertext through the pipeline, decrypt at the authorized edge.
-    ECB mode is used HERE because the op's contract is cross-engine
-    determinism (GCM salts a random IV per call — right for production,
-    unverifiable by replay); the docstring is explicit that real
-    deployments use GCM + a managed key. The oracle cannot run AES, so
-    it pins the falsifiable claims: decrypt(encrypt(x)) == x exactly,
-    and the PKCS#5 padded length law — both computed from the plaintext
-    alone. Map-only codegen projections.
+
+    NEVER SHIP ECB. It is used in this registered form only because the
+    op's contract is cross-engine replay determinism and ECB is the one
+    mode with no IV; equal plaintexts produce equal ciphertexts, which
+    leaks equality structure. The production-shaped registered variant is
+    ``fn_aes_gcm`` (authenticated GCM; fixed IV only under test) — use
+    that as the template. Cross-library check: tests/test_differential.py
+    verifies this ciphertext byte-for-byte against the ``cryptography``
+    package's AES-ECB. The oracle cannot run AES, so it pins the
+    falsifiable claims: decrypt(encrypt(x)) == x exactly, and the PKCS#5
+    padded length law — both computed from the plaintext alone. Map-only
+    codegen projections.
     """
     ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 101 == 0)
     plain = F.concat_ws("/", "event_type", F.col("user_id").cast("string"))
-    enc = F.aes_encrypt(plain, F.lit(_AES_DEMO_KEY), F.lit("ECB"))
-    dec = F.aes_decrypt(
-        F.unbase64(F.base64(enc)), F.lit(_AES_DEMO_KEY), F.lit("ECB")
-    ).cast("string")
+    key = F.lit(_aes_test_key())
+    enc = F.aes_encrypt(plain, key, F.lit("ECB"))
+    dec = F.aes_decrypt(F.unbase64(F.base64(enc)), key, F.lit("ECB")).cast(
+        "string"
+    )
+    return ev.select(
+        "event_id",
+        plain.alias("plain"),
+        dec.alias("decrypted"),
+        (dec == plain).alias("roundtrip_ok"),
+        F.octet_length(enc).cast("long").alias("cipher_bytes"),
+    )
+
+
+@query(
+    "fn_aes_gcm",
+    oracle="""
+    -- the oracle cannot run AES; it pins the GCM frame laws computed from
+    -- the plaintext alone: round-trip identity and the exact output size
+    -- of Spark's GCM framing (12-byte IV prefix + ciphertext, which for
+    -- GCM equals the plaintext length, + 16-byte auth tag = len + 28)
+    SELECT event_id,
+           event_type || '/' || CAST(user_id AS VARCHAR) AS plain,
+           event_type || '/' || CAST(user_id AS VARCHAR) AS decrypted,
+           TRUE AS roundtrip_ok,
+           CAST(strlen(event_type || '/' || CAST(user_id AS VARCHAR)) + 28
+                AS BIGINT) AS cipher_bytes
+    FROM events WHERE event_id % 101 = 0
+    """,
+)
+def fn_aes_gcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authenticated at-rest encryption, the PRODUCTION mode: AES-GCM
+    (confidentiality + integrity tag; tampered ciphertext fails decrypt
+    instead of returning garbage). Determinism for the replay oracle
+    comes from injecting a fixed IV through ``aes_encrypt``'s iv
+    argument — a TEST-ONLY configuration (see _AES_GCM_TEST_IV_HEX: IV
+    reuse breaks GCM); production omits the argument and Spark draws a
+    random IV per value, prepending it to the output exactly as replayed
+    here. Cross-library: tests/test_differential.py checks the ciphertext
+    + tag byte-for-byte against the ``cryptography`` package's AESGCM.
+    Map-only codegen projections at any scale.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 101 == 0)
+    plain = F.concat_ws("/", "event_type", F.col("user_id").cast("string"))
+    key = F.lit(_aes_test_key())
+    iv = F.to_binary(F.lit(_AES_GCM_TEST_IV_HEX), F.lit("hex"))
+    enc = F.aes_encrypt(plain, key, F.lit("GCM"), F.lit("DEFAULT"), iv)
+    dec = F.aes_decrypt(enc, key, F.lit("GCM")).cast("string")
     return ev.select(
         "event_id",
         plain.alias("plain"),

@@ -784,12 +784,17 @@ def _semdedup_oracle() -> str:
       FROM e
     ),
     -- a vector is dropped iff some LOWER-id member of its own cell is
-    -- within the threshold (keep-first-id: deterministic, order-free)
+    -- within the threshold (keep-first-id: deterministic, order-free).
+    -- nrm > 0 guards: a zero-norm vector has undefined cosine, and the
+    -- three engines disagree on NaN ordering (Spark NaN > x, numpy/DuckDB
+    -- IEEE NaN-compares false) — defining zero vectors as never-similar
+    -- makes all paths agree by construction (ADVICE r4).
     drops AS (
       SELECT DISTINCT e.vec_id
       FROM assigned e JOIN assigned q
         ON q.cell = e.cell AND q.vec_id < e.vec_id
-      WHERE round({_DOT_SQL} / (q.nrm * e.nrm), 6) >= {SEMDEDUP_COS}
+      WHERE q.nrm > 0 AND e.nrm > 0
+        AND round({_DOT_SQL} / (q.nrm * e.nrm), 6) >= {SEMDEDUP_COS}
     )
     SELECT a.vec_id,
            CAST(a.cell AS BIGINT) AS cell,
@@ -840,6 +845,10 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops = (
         assigned.join(lower, "cell")
         .filter(F.col("q_vec_id") < F.col("vec_id"))
+        # zero-norm vectors are never-similar by definition (cos would be
+        # NaN, and Spark's NaN > x ordering would otherwise DROP here while
+        # numpy/DuckDB kept — the oracle carries the same nrm > 0 guard)
+        .filter((F.col("q_nrm") > 0) & (F.col("nrm") > 0))
         .filter(cos >= SEMDEDUP_COS)
         .select("vec_id")
         .distinct()
@@ -864,6 +873,9 @@ def _semdedup_cell_manifest(pdf):
     pdf = pdf.sort_values("vec_id").reset_index(drop=True)
     E = np.stack(pdf["emb"].to_numpy()).astype("float64")
     nrm = np.sqrt((E * E).sum(axis=1))
+    # zero-norm -> inf divisor -> cos 0 -> never similar; mirrors the
+    # nrm > 0 guard in the HOF twin and the oracle (ADVICE r4)
+    nrm = np.where(nrm > 0.0, nrm, np.inf)
     dropped = np.zeros(len(pdf), dtype=bool)
     block = 1024
     for s in range(0, len(pdf), block):

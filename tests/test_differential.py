@@ -833,3 +833,275 @@ def test_date_arith_vs_duckdb(spark, rows):
             assert av == bv, (col, av, bv)
     finally:
         con.close()
+
+
+def test_aes_vs_cryptography_reference():
+    """Cross-LIBRARY check for the at-rest crypto family (VERDICT r4 item
+    6): Spark's aes_encrypt must agree BYTE-FOR-BYTE with the
+    ``cryptography`` package — ECB+PKCS7 for fn_aes_roundtrip's mode, and
+    IV || AESGCM(ciphertext || tag) framing for fn_aes_gcm's — on
+    boundary plaintexts (empty, 15/16/17 bytes around the block edge,
+    multi-byte UTF-8). Self-roundtrip can't catch a cipher that is
+    internally consistent but wrong; an independent implementation can."""
+    cryptography = pytest.importorskip("cryptography")  # noqa: F841
+    from cryptography.hazmat.primitives import padding as cpad
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher,
+        algorithms,
+        modes,
+    )
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import SparkSession
+
+    from bootic_stats_aggregates_spark.functions.families import (
+        _AES_GCM_TEST_IV_HEX,
+        _aes_test_key,
+    )
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    key = _aes_test_key()
+    plaintexts = [
+        "",
+        "x",
+        "fifteen_bytes__",
+        "sixteen_bytes___",
+        "seventeen_bytes__",
+        "ünïcode ✓ multibyte",
+        "a" * 64,
+    ]
+    df = spark.createDataFrame([(p,) for p in plaintexts], "p string")
+    got = df.select(
+        "p",
+        F.aes_encrypt("p", F.lit(key), F.lit("ECB")).alias("ecb"),
+        F.aes_encrypt(
+            "p",
+            F.lit(key),
+            F.lit("GCM"),
+            F.lit("DEFAULT"),
+            F.to_binary(F.lit(_AES_GCM_TEST_IV_HEX), F.lit("hex")),
+        ).alias("gcm"),
+    ).collect()
+    kb = key.encode()
+    iv = bytes.fromhex(_AES_GCM_TEST_IV_HEX)
+    for r in got:
+        pb = r.p.encode()
+        padder = cpad.PKCS7(128).padder()
+        padded = padder.update(pb) + padder.finalize()
+        enc = Cipher(algorithms.AES(kb), modes.ECB()).encryptor()
+        ref_ecb = enc.update(padded) + enc.finalize()
+        assert bytes(r.ecb) == ref_ecb, f"ECB mismatch for {r.p!r}"
+        ref_gcm = iv + AESGCM(kb).encrypt(iv, pb, None)
+        assert bytes(r.gcm) == ref_gcm, f"GCM mismatch for {r.p!r}"
+
+
+@given(rows=_rows)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_nearest_equidistant_ties(spark, rows):
+    """join_asof_nearest's documented tie rule — equidistant back/forward
+    candidates resolve to the EARLIER (backward) view — checked off the
+    fixtures against a DuckDB replay built from two native ASOF joins +
+    the same CASE. The coarse u grid (-3..3) makes exact equidistance
+    common; evens play views, odds play clicks, NULL keys excluded (same
+    carve-out as test_asof_join_vs_duckdb_native)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    con = duckdb.connect()
+    try:
+        pdf = _to_pdf(rows)
+        _register(spark, con, "t", pdf)
+        duck = con.execute(
+            """
+            WITH c AS (SELECT * FROM t WHERE id % 2 = 1 AND k IS NOT NULL),
+            v AS (SELECT * FROM t WHERE id % 2 = 0 AND k IS NOT NULL),
+            b AS (
+              SELECT c.id AS cid, v.u AS bu
+              FROM c ASOF LEFT JOIN v ON c.k = v.k AND v.u <= c.u
+            ),
+            f AS (
+              SELECT c.id AS cid, v.u AS fu
+              FROM c ASOF LEFT JOIN v ON c.k = v.k AND v.u >= c.u
+            )
+            SELECT c.id AS click_id,
+                   CASE WHEN bu IS NULL THEN fu
+                        WHEN fu IS NULL THEN bu
+                        WHEN c.u - bu <= fu - c.u THEN bu ELSE fu
+                   END AS nearest_u
+            FROM c
+            JOIN b ON c.id = b.cid
+            JOIN f ON c.id = f.cid
+            """
+        ).fetch_df()
+        sdf = spark.table("t").filter(F.col("k").isNotNull())
+        views = sdf.filter(F.col("id") % 2 == 0).select(
+            "k", "u", "id", F.lit(0).alias("kind"), F.col("u").alias("view_u")
+        )
+        clicks = sdf.filter(F.col("id") % 2 == 1).select(
+            "k", "u", "id", F.lit(1).alias("kind"),
+            F.lit(None).cast("long").alias("view_u"),
+        )
+        asc = (
+            Window.partitionBy("k")
+            .orderBy("u", "kind", "id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        desc = (
+            Window.partitionBy("k")
+            .orderBy(F.col("u").desc(), F.col("kind").asc(), F.col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        merged = (
+            views.unionByName(clicks)
+            .withColumn("back_u", F.last("view_u", ignorenulls=True).over(asc))
+            .withColumn("fwd_u", F.last("view_u", ignorenulls=True).over(desc))
+        )
+        back_age = F.col("u") - F.col("back_u")
+        fwd_age = F.col("fwd_u") - F.col("u")
+        nearest = (
+            F.when(F.col("back_u").isNull(), F.col("fwd_u"))
+            .when(F.col("fwd_u").isNull(), F.col("back_u"))
+            .when(back_age <= fwd_age, F.col("back_u"))
+            .otherwise(F.col("fwd_u"))
+        )
+        got = (
+            merged.filter(F.col("kind") == 1)
+            .select(F.col("id").alias("click_id"), nearest.alias("nearest_u"))
+            .toPandas()
+        )
+        a = got.sort_values("click_id").reset_index(drop=True)
+        b = duck.sort_values("click_id").reset_index(drop=True)
+        assert len(a) == len(b)
+        for col in ("click_id", "nearest_u"):
+            av = [None if pd.isnull(x) else x for x in a[col]]
+            bv = [None if pd.isnull(x) else x for x in b[col]]
+            assert av == bv, (col, av, bv)
+    finally:
+        con.close()
+
+
+def test_interval_overlap_touching_boundaries(spark):
+    """Pinned end==start cases for join_interval_overlap's CLOSED-interval
+    contract (VERDICT r4 item 6): a pair whose intervals merely TOUCH
+    (overlap_sec == 0) is emitted exactly once, and a pair one unit
+    apart is not. Interval A = [u, u+2] (even ids), B = [u, u+1] (odd
+    ids), bucket width 2 — the same shape as the hypothesis test but
+    with the boundary geometry fixed, not sampled."""
+    import pyspark.sql.functions as F
+
+    # (id, k, u): A0 [0,2]; B touch-right at 2 -> [2,3] ov 0 (kept);
+    # B touch-left with b.u+1 == a.u -> [-1,0] ov 0 (kept);
+    # B just outside right [3,4] and left [-2,-1] (dropped);
+    # B fully inside [1,2] ov 1 (kept, emitted once though it spans
+    # the same buckets as A twice).
+    rows = [
+        (0, "a", 0),
+        (1, "a", 2),
+        (3, "a", -1),
+        (5, "a", 3),
+        (7, "a", -2),
+        (9, "a", 1),
+    ]
+    t = spark.createDataFrame(rows, "id long, k string, u long")
+    W = 2
+
+    def side(parity: int, length: int, ida: str, ua: str):
+        return t.filter(t.id % 2 == parity).select(
+            F.col("id").alias(ida),
+            "k",
+            F.col("u").alias(ua),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("u") / W).cast("long"),
+                    F.floor((F.col("u") + length) / W).cast("long"),
+                )
+            ).alias("bk"),
+        )
+
+    a = side(0, 2, "a_id", "a_u")
+    b = side(1, 1, "b_id", "b_u")
+    g = F.greatest(F.col("a_u"), F.col("b_u"))
+    got = sorted(
+        (r.a_id, r.b_id, r.ov)
+        for r in (
+            a.join(b, ["k", "bk"])
+            .filter(
+                (F.col("a_u") <= F.col("b_u") + 1)
+                & (F.col("b_u") <= F.col("a_u") + 2)
+                & (F.floor(g / W).cast("long") == F.col("bk"))
+            )
+            .select(
+                "a_id",
+                "b_id",
+                (F.least(F.col("a_u") + 2, F.col("b_u") + 1) - g)
+                .cast("long")
+                .alias("ov"),
+            )
+            .collect()
+        )
+    )
+    assert got == [(0, 1, 0), (0, 3, 0), (0, 9, 1)], got
+
+
+@given(rows=_rows)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_nth_value_short_frames(spark, rows):
+    """win_nth_value's frontier (VERDICT r4 item 6): frames SHORTER than
+    n must yield NULL identically in both engines, and IGNORE NULLS
+    first/last must skip data NULLs the same way. The generator's tiny
+    groups (1..40 rows over 4 keys, nullable v) produce sub-3-row
+    frames and all-NULL partitions constantly. Same semantics per
+    engine; the SQL differs only in IGNORE NULLS placement (Spark:
+    after the call parens; DuckDB: inside them — a grammar difference,
+    found by this test's first run)."""
+
+    def sql(ignore_nulls_inside: bool) -> str:
+        fv = (
+            "first_value(CASE WHEN id % 3 <> 0 THEN u END IGNORE NULLS)"
+            if ignore_nulls_inside
+            else "first_value(CASE WHEN id % 3 <> 0 THEN u END) IGNORE NULLS"
+        )
+        lv = (
+            "last_value(CASE WHEN id % 3 <> 0 THEN u END IGNORE NULLS)"
+            if ignore_nulls_inside
+            else "last_value(CASE WHEN id % 3 <> 0 THEN u END) IGNORE NULLS"
+        )
+        return f"""
+            SELECT id, k,
+                   nth_value(u, 3) OVER (
+                     PARTITION BY k ORDER BY u, id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS third_u,
+                   {fv} OVER (
+                       PARTITION BY k ORDER BY u, id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING
+                     ) AS first_nn,
+                   {lv} OVER (
+                       PARTITION BY k ORDER BY u, id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING
+                     ) AS last_nn
+            FROM t
+        """
+
+    con = duckdb.connect()
+    try:
+        _register(spark, con, "t", _to_pdf(rows))
+        a = _normalize(spark.sql(sql(False)).toPandas())
+        b = _normalize(con.execute(sql(True)).fetch_df())
+        assert a.shape == b.shape, (a.shape, b.shape)
+        a = a.astype(object).where(pd.notnull(a), None)
+        b = b.astype(object).where(pd.notnull(b), None)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    finally:
+        con.close()

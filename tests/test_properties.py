@@ -690,3 +690,28 @@ def test_zorder_tiles_are_bounded_boxes(spark):
     for r in QUERIES["layout_zorder"](spark, SF_DIR).collect():
         assert r.x_hi - r.x_lo <= 15, r
         assert r.y_hi - r.y_lo <= 15, r
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_semdedup_twins_emit_identical_manifests(spark, sf_dir):
+    """Permanent regression gate for the HOF ≡ BLAS equivalence (VERDICT
+    r4 item 5): llm_semdedup (column-expression fold) and
+    llm_semdedup_arrow (groupBy(cell).applyInPandas blocked BLAS) share
+    one oracle SQL, but their mutual equivalence was previously only a
+    tools/semdedup_scale.py claim. Assert identical (vec_id, cell, kept)
+    manifests on both fixture scales."""
+    hof = {
+        (r.vec_id, r.cell, r.kept)
+        for r in QUERIES["llm_semdedup"](spark, sf_dir).collect()
+    }
+    blas = {
+        (r.vec_id, r.cell, r.kept)
+        for r in QUERIES["llm_semdedup_arrow"](spark, sf_dir).collect()
+    }
+    assert len(hof) > 0
+    assert hof == blas, (
+        f"manifests diverge: {len(hof - blas)} HOF-only, "
+        f"{len(blas - hof)} BLAS-only"
+    )
