@@ -500,11 +500,13 @@ def src_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     must not fail a thousand-task stage. The op stages two valid parquet
     files (even event_ids, split in half) next to one deliberately
     poisoned ``.parquet`` (garbage bytes, no magic footer) and scans the
-    directory under ``spark.sql.files.ignoreCorruptFiles=true`` — the
-    job completes with exactly the valid files' rows, verified against
-    the parquet truth. The conf is set only for the duration of the
-    build (armed/restored) so other queries keep fail-fast semantics;
-    the quarantine-and-alert pattern for the skipped file is the
+    directory with the PER-READ ``ignoreCorruptFiles`` datasource option
+    — the job completes with exactly the valid files' rows, verified
+    against the parquet truth. The option is scoped to this one read
+    (ADVICE r4: the earlier session-conf toggle left a window where a
+    concurrent query on the shared session would silently skip corrupt
+    files); every other scan keeps fail-fast semantics by construction.
+    The quarantine-and-alert pattern for the skipped file is the
     ``snk_observe_audit`` side of the house.
     """
     ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 2 == 0)
@@ -531,22 +533,16 @@ def src_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(f"{stage}/poisoned-0000.parquet", "wb") as fh:
         fh.write(b"\x00NOT A PARQUET FILE\xff" * 64)
 
-    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
-    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
-    try:
-        # explicit schema: inference samples footers and may land on the
-        # poisoned file first — production tolerant reads always declare
-        back = spark.read.schema(ev.schema).parquet(stage)
-        out = back.groupBy("event_type").agg(
-            F.count(F.lit(1)).cast("long").alias("n_events")
-        )
-        # materialize the scan while the tolerant conf is armed: the conf
-        # is read at execution time, so it must outlive this builder only
-        # if the plan were lazy — localCheckpoint freezes the result
-        out = out.localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
-    return out
+    # explicit schema: inference samples footers and may land on the
+    # poisoned file first — production tolerant reads always declare
+    back = (
+        spark.read.schema(ev.schema)
+        .option("ignoreCorruptFiles", "true")  # read-scoped, not session
+        .parquet(stage)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
 
 
 @query(

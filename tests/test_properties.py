@@ -715,3 +715,41 @@ def test_semdedup_twins_emit_identical_manifests(spark, sf_dir):
         f"manifests diverge: {len(hof - blas)} HOF-only, "
         f"{len(blas - hof)} BLAS-only"
     )
+
+
+def test_image_codecs_roundtrip():
+    """decode(encode(px)) == px for the dependency-free BMP and PPM
+    codecs, across widths that hit every BMP row-padding residue
+    (3w % 4 in {0,1,2,3}) and heights 1..4 — the geometry where a missed
+    bottom-up flip, BGR swap, or padding leak cannot hide."""
+    from bootic_stats_aggregates_spark.llm.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    for w in (1, 4, 5, 6, 7, 8):
+        for h in (1, 2, 3, 4):
+            n = w * h * 3
+            px = bytes((11 * j + 3) % 256 for j in range(n))
+            for enc, name in ((encode_bmp, "bmp"), (encode_ppm, "ppm")):
+                meta = decode_image(enc(px, w, h))
+                assert meta["width"] == w and meta["height"] == h, (name, w, h)
+                assert meta["mode"] == "RGB"
+                assert bytes(meta["pixels"]) == px, (name, w, h)
+
+
+def test_image_decode_no_longer_raises_without_pil():
+    """VERDICT r4 item 8 'done' criterion: the decode probe must not
+    raise on the no-PIL host for uncompressed containers (PIL-only
+    formats still feature-probe)."""
+    from bootic_stats_aggregates_spark.llm.multimodal import (
+        decode_image,
+        encode_ppm,
+        image_features,
+    )
+
+    px = bytes(range(12))
+    blob = encode_ppm(px, 2, 2)
+    assert decode_image(blob)["pixels"] == px
+    assert image_features(blob) == [2.0, 2.0, 3.0, sum(px) / 12]
