@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..helpers import lcount
 from ..io import table
 from ..registry import query
-from .text import quality_keep_sql
+from .text import SHINGLE_SELECT_SQL, quality_keep_sql
 
 #: MinHash config: 32 hashes = 16 bands x 2 rows. P(candidate | jaccard j)
 #: = 1-(1-j^2)^16: j=0.5 -> 0.99, j=0.2 -> 0.48, j=0.05 -> 0.04 — high
@@ -118,15 +118,7 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_PAIRS_SQL = f"""
     WITH sh AS (
       -- <3-token docs get an empty shingle set (mirrors the Spark guard)
-      SELECT doc_id,
-        CASE WHEN len(string_split(text,' ')) < 3 THEN []
-        ELSE list_distinct(list_transform(
-          range(1, len(string_split(text,' ')) - 2 + 1),
-          i -> string_split(text,' ')[i] || ' ' ||
-               string_split(text,' ')[i+1] || ' ' ||
-               string_split(text,' ')[i+2]
-        )) END AS s
-      FROM documents
+{SHINGLE_SELECT_SQL}
     )
     SELECT
       a.doc_id AS doc_id_a,
@@ -838,15 +830,7 @@ CONTAINMENT_THRESHOLD = 0.5
     -- larger doc B, which symmetric jaccard dilutes below threshold.
     -- Ordered pairs (a contained-in b), brute oracle at fixture scale.
     WITH sh AS (
-      SELECT doc_id,
-        CASE WHEN len(string_split(text,' ')) < 3 THEN []
-        ELSE list_distinct(list_transform(
-          range(1, len(string_split(text,' ')) - 2 + 1),
-          i -> string_split(text,' ')[i] || ' ' ||
-               string_split(text,' ')[i+1] || ' ' ||
-               string_split(text,' ')[i+2]
-        )) END AS s
-      FROM documents
+{SHINGLE_SELECT_SQL}
     )
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
            round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)

@@ -57,23 +57,39 @@ def _scored_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared top-k builder: per query vector, k nearest others by cosine."""
-    e = _scored_vectors(spark, sf_dir)
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+def _q_side(e: DataFrame) -> DataFrame:
+    """Query-side projection shared by every pair-scoring op: the scored
+    frame re-aliased to q_* so it can join/cross the corpus side."""
+    return e.select(
         F.col("vec_id").alias("q_vec_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    cos = F.round(
+
+
+#: Rounded-6 pair cosine over the q_*/corpus column pair (see module
+#: docstring for why the double fold is spelled out).
+def _pair_cos() -> Column:
+    return F.round(
         _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm")), 6
     )
-    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos_sim"), "vec_id")
+
+
+def _topk_window():
+    """Per-query ranking over the ROUNDED cosine, vec_id tie-broken —
+    engine-stable (FIXTURES.md rule 2)."""
+    return Window.partitionBy("q_vec_id").orderBy(F.desc("cos_sim"), "vec_id")
+
+
+def _topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared top-k builder: per query vector, k nearest others by cosine."""
+    e = _scored_vectors(spark, sf_dir)
+    q = _q_side(e.filter(F.col("vec_id") < N_QUERIES))
     return (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_vec_id"))
-        .select("q_vec_id", "vec_id", "label", cos.alias("cos_sim"))
-        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .select("q_vec_id", "vec_id", "label", _pair_cos().alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(_topk_window()).cast("long"))
         .filter(F.col("rk") <= TOP_K)
     )
 
@@ -445,20 +461,11 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     e = _scored_vectors(spark, sf_dir)
-    q = e.select(
-        F.col("vec_id").alias("q_vec_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    cos = F.round(
-        _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm")), 6
-    )
-    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos_sim"), "vec_id")
     return (
-        cand.join(F.broadcast(q), "q_vec_id")
+        cand.join(F.broadcast(_q_side(e)), "q_vec_id")
         .join(e, "vec_id")
-        .select("q_vec_id", "vec_id", cos.alias("cos_sim"))
-        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .select("q_vec_id", "vec_id", _pair_cos().alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(_topk_window()).cast("long"))
         .filter(F.col("rk") <= TOP_K)
     )
 
@@ -610,20 +617,11 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("q_vec_id"))
         .select("q_vec_id", "vec_id")
     )
-    q = _scored_vectors(spark, sf_dir).select(
-        F.col("vec_id").alias("q_vec_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    cos = F.round(
-        _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm")), 6
-    )
-    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos_sim"), "vec_id")
     return (
-        cand.join(F.broadcast(q), "q_vec_id")
+        cand.join(F.broadcast(_q_side(_scored_vectors(spark, sf_dir))), "q_vec_id")
         .join(_scored_vectors(spark, sf_dir), "vec_id")
-        .select("q_vec_id", "vec_id", cos.alias("cos_sim"))
-        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .select("q_vec_id", "vec_id", _pair_cos().alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(_topk_window()).cast("long"))
         .filter(F.col("rk") <= TOP_K)
     )
 
@@ -839,9 +837,6 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("q_nrm"),
         "cell",
     )
-    cos = F.round(
-        _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm")), 6
-    )
     drops = (
         assigned.join(lower, "cell")
         .filter(F.col("q_vec_id") < F.col("vec_id"))
@@ -849,7 +844,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NaN, and Spark's NaN > x ordering would otherwise DROP here while
         # numpy/DuckDB kept — the oracle carries the same nrm > 0 guard)
         .filter((F.col("q_nrm") > 0) & (F.col("nrm") > 0))
-        .filter(cos >= SEMDEDUP_COS)
+        .filter(_pair_cos() >= SEMDEDUP_COS)
         .select("vec_id")
         .distinct()
         .withColumn("dropped", F.lit(True))

@@ -15,6 +15,20 @@ from ..helpers import lcount
 from ..io import table
 from ..registry import query
 
+#: DuckDB fragment: per-doc DISTINCT 3-token shingle sets with the <3-token
+#: empty-set guard (mirrors the Spark side). Shared by every shingle-based
+#: oracle here and in llm/dedup.py — one definition, one semantics.
+SHINGLE_SELECT_SQL = """\
+      SELECT doc_id,
+        CASE WHEN len(string_split(text,' ')) < 3 THEN []
+        ELSE list_distinct(list_transform(
+          range(1, len(string_split(text,' ')) - 2 + 1),
+          i -> string_split(text,' ')[i] || ' ' ||
+               string_split(text,' ')[i+1] || ' ' ||
+               string_split(text,' ')[i+2]
+        )) END AS s
+      FROM documents"""
+
 #: Stopword-ish filler tokens of the synthetic corpus (FIXTURES.md: vocab is
 #: engine-themed words). Fixed literal list => deterministic on both sides.
 STOPWORDS = ["a", "the", "of", "to", "and", "in", "is", "it"]
@@ -1122,21 +1136,13 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_ngram_novelty",
-    oracle="""
+    oracle=f"""
     -- per-doc novelty: fraction of a doc's distinct 3-gram shingles that
     -- appear in NO other document — the inverse signal to boilerplate
     -- (high novelty = unique content; near-zero = template/copy). Docs
     -- shorter than 3 tokens have no shingles and drop out (both engines).
     WITH sh AS (
-      SELECT doc_id,
-        CASE WHEN len(string_split(text,' ')) < 3 THEN []
-        ELSE list_distinct(list_transform(
-          range(1, len(string_split(text,' ')) - 2 + 1),
-          i -> string_split(text,' ')[i] || ' ' ||
-               string_split(text,' ')[i+1] || ' ' ||
-               string_split(text,' ')[i+2]
-        )) END AS s
-      FROM documents
+{SHINGLE_SELECT_SQL}
     ),
     posted AS (SELECT doc_id, unnest(s) AS g FROM sh),
     -- shingles are distinct per doc, so count(*) IS document frequency

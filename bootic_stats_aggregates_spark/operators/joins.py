@@ -269,6 +269,40 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared scaffold for the as-of family: views (kind 0, carrying their
+    own ts as the payload) unioned with clicks (kind 1, NULL payload).
+    Views sort before clicks at equal ts so ``<=``/``>=`` semantics admit
+    the simultaneous view in either scan direction."""
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    return views.unionByName(clicks)
+
+
+def _asof_window(descending: bool = False):
+    """Carry-forward frame per user: ascending scan carries the latest
+    view at-or-BEFORE each row; descending carries the earliest view
+    at-or-AFTER (kind stays ascending so the simultaneous view wins in
+    both directions)."""
+    order = (
+        [F.col("ts").desc(), F.col("kind").asc(), F.col("event_id")]
+        if descending
+        else [F.col("ts"), F.col("kind"), F.col("event_id")]
+    )
+    return (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+
 @query(
     "join_asof",
     oracle="""
@@ -291,21 +325,8 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle + one sort, linear in input (no pair blow-up). Oracle: DuckDB's
     native ASOF JOIN.
     """
-    ev = table(spark, sf_dir, "events")
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", "event_id", F.lit(0).alias("kind"), F.col("ts").alias("view_ts")
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", F.lit(1).alias("kind"),
-        F.lit(None).cast("timestamp").alias("view_ts"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "kind", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = views.unionByName(clicks).withColumn(
-        "asof_view_ts", F.last("view_ts", ignorenulls=True).over(w)
+    merged = _asof_union(spark, sf_dir).withColumn(
+        "asof_view_ts", F.last("view_ts", ignorenulls=True).over(_asof_window())
     )
     return merged.filter(F.col("kind") == 1).select(
         F.col("event_id").alias("click_id"),
@@ -652,22 +673,8 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape is unchanged (linear, no pair blow-up). Oracle: DuckDB native
     ASOF LEFT JOIN + the same staleness CASE.
     """
-    ev = table(spark, sf_dir, "events")
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", "event_id", F.lit(0).alias("kind"),
-        F.col("ts").alias("view_ts"),
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", F.lit(1).alias("kind"),
-        F.lit(None).cast("timestamp").alias("view_ts"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "kind", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = views.unionByName(clicks).withColumn(
-        "asof_view_ts", F.last("view_ts", ignorenulls=True).over(w)
+    merged = _asof_union(spark, sf_dir).withColumn(
+        "asof_view_ts", F.last("view_ts", ignorenulls=True).over(_asof_window())
     )
     age = F.unix_timestamp("ts") - F.unix_timestamp("asof_view_ts")
     fresh = age <= ASOF_TOLERANCE_SEC
@@ -708,22 +715,9 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle on user_id + one sort — linear, no pair blow-up; DuckDB's
     native ASOF with ``>=`` replays it.
     """
-    ev = table(spark, sf_dir, "events")
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", "event_id", F.lit(0).alias("kind"),
-        F.col("ts").alias("view_ts"),
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", F.lit(1).alias("kind"),
-        F.lit(None).cast("timestamp").alias("view_ts"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").desc(), F.col("kind").asc(), F.col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = views.unionByName(clicks).withColumn(
-        "next_view_ts", F.last("view_ts", ignorenulls=True).over(w)
+    merged = _asof_union(spark, sf_dir).withColumn(
+        "next_view_ts",
+        F.last("view_ts", ignorenulls=True).over(_asof_window(descending=True)),
     )
     return merged.filter(F.col("kind") == 1).select(
         F.col("event_id").alias("click_id"),
@@ -791,29 +785,17 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashpartitioning exchange for both sorts. Offset is signed
     (negative = attributed view precedes the click).
     """
-    ev = table(spark, sf_dir, "events")
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", "event_id", F.lit(0).alias("kind"),
-        F.col("ts").alias("view_ts"),
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", F.lit(1).alias("kind"),
-        F.lit(None).cast("timestamp").alias("view_ts"),
-    )
-    asc = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "kind", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    desc = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").desc(), F.col("kind").asc(), F.col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     merged = (
-        views.unionByName(clicks)
-        .withColumn("back_ts", F.last("view_ts", ignorenulls=True).over(asc))
-        .withColumn("fwd_ts", F.last("view_ts", ignorenulls=True).over(desc))
+        _asof_union(spark, sf_dir)
+        .withColumn(
+            "back_ts", F.last("view_ts", ignorenulls=True).over(_asof_window())
+        )
+        .withColumn(
+            "fwd_ts",
+            F.last("view_ts", ignorenulls=True).over(
+                _asof_window(descending=True)
+            ),
+        )
     )
     back_age = F.unix_timestamp("ts") - F.unix_timestamp("back_ts")
     fwd_age = F.unix_timestamp("fwd_ts") - F.unix_timestamp("ts")

@@ -753,3 +753,79 @@ def test_image_decode_no_longer_raises_without_pil():
     blob = encode_ppm(px, 2, 2)
     assert decode_image(blob)["pixels"] == px
     assert image_features(blob) == [2.0, 2.0, 3.0, sum(px) / 12]
+
+
+def test_semdedup_zero_norm_vectors_agree_across_engines(spark, tmp_path):
+    """The nrm > 0 guard (ADVICE r4): a zero-norm embedding has undefined
+    cosine and the engines disagree on NaN ordering, so all three
+    SemDeDup paths define it as never-similar. The fixture corpus has no
+    zero vectors, so this stages a synthetic embeddings table containing
+    two zero vectors (one with the LOWEST id in a crowded cell — the
+    Spark-NaN-drops trap) plus near-duplicate and orthogonal-ish real
+    vectors, then asserts HOF == BLAS == DuckDB oracle on it."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import duckdb
+
+    from bootic_stats_aggregates_spark.io import TABLES
+    from bootic_stats_aggregates_spark.registry import all_oracles
+
+    rng = np.random.default_rng(11)
+    dim = 64
+    base = rng.normal(size=dim).astype("float32")
+    vecs = {
+        0: np.zeros(dim, dtype="float32"),        # zero vector, lowest id
+        1: base,
+        2: base + rng.normal(scale=0.01, size=dim).astype("float32"),  # near-dup of 1
+        3: np.zeros(dim, dtype="float32"),        # second zero vector
+        4: rng.normal(size=dim).astype("float32"),
+        5: (-base).astype("float32"),
+    }
+    d = tmp_path / "sf_zero"
+    d.mkdir()
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(sorted(vecs), type=pa.int64()),
+            "embedding": pa.array(
+                [vecs[k].tolist() for k in sorted(vecs)],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array([k % 3 for k in sorted(vecs)], type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, d / "embeddings.parquet")
+
+    hof = {
+        (r.vec_id, r.cell, r.kept)
+        for r in QUERIES["llm_semdedup"](spark, str(d)).collect()
+    }
+    blas = {
+        (r.vec_id, r.cell, r.kept)
+        for r in QUERIES["llm_semdedup_arrow"](spark, str(d)).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW embeddings AS "
+            f"SELECT * FROM read_parquet('{d}/embeddings.parquet')"
+        )
+        oracle = {
+            (r[0], r[1], r[2])
+            for r in con.execute(all_oracles()["llm_semdedup"]).fetchall()
+        }
+    finally:
+        con.close()
+    assert hof == blas == oracle, (hof, blas, oracle)
+    kept = {vid: k for vid, _, k in hof}
+    # zero vectors are never-similar: both kept, and vec 0 being the
+    # lowest id in its cell must not drag real vectors down either way
+    assert kept[0] is True and kept[3] is True
+    # the genuine near-duplicate pair still dedups (2 drops to 1)
+    assert kept[1] is True and kept[2] is False

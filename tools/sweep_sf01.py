@@ -66,6 +66,15 @@ SWEEPS: dict[str, tuple[str, str, list[tuple[int, int]]]] = {
     "llm_dedup_cascade": ("documents", "doc_id", _DOC_W),
     "llm_embed_neardup": ("embeddings", "vec_id", _EMB_W),
     "join_range_bucketed": ("events", "event_id", _EVT_W),
+    # r5 additions (VERDICT r4 item 9): SemDeDup's oracle is an equi-self-
+    # join on cell (quadratic within cell), interval overlap's is the
+    # same-user all-pairs inequality join — both bounded-sliced like their
+    # family peers. Slicing is semantics-preserving: cell assignment is
+    # per-vector and both engines see the identical slice, so the
+    # keep/drop manifest of a slice is its own fixed point.
+    "llm_semdedup": ("embeddings", "vec_id", _EMB_W),
+    "llm_semdedup_arrow": ("embeddings", "vec_id", _EMB_W),
+    "join_interval_overlap": ("events", "event_id", _EVT_W),
 }
 
 
