@@ -62,8 +62,11 @@ EXTRA = {
     "inverted_index": "llm_inverted_index",
     "corpus_shuffle": "llm_corpus_shuffle",
     "semdedup": "llm_semdedup",
+    "semdedup_arrow": "llm_semdedup_arrow",
     "interval_overlap": "join_interval_overlap",
     "zorder_tiles": "layout_zorder",
+    "aes_gcm": "fn_aes_gcm",
+    "multimodal_decode": "llm_multimodal_decode",
     # join_bloom_pruned is intentionally NOT benched: its builder freezes
     # the armed-plan result via localCheckpoint (registry-memoized), so a
     # repeat timing would measure the checkpoint read, not the join.
