@@ -3,13 +3,14 @@
 Images/audio/video are opaque ``binary`` columns + a typed metadata struct.
 The Spark-side machinery is real and tested: schema, Arrow-batched
 ``mapInPandas`` feature extraction, partition-preserving dataflow. Media
-decoding is LAYERED: uncompressed containers (binary PPM, 24-bit BMP)
-decode with dependency-free pure-Python/numpy codecs in this module —
-real pixel decode on any host (llm_multimodal_decode exercises it
-end-to-end against an exact SQL oracle) — while compressed formats
-(PNG/JPEG/...) are feature-probed: a real PIL decode when the library is
-importable, NotImplementedError otherwise (image/audio libs are not in
-this container). Non-image payloads — and compressed payloads when no
+decoding is LAYERED: uncompressed containers (binary PPM, 24-bit BMP,
+RIFF/WAVE PCM16) decode with dependency-free pure-Python/numpy codecs in
+this module — real pixel/sample decode on any host (llm_multimodal_decode
+and llm_multimodal_audio exercise them end-to-end against exact SQL
+oracles) — while compressed formats (PNG/JPEG/MP3/...) are
+feature-probed: a real PIL decode when the library is importable,
+NotImplementedError otherwise (image/audio libs are not in this
+container). Non-image payloads — and compressed payloads when no
 decoder exists — take a deterministic byte-statistics featurizer, so row
 counts / schemas / batching are exercised end-to-end and the text/plain
 oracles are identical in both environments.
@@ -507,5 +508,149 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id long, container string, width long, height long, "
             "bands long, mean_px double, corner_r long, tail_b long"
+        ),
+    )
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """Canonical PCM16 mono WAV (RIFF) container — plus a junk LIST chunk
+    before the data chunk so a decoder must genuinely WALK the chunk
+    sequence (offset-hardcoding fails)."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples).astype("<i2").tobytes()
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    junk = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    body = fmt + junk + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Pure-numpy PCM16 WAV decode: walk the RIFF chunk list (respecting
+    odd-size padding), pick up fmt + data, reject anything that is not
+    uncompressed 16-bit PCM."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _byte_rate, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError("only uncompressed 16-bit PCM supported")
+    samples = np.frombuffer(data, dtype="<i2")
+    if n_ch > 1:
+        samples = samples.reshape(-1, n_ch)
+    return {
+        "sample_rate": rate,
+        "n_channels": n_ch,
+        "samples": samples,
+    }
+
+
+def _synth_and_decode_audio(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Audio twin of _synth_and_decode: deterministic PCM16 waveforms into
+    REAL WAV containers, decoded back by the chunk-walking parser."""
+    import math
+
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "sample_rate": [], "n_samples": [],
+            "duration_ms": [], "first_s": [], "last_s": [],
+            "sum_amp": [], "rms": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            n = 256 + (doc_id % 7) * 64
+            rate = 8000 + (doc_id % 3) * 4000
+            j = np.arange(n, dtype=np.int64)
+            samples = ((doc_id * 17 + 5 * j) % 4096) - 2048
+            meta = decode_wav(encode_wav(samples, rate))
+            s = meta["samples"].astype(np.int64)
+            out["doc_id"].append(doc_id)
+            out["sample_rate"].append(meta["sample_rate"])
+            out["n_samples"].append(len(s))
+            out["duration_ms"].append(
+                round(len(s) / meta["sample_rate"] * 1000, 3)
+            )
+            out["first_s"].append(int(s[0]))
+            out["last_s"].append(int(s[-1]))
+            out["sum_amp"].append(int(s.sum()))
+            # math.sqrt, not ** 0.5: pow(x, 0.5) is not guaranteed to be
+            # the correctly-rounded sqrt DuckDB's sqrt() computes
+            out["rms"].append(
+                round(math.sqrt(float(int((s * s).sum())) / n), 6)
+            )
+        yield pd.DataFrame(out)
+
+
+@query(
+    "llm_multimodal_audio",
+    oracle="""
+    -- decoded-waveform stats recomputed from the synthesis parameters
+    -- (sample j = (doc_id*17 + 5j) % 4096 - 2048): a correct decoder must
+    -- strip the RIFF framing (incl. the junk LIST chunk) exactly to agree
+    WITH p AS (
+      SELECT doc_id,
+             256 + (doc_id % 7) * 64 AS n,
+             8000 + (doc_id % 3) * 4000 AS rate
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           round(n / CAST(rate AS DOUBLE) * 1000, 3) AS duration_ms,
+           CAST((doc_id*17) % 4096 - 2048 AS BIGINT) AS first_s,
+           CAST((doc_id*17 + 5*(n-1)) % 4096 - 2048 AS BIGINT) AS last_s,
+           CAST(list_aggregate(
+                  [(doc_id*17 + 5*j) % 4096 - 2048 FOR j IN range(0, n)],
+                  'sum') AS BIGINT) AS sum_amp,
+           round(sqrt(CAST(list_aggregate(
+                  [((doc_id*17 + 5*j) % 4096 - 2048)
+                   * ((doc_id*17 + 5*j) % 4096 - 2048)
+                   FOR j IN range(0, n)],
+                  'sum') AS DOUBLE) / n), 6) AS rms
+    FROM p
+    """,
+)
+def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode without audio libs — the WAV/PCM leg of the
+    multimodal family (image: llm_multimodal_decode; video frames:
+    llm_multimodal_frames): deterministic PCM16 waveforms are framed into
+    genuine RIFF/WAVE containers (with a junk LIST chunk so the decoder
+    must walk the chunk sequence, not hardcode offsets) and decoded back
+    by the dependency-free parser. Emitted stats include order-sensitive
+    probes (first_s/last_s) and the RMS energy every audio-quality gate
+    computes; the oracle recomputes all of it from the synthesis
+    parameters in SQL. Arrow-batched mapInPandas, map-only, no shuffle —
+    at 100 TB this is the audio ingest/feature stage with ffmpeg swapped
+    in for compressed codecs."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        _synth_and_decode_audio,
+        schema=(
+            "doc_id long, sample_rate long, n_samples long, "
+            "duration_ms double, first_s long, last_s long, "
+            "sum_amp long, rms double"
         ),
     )

@@ -829,3 +829,23 @@ def test_semdedup_zero_norm_vectors_agree_across_engines(spark, tmp_path):
     assert kept[0] is True and kept[3] is True
     # the genuine near-duplicate pair still dedups (2 drops to 1)
     assert kept[1] is True and kept[2] is False
+
+
+def test_wav_codec_roundtrip():
+    """decode(encode(samples)) == samples for the dependency-free WAV
+    codec, including odd sample counts (odd data-chunk sizes exercise
+    RIFF word-alignment padding) and the junk LIST chunk the decoder
+    must walk past."""
+    import numpy as np
+
+    from bootic_stats_aggregates_spark.llm.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    for n in (1, 2, 255, 256, 257):
+        samples = ((np.arange(n, dtype=np.int64) * 37 + 11) % 4096) - 2048
+        meta = decode_wav(encode_wav(samples, 8000))
+        assert meta["sample_rate"] == 8000
+        assert meta["n_channels"] == 1
+        assert np.array_equal(meta["samples"].astype(np.int64), samples), n
