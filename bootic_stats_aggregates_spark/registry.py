@@ -86,11 +86,14 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: additions — 195/209 cumulative, all green, no value-failure ever.
 #: Round 5 front-loads the FINAL 14 operators that have never earned a
 #: driver row (the round-4 additions that sat below the cap), completing
-#: 209/209 cumulative driver-verified coverage, then backfills slots 15-50
+#: cumulative driver-verified coverage of every pre-r5 op (209 of the
+#: 212 now registered; the 3 r5 additions — fn_aes_gcm,
+#: llm_multimodal_decode, llm_multimodal_audio — queue for the r6 gate
+#: with local-oracle + driver-sim evidence), then backfills slots 15-50
 #: with the 36 longest-unre-verified rows (round-1-verified ops, untouched
 #: by the driver since CORRECTNESS_r01) as a regression re-check.
 #: Verification status of every entry, stated precisely (ADVICE r3 item 2):
-#: all 209 registered pairs pass the local oracle gate at sf0.01
+#: all 212 registered pairs pass the local oracle gate at sf0.01
 #: (tests/test_oracle.py, exact value compare); linear-oracle ops are also
 #: swept at sf0.1 (pytest with SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1,
 #: logs at tools/sweep_sf01_r4.log / _r5.log); the quadratic/recursive-oracle
