@@ -380,3 +380,15 @@ def test_zorder_map_only_plus_one_agg_shuffle(spark):
     assert n_exchanges == 1, f"expected 1 exchange, got {n_exchanges}"
     assert "Join" not in body
     assert "Sort" not in body
+
+
+def test_multimodal_decode_is_map_only(spark):
+    """The decode stages must plan as a single map-only pipeline — scan ->
+    MapInPandas -> project, with NO Exchange: at 100 TB the decode fans
+    out across executors with zero shuffle, and a stray repartition here
+    would serialize the whole corpus through the network for no reason."""
+    for qid in ("llm_multimodal_decode", "llm_multimodal_audio"):
+        plan = formatted_plan(fresh(spark, qid))
+        body = plan.split("===== Subqueries =====")[0]
+        assert "Exchange" not in body, f"{qid} plans a shuffle:\n{body}"
+        assert "MapInPandas" in body or "ArrowEvalPython" in body, body

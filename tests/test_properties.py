@@ -849,3 +849,45 @@ def test_wav_codec_roundtrip():
         assert meta["sample_rate"] == 8000
         assert meta["n_channels"] == 1
         assert np.array_equal(meta["samples"].astype(np.int64), samples), n
+
+
+def test_media_codecs_reject_malformed_containers():
+    """Decoders fail LOUDLY on malformed containers (truncated pixel
+    plane, unsupported bit depth / compression, missing RIFF chunks) —
+    a decode stage that silently returns garbage poisons every
+    downstream feature. NotImplementedError stays reserved for
+    PIL-gated compressed formats."""
+    import struct
+
+    import numpy as np
+
+    import pytest as _pytest
+
+    from bootic_stats_aggregates_spark.llm.multimodal import (
+        decode_image,
+        decode_wav,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
+
+    px = bytes(range(12))
+    with _pytest.raises(ValueError):
+        decode_image(encode_ppm(px, 2, 2)[:-5])  # truncated pixels
+    with _pytest.raises(ValueError):
+        decode_image(b"P6\n2 2\n65535\n" + px)  # 16-bit maxval
+    bmp = bytearray(encode_bmp(px, 2, 2))
+    struct.pack_into("<H", bmp, 28, 8)  # claim 8-bit depth
+    with _pytest.raises(ValueError):
+        decode_image(bytes(bmp))
+    bmp = bytearray(encode_bmp(px, 2, 2))
+    struct.pack_into("<I", bmp, 30, 1)  # claim RLE compression
+    with _pytest.raises(ValueError):
+        decode_image(bytes(bmp))
+    wav = encode_wav(np.arange(4, dtype=np.int64), 8000)
+    with _pytest.raises(ValueError):
+        decode_wav(wav[:8] + b"XXXX" + wav[12:])  # not WAVE
+    with _pytest.raises(ValueError):
+        decode_wav(wav[:12])  # chunks missing
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\0" * 32)  # PIL-gated
