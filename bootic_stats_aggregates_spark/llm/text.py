@@ -470,6 +470,32 @@ def quality_keep_sql(text_col: str = "text") -> str:
     )"""
 
 
+def quality_gate_cols(text_col: str = "text"):
+    """The Gopher-gate metric columns as SPARK expressions — the
+    column-side twin of :func:`quality_keep_sql`: (n_tok, mean_wl,
+    n_stop, keep). Shared by the batch gate (llm_quality_filter) and the
+    streaming gate (stream_quality_gate) so batch and stream can never
+    disagree on what "keep" means."""
+    toks = F.split(text_col, " ")
+    n_tok = F.size(toks)
+    mean_wl = (
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).cast("double")
+        / n_tok
+    )
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop))
+    keep = (
+        n_tok.between(QF_MIN_TOKENS, QF_MAX_TOKENS)
+        & mean_wl.between(QF_MIN_WORD_LEN, QF_MAX_WORD_LEN)
+        & (n_stop >= QF_MIN_STOPWORDS)
+    )
+    return n_tok, mean_wl, n_stop, keep
+
+
 @query(
     "llm_quality_filter",
     oracle=f"""
@@ -508,18 +534,7 @@ def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate is a map-only pass at any corpus size.
     """
     d = table(spark, sf_dir, "documents")
-    toks = _toks()
-    n_tok = F.size(toks)
-    mean_wl = (
-        F.aggregate(
-            F.transform(toks, lambda t: F.length(t).cast("long")),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        ).cast("double")
-        / n_tok
-    )
-    stop = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop))
+    n_tok, mean_wl, n_stop, _keep = quality_gate_cols()
     ok_len = n_tok.between(QF_MIN_TOKENS, QF_MAX_TOKENS)
     ok_wl = mean_wl.between(QF_MIN_WORD_LEN, QF_MAX_WORD_LEN)
     ok_stop = n_stop >= QF_MIN_STOPWORDS

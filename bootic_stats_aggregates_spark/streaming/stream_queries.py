@@ -433,33 +433,11 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate is stateless per row, so the only streaming state is the final
     counter aggregate.
     """
-    from ..llm.text import (
-        QF_MAX_TOKENS,
-        QF_MAX_WORD_LEN,
-        QF_MIN_STOPWORDS,
-        QF_MIN_TOKENS,
-        QF_MIN_WORD_LEN,
-        STOPWORDS,
-    )
+    from ..llm.text import quality_gate_cols
 
     docs = stream_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_tok = F.size(toks)
-    mean_wl = (
-        F.aggregate(
-            F.transform(toks, lambda t: F.length(t).cast("long")),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        ).cast("double")
-        / n_tok
-    )
-    stop = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop))
-    keep = (
-        n_tok.between(QF_MIN_TOKENS, QF_MAX_TOKENS)
-        & mean_wl.between(QF_MIN_WORD_LEN, QF_MAX_WORD_LEN)
-        & (n_stop >= QF_MIN_STOPWORDS)
-    )
+    # identical gate expressions as the batch op — one definition
+    _n_tok, _mean_wl, _n_stop, keep = quality_gate_cols()
     agg = docs.groupBy("lang", keep.alias("keep")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
