@@ -36,6 +36,21 @@ STOPWORDS = ["a", "the", "of", "to", "and", "in", "is", "it"]
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
 
+def _bigram_array(toks):
+    """Adjacent-bigram array of a token array. Guard: sequence(0, -1)
+    would DESCEND for 1-token docs, so the build is gated on size >= 2
+    (same contract as the oracles' range())."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _toks(col: str = "text"):
     return F.split(col, " ")
 
@@ -680,17 +695,7 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    # guard: sequence(0, -1) would DESCEND for 1-token docs, so gate the
-    # bigram build on size >= 2 (same contract as the oracle's range())
-    bgs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bgs = _bigram_array(toks)
     withb = d.select("doc_id", bgs.alias("bgs")).filter(F.size("bgs") > 0)
     n, u = F.size("bgs"), F.size(F.array_distinct("bgs"))
     return withb.select(
@@ -1112,15 +1117,7 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    bgs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bgs = _bigram_array(toks)
     posted = d.select("doc_id", F.explode(bgs).alias("bg"))
     doc_bg = posted.groupBy("doc_id", "bg").agg(
         F.count(F.lit(1)).alias("c_doc")
