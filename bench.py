@@ -67,6 +67,7 @@ EXTRA = {
     "zorder_tiles": "layout_zorder",
     "aes_gcm": "fn_aes_gcm",
     "multimodal_decode": "llm_multimodal_decode",
+    "multimodal_audio": "llm_multimodal_audio",
     # join_bloom_pruned is intentionally NOT benched: its builder freezes
     # the armed-plan result via localCheckpoint (registry-memoized), so a
     # repeat timing would measure the checkpoint read, not the join.
