@@ -17,3 +17,28 @@ def test_contract_shapes():
     assert set(os_) <= set(qs)
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in os_.values())
+
+
+def test_bench_ids_are_registered():
+    """Every HEADLINE/EXTRA id in bench.py must be a registered query —
+    a typo here would crash the driver's per-round BENCH run, which is
+    recorded evidence, not just a local script."""
+    import importlib.util
+    import os
+
+    from bootic_stats_aggregates_spark.registry import all_queries
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(here, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    qs = all_queries()
+    missing = {
+        name: qid
+        for name, qid in {**bench.HEADLINE, **bench.EXTRA}.items()
+        if qid not in qs
+    }
+    assert not missing, f"bench.py references unregistered queries: {missing}"
+    assert "stream_tumbling" in qs  # the streaming throughput row
