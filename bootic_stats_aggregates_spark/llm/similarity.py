@@ -204,7 +204,10 @@ NEARDUP_COS = 0.4
       e.vec_id AS vec_id_b,
       round({_DOT_SQL} / (q.nrm * e.nrm), 6) AS cos_sim
     FROM e q JOIN e ON q.vec_id < e.vec_id
-    WHERE round({_DOT_SQL} / (q.nrm * e.nrm), 6) >= {NEARDUP_COS}
+    -- nrm > 0: zero-norm vectors are never-similar by definition (same
+    -- engine-NaN-divergence guard as the SemDeDup family)
+    WHERE q.nrm > 0 AND e.nrm > 0
+      AND round({_DOT_SQL} / (q.nrm * e.nrm), 6) >= {NEARDUP_COS}
     """,
 )
 def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,6 +234,9 @@ def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        # zero-norm guard: cos would be NaN and Spark's NaN > x ordering
+        # would pass the >= filter while DuckDB's IEEE compare rejects it
+        .filter((F.col("nrm_a") > 0) & (F.col("nrm_b") > 0))
         .select("vec_id_a", "vec_id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= NEARDUP_COS)
     )
@@ -385,7 +391,9 @@ def _neardup_lsh_oracle() -> str:
     FROM cand c
     JOIN e q ON q.vec_id = c.a_vec_id
     JOIN e   ON e.vec_id = c.b_vec_id
-    WHERE round(list_sum(list_transform(list_zip(q.embedding, e.embedding),
+    -- nrm > 0: same zero-norm never-similar guard as the brute twin
+    WHERE q.nrm > 0 AND e.nrm > 0
+      AND round(list_sum(list_transform(list_zip(q.embedding, e.embedding),
             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
             / (q.nrm * e.nrm), 6) >= {NEARDUP_COS}
     """
@@ -436,6 +444,8 @@ def llm_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(a_side, "vec_id_a")
         .join(b_side, "vec_id_b")
+        # zero-norm guard: matches the brute twin and the oracle
+        .filter((F.col("nrm_a") > 0) & (F.col("nrm_b") > 0))
         .select("vec_id_a", "vec_id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= NEARDUP_COS)
     )

@@ -830,6 +830,35 @@ def test_semdedup_zero_norm_vectors_agree_across_engines(spark, tmp_path):
     # the genuine near-duplicate pair still dedups (2 drops to 1)
     assert kept[1] is True and kept[2] is False
 
+    # the near-dup PAIR ops carry the same guard: Spark == oracle on the
+    # zero-vector table, no pair involves a zero-norm side, and the real
+    # near-dup pair (1, 2) is still found
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW embeddings AS "
+            f"SELECT * FROM read_parquet('{d}/embeddings.parquet')"
+        )
+        nd_oracle = {
+            (r[0], r[1]) for r in
+            con.execute(all_oracles()["llm_embed_neardup"]).fetchall()
+        }
+    finally:
+        con.close()
+    nd_spark = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in QUERIES["llm_embed_neardup"](spark, str(d)).collect()
+    }
+    assert nd_spark == nd_oracle
+    assert (1, 2) in nd_spark
+    assert not any(0 in p or 3 in p for p in nd_spark)
+    # the LSH variant stays a subset of brute force with zero vectors in play
+    lsh = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in QUERIES["llm_embed_neardup_lsh"](spark, str(d)).collect()
+    }
+    assert lsh <= nd_spark
+
 
 def test_wav_codec_roundtrip():
     """decode(encode(samples)) == samples for the dependency-free WAV
