@@ -932,3 +932,140 @@ def llm_semdedup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "cell", "kept")
     )
+
+
+#: Lloyd's-iteration training for the IVF coarse quantizer: K cells,
+#: fixed iteration count (a fixed-depth declarative DAG — no driver loop,
+#: no collect; production trains on a sample with more rounds).
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _kmeans_oracle() -> str:
+    def assign(cn: str, an: str) -> str:
+        return f"""
+    {an} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(e.v, c.c),
+                          p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+        FROM e CROSS JOIN {cn} c) WHERE rn = 1
+    )"""
+
+    def update(an: str, cprev: str, cn: str) -> str:
+        return f"""
+    m_{cn} AS (
+      SELECT cid, u.pos AS pos, round(avg(u.val), 6) AS val
+      FROM {an}, unnest(list_transform(range(1, len(v)+1),
+                        i -> {{'pos': i, 'val': v[i]}})) AS t(u)
+      GROUP BY cid, u.pos
+    ),
+    g_{cn} AS (SELECT cid, list(val ORDER BY pos) AS c
+               FROM m_{cn} GROUP BY cid),
+    {cn} AS (SELECT p.cid, COALESCE(g.c, p.c) AS c
+             FROM {cprev} p LEFT JOIN g_{cn} g ON p.cid = g.cid)"""
+
+    stages = []
+    for i in range(KMEANS_ITERS):
+        stages.append(assign(f"c{i}", f"a{i + 1}").strip())
+        stages.append(update(f"a{i + 1}", f"c{i}", f"c{i + 1}").strip())
+    final_a = f"a{KMEANS_ITERS + 1}"
+    final_c = f"c{KMEANS_ITERS}"
+    stages.append(assign(final_c, final_a).strip())
+    body = ",\n    ".join(stages)
+    return f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {KMEANS_K}),
+    {body}
+    SELECT CAST({final_a}.cid AS BIGINT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(any_value({final_c}.c)[1], 6) AS c_dim0,
+           round(list_sum(any_value({final_c}.c)), 6) AS c_sum
+    FROM {final_a} JOIN {final_c} ON {final_a}.cid = {final_c}.cid
+    GROUP BY {final_a}.cid
+    """
+
+
+@query("llm_ivf_train", oracle=_kmeans_oracle())
+def llm_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-MEANS TRAINING for the IVF coarse quantizer (Lloyd's algorithm,
+    KMEANS_K cells, KMEANS_ITERS fixed iterations) — the step every real IVF deployment
+    runs before llm_ann_ivf / llm_semdedup can quantize: this repo's
+    other IVF ops use fixed-literal centroids as the k-means stand-in,
+    and this op IS the stand-in's training twin.
+
+    Determinism across engines, by construction: initial centroids are
+    the first K vectors (seed-free); per-iteration distances are exact
+    double folds over IDENTICAL inputs in identical index order (so
+    assignments are bitwise-equal, argmin tie-broken by cell id), and
+    the only order-sensitive arithmetic — the cluster mean, whose
+    distributed summation order varies — is rounded to 6 decimals before
+    the next iteration reads it, absorbing the ~1e-13 IEEE reordering
+    noise on both engines. Empty cells keep their previous centroid.
+
+    Scale shape: a FIXED-DEPTH declarative DAG — no driver-side loop, no
+    collect; each iteration is one broadcast of K centroids against the
+    corpus (map-side argmin via min_by-style window), one posexplode +
+    (cell, dim) partial-agg shuffle (mergeable means), and one K-row
+    re-assembly. At 100 TB production trains on a corpus sample with
+    more rounds — same plan, smaller input.
+    """
+    e = _scored_vectors(spark, sf_dir).select("vec_id", "emb")
+    cents = e.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("emb").alias("cvec")
+    )
+
+    def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with("emb", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        return (
+            vecs.crossJoin(F.broadcast(cents))
+            .select("vec_id", "emb", "cid", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "emb", "cid")
+        )
+
+    def update(assigned: DataFrame, cents: DataFrame) -> DataFrame:
+        expl = assigned.select("cid", F.posexplode("emb").alias("pos", "val"))
+        means = expl.groupBy("cid", "pos").agg(
+            F.round(F.avg("val"), 6).alias("v")
+        )
+        rebuilt = (
+            means.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+            .select("cid", F.transform("pv", lambda s: s["v"]).alias("newc"))
+        )
+        return (
+            cents.join(rebuilt, "cid", "left")
+            .select("cid", F.coalesce("newc", "cvec").alias("cvec"))
+        )
+
+    for _ in range(KMEANS_ITERS):
+        cents = update(assign(e, cents), cents)
+    final = assign(e, cents)
+    probes = cents.select(
+        "cid",
+        F.round(F.element_at("cvec", 1), 6).alias("c_dim0"),
+        F.round(
+            F.aggregate("cvec", F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("c_sum"),
+    )
+    return (
+        final.groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+        .join(probes, "cid")
+        .select(
+            F.col("cid").cast("long").alias("cluster"),
+            "n_vecs",
+            "c_dim0",
+            "c_sum",
+        )
+    )

@@ -186,6 +186,9 @@ def test_plan_hygiene_all_queries(spark):
         "llm_corpus_manifest",   # crossJoin(broadcast(<1-row corpus total>))
         "agg_calendar_fill", # date-spine x types grid: both sides broadcast-
                              # sized at any corpus scale (days x types)
+        "llm_ivf_train",     # corpus x broadcast(K=8 centroids) per Lloyd's
+                             # iteration: the K side is constant-size at any
+                             # corpus scale
     }
     python_ok = {
         "udf_plain",  # the fenced-off last-resort surface
