@@ -68,6 +68,7 @@ EXTRA = {
     "aes_gcm": "fn_aes_gcm",
     "multimodal_decode": "llm_multimodal_decode",
     "multimodal_audio": "llm_multimodal_audio",
+    "ivf_train": "llm_ivf_train",
     # join_bloom_pruned is intentionally NOT benched: its builder freezes
     # the armed-plan result via localCheckpoint (registry-memoized), so a
     # repeat timing would measure the checkpoint read, not the join.

@@ -920,3 +920,30 @@ def test_media_codecs_reject_malformed_containers():
         decode_wav(wav[:12])  # chunks missing
     with _pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\0" * 32)  # PIL-gated
+
+
+def test_ivf_train_partitions_the_corpus(spark):
+    """llm_ivf_train invariants beyond oracle equality: the final
+    assignment is a PARTITION (cluster sizes sum to the corpus, all K
+    cells non-empty on this corpus) and training moved the centroids off
+    their init vectors (c_sum differs from the init vector's own sum for
+    at least one cell — a do-nothing loop would reproduce the init)."""
+    import pyarrow.parquet as pq
+
+    from bootic_stats_aggregates_spark.llm.similarity import KMEANS_K
+
+    rows = QUERIES["llm_ivf_train"](spark, SF_DIR).collect()
+    n_corpus = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet")).num_rows
+    assert len(rows) == KMEANS_K
+    assert sum(r.n_vecs for r in rows) == n_corpus
+    assert all(r.n_vecs > 0 for r in rows)
+    import numpy as np
+
+    tbl = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet")).to_pandas()
+    init_sums = {
+        int(r.vec_id): round(float(np.asarray(r.embedding, dtype="float64").sum()), 6)
+        for r in tbl.itertuples()
+        if r.vec_id < KMEANS_K
+    }
+    moved = [r for r in rows if abs(r.c_sum - init_sums[r.cluster]) > 1e-9]
+    assert moved, "no centroid moved — the iteration loop did nothing"
