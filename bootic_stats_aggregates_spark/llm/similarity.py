@@ -1010,8 +1010,15 @@ def llm_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect; each iteration is one broadcast of K centroids against the
     corpus (map-side argmin via min_by-style window), one posexplode +
     (cell, dim) partial-agg shuffle (mergeable means), and one K-row
-    re-assembly. At 100 TB production trains on a corpus sample with
-    more rounds — same plan, smaller input.
+    re-assembly. Honest caveat, measured from the explain tree: each
+    iteration references the previous centroid frame TWICE (rebuild +
+    empty-cell fallback), so the logical plan grows ~2^ITERS — ~400
+    nodes at the registered ITERS=3, catastrophic at 20. The production
+    recipe for many rounds is the llm_cc_star pattern: localCheckpoint
+    the K-row centroid frame each round (tiny, truncates lineage) and
+    train on a corpus sample. The registered form stays pure-lazy
+    because fixed ITERS=3 keeps the plan bounded and the laziness gate
+    meaningful.
     """
     e = _scored_vectors(spark, sf_dir).select("vec_id", "emb")
     cents = e.filter(F.col("vec_id") < KMEANS_K).select(
