@@ -947,3 +947,16 @@ def test_ivf_train_partitions_the_corpus(spark):
     }
     moved = [r for r in rows if abs(r.c_sum - init_sums[r.cluster]) > 1e-9]
     assert moved, "no centroid moved — the iteration loop did nothing"
+
+
+def test_ppm_decoder_skips_header_comments():
+    """PPM headers may carry '#' comment lines between fields (emitted by
+    many tools); the encoder never writes them, so splice one in manually
+    and assert the decoder walks past it."""
+    from bootic_stats_aggregates_spark.llm.multimodal import decode_image
+
+    px = bytes(range(12))
+    blob = b"P6\n# made by a tool\n2 2\n# another\n255\n" + px
+    meta = decode_image(blob)
+    assert (meta["width"], meta["height"]) == (2, 2)
+    assert bytes(meta["pixels"]) == px
