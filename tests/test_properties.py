@@ -960,3 +960,25 @@ def test_ppm_decoder_skips_header_comments():
     meta = decode_image(blob)
     assert (meta["width"], meta["height"]) == (2, 2)
     assert bytes(meta["pixels"]) == px
+
+
+@pytest.mark.parametrize(
+    "qid",
+    [
+        "llm_ivf_train",       # collect_list-rebuilt centroids per round
+        "agg_collect_sorted",  # ordered collect is the op's whole point
+        "llm_corpus_shuffle",  # deterministic permutation claim
+        "llm_pack_sequences",  # prefix-sum packing over an explicit order
+        "agg_string_agg",      # LISTAGG ordering
+    ],
+)
+def test_rerun_determinism(spark, qid, request):
+    """Two FRESH builds (memo bypassed) of the order-sensitive operators
+    must produce identical result sets: Spark's collect_list/shuffle
+    ordering is partition-order-dependent, so every registered use must
+    be pinned by an explicit sort — a rerun that differs means an
+    unpinned ordering leaked into the output."""
+    fn = QUERIES[qid].__wrapped__
+    a = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    assert a == b, f"{qid}: rerun diverged"
