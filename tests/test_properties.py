@@ -982,3 +982,52 @@ def test_rerun_determinism(spark, qid, request):
     a = sorted(map(tuple, fn(spark, SF_DIR).collect()))
     b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
     assert a == b, f"{qid}: rerun diverged"
+
+
+def test_ivf_train_matches_numpy_reference(spark):
+    """Third-engine check for llm_ivf_train (the oracle is DuckDB SQL;
+    this is an INDEPENDENT numpy Lloyd's with the same contract: exact
+    double distances, argmin tie-broken by cell id, cluster means
+    rounded to 6 before the next round, empty cells keep their
+    centroid). All three engines must agree on every output cell."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bootic_stats_aggregates_spark.llm.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+
+    pdf = (
+        pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    cents = E[: KMEANS_K].copy()
+
+    def assign(cents):
+        # exact double distances; ties -> lowest cid (argmin is first-min)
+        d = ((E[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)
+
+    for _ in range(KMEANS_ITERS):
+        a = assign(cents)
+        for k in range(KMEANS_K):
+            members = E[a == k]
+            if len(members):
+                cents[k] = np.round(members.mean(axis=0), 6)
+    final = assign(cents)
+    expect = {}
+    for k in range(KMEANS_K):
+        expect[k] = (
+            int((final == k).sum()),
+            round(float(cents[k][0]), 6),
+            round(float(cents[k].sum()), 6),
+        )
+    got = {
+        r.cluster: (r.n_vecs, r.c_dim0, round(r.c_sum, 6))
+        for r in QUERIES["llm_ivf_train"](spark, SF_DIR).collect()
+    }
+    assert got == expect, {k: (got.get(k), expect[k]) for k in expect if got.get(k) != expect[k]}
