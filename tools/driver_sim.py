@@ -46,11 +46,12 @@ def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
 def main() -> None:
     from pyspark.sql import SparkSession
 
+    tz = os.environ.get("SPARK_GRAFT_SIM_TZ", "America/New_York")
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("driver-sim-all")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.sql.session.timeZone", tz)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
