@@ -8,14 +8,25 @@ this host runs co-tenant workloads whose CPU spikes inflate the 25-60 ms
 headline queries by up to ~40%, so every recorded number carries the
 loadavg under which it was measured (PLANS.md host-variance protocol).
 
-Methodology mirrors BASELINE.md: warm session (JVM + parquet footer cache),
-one untimed warm-up execution per query, then the MIN of N timed runs (default 9) — the
-steady-state statistic least sensitive to co-tenant CPU interference (the
-DuckDB baseline is likewise a warm 3rd-run measurement on an idle box).
-``value`` is the sum of the four headline MINs — the same four shapes
-measured for DuckDB in BASELINE.md (q1 pricing summary, q3-style join +
-top-10, events hourly rollup + exact distinct, per-group top-5 window).
-Extra (non-headline) queries are reported alongside but not summed.
+Methodology (revised round 5 after quantifying Spark's cross-job
+shuffle-output reuse — PLANS.md "bench methodology" note): TWO statistics
+are reported for the four headline shapes (q1 pricing summary, q3-style
+join + top-10, events hourly rollup + exact distinct, per-group top-5
+window — the same four measured for DuckDB in BASELINE.md):
+
+- ``queries`` / ``value`` — STEADY-STATE: min of 2xN warm re-collects of
+  the registered (memoized) plan. Spark retains shuffle map outputs
+  across jobs on one plan, so this measures the resident-daemon shape
+  (the reference's architecture: a long-lived process recomputing the
+  same aggregates) and is the series recorded since round 1.
+- ``queries_fresh`` / ``fresh_suite`` — PER-EXECUTION: each sample
+  rebuilds the plan (new lineage -> full stage recompute; analysis kept
+  outside the timer). This is the ad-hoc shape DuckDB's warm baseline
+  measures; on this host it carries a measured 40-100 ms fixed per-job
+  scheduling floor that dominates sub-100 ms queries at sf0.1 and
+  amortizes away at scale.
+
+Extra (non-headline) queries are reported steady-state only, not summed.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all), SPARK_GRAFT_SHUFFLE (default 8),
@@ -92,11 +103,43 @@ def _host_load() -> dict:
 
 
 def _time_query(fn, spark, sf_dir: str, runs: int) -> float:
+    """STEADY-STATE timing: repeated collect() of the registry-memoized
+    DataFrame. Because the plan (and its RDD lineage) is reused, Spark
+    legitimately serves later runs from retained shuffle map outputs and
+    re-executes only the final stage — the resident-daemon shape (a
+    long-lived process recomputing the same registered aggregates), and
+    the shape the reference daemon actually has. This does NOT measure
+    full-query recomputation; ``_time_query_fresh`` does. Discovered and
+    quantified in round 5 (PLANS.md "bench methodology" note): on a
+    probe aggregate, same-plan re-collect ≈ 0.04 s vs fresh-plan
+    execution ≈ 0.28 s vs cold 2.5 s."""
     fn(spark, sf_dir).collect()  # warm-up (plan + code cache, page cache)
     samples = []
     for _ in range(runs):
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
+        samples.append(time.perf_counter() - t0)
+    return min(samples)
+
+
+def _time_query_fresh(fn, spark, sf_dir: str, runs: int) -> float:
+    """PER-EXECUTION timing: each sample rebuilds the DataFrame from the
+    unmemoized builder (new RDD lineage → no shuffle-output reuse; every
+    stage recomputes) with analysis/planning forced OUTSIDE the timer,
+    so the sample is the full execution of a ready-to-run plan — the
+    ad-hoc re-submitted-query shape DuckDB's warm baseline measures. On
+    this host the floor includes ~40-100 ms of fixed per-job scheduling
+    latency (measured on a pristine session: a 1-row count costs 44 ms
+    at local[8]), which dominates sub-100 ms queries at sf0.1 and
+    amortizes to nothing at real scale."""
+    raw = getattr(fn, "__wrapped__", fn)
+    raw(spark, sf_dir).collect()  # warm-up
+    samples = []
+    for _ in range(runs):
+        df = raw(spark, sf_dir)
+        df._jdf.queryExecution().executedPlan()  # plan outside the timer
+        t0 = time.perf_counter()
+        df.collect()
         samples.append(time.perf_counter() - t0)
     return min(samples)
 
@@ -128,6 +171,9 @@ def main() -> None:
     # many files); modest shuffle fan-out for tiny shuffles.
     os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024))
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "4")
+    # 8 cached partitions: best fresh-execution grid point (r5) — fewer
+    # tasks to dispatch than 16 with per-task work still trivial.
+    os.environ.setdefault("SPARK_GRAFT_CACHE_PARTS", "8")
     # Interactive-latency config: AQE's per-stage materialize+re-plan barrier
     # costs ~10 ms/stage — decisive on 30-60 ms queries, irrelevant (and ON)
     # at cluster scale. The DuckDB baseline has no such barrier either.
@@ -169,6 +215,15 @@ def main() -> None:
         second = _time_query(queries[qid], spark, sf_dir, runs)
         timings[name] = round(min(timings[name], second), 4)
 
+    # Fresh per-execution headline numbers (round-5 methodology finding,
+    # see _time_query_fresh): full stage recomputation per sample.
+    fresh: dict[str, float] = {}
+    for name, qid in HEADLINE.items():
+        fresh[name] = round(
+            _time_query_fresh(queries[qid], spark, sf_dir, max(runs // 2, 5)),
+            4,
+        )
+
     # Streaming throughput: full AvailableNow pipeline over events.parquet
     # (ingest -> event-time tumbling agg -> sink), reference-daemon shape.
     stream_sec = _time_stream(queries["stream_tumbling"], spark, sf_dir, runs)
@@ -182,14 +237,22 @@ def main() -> None:
         pass
 
     suite = round(sum(timings[n] for n in HEADLINE), 4)
+    fresh_suite = round(sum(fresh[n] for n in HEADLINE), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
-                "metric": f"headline_suite_wall_clock (q1+q3+rollup+topk, min of 2x{runs}, warm)",
+                "metric": (
+                    f"headline_suite_wall_clock (q1+q3+rollup+topk, min of "
+                    f"2x{runs}, warm steady-state: repeated registered plan, "
+                    f"shuffle outputs retained; see queries_fresh for full "
+                    f"per-execution recompute)"
+                ),
                 "value": suite,
                 "unit": "sec",
                 "queries": timings,
+                "queries_fresh": fresh,
+                "fresh_suite": fresh_suite,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "host_load": {"start": load_start, "end": _host_load()},
             }
