@@ -137,7 +137,10 @@ def _time_query_fresh(fn, spark, sf_dir: str, runs: int) -> float:
     samples = []
     for _ in range(runs):
         df = raw(spark, sf_dir)
-        df._jdf.queryExecution().executedPlan()  # plan outside the timer
+        try:
+            df._jdf.queryExecution().executedPlan()  # plan outside the timer
+        except Exception:  # internal API moved: fall back to analysis-only
+            df.schema
         t0 = time.perf_counter()
         df.collect()
         samples.append(time.perf_counter() - t0)
