@@ -218,10 +218,20 @@ def main() -> None:
         second = _time_query(queries[qid], spark, sf_dir, runs)
         timings[name] = round(min(timings[name], second), 4)
 
-    # Fresh per-execution headline numbers (round-5 methodology finding,
-    # see _time_query_fresh): full stage recomputation per sample.
+    # Fresh per-execution numbers (round-5 methodology finding, see
+    # _time_query_fresh): full stage recomputation per sample — the four
+    # headlines plus the shuffle-bearing LLM pipeline representatives
+    # (map-only EXTRA ops have no shuffle to reuse, so their steady
+    # numbers are already full recomputes).
+    FRESH_EXTRA = {
+        "llm_exact_dedup": "llm_exact_dedup",
+        "llm_near_dedup": "llm_near_dedup",
+        "semdedup": "llm_semdedup",
+        "ann_ivf": "llm_ann_ivf",
+        "ivf_train": "llm_ivf_train",
+    }
     fresh: dict[str, float] = {}
-    for name, qid in HEADLINE.items():
+    for name, qid in {**HEADLINE, **FRESH_EXTRA}.items():
         fresh[name] = round(
             _time_query_fresh(queries[qid], spark, sf_dir, max(runs // 2, 5)),
             4,
