@@ -129,5 +129,13 @@ def get_spark(app_name: str = "bootic-stats-aggregates-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
+        # Local-mode job-latency knobs (measured r5: a pristine session's
+        # 1-row count costs ~50-80 ms; these cut the floor to ~38-45 ms).
+        # locality.wait=0 — there is no data locality to wait for in a
+        # single JVM; revive.interval=1ms — the scheduler's task-offer
+        # loop, creation-time-only so it lives here, not in tune().
+        # A cluster deployment sizes both for its network instead.
+        .config("spark.locality.wait", "0ms")
+        .config("spark.scheduler.revive.interval", "1ms")
     )
     return tune(builder.getOrCreate())
