@@ -94,9 +94,9 @@ def _topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "llm_cosine_topk",
-    oracle=f"""
+#: Brute-force top-k oracle — registered for llm_cosine_topk and embedded
+#: verbatim as the ground-truth side of llm_ann_recall's oracle.
+_QUERIES_BRUTE_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, label, embedding, {_NRM_SQL} AS nrm FROM embeddings
     ),
@@ -116,8 +116,10 @@ def _topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs
     )
     WHERE rk <= {TOP_K}
-    """,
-)
+    """
+
+
+@query("llm_cosine_topk", oracle=_QUERIES_BRUTE_ORACLE)
 def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast query set x corpus scan.
 
@@ -1074,5 +1076,64 @@ def llm_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vecs",
             "c_dim0",
             "c_sum",
+        )
+    )
+
+
+def _ann_recall_oracle() -> str:
+    # compose the two registered oracles as derived tables (DuckDB allows
+    # WITH inside subqueries) so this oracle can never drift from theirs
+    brute = _QUERIES_BRUTE_ORACLE
+    ann = _ann_oracle()
+    return f"""
+    SELECT b.q_vec_id,
+           CAST(count(*) AS BIGINT) AS n_brute,
+           CAST(count(a.vec_id) AS BIGINT) AS n_matched,
+           round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 4) AS recall
+    FROM ({brute}) b
+    LEFT JOIN ({ann}) a
+      ON a.q_vec_id = b.q_vec_id AND a.vec_id = b.vec_id
+    GROUP BY b.q_vec_id
+    """
+
+
+@query("llm_ann_recall", oracle=_ann_recall_oracle())
+def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY harness — recall@k of the LSH index against the
+    brute-force ground truth, per query: the evaluation loop every
+    production ANN deployment runs before (and after) every index
+    rebuild, here as a first-class registered operator instead of a
+    test-only assertion. Composes the two registered top-k operators
+    (one corpus scan each; the brute side is the broadcast-query-set
+    scan, the ANN side the bucket-pruned path) and left-joins their
+    (query, neighbor) sets — so at scale the cost is the two searches,
+    and the recall report itself is one tiny aggregate over 10·k rows.
+    The oracle embeds the SAME two registered oracle SQLs as derived
+    tables; it cannot drift from the operators it evaluates. Fixture
+    recall is intentionally LOW (0.0-0.4): the synthetic corpus is
+    near-orthogonal (max pair cos ~0.51), far below sign-LSH's useful
+    operating point — see llm_embed_neardup_lsh's recall math — which is
+    exactly what this harness exists to surface before an index ships."""
+    brute = llm_cosine_topk(spark, sf_dir).select(
+        "q_vec_id", F.col("vec_id").alias("b_vec_id")
+    )
+    ann = llm_ann_lsh(spark, sf_dir).select(
+        "q_vec_id", F.col("vec_id").alias("a_vec_id"), F.lit(1).alias("hit")
+    )
+    return (
+        brute.join(
+            ann,
+            (brute.q_vec_id == ann.q_vec_id)
+            & (F.col("b_vec_id") == F.col("a_vec_id")),
+            "left",
+        )
+        .drop(ann.q_vec_id)
+        .groupBy("q_vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_brute"),
+            F.count("hit").cast("long").alias("n_matched"),
+            F.round(
+                F.count("hit").cast("double") / F.count(F.lit(1)), 4
+            ).alias("recall"),
         )
     )

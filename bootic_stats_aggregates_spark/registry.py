@@ -87,13 +87,13 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: Round 5 front-loads the FINAL 14 operators that have never earned a
 #: driver row (the round-4 additions that sat below the cap), completing
 #: cumulative driver-verified coverage of every pre-r5 op, then the 4
-#: operators ADDED during round 5 (fn_aes_gcm, llm_multimodal_decode,
-#: llm_multimodal_audio, llm_ivf_train — slots 15-18, so no op is ever
-#: more than one round behind on driver evidence), then backfills slots
-#: 19-50 with the 32 longest-unre-verified rows (round-1-verified ops, untouched by the
+#: 5 operators ADDED during round 5 (fn_aes_gcm, llm_multimodal_decode,
+#: llm_multimodal_audio, llm_ivf_train, llm_ann_recall — slots 15-19, so
+#: no op is ever more than one round behind on driver evidence), then
+#: backfills slots 20-50 with the 31 longest-unre-verified rows (round-1-verified ops, untouched by the
 #: driver since CORRECTNESS_r01) as a regression re-check.
 #: Verification status of every entry, stated precisely (ADVICE r3 item 2):
-#: all 213 registered pairs pass the local oracle gate at sf0.01
+#: all 214 registered pairs pass the local oracle gate at sf0.01
 #: (tests/test_oracle.py, exact value compare); linear-oracle ops are also
 #: swept at sf0.1 (pytest with SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1,
 #: logs at tools/sweep_sf01_r4.log / _r5.log); the quadratic/recursive-oracle
@@ -116,13 +116,13 @@ _GATE_PRIORITY: list[str] = [
     # --- green at sf0.01 + sf0.1, driver-sim green — see
     # --- tools/driver_sim_r5.log).
     "fn_aes_gcm", "llm_multimodal_decode", "llm_multimodal_audio",
-    "llm_ivf_train",
-    # --- slots 19-50: regression re-check of the 32 stalest rows — all
-    # --- driver-verified in round 1 and never re-checked since (the 13
+    "llm_ivf_train", "llm_ann_recall",
+    # --- slots 20-50: regression re-check of the 31 stalest rows — all
+    # --- driver-verified in round 1 and never re-checked since (the 14
     # --- remaining r1 ops are trivial fn_* families continuously
     # --- re-proved by the local oracle suite; they queue for r6).
     "agg_count_by_bucket", "agg_distinct_rows", "agg_distinct_users",
-    "agg_having", "agg_multi_rollup",
+    "agg_having",
     "join_bucketed_colocated", "join_dpp_pruned",
     "llm_ann_lsh", "llm_bigrams", "llm_chunk_native", "llm_cosine_topk",
     "llm_dedup_clusters", "llm_dedup_stats", "llm_embed_neardup",
