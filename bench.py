@@ -80,6 +80,7 @@ EXTRA = {
     "multimodal_decode": "llm_multimodal_decode",
     "multimodal_audio": "llm_multimodal_audio",
     "ivf_train": "llm_ivf_train",
+    "ann_recall": "llm_ann_recall",
     # join_bloom_pruned is intentionally NOT benched: its builder freezes
     # the armed-plan result via localCheckpoint (registry-memoized), so a
     # repeat timing would measure the checkpoint read, not the join.
@@ -229,6 +230,7 @@ def main() -> None:
         "semdedup": "llm_semdedup",
         "ann_ivf": "llm_ann_ivf",
         "ivf_train": "llm_ivf_train",
+    "ann_recall": "llm_ann_recall",
     }
     fresh: dict[str, float] = {}
     for name, qid in {**HEADLINE, **FRESH_EXTRA}.items():
