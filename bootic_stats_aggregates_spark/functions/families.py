@@ -600,7 +600,7 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM codegen expression: map-only, no shuffle, scales like any
     projection.
     """
-    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 101 == 0)
+    ev = _sampled_events(spark, sf_dir)
     xml = F.concat(
         F.lit("<event><uid>"), F.col("user_id"),
         F.lit("</uid><et>"), F.col("event_type"),
@@ -845,6 +845,14 @@ def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sampled_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-in-101 deterministic events slice (``event_id % 101 = 0``) — the
+    shared fixture of the XML/AES function-family demos. Modulus
+    filtering (not ``sample()``) keeps the slice replayable across
+    engines; the predicate pushes down to the parquet scan."""
+    return table(spark, sf_dir, "events").filter(F.col("event_id") % 101 == 0)
+
+
 def _aes_test_key() -> str:
     """OBVIOUSLY-INSECURE fixture key, derived at runtime so no literal
     key string ships in source (ADVICE r4: a hardcoded key trips secret
@@ -898,7 +906,7 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     padded length law — both computed from the plaintext alone. Map-only
     codegen projections.
     """
-    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 101 == 0)
+    ev = _sampled_events(spark, sf_dir)
     plain = F.concat_ws("/", "event_type", F.col("user_id").cast("string"))
     key = F.lit(_aes_test_key())
     enc = F.aes_encrypt(plain, key, F.lit("ECB"))
@@ -942,7 +950,7 @@ def fn_aes_gcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     + tag byte-for-byte against the ``cryptography`` package's AESGCM.
     Map-only codegen projections at any scale.
     """
-    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 101 == 0)
+    ev = _sampled_events(spark, sf_dir)
     plain = F.concat_ws("/", "event_type", F.col("user_id").cast("string"))
     key = F.lit(_aes_test_key())
     iv = F.to_binary(F.lit(_AES_GCM_TEST_IV_HEX), F.lit("hex"))

@@ -55,6 +55,15 @@ def _toks(col: str = "text"):
     return F.split(col, " ")
 
 
+def _doc_tokens(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """(doc_id, tok) exploded token stream over ``documents`` — the shared
+    prelude of the token-level aggregate ops (entropy, LM logprob,
+    inverted index, PMI). One narrow projection + generator; Catalyst
+    prunes the scan to (doc_id, text) in every consumer."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(_toks()).alias("tok"))
+
+
 @query(
     "llm_text_stats",
     oracle="""
@@ -646,10 +655,7 @@ def llm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-weighted — verified) replays the math exactly; rounded to 4
     decimals per determinism rule 3.
     """
-    d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    )
+    toks = _doc_tokens(spark, sf_dir)
     cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     n = F.sum("c")
     return cnt.groupBy("doc_id").agg(
@@ -742,8 +748,7 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same mitigation as join_skew_salted documents explicitly); everything
     else is mergeable partial aggregation. Rounded per determinism rule 3.
     """
-    d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    toks = _doc_tokens(spark, sf_dir)
     doc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c_doc"))
     corpus = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_corp"))
     # The corpus token total stays IN the plan as a broadcast one-row
@@ -804,10 +809,9 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query plan here is one filtered scan + two hash aggs, both
     mergeable.
     """
-    d = table(spark, sf_dir, "documents")
-    postings = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).filter(F.col("tok").isin(*SEARCH_TERMS))
+    postings = _doc_tokens(spark, sf_dir).filter(
+        F.col("tok").isin(*SEARCH_TERMS)
+    )
     per_term = postings.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
@@ -1022,10 +1026,7 @@ def llm_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, never |vocab|². The unconstrained version is the classic
     quadratic blow-up; a wider matrix shards the token list and unions.
     """
-    d = table(spark, sf_dir, "documents")
-    pres = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).distinct()
+    pres = _doc_tokens(spark, sf_dir).distinct()
     freq = pres.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     top = freq.orderBy(F.desc("df"), "tok").limit(PMI_TOP_TOKENS)
     # doc count stays in-plan (broadcast one-row crossJoin, the
