@@ -122,7 +122,7 @@ def main() -> int:
     for i in range(n_datasets):
         datasets.append((f"rand{i}", random_pdf(rng), random_pdf(rng)))
 
-    for name, t_pdf, s_pdf in datasets:
+    for di, (name, t_pdf, s_pdf) in enumerate(datasets):
         con = duckdb.connect()
         try:
             register(spark, con, "t", t_pdf)
@@ -134,6 +134,15 @@ def main() -> int:
                     failures.append({"dataset": name, "case": case})
         finally:
             con.close()
+        # progress heartbeat (flushed) so a killed run still leaves a
+        # checkpointed tally behind
+        if (di + 1) % 10 == 0 or bad:
+            print(
+                json.dumps(
+                    {"progress": di + 1, "checks": total, "mismatches": bad}
+                ),
+                flush=True,
+            )
 
     print(
         json.dumps(
