@@ -144,9 +144,14 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shared builder: the registered query below AND the edge set for
     ``llm_dedup_clusters``.
     """
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", _shingles().alias("sh")
-    )
+    return near_dup_pairs_for(table(spark, sf_dir, "documents"))
+
+
+def near_dup_pairs_for(docs: DataFrame) -> DataFrame:
+    """The LSH pair pipeline over ANY ``(doc_id, text)`` frame — the
+    fixture-independent core of :func:`near_dup_pairs`, also driven at
+    replicated-corpus scale by ``tools/neardup_scale.py``."""
+    d = docs.select("doc_id", _shingles().alias("sh"))
     sig = d.select("doc_id", "sh", _minhash_sig(F.col("sh")).alias("sig"))
     bands = sig.select(
         "doc_id",
