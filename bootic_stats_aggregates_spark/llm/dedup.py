@@ -150,8 +150,18 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def near_dup_pairs_for(docs: DataFrame) -> DataFrame:
     """The LSH pair pipeline over ANY ``(doc_id, text)`` frame — the
     fixture-independent core of :func:`near_dup_pairs`, also driven at
-    replicated-corpus scale by ``tools/neardup_scale.py``."""
-    d = docs.select("doc_id", _shingles().alias("sh"))
+    replicated-corpus scale by ``tools/neardup_scale.py``.
+
+    Empty shingle sets (<3-token docs) are dropped BEFORE banding: they
+    can never reach jaccard >= threshold (the oracle's 0/0 divides to
+    NULL and is WHERE-dropped), their all-NULL minhash signatures would
+    otherwise funnel every empty doc corpus-wide into ONE band bucket (a
+    quadratic skew bomb at web scale), and the 0/0 verify division is a
+    hard DIVIDE_BY_ZERO error under ANSI mode — found by
+    tests/test_properties.py::test_near_dup_pairs_for_planted_and_guards."""
+    d = docs.select("doc_id", _shingles().alias("sh")).filter(
+        F.size("sh") > 0
+    )
     sig = d.select("doc_id", "sh", _minhash_sig(F.col("sh")).alias("sig"))
     bands = sig.select(
         "doc_id",
@@ -446,9 +456,16 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force 3-gram-shingle jaccard pairs (the LSH verify step alone).
 
     Oracle-checked ground truth for llm_near_dedup; only run exhaustively at
-    small SF — at scale the LSH path replaces the cross join.
+    small SF — at scale the LSH path replaces the cross join. Empty shingle
+    sets are filtered before the self-join for the same reasons as
+    :func:`near_dup_pairs_for` (0/0 is an ANSI-mode error on a pair of
+    <3-token docs; the oracle's NULL quietly drops the pair).
     """
-    d = table(spark, sf_dir, "documents").select("doc_id", _shingles().alias("s"))
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", _shingles().alias("s"))
+        .filter(F.size("s") > 0)
+    )
     a = d.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("s_a"))
     b = d.select(F.col("doc_id").alias("doc_id_b"), F.col("s").alias("s_b"))
     jac = (
@@ -862,13 +879,19 @@ def llm_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", _shingles().alias("s")
     )
-    a = d.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("s_a"))
+    # len(a.s) > 0 is applied to the LEFT FRAME, not as a conjunct next to
+    # the containment predicate: the 0/0 division is an ANSI-mode error, and
+    # relying on And-short-circuit survives only until predicate pushdown
+    # splits the conjuncts.
+    a = d.filter(F.size("s") > 0).select(
+        F.col("doc_id").alias("doc_id_a"), F.col("s").alias("s_a")
+    )
     b = d.select(F.col("doc_id").alias("doc_id_b"), F.col("s").alias("s_b"))
     cont = (
         F.size(F.array_intersect("s_a", "s_b")).cast("double") / F.size("s_a")
     )
     return (
         a.join(b, F.col("doc_id_a") != F.col("doc_id_b"))
-        .filter((F.size("s_a") > 0) & (cont >= CONTAINMENT_THRESHOLD))
+        .filter(cont >= CONTAINMENT_THRESHOLD)
         .select("doc_id_a", "doc_id_b", F.round(cont, 6).alias("containment"))
     )

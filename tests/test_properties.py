@@ -1031,3 +1031,29 @@ def test_ivf_train_matches_numpy_reference(spark):
         for r in QUERIES["llm_ivf_train"](spark, SF_DIR).collect()
     }
     assert got == expect, {k: (got.get(k), expect[k]) for k in expect if got.get(k) != expect[k]}
+
+
+def test_near_dup_pairs_for_planted_and_guards(spark):
+    """The fixture-independent LSH core (near_dup_pairs_for, also driven
+    at 220k docs by tools/neardup_scale.py) on an inline corpus: a planted
+    final-token mutation pairs with its base (only the last trigram shingle
+    changes: jaccard 37/39 ~ 0.95),
+    unrelated docs never pair, and <3-token docs — empty shingle sets by
+    the ADVICE-r1 guard — pair with nothing, even when textually identical
+    (0/0 jaccard is NULL, which the threshold filter drops)."""
+    from bootic_stats_aggregates_spark.llm.dedup import near_dup_pairs_for
+
+    base = " ".join(f"w{i}" for i in range(40))
+    twin = " ".join([f"w{i}" for i in range(39)] + ["zz"])
+    other = " ".join(f"x{i}" for i in range(40))
+    rows = [
+        (1, base), (2, twin), (3, other),
+        (10, "tiny doc"), (11, "tiny doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in near_dup_pairs_for(docs).collect()
+    }
+    assert set(got) == {(1, 2)}, got
+    assert got[(1, 2)] == pytest.approx(37 / 39, abs=1e-6)

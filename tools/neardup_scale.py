@@ -11,10 +11,11 @@ the planted pairs at the b=16/r=2 operating point.
 
 Corpus: token streams drawn from a 5000-word hash-derived vocabulary
 (shingle collisions across unrelated docs are negligible); every K-th doc
-gets a twin whose final token is replaced, giving word-3-shingle jaccard
-(L-1-3)/(L-1+3) = 35/41 ~ 0.854 — well above the 0.5 threshold, where
-the band family's candidate probability is 1-(1-j^2)^16 ~ 1.0, so the
-expected recall is 1.0 and any miss is a pipeline bug, not tuning.
+gets a twin whose final token is replaced, changing exactly one trigram
+shingle: jaccard (L-3)/(L-1) = 37/39 ~ 0.949 — far above the 0.5
+threshold, where the band family's candidate probability 1-(1-j^2)^16
+is ~1.0, so the expected recall is 1.0 and any miss is a pipeline bug,
+not tuning.
 
 Usage: python tools/neardup_scale.py [n ...]   (default 50000 200000)
 One JSON line per n.
