@@ -239,21 +239,31 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       event_id,
-      CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+      TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
       CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
       array_to_string(json_keys(props), ',') AS key_list
     FROM events
     """,
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map family over the parsed JSON payload (MapType<string,long>)."""
+    """Map family over the parsed JSON payload.
+
+    Parsed as MapType<string,STRING> — lossless for any scalar payload —
+    then try_cast to long: with map<string,long>, ONE non-numeric value
+    (e.g. {"page": "/"}) silently nulled the ENTIRE map in PERMISSIVE
+    from_json, losing the other keys (hostile-fixture sweep finding, r5).
+    key_list goes through when(n > 0): Spark's concat_ws folds a NULL or
+    empty array to '' where DuckDB's array_to_string yields NULL — the
+    explicit guard makes NULL-or-empty -> NULL on both engines.
+    """
     ev = table(spark, sf_dir, "events")
-    m = F.from_json("props", "map<string,long>")
+    m = F.from_json("props", "map<string,string>")
+    keys = F.sort_array(F.map_keys(m))
     return ev.select(
         "event_id",
-        F.element_at(m, "k").alias("k_val"),
-        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
-        F.concat_ws(",", F.sort_array(F.map_keys(m))).alias("key_list"),
+        F.element_at(m, "k").try_cast("long").alias("k_val"),
+        F.size(keys).cast("long").alias("n_keys"),
+        F.when(F.size(keys) > 0, F.concat_ws(",", keys)).alias("key_list"),
     )
 
 

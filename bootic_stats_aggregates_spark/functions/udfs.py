@@ -147,6 +147,11 @@ def udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bucket(event_type: str, user_id: int) -> str:
+    # SQL || and % NULL-propagate; a Python UDF sees None and must do the
+    # same by hand or it raises TypeError on the first NULL row (hostile
+    # fixture sweep finding, r5) — the perennial Python-UDF footgun.
+    if event_type is None or user_id is None:
+        return None
     return f"{event_type}:{user_id % 10}"
 
 

@@ -236,28 +236,41 @@ def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @query(
     "llm_multimodal_cols",
     oracle="""
-    -- The feature extractor computes byte statistics over the UTF-8 payload.
-    -- The corpus is pure ASCII (octet_length(encode(text)) == length(text),
-    -- verified at every SF), so byte stats == codepoint stats over text and
-    -- the whole frame is exact-checkable in SQL.
+    -- The feature extractor computes byte statistics over the UTF-8
+    -- payload. TRUE byte semantics on ANY corpus (not just ASCII): the
+    -- payload's UTF-8 bytes are recovered in SQL by hex-encoding the blob
+    -- and parsing hex pairs — strlen() is DuckDB's BYTE length, and each
+    -- byte i is the value of hex digits (2i-1, 2i). Replaced the earlier
+    -- codepoint approximation, which diverged on multibyte text
+    -- (hostile-fixture sweep finding, r5).
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS nb
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, nb,
+        [16*(strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1))-1)
+         + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1))-1)
+         FOR i IN range(1, least(nb, 16) + 1)] AS head16,
+        CASE WHEN nb = 0 THEN 0 ELSE
+          16*(strpos('0123456789ABCDEF', substring(hx, 2*nb-1, 1))-1)
+          + (strpos('0123456789ABCDEF', substring(hx, 2*nb, 1))-1)
+        END AS last_byte
+      FROM b
+    )
     SELECT
       doc_id,
       'text/plain' AS mime,
-      CAST(length(text) AS BIGINT) AS n_bytes,
-      CAST(CASE WHEN length(text) = 0 THEN -1
-                ELSE ascii(substring(text, 1, 1)) END AS BIGINT) AS head_byte,
-      CAST(length(text) AS DOUBLE) AS feat_0,
-      CAST(CASE WHEN length(text) = 0 THEN 0
-                ELSE ascii(substring(text, 1, 1)) END AS DOUBLE) AS feat_1,
-      CAST(CASE WHEN length(text) = 0 THEN 0
-                ELSE ascii(substring(text, length(text), 1)) END
-           AS DOUBLE) AS feat_2,
-      CAST(CASE WHEN length(text) = 0 THEN 0
-                ELSE list_aggregate(
-                       [ascii(substring(text, CAST(i AS INT), 1))
-                        FOR i IN range(1, least(length(text), 16) + 1)],
-                       'sum') % 251 END AS DOUBLE) AS feat_3
-    FROM documents
+      CAST(nb AS BIGINT) AS n_bytes,
+      CAST(CASE WHEN nb = 0 THEN -1 ELSE head16[1] END AS BIGINT)
+        AS head_byte,
+      CAST(nb AS DOUBLE) AS feat_0,
+      CAST(CASE WHEN nb = 0 THEN 0 ELSE head16[1] END AS DOUBLE) AS feat_1,
+      CAST(last_byte AS DOUBLE) AS feat_2,
+      CAST(CASE WHEN nb = 0 THEN 0
+                ELSE list_aggregate(head16, 'sum') % 251 END AS DOUBLE)
+        AS feat_3
+    FROM bytes
     """,
 )
 def llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,13 +312,14 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @query(
     "llm_multimodal_frames",
     oracle=f"""
-    -- DuckDB 1.0 substring() is VARCHAR-only; the corpus is pure ASCII
-    -- (verified: octet_length(encode(text)) == length(text) at every SF),
-    -- so char windows over text ARE the byte windows over the blob.
+    -- TRUE byte semantics on any corpus: strlen() is DuckDB's BYTE length
+    -- of the UTF-8 payload, and each frame's n_bytes is pure arithmetic
+    -- over it — no char/byte conflation (the earlier char-window oracle
+    -- was exact only on ASCII text; hostile-fixture hardening, r5).
     WITH frames AS (
-      SELECT doc_id, text,
+      SELECT doc_id, strlen(text) AS nb,
              unnest(range(0,
-               greatest(CAST(ceil(length(text) / {FRAME_BYTES}.0)
+               greatest(CAST(ceil(strlen(text) / {FRAME_BYTES}.0)
                              AS BIGINT), 1),
                {SAMPLE_EVERY})) AS frame_id
       FROM documents
@@ -313,8 +327,8 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     SELECT
       doc_id,
       CAST(frame_id AS BIGINT) AS frame_id,
-      CAST(length(substring(text, CAST(frame_id * {FRAME_BYTES} + 1 AS BIGINT),
-                            {FRAME_BYTES})) AS BIGINT) AS n_bytes
+      CAST(greatest(least({FRAME_BYTES}, nb - frame_id * {FRAME_BYTES}), 0)
+           AS BIGINT) AS n_bytes
     FROM frames
     """,
 )
@@ -391,13 +405,16 @@ def resize_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_multimodal_resize",
     oracle=f"""
-    -- Stride-sample resize checksum, reproduced in SQL: the corpus is pure
-    -- ASCII so byte k of the payload is codepoint k of text. stride =
-    -- greatest(len // {TARGET_W * TARGET_H}, 1); sampled = payload[::stride]
-    -- truncated to {TARGET_W * TARGET_H}; zero padding adds 0 to the sum.
+    -- Stride-sample resize checksum with TRUE byte semantics on any
+    -- corpus: byte k of the UTF-8 payload is recovered by hex-encoding
+    -- the blob and parsing hex pair (2k-1, 2k); stride = greatest(bytes
+    -- // {TARGET_W * TARGET_H}, 1); sampled = payload[::stride] truncated
+    -- to {TARGET_W * TARGET_H}; zero padding adds 0 to the sum. (The
+    -- earlier codepoint oracle was exact only on ASCII text;
+    -- hostile-fixture hardening, r5.)
     WITH sized AS (
-      SELECT doc_id, text, length(text) AS len,
-             greatest(length(text) // {TARGET_W * TARGET_H}, 1) AS stride
+      SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS len,
+             greatest(strlen(text) // {TARGET_W * TARGET_H}, 1) AS stride
       FROM documents
     )
     SELECT
@@ -407,7 +424,10 @@ def resize_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(len AS BIGINT) AS orig_bytes,
       CAST(CASE WHEN len = 0 THEN 0
                 ELSE list_aggregate(
-                  [ascii(substring(text, CAST(1 + i * stride AS INT), 1))
+                  [16*(strpos('0123456789ABCDEF',
+                              substring(hx, 2*(1 + i*stride) - 1, 1))-1)
+                   + (strpos('0123456789ABCDEF',
+                             substring(hx, 2*(1 + i*stride), 1))-1)
                    FOR i IN range(0, least(
                        CAST(ceil(len / CAST(stride AS DOUBLE)) AS BIGINT),
                        {TARGET_W * TARGET_H}))],

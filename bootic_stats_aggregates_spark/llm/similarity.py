@@ -82,8 +82,13 @@ def _topk_window():
 
 
 def _topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared top-k builder: per query vector, k nearest others by cosine."""
-    e = _scored_vectors(spark, sf_dir)
+    """Shared top-k builder: per query vector, k nearest others by cosine.
+
+    nrm > 0 on both sides: zero-norm vectors are never-similar by the
+    repo-wide rule (FIXTURES.md) — without the guard the cosine is an
+    ANSI DIVIDE_BY_ZERO, where the oracle's 0/0 is a NULL that ranks
+    below every real candidate (hostile-fixture sweep finding, r5)."""
+    e = _scored_vectors(spark, sf_dir).filter(F.col("nrm") > 0)
     q = _q_side(e.filter(F.col("vec_id") < N_QUERIES))
     return (
         e.crossJoin(F.broadcast(q))
@@ -100,13 +105,14 @@ _QUERIES_BRUTE_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, label, embedding, {_NRM_SQL} AS nrm FROM embeddings
     ),
-    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES} AND nrm > 0),
     pairs AS (
+      -- nrm > 0 both sides: zero-norm vectors are never-similar
       SELECT
         q.vec_id AS q_vec_id,
         e.vec_id AS vec_id,
         round({_DOT_SQL} / (q.nrm * e.nrm), 6) AS cos_sim
-      FROM q JOIN e ON e.vec_id <> q.vec_id
+      FROM q JOIN e ON e.vec_id <> q.vec_id AND e.nrm > 0
     )
     SELECT q_vec_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
     FROM (
@@ -135,14 +141,15 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT vec_id, label, embedding, {_NRM_SQL} AS nrm FROM embeddings
     ),
-    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES} AND nrm > 0),
     pairs AS (
+      -- nrm > 0 both sides: zero-norm vectors are never-similar
       SELECT
         q.vec_id AS q_vec_id,
         e.vec_id AS vec_id,
         e.label AS label,
         round({_DOT_SQL} / (q.nrm * e.nrm), 6) AS cos_sim
-      FROM q JOIN e ON e.vec_id <> q.vec_id
+      FROM q JOIN e ON e.vec_id <> q.vec_id AND e.nrm > 0
     ),
     topk AS (
       SELECT * FROM (
@@ -345,13 +352,14 @@ def _ann_oracle() -> str:
       WHERE qb.vec_id < {N_QUERIES}
     ),
     scored AS (
+      -- nrm > 0 both sides: zero-norm vectors are never-similar
       SELECT
         c.q_vec_id,
         c.vec_id,
         round({_DOT_SQL} / (q.nrm * e.nrm), 6) AS cos_sim
       FROM cand c
-      JOIN e q ON q.vec_id = c.q_vec_id
-      JOIN e   ON e.vec_id = c.vec_id
+      JOIN e q ON q.vec_id = c.q_vec_id AND q.nrm > 0
+      JOIN e   ON e.vec_id = c.vec_id AND e.nrm > 0
     )
     SELECT q_vec_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
     FROM (
@@ -472,7 +480,10 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_vec_id", "vec_id")
         .distinct()
     )
-    e = _scored_vectors(spark, sf_dir)
+    # nrm > 0: zero-norm vectors are never-similar (same guard + rationale
+    # as _topk_pairs); filtering the scored frame drops them from both the
+    # query and corpus side of the candidate join.
+    e = _scored_vectors(spark, sf_dir).filter(F.col("nrm") > 0)
     return (
         cand.join(F.broadcast(_q_side(e)), "q_vec_id")
         .join(e, "vec_id")
@@ -560,14 +571,15 @@ def _ivf_oracle() -> str:
       WHERE a.vec_id <> p.q_vec_id
     ),
     scored AS (
+      -- nrm > 0 both sides: zero-norm vectors are never-similar
       SELECT c.q_vec_id, c.vec_id,
         round(list_sum(list_transform(list_zip(q.embedding, a.embedding),
                                       x -> CAST(x[1] AS DOUBLE)
                                            * CAST(x[2] AS DOUBLE)))
               / (q.nrm * a.nrm), 6) AS cos_sim
       FROM cand c
-      JOIN assigned a ON a.vec_id = c.vec_id
-      JOIN e q ON q.vec_id = c.q_vec_id
+      JOIN assigned a ON a.vec_id = c.vec_id AND a.nrm > 0
+      JOIN e q ON q.vec_id = c.q_vec_id AND q.nrm > 0
     )
     SELECT q_vec_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
     FROM (
@@ -629,9 +641,13 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("q_vec_id"))
         .select("q_vec_id", "vec_id")
     )
+    # nrm > 0: zero-norm vectors are never-similar (same guard + rationale
+    # as _topk_pairs) — they may hold a cell assignment, but are never
+    # scored as query or candidate.
+    scored = _scored_vectors(spark, sf_dir).filter(F.col("nrm") > 0)
     return (
-        cand.join(F.broadcast(_q_side(_scored_vectors(spark, sf_dir))), "q_vec_id")
-        .join(_scored_vectors(spark, sf_dir), "vec_id")
+        cand.join(F.broadcast(_q_side(scored)), "q_vec_id")
+        .join(scored, "vec_id")
         .select("q_vec_id", "vec_id", _pair_cos().alias("cos_sim"))
         .withColumn("rk", F.row_number().over(_topk_window()).cast("long"))
         .filter(F.col("rk") <= TOP_K)

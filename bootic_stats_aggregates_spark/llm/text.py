@@ -160,13 +160,11 @@ def llm_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen; explode + hash agg does the counting.
     """
     d = table(spark, sf_dir, "documents")
-    toks = _toks()
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
+    # _bigram_array gates on size >= 2: a bare sequence(1, size-1) DESCENDS
+    # ([1, 0]) for 1-token docs — an ANSI element_at error, where the
+    # oracle's range(1, 0) is empty (hostile-fixture sweep finding, r5).
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        d.select(F.explode(_bigram_array(_toks())).alias("bigram"))
         .groupBy("bigram")
         .agg(lcount("n"))
     )

@@ -275,7 +275,15 @@ def _asof_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     Views sort before clicks at equal ts so ``<=``/``>=`` semantics admit
     the simultaneous view in either scan direction."""
     ev = table(spark, sf_dir, "events")
-    views = ev.filter(F.col("event_type") == "view").select(
+    # NULL-keyed views are excluded: SQL join equality never matches NULL
+    # = NULL, but Window.partitionBy groups NULLs together — without the
+    # filter a NULL-user click would inherit a NULL-user view's timestamp
+    # (hostile-fixture sweep finding, r5). NULL-keyed CLICKS stay: they are
+    # left-join output rows, and their partition then holds no views, so
+    # the carry-forward is correctly NULL.
+    views = ev.filter(
+        (F.col("event_type") == "view") & F.col("user_id").isNotNull()
+    ).select(
         "user_id", "ts", "event_id", F.lit(0).alias("kind"),
         F.col("ts").alias("view_ts"),
     )

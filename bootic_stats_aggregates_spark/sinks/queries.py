@@ -34,7 +34,8 @@ _HASH_ORACLE = """
       SELECT
         'stats:' || event_type || ':' || strftime(ts, '%Y:%m:%d:%H') AS key,
         CAST(count(*) AS BIGINT) AS n,
-        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        CAST(COALESCE(sum(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT)
+          AS cents
       FROM events
       GROUP BY 1
     )
@@ -57,7 +58,7 @@ def snk_redis_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       'ZINCRBY' AS cmd,
       'top_users:' || event_type AS key,
-      CAST(user_id AS VARCHAR) AS member,
+      COALESCE(CAST(user_id AS VARCHAR), '-') AS member,
       CAST(count(*) AS BIGINT) AS delta
     FROM events
     GROUP BY event_type, user_id
@@ -74,8 +75,8 @@ def snk_redis_zset(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       'ZINCRBY' AS cmd,
       'top_paths:' || event_type || ':' || strftime(ts, '%Y:%m:%d') AS key,
-      '/p/' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)
-        AS member,
+      COALESCE('/p/' || CAST(CAST(json_extract(props, '$.k') AS BIGINT)
+                             AS VARCHAR), '-') AS member,
       CAST(count(*) AS BIGINT) AS delta
     FROM events
     GROUP BY 1, 2, 3
@@ -92,10 +93,11 @@ def snk_redis_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH agg AS (
       SELECT
-        'stats:' || CAST(user_id % 20 AS VARCHAR) || ':' || event_type
+        'stats:' || COALESCE(CAST(user_id % 20 AS VARCHAR), '-') || ':' || event_type
           || ':' || strftime(ts, '%Y:%m:%d:%H') AS key,
         CAST(count(*) AS BIGINT) AS n,
-        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        CAST(COALESCE(sum(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT)
+          AS cents
       FROM events
       GROUP BY 1
     )
@@ -111,16 +113,22 @@ def snk_redis_acct(spark: SparkSession, sf_dir: str) -> DataFrame:
     demonstrates the fan-out; a deployment swaps in the real account id —
     the key arithmetic and per-batch combine are identical."""
     ev = table(spark, sf_dir, "events")
+    # NULL policy (hostile-fixture sweep r5): concat_ws silently DROPS a
+    # NULL segment — leaving a three-part key that corrupts the schema —
+    # so the unknown-account bucket is an explicit '-' sentinel; a bucket
+    # whose every value is NULL contributes delta 0, not NULL.
     key = F.concat_ws(
         ":",
         F.lit("stats"),
-        (F.col("user_id") % 20).cast("string"),
+        F.coalesce((F.col("user_id") % 20).cast("string"), F.lit("-")),
         F.col("event_type"),
         F.date_format("ts", "yyyy:MM:dd:HH"),
     )
     agg = ev.groupBy(key.alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 100).cast("long")), F.lit(0)
+        ).alias("cents"),
     )
     n_rows = agg.select(
         F.lit("HINCRBY").alias("cmd"), "key",
@@ -139,7 +147,7 @@ def snk_redis_acct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT
       'SADD' AS cmd,
       'uniq:' || event_type || ':' || strftime(ts, '%Y:%m:%d') AS key,
-      CAST(user_id AS VARCHAR) AS member
+      COALESCE(CAST(user_id AS VARCHAR), '-') AS member
     FROM events
     """,
 )
@@ -155,7 +163,8 @@ def snk_redis_uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT
         'stats:' || event_type || ':' || strftime(ts, '%Y:%m:%d:%H') AS key,
         CAST(count(*) AS BIGINT) AS n,
-        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        CAST(COALESCE(sum(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT)
+          AS cents
       FROM events
       GROUP BY 1
     )

@@ -63,9 +63,15 @@ def counter_commands(events: DataFrame) -> DataFrame:
         F.col("event_type"),
         F.date_format("ts", BUCKET_FMT),
     )
+    # NULL policy (uniform across the redis command family, hostile-fixture
+    # sweep r5): a bucket whose every value is NULL sums to NULL — an
+    # unknown amount increments nothing, so the delta is 0 (HINCRBY cannot
+    # carry NULL and the sink's str(int(delta)) would crash).
     agg = events.groupBy(bucket_key.alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 100).cast("long")), F.lit(0)
+        ).alias("cents"),
     )
     n_rows = agg.select(
         F.lit("HINCRBY").alias("cmd"),
@@ -87,10 +93,11 @@ def ranking_commands(events: DataFrame) -> DataFrame:
     agg = events.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).cast("long").alias("delta")
     )
+    # NULL user_id -> '-' sentinel member (redis members cannot be NULL)
     return agg.select(
         F.lit("ZINCRBY").alias("cmd"),
         F.concat_ws(":", F.lit("top_users"), F.col("event_type")).alias("key"),
-        F.col("user_id").cast("string").alias("member"),
+        F.coalesce(F.col("user_id").cast("string"), F.lit("-")).alias("member"),
         "delta",
     )
 
@@ -109,7 +116,8 @@ def path_ranking_commands(events: DataFrame) -> DataFrame:
     day = F.date_format("ts", "yyyy:MM:dd")
     agg = events.groupBy(
         F.concat_ws(":", F.lit("top_paths"), F.col("event_type"), day).alias("key"),
-        path.alias("member"),
+        # NULL/unparseable props -> '-' sentinel member
+        F.coalesce(path, F.lit("-")).alias("member"),
     ).agg(F.count(F.lit(1)).cast("long").alias("delta"))
     return agg.select(F.lit("ZINCRBY").alias("cmd"), "key", "member", "delta")
 
@@ -131,7 +139,8 @@ def unique_commands(events: DataFrame) -> DataFrame:
         events.select(
             F.lit("SADD").alias("cmd"),
             day_key.alias("key"),
-            F.col("user_id").cast("string").alias("member"),
+            # NULL user_id -> '-' sentinel member
+            F.coalesce(F.col("user_id").cast("string"), F.lit("-")).alias("member"),
         )
         .distinct()
     )

@@ -591,9 +591,13 @@ def stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events")
     )
     # exact distinct is not streaming-mergeable across micro-batches;
-    # count it from the deduped (type, user) pairs instead
-    pairs = ev.select("event_type", "user_id").dropDuplicates(
-        ["event_type", "user_id"]
+    # count it from the deduped (type, user) pairs instead. NULL users are
+    # dropped first: dropDuplicates keeps NULL as its own key, while SQL
+    # count(DISTINCT user_id) ignores NULL (hostile-fixture sweep, r5).
+    pairs = (
+        ev.select("event_type", "user_id")
+        .filter(F.col("user_id").isNotNull())
+        .dropDuplicates(["event_type", "user_id"])
     )
     uniq = pairs.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("uniq_users")
