@@ -240,16 +240,22 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       event_id,
       TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
-      CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
-      array_to_string(json_keys(props), ',') AS key_list
+      CASE WHEN json_type(props) = 'OBJECT'
+           THEN CAST(len(json_keys(props)) AS BIGINT) END AS n_keys,
+      CASE WHEN json_type(props) = 'OBJECT' AND len(json_keys(props)) > 0
+           THEN array_to_string(json_keys(props), ',') END AS key_list
     FROM events
     """,
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map family over the parsed JSON payload.
 
-    Parsed as MapType<string,STRING> — lossless for any scalar payload —
-    then try_cast to long: with map<string,long>, ONE non-numeric value
+    Parsed as MapType<string,STRING> — lossless for any scalar VALUE inside
+    a JSON OBJECT payload; a non-object payload (e.g. props = '5') parses to
+    a NULL map on Spark, and the oracle mirrors that with a json_type(props)
+    = 'OBJECT' guard (DuckDB's bare len(json_keys('5')) would return 0 where
+    Spark yields NULL — ADVICE r5). Values are try_cast to long: with
+    map<string,long>, ONE non-numeric value
     (e.g. {"page": "/"}) silently nulled the ENTIRE map in PERMISSIVE
     from_json, losing the other keys (hostile-fixture sweep finding, r5).
     key_list goes through when(n > 0): Spark's concat_ws folds a NULL or

@@ -400,7 +400,12 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     envelope."""
     raw = approx_percentile_raw(spark, sf_dir)
     ev = table(spark, sf_dir, "events").select("event_type", "value")
-    j = ev.join(F.broadcast(raw), "event_type")
+    # null-safe join key: a NULL event_type group (which GROUP BY emits on
+    # both engines) must survive the join back onto the per-group estimates;
+    # a plain inner equi-join would drop it (ADVICE r5).
+    j = ev.join(
+        F.broadcast(raw), ev["event_type"].eqNullSafe(raw["event_type"])
+    ).select(ev["event_type"], "value", "p50", "p90", "exact_p50", "exact_p90")
 
     n = F.count("value").cast("double")  # non-null values only
 

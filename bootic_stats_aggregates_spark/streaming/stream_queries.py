@@ -604,7 +604,18 @@ def stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = run_to_memory(agg, mode="complete").select("event_type", "n_events")
     u = run_to_memory(uniq, mode="complete")
-    return n.join(u, "event_type")
+    # LEFT join, null-safe on the key: a group whose users are ALL NULL has
+    # no row in `uniq` (the isNotNull filter above removed every pair), and
+    # an inner join would silently drop the whole group where the oracle's
+    # count(DISTINCT user_id) emits it with 0; a NULL event_type group must
+    # also survive the join (ADVICE r5).
+    return n.join(
+        u, n["event_type"].eqNullSafe(u["event_type"]), "left"
+    ).select(
+        n["event_type"],
+        "n_events",
+        F.coalesce(u["uniq_users"], F.lit(0)).cast("long").alias("uniq_users"),
+    )
 
 
 @query(
