@@ -251,6 +251,33 @@ def main() -> None:
     except Exception:  # pragma: no cover - throughput is informational
         pass
 
+    # Replicated-scale section (VERDICT r5 task #1): the four headline
+    # shapes at ~10x sf0.1 (6M lineitem / 1M events), Spark FRESH
+    # per-execution vs DuckDB warm on the SAME staged parquet — the
+    # floor-amortized engine-vs-engine race. Grid-searched knobs (r6):
+    # 32 MB splits + 8 shuffle partitions; AQE on (production default).
+    # Skippable via SPARK_GRAFT_SKIP_SCALE=1; never fails the bench line.
+    scale10 = None
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
+        saved_env = {
+            k: os.environ.get(k)
+            for k in ("SPARK_GRAFT_SHUFFLE", "SPARK_GRAFT_MAX_PARTITION_BYTES")
+        }
+        os.environ["SPARK_GRAFT_SHUFFLE"] = "8"
+        os.environ["SPARK_GRAFT_MAX_PARTITION_BYTES"] = str(32 * 1024 * 1024)
+        try:
+            from bootic_stats_aggregates_spark.scalebench import run_scale_bench
+
+            scale10 = run_scale_bench(spark, sf_dir=sf_dir, mult=10, runs=5)
+        except Exception as exc:  # informational section; keep the line valid
+            scale10 = {"error": repr(exc)[:300]}
+        finally:
+            for k, v in saved_env.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
     suite = round(sum(timings[n] for n in HEADLINE), 4)
     fresh_suite = round(sum(fresh[n] for n in HEADLINE), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -268,6 +295,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_fresh": fresh,
                 "fresh_suite": fresh_suite,
+                "scale10": scale10,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "host_load": {"start": load_start, "end": _host_load()},
             }
