@@ -391,7 +391,7 @@ def test_multimodal_decode_is_map_only(spark):
     MapInPandas -> project, with NO Exchange: at 100 TB the decode fans
     out across executors with zero shuffle, and a stray repartition here
     would serialize the whole corpus through the network for no reason."""
-    for qid in ("llm_multimodal_decode", "llm_multimodal_audio"):
+    for qid in ("llm_multimodal_decode", "llm_multimodal_audio", "llm_multimodal_png"):
         plan = formatted_plan(fresh(spark, qid))
         body = plan.split("===== Subqueries =====")[0]
         assert "Exchange" not in body, f"{qid} plans a shuffle:\n{body}"

@@ -918,8 +918,52 @@ def test_media_codecs_reject_malformed_containers():
         decode_wav(wav[:8] + b"XXXX" + wav[12:])  # not WAVE
     with _pytest.raises(ValueError):
         decode_wav(wav[:12])  # chunks missing
+    with _pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\0" * 32)  # garbage chunks
     with _pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n" + b"\0" * 32)  # PIL-gated
+        decode_image(b"\xff\xd8\xff\xe0JFIF-ish")  # JPEG stays PIL-gated
+
+
+def test_png_codec_roundtrip_and_rejection():
+    """decode(encode(px)) == px for the dependency-free PNG codec across
+    enough rows to hit ALL FIVE scanline filters (encode uses y % 5), and
+    loud failures on truncation, bit-flips (CRC), and unsupported
+    profiles — a silent-garbage decode poisons every downstream
+    feature."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    import pytest as _pytest
+
+    from bootic_stats_aggregates_spark.llm.multimodal import (
+        _decode_png,
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(13)
+    for (w, h) in ((1, 1), (2, 3), (5, 7), (16, 11)):
+        px = rng.integers(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+        meta = decode_image(encode_png(px, w, h))  # probe-chain dispatch
+        assert (meta["width"], meta["height"]) == (w, h)
+        assert meta["pixels"] == px, (w, h)
+    blob = encode_png(bytes(range(0, 72, 2)), 4, 3)
+    with _pytest.raises(ValueError):
+        _decode_png(blob[: len(blob) // 2])  # truncated IDAT
+    bad = bytearray(blob)
+    bad[40] ^= 0xFF
+    with _pytest.raises(ValueError):
+        _decode_png(bytes(bad))  # CRC catches the bit flip
+    # unsupported profile: grayscale color type in an otherwise valid IHDR
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with _pytest.raises(ValueError):
+        _decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
 
 
 def test_ivf_train_partitions_the_corpus(spark):
