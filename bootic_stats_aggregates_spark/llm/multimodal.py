@@ -364,11 +364,16 @@ def fake_features(payload: bytes) -> list[float]:
 
 def _featurize(payload: bytes, mime: str) -> list[float]:
     """Dispatch per blob: real decode for image/* when a decoder exists —
-    always for the native BMP/PPM codecs, PIL-gated for compressed
-    formats — deterministic byte statistics otherwise (and always for
-    text/plain, so the exact oracle holds with or without PIL)."""
+    always for the native BMP/PPM/PNG codecs, PIL-gated for JPEG and
+    extended PNG profiles — deterministic byte statistics otherwise (and
+    always for text/plain, so the exact oracle holds with or without
+    PIL)."""
     if isinstance(mime, str) and mime.startswith("image/"):
-        if payload[:2] in (b"P6", b"BM") or HAS_IMAGE_DECODE:
+        native = (
+            payload[:2] in (b"P6", b"BM")
+            or payload[:8] == b"\x89PNG\r\n\x1a\n"
+        )
+        if native or HAS_IMAGE_DECODE:
             return image_features(payload)
     return fake_features(payload)
 

