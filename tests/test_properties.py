@@ -1108,3 +1108,25 @@ def test_near_dup_pairs_for_planted_and_guards(spark):
     }
     assert set(got) == {(1, 2)}, got
     assert got[(1, 2)] == pytest.approx(37 / 39, abs=1e-6)
+
+
+def test_ivfpq_recall_meets_target(spark):
+    """llm_ann_ivfpq's contract (VERDICT r5 task 5): recall@5 vs the
+    brute-force truth >= 0.9 on the fixture WITH real pruning (6/16
+    trained cells probed, 10 candidates exact-scored per query), and
+    every returned cosine exact (equal to the brute pair's). The fixed
+    random centroids of llm_ann_ivf manage only ~0.3 here — the trained
+    quantizer is what buys the recall."""
+    brute = {
+        (r.q_vec_id, r.vec_id): r.cos_sim
+        for r in QUERIES["llm_cosine_topk"](spark, SF_DIR).collect()
+    }
+    pq = {
+        (r.q_vec_id, r.vec_id): r.cos_sim
+        for r in QUERIES["llm_ann_ivfpq"](spark, SF_DIR).collect()
+    }
+    for pair, cos in pq.items():
+        if pair in brute:
+            assert brute[pair] == cos, f"cosine mismatch for {pair}"
+    recall = len(set(brute) & set(pq)) / len(brute)
+    assert recall >= 0.9, f"IVF-PQ recall@5 below target: {recall}"
