@@ -146,12 +146,19 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def run_to_memory(
-    result: DataFrame, *, mode: str = "complete", await_seconds: int = 300
+    result: DataFrame,
+    *,
+    mode: str = "complete",
+    await_seconds: int = 300,
+    progress_sink: list | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion; return the sink table.
 
     ``Trigger.AvailableNow`` processes everything currently available then
     stops — the deterministic harness analog of a forever-running job.
+    ``progress_sink``, when given, receives the query's recentProgress
+    dicts after termination — the state-store/watermark metrics tests
+    (e.g. the RocksDB provider assertions) read them from there.
     """
     name = f"mem_{uuid.uuid4().hex[:12]}"
     q = (
@@ -165,6 +172,8 @@ def run_to_memory(
     if not q.awaitTermination(await_seconds):  # pragma: no cover - hang guard
         q.stop()
         raise TimeoutError(f"streaming query {name} exceeded {await_seconds}s")
+    if progress_sink is not None:
+        progress_sink.extend(q.recentProgress)
     spark = result.sparkSession
     return spark.table(name)
 

@@ -1130,3 +1130,70 @@ def test_ivfpq_recall_meets_target(spark):
             assert brute[pair] == cos, f"cosine mismatch for {pair}"
     recall = len(set(brute) & set(pq)) / len(brute)
     assert recall >= 0.9, f"IVF-PQ recall@5 below target: {recall}"
+
+
+def test_rocksdb_state_store_provider(spark):
+    """The stateful streaming fleet under the RocksDBStateStoreProvider —
+    the 100 TB state story (VERDICT r5 task 6): default-HDFS keeps every
+    key in executor heap, RocksDB spills to local SSD and is the provider
+    any large-state production job runs. Asserts (a) a windowed stateful
+    aggregation REALLY ran on RocksDB (rocksdb* custom metrics present in
+    the streaming progress, state rows accounted), and (b) the three
+    registered stateful ops produce byte-identical results under either
+    provider — state storage is an executor-side concern, never semantics."""
+    from pyspark.sql import functions as F
+
+    from bootic_stats_aggregates_spark.streaming.runner import (
+        run_to_memory,
+        stream_table,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    )
+    before = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, rocks)
+        # (a) direct metrics probe: windowed count per (type, hour)
+        progress: list = []
+        agg = (
+            stream_table(spark, SF_DIR, "events")
+            .groupBy("event_type", F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        out = run_to_memory(agg, mode="complete", progress_sink=progress)
+        n_out = out.count()
+        assert n_out > 0
+        ops = [
+            so
+            for p in progress
+            for so in (p.get("stateOperators") or [])
+        ]
+        assert ops, "no stateOperators in streaming progress"
+        assert any(so.get("numRowsTotal", 0) > 0 for so in ops)
+        custom = {k for so in ops for k in (so.get("customMetrics") or {})}
+        assert any(k.startswith("rocksdb") for k in custom), (
+            f"RocksDB metrics absent — provider not in effect: {custom}"
+        )
+        # (b) provider-independence of the registered stateful results
+        rock_results = {}
+        for qid in (
+            "stream_stateful",
+            "stream_chained_stateful",
+            "stream_incr_dedup",
+        ):
+            fn = getattr(QUERIES[qid], "__wrapped__", QUERIES[qid])
+            rock_results[qid] = {
+                tuple(r) for r in fn(spark, SF_DIR).collect()
+            }
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
+    for qid, rows in rock_results.items():
+        fn = getattr(QUERIES[qid], "__wrapped__", QUERIES[qid])
+        default_rows = {tuple(r) for r in fn(spark, SF_DIR).collect()}
+        assert rows == default_rows, f"{qid} diverged across providers"
