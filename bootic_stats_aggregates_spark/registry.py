@@ -84,16 +84,17 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: core + streaming surface; round 3 the 26 then-unverified ops + 24 round-3
 #: additions; round 4 the 37 round-3-late ops + 13 of the 27 round-4
 #: additions — 195/209 cumulative, all green, no value-failure ever.
-#: Round 5 front-loads the FINAL 14 operators that have never earned a
-#: driver row (the round-4 additions that sat below the cap), completing
-#: cumulative driver-verified coverage of every pre-r5 op, then the 4
-#: 5 operators ADDED during round 5 (fn_aes_gcm, llm_multimodal_decode,
-#: llm_multimodal_audio, llm_ivf_train, llm_ann_recall — slots 15-19, so
-#: no op is ever more than one round behind on driver evidence), then
-#: backfills slots 20-50 with the 31 longest-unre-verified rows (round-1-verified ops, untouched by the
-#: driver since CORRECTNESS_r01) as a regression re-check.
+#: Round 5 completed cumulative driver coverage: every one of the 214
+#: then-registered ops has a green driver row (union r1-r5, zero stale
+#: failures — VERDICT r5). Round 6 (below) front-loads the 4 r6 additions,
+#: then re-checks the stalest greens (VERDICT r5 task 7): the 14 rows
+#: untouched by the driver since r1, then 32 of the 50 r2 rows —
+#: prioritizing the ones this round's churn touched (q3_topk_join's
+#: broadcast-side plan fix, the streaming runner's progress capture, the
+#: redis sinks' new RESP factory path). The 18 remaining r2 rows queue
+#: for round 7.
 #: Verification status of every entry, stated precisely (ADVICE r3 item 2):
-#: all 214 registered pairs pass the local oracle gate at sf0.01
+#: all 218 registered pairs pass the local oracle gate at sf0.01
 #: (tests/test_oracle.py, exact value compare); linear-oracle ops are also
 #: swept at sf0.1 (pytest with SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1,
 #: logs at tools/sweep_sf01_r4.log / _r5.log); the quadratic/recursive-oracle
@@ -101,37 +102,32 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: tools/sweep_sf01.py. Queries absent from this list keep their
 #: registration order after it.
 _GATE_PRIORITY: list[str] = [
-    # --- slots 1-14: the last 14 ops with no driver row yet (round-4
-    # --- additions registered after the r4 cap). Pure-plan ops first,
-    # --- env-touching src/snk/stream ops last so an env-specific failure
-    # --- cannot cost other slots their first row. All 14 are local-oracle
-    # --- green at sf0.01 AND sf0.1 and driver-sim verified (fresh process,
-    # --- hostile timezone).
-    "agg_approx_top_k", "agg_product", "fn_date_arith", "win_nth_value",
-    "llm_chunk_overlap", "llm_corpus_manifest", "llm_semdedup_arrow",
-    "udf_arrow_scalar", "fn_aes_roundtrip",
-    "snk_csv_export", "src_corrupt_tolerant", "src_recursive_glob",
-    "stream_approx_uniques", "stream_topk_rank",
-    # --- slots 15-18: the ops registered DURING round 5 (local-oracle
-    # --- green at sf0.01 + sf0.1, driver-sim green — see
-    # --- tools/driver_sim_r5.log).
-    "fn_aes_gcm", "llm_multimodal_decode", "llm_multimodal_audio",
-    "llm_ivf_train", "llm_ann_recall",
-    # --- slots 20-50: regression re-check of the 31 stalest rows — all
-    # --- driver-verified in round 1 and never re-checked since (the 14
-    # --- remaining r1 ops are trivial fn_* families continuously
-    # --- re-proved by the local oracle suite; they queue for r6).
-    "agg_count_by_bucket", "agg_distinct_rows", "agg_distinct_users",
-    "agg_having",
-    "join_bucketed_colocated", "join_dpp_pruned",
-    "llm_ann_lsh", "llm_bigrams", "llm_chunk_native", "llm_cosine_topk",
-    "llm_dedup_clusters", "llm_dedup_stats", "llm_embed_neardup",
-    "llm_exact_dedup", "llm_fingerprint", "llm_knn_classify",
-    "llm_lang_filter", "llm_lang_id", "llm_multimodal_frames",
-    "llm_near_dedup", "llm_ngram_jaccard", "llm_quality_score",
-    "llm_text_stats", "llm_tfidf_topterms", "llm_token_count",
-    "llm_tokenize_ngrams", "src_partition_pruned",
-    "udf_grouped_agg", "udf_plain", "udf_scalar_pandas", "udf_table",
+    # --- slots 1-4: the ops ADDED during round 6 (local-oracle green at
+    # --- sf0.01, driver-sim green under hostile timezone this session).
+    "agg_product_logspace", "llm_multimodal_png", "snk_redis_resp",
+    "llm_ann_ivfpq",
+    # --- slots 5-18: the 14 stalest rows — driver-verified in round 1
+    # --- and never re-checked since (trivial fn_* families continuously
+    # --- re-proved by the local oracle suite, now due their re-check).
+    "agg_multi_rollup", "agg_sum_avg_minmax", "fn_array", "fn_bitwise",
+    "fn_cast", "fn_cond", "fn_date", "fn_hash", "fn_json", "fn_map",
+    "fn_math", "fn_string", "fn_trycast", "fn_url",
+    # --- slots 19-50: 32 of the 50 round-2 rows (stalest after r1),
+    # --- prioritized by r6 churn: q3_topk_join's plan changed (broadcast
+    # --- side fix), the streaming family's runner gained progress
+    # --- capture, and the redis sinks sit atop the new RESP factory
+    # --- path. The 18 remaining r2 rows queue for round 7.
+    "q3_topk_join", "agg_approx_percentile",
+    "stream_stateful", "stream_tumbling", "stream_watermark",
+    "stream_dedup", "stream_session", "stream_sliding",
+    "stream_output_modes", "join_stream_static", "join_stream_stream",
+    "src_event_stream", "snk_redis_hash", "snk_redis_zset",
+    "join_anti", "join_asof", "join_broadcast", "join_cross",
+    "join_left_right_outer", "join_multiway", "join_semi", "join_shuffle",
+    "join_skew_salted", "join_theta_range",
+    "proj_select", "filt_event_type", "filt_json_pred", "filt_predicate",
+    "rank_rank_dense", "rank_topk_global", "rank_topk_per_group",
+    "sub_scalar_corr",
 ]
 
 
