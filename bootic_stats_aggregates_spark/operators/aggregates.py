@@ -1232,7 +1232,8 @@ def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``exp(sum(ln x))`` flipped 14/14.7k groups at the rounding grid, and
     even the exact product diverged last-ulp once ``pow()`` entered
     (Java Math.pow vs libm). For UNBOUNDED groups the scale path is the
-    log-space mergeable form with those documented tolerances. One
+    log-space mergeable form — registered as ``agg_product_logspace``
+    (r6), with the tolerance envelope made oracle-checkable there. One
     shuffle on l_orderkey either way.
     """
     li = table(spark, sf_dir, "lineitem")

@@ -190,6 +190,8 @@ def test_plan_hygiene_all_queries(spark):
         "llm_ivf_train",     # corpus x broadcast(K=8 centroids) per Lloyd's
                              # iteration: the K side is constant-size at any
                              # corpus scale
+        "llm_ann_ivfpq",     # same trained-quantizer machinery: corpus x
+                             # broadcast(16 centroids) for assignment/probes
     }
     python_ok = {
         "udf_plain",  # the fenced-off last-resort surface
@@ -312,6 +314,9 @@ BUILD_RUNS_JOBS_OK = {
     "llm_cc_star", "llm_dedup_clusters", "llm_dedup_cascade",
     # eager localCheckpoint under temporarily-armed session confs
     "join_bloom_pruned",
+    # streaming foreachBatch through the in-process RESP socket server:
+    # building runs the micro-batches into the server and reads back
+    "snk_redis_resp",
 }
 
 
