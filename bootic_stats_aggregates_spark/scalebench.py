@@ -236,15 +236,23 @@ def run_scale_bench(
       (q1 0.49x, q3 0.69x, rollup 1.63x, topk 1.45x) — every query
       within 2x.
     - ``spark_fresh``: strictest reading — full per-execution recompute,
-      no table cache (page-cache warmth only), AQE on. Measured r6 at
-      mult=10: suite 7.58x DuckDB. The residual gap is single-node
+      no table cache (page-cache warmth only), AQE on. Measured r6:
+      suite 7.58x DuckDB at mult=10, falling to 4.5x at mult=100
+      (tools/scale_bench_r6_100x.log) as the per-job floor amortizes.
+      The converging asymptote (~3.5-6x per query) is single-node
       per-core throughput of the JVM row pipeline vs DuckDB's native
       vectorized engine (public TPC-H comparisons show the same 5-10x),
-      NOT plan quality (plans audited: no stray shuffle/broadcast — the
-      one real plan bug found, q3 broadcasting the half-filtered fact
-      side, was fixed and is the kind of thing this bench exists to
-      catch) and NOT scaling (cost/row constant from 1x to 10x) —
-      horizontal scale-out is what Spark buys for that price.
+      NOT plan quality (plans audited; a shuffle-partition grid at 100x
+      shows the production knobs already at their optimum; the one real
+      plan bug found, q3 broadcasting the half-filtered fact side, was
+      fixed and is the kind of thing this bench exists to catch), NOT
+      caching strategy (the warm-recompute experiment in the 100x log
+      shows Spark's in-memory columnar cache is SLOWER than the
+      vectorized parquet reader for full recompute — page-cache parquet
+      is Spark's best warm state, so this series is already the
+      symmetric protocol vs DuckDB's buffer pool), and NOT scaling
+      (cost/row constant 1x->10x->100x) — horizontal scale-out is what
+      Spark buys for that price.
     """
     saved = {
         k: os.environ.get(k)
