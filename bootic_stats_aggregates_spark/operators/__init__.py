@@ -4,6 +4,7 @@ Importing this package registers every operator in the registry.
 """
 
 from . import (  # noqa: F401
+    acid_ops,
     aggregates,
     filters,
     joins,

@@ -1,0 +1,195 @@
+"""Registered queries over the MiniLog ACID table format (acid.py).
+
+Each op stages a small MiniLog table under /tmp from the deterministic
+events fixture (idempotent via a recipe-fingerprint marker), exercises
+one ACID mechanic end-to-end — time travel, file-pruned MERGE,
+exactly-once replay — and returns the *materialized table state read
+back through the log*, so the driver's oracle compare is checking what
+an independent reader of the table would actually see, not an in-plan
+DataFrame. Concurrency (optimistic commit races, conflict detection,
+vacuum, checkpoints) is covered by tests/test_acid.py — thread
+interleavings aren't SQL-expressible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..acid import MiniLogTable
+from ..helpers import lcount
+from ..io import table
+from ..registry import query
+
+#: bump to invalidate previously-staged tables when a recipe changes.
+_RECIPE = "minilog-ops-v1"
+
+
+def _day_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared base relation: exact per-(event_type, day-of-month)
+    counters from the events fixture — deterministic, integer-keyed (day
+    is the data-skipping stats column)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.dayofmonth("ts").cast("long").alias("d")
+    ).agg(lcount("n"))
+
+
+_COUNTERS_SQL = """
+  SELECT event_type, CAST(date_part('day', ts) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+"""
+
+
+def _staged(
+    spark: SparkSession, sf_dir: str, name: str
+) -> tuple[MiniLogTable, bool]:
+    """A MiniLog handle under /tmp keyed by (sf tag, op name). Returns
+    (table, already_built): a marker file carrying the recipe fingerprint
+    makes staging idempotent across processes and rounds, and any partial
+    or stale-recipe build is torn down and redone."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), "bootic_minilog", tag, name)
+    marker = os.path.join(root, "_READY")
+    ready = False
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            ready = fh.read().strip() == _RECIPE
+    if not ready and os.path.exists(root):
+        shutil.rmtree(root)
+    return MiniLogTable(spark, root, stats_cols=("d",)), ready
+
+
+def _mark_ready(tbl: MiniLogTable) -> None:
+    with open(os.path.join(tbl.path, "_READY"), "w") as fh:
+        fh.write(_RECIPE)
+
+
+@query(
+    "tx_time_travel",
+    oracle=f"""
+    -- snapshot isolation replayed in SQL: version 1 of the MiniLog table
+    -- holds days 1-20; version 3 additionally deleted days 1-5 and
+    -- appended days 21+. Immutable data files + the commit log make BOTH
+    -- states readable from the same table directory.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT 'v1' AS as_of, event_type, d, n FROM c WHERE d <= 20
+    UNION ALL
+    SELECT 'v3' AS as_of, event_type, d, n FROM c
+    WHERE d BETWEEN 6 AND 20 OR d >= 21
+    """,
+)
+def tx_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL on the MiniLog format: four commits (append days 1-10,
+    append 11-20, delete 1-5, append 21+), then one result that reads the
+    table AS OF version 1 and AS OF latest — from the same directory,
+    through the same log. Data files are immutable; a snapshot is just a
+    different fold of the commit log, so historical reads cost nothing
+    extra (Delta Lake VLDB'20 design, re-expressed dependency-free in
+    acid.py)."""
+    tbl, ready = _staged(spark, sf_dir, "time_travel")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        tbl.append(c.filter(F.col("d") <= 10))            # v0
+        tbl.append(c.filter(F.col("d").between(11, 20)))  # v1
+        tbl.delete_where("d", 1, 5)                       # v2
+        tbl.append(c.filter(F.col("d") >= 21))            # v3
+        assert tbl.version == 3, tbl.history()
+        _mark_ready(tbl)
+    v1 = tbl.read(version=1).select(
+        F.lit("v1").alias("as_of"), "event_type", "d", "n"
+    )
+    latest = tbl.read().select(
+        F.lit("v3").alias("as_of"), "event_type", "d", "n"
+    )
+    return v1.unionAll(latest)
+
+
+@query(
+    "tx_merge_filepruned",
+    oracle=f"""
+    -- MERGE (last-writer-wins upsert) against the MiniLog table: matched
+    -- keys take the update row, unmatched base rows survive. pruned_ok
+    -- asserts the WRITE-side data skipping: the table holds two files
+    -- (day stats [1,15] and [16,31]) and the update set (days >= 20)
+    -- provably cannot match the first, so exactly one file is rewritten.
+    WITH c AS ({_COUNTERS_SQL}),
+    u AS (SELECT event_type, d, n + 1000 AS n FROM c WHERE d >= 20)
+    SELECT
+      coalesce(u.event_type, c.event_type) AS event_type,
+      coalesce(u.d, c.d) AS d,
+      coalesce(u.n, c.n) AS n,
+      true AS pruned_ok
+    FROM c FULL OUTER JOIN u
+      ON c.event_type = u.event_type AND c.d = u.d
+    """,
+)
+def tx_merge_filepruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-PRUNED MERGE: the upsert rewrites only the files whose
+    min/max key stats overlap the update set's key range — the log-level
+    data skipping that turns a 100 TB MERGE into a 3-file rewrite. Base =
+    two single-file appends (days 1-15, 16-31); updates = days >= 20 with
+    n+1000; the [1,15] file must survive untouched, and ``pruned_ok``
+    carries that assertion into the oracle-checked result."""
+    tbl, ready = _staged(spark, sf_dir, "merge_filepruned")
+    tag = os.path.join(tbl.path, "_MERGE_INFO")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        tbl.append(c.filter(F.col("d") <= 15))   # file 1: stats d=[1,15]
+        tbl.append(c.filter(F.col("d") >= 16))   # file 2: stats d=[16,31]
+        updates = c.filter(F.col("d") >= 20).withColumn(
+            "n", (F.col("n") + F.lit(1000)).cast("long")
+        )
+        info = tbl.merge(updates, keys=("event_type", "d"), prune_col="d")
+        with open(tag, "w") as fh:
+            json.dump(info, fh)
+        _mark_ready(tbl)
+    with open(tag) as fh:
+        info = json.load(fh)
+    pruned_ok = info["rewritten"] == 1 and info["kept"] == 1
+    return tbl.read().select(
+        "event_type", "d", "n", F.lit(bool(pruned_ok)).alias("pruned_ok")
+    )
+
+
+@query(
+    "tx_idempotent_replay",
+    oracle=f"""
+    -- exactly-once writes under at-least-once delivery: batch 1 is
+    -- appended, REPLAYED (skipped via its txn marker), then batch 2
+    -- lands and batch 1 replays again (skipped again). The final state
+    -- is each batch applied exactly once — the plain counters — and
+    -- exactly_once asserts the log recorded exactly two commits.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d, n, true AS exactly_once FROM c
+    """,
+)
+def tx_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE sink semantics on the MiniLog format: appends carry a
+    ``txn {app, version}`` marker; the log folds a high-water mark per
+    app and a replayed transaction commits nothing. This is precisely the
+    contract a Structured Streaming ``foreachBatch(batch_id)`` writer
+    needs to be idempotent under replay — the driver-checked twin of the
+    redis sinks' staged/commit protocol, on the storage side."""
+    tbl, ready = _staged(spark, sf_dir, "idempotent_replay")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        b1 = c.filter(F.col("d") <= 15)
+        b2 = c.filter(F.col("d") >= 16)
+        tbl.append(b1, txn={"app": "loader", "version": 1})  # applied: v0
+        tbl.append(b1, txn={"app": "loader", "version": 1})  # replay: skip
+        tbl.append(b2, txn={"app": "loader", "version": 2})  # applied: v1
+        tbl.append(b1, txn={"app": "loader", "version": 1})  # replay: skip
+        _mark_ready(tbl)
+    exactly_once = tbl.version == 1 and all(
+        h["operation"] == "append" for h in tbl.history()
+    )
+    return tbl.read().select(
+        "event_type", "d", "n", F.lit(bool(exactly_once)).alias("exactly_once")
+    )

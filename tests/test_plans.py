@@ -317,6 +317,10 @@ BUILD_RUNS_JOBS_OK = {
     # streaming foreachBatch through the in-process RESP socket server:
     # building runs the micro-batches into the server and reads back
     "snk_redis_resp",
+    # MiniLog ACID ops: building stages the commit-log table (appends,
+    # a file-pruned merge, txn replays) — the transactions ARE the op;
+    # the returned frame is the snapshot read-back through the log
+    "tx_time_travel", "tx_merge_filepruned", "tx_idempotent_replay",
 }
 
 
