@@ -114,6 +114,14 @@ class FileEntry:
         except TypeError:  # JSON round-trip changed the type: stay safe
             return True
 
+    def may_have_null(self, col: str) -> bool:
+        """True unless the stats PROVE the file has no NULL in ``col``
+        (min/max ignore NULLs, so NULL-keyed rows need their own count)."""
+        s = self.stats.get(col)
+        if not s or "nulls" not in s:
+            return True
+        return s["nulls"] > 0
+
 
 @dataclass
 class Snapshot:
@@ -334,6 +342,9 @@ class MiniLogTable:
                 aggs += [
                     F.min(c).alias(f"__min_{c}"),
                     F.max(c).alias(f"__max_{c}"),
+                    F.sum(F.col(c).isNull().cast("long")).alias(
+                        f"__nulls_{c}"
+                    ),
                 ]
         stat_rows = {
             os.path.basename(r["__file"]): r
@@ -354,7 +365,8 @@ class MiniLogTable:
             )
             stats = {
                 c: {"min": _json_safe(r[f"__min_{c}"]),
-                    "max": _json_safe(r[f"__max_{c}"])}
+                    "max": _json_safe(r[f"__max_{c}"]),
+                    "nulls": r[f"__nulls_{c}"]}
                 for c in self.stats_cols
                 if f"__min_{c}" in r.asDict()
             }
@@ -400,9 +412,14 @@ class MiniLogTable:
         touched = [f for f in snap.files if f.may_contain(col, lo, hi)]
         if not touched:
             return {"version": snap.version, "rewritten": 0, "kept": len(snap.files)}
+        # NULL contract: a NULL key is never "in [lo, hi]" — it must
+        # SURVIVE the rewrite, not vanish into the filter's NULL result
+        # (the hostile-corpus bug class from round 5's sweep).
         kept_df = self.spark.read.parquet(
             *[os.path.join(self.path, f.file) for f in touched]
-        ).filter(~F.col(col).between(F.lit(lo), F.lit(hi)))
+        ).filter(
+            F.col(col).isNull() | ~F.col(col).between(F.lit(lo), F.lit(hi))
+        )
         actions = self._stage(kept_df, 1) + [
             {"type": "remove", "file": f.file} for f in touched
         ]
@@ -423,6 +440,11 @@ class MiniLogTable:
         row, unmatched base rows survive, new keys insert — rewriting only
         the files whose ``prune_col`` stats overlap the updates' key range.
 
+        Key equality is NULL-SAFE (``<=>``): a NULL-keyed update row
+        updates the NULL-keyed base row instead of silently inserting a
+        duplicate — the semantic Delta's MERGE docs recommend for
+        nullable keys; oracles must mirror it with IS NOT DISTINCT FROM.
+
         Correctness of the pruning: ``prune_col`` must be one of ``keys``.
         A file whose [min, max] on that key does not intersect the
         updates' [min, max] cannot contain a matching key, so skipping it
@@ -434,16 +456,28 @@ class MiniLogTable:
         assert prune_col in keys, "prune_col must be a merge key"
         snap = self.snapshot()
         bounds = updates.agg(
-            F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
+            F.min(prune_col).alias("lo"),
+            F.max(prune_col).alias("hi"),
+            F.sum(F.col(prune_col).isNull().cast("long")).alias("nulls"),
         ).collect()[0]
-        if bounds["lo"] is None:  # empty update set: nothing to do
+        upd_nulls = bool(bounds["nulls"])
+        if bounds["lo"] is None and not upd_nulls:  # truly empty updates
             return {
                 "version": snap.version,
                 "rewritten": 0,
                 "kept": len(snap.files),
             }
+        # a file is touched if its range may hold a matching non-NULL key,
+        # OR the updates carry NULL keys and the file may hold NULL-keyed
+        # rows (min/max ignore NULLs — the per-file NULL count covers them)
         touched = [
-            f for f in snap.files if f.may_contain(prune_col, bounds["lo"], bounds["hi"])
+            f
+            for f in snap.files
+            if (
+                bounds["lo"] is not None
+                and f.may_contain(prune_col, bounds["lo"], bounds["hi"])
+            )
+            or (upd_nulls and f.may_have_null(prune_col))
         ]
         untouched = len(snap.files) - len(touched)
         if touched:

@@ -27,7 +27,7 @@ from ..io import table
 from ..registry import query
 
 #: bump to invalidate previously-staged tables when a recipe changes.
-_RECIPE = "minilog-ops-v1"
+_RECIPE = "minilog-ops-v3"  # v3: per-file NULL counts in stats
 
 
 def _day_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,7 +127,8 @@ def tx_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
       coalesce(u.n, c.n) AS n,
       true AS pruned_ok
     FROM c FULL OUTER JOIN u
-      ON c.event_type = u.event_type AND c.d = u.d
+      ON c.event_type IS NOT DISTINCT FROM u.event_type
+     AND c.d IS NOT DISTINCT FROM u.d
     """,
 )
 def tx_merge_filepruned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,7 +142,11 @@ def tx_merge_filepruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.join(tbl.path, "_MERGE_INFO")
     if not ready:
         c = _day_counters(spark, sf_dir)
-        tbl.append(c.filter(F.col("d") <= 15))   # file 1: stats d=[1,15]
+        # NULL-day groups (hostile corpora: NULL ts) ride file 1 — a bare
+        # d <= 15 filter would silently drop them from the table while the
+        # oracle's FULL OUTER keeps them (file stats ignore NULLs, so the
+        # prune still proves file 1 untouchable and NULL rows survive)
+        tbl.append(c.filter((F.col("d") <= 15) | F.col("d").isNull()))
         tbl.append(c.filter(F.col("d") >= 16))   # file 2: stats d=[16,31]
         updates = c.filter(F.col("d") >= 20).withColumn(
             "n", (F.col("n") + F.lit(1000)).cast("long")
@@ -180,7 +185,10 @@ def tx_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl, ready = _staged(spark, sf_dir, "idempotent_replay")
     if not ready:
         c = _day_counters(spark, sf_dir)
-        b1 = c.filter(F.col("d") <= 15)
+        # batch split is NULL-complete: the union of the two batches must
+        # equal the oracle's unfiltered counters even when hostile NULL-ts
+        # events produce a NULL-day group
+        b1 = c.filter((F.col("d") <= 15) | F.col("d").isNull())
         b2 = c.filter(F.col("d") >= 16)
         tbl.append(b1, txn={"app": "loader", "version": 1})  # applied: v0
         tbl.append(b1, txn={"app": "loader", "version": 1})  # replay: skip

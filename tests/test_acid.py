@@ -186,3 +186,29 @@ def test_empty_append_commits_nothing_heavy(spark, tbl):
     assert tbl.read().count() == 1
     snap = tbl.snapshot()
     assert len(snap.files) == 1
+
+
+def test_delete_where_null_keys_survive(spark, tbl):
+    """A NULL key is never 'in [lo, hi]': delete_where must rewrite the
+    file WITHOUT dropping its NULL-keyed rows (hostile-corpus NULL
+    contract, round-5 bug class)."""
+    tbl.append(_df(spark, [(1, "a"), (None, "nul"), (5, "b")]))
+    tbl.delete_where("k", 4, 9)
+    got = sorted(
+        (tuple(r) for r in tbl.read().collect()),
+        key=lambda t: (t[0] is None, t),
+    )
+    assert got == [(1, "a"), (None, "nul")]
+
+
+def test_merge_null_safe_keys(spark, tbl):
+    """MERGE key equality is null-safe: a NULL-keyed update row UPDATES
+    the NULL-keyed base row (no duplicate insert) — oracles mirror it
+    with IS NOT DISTINCT FROM."""
+    tbl.append(_df(spark, [(1, "a"), (None, "old")]))
+    tbl.merge(_df(spark, [(None, "new")]), keys=("k",))
+    got = sorted(
+        (tuple(r) for r in tbl.read().collect()),
+        key=lambda t: (t[0] is None, t),
+    )
+    assert got == [(1, "a"), (None, "new")]
