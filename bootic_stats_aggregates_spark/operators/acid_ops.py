@@ -25,6 +25,7 @@ from ..acid import MiniLogTable
 from ..helpers import lcount
 from ..io import table
 from ..registry import query
+from ..streaming.runner import run_foreach_batch, stream_table
 
 #: bump to invalidate previously-staged tables when a recipe changes.
 _RECIPE = "minilog-ops-v3"  # v3: per-file NULL counts in stats
@@ -200,4 +201,56 @@ def tx_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tbl.read().select(
         "event_type", "d", "n", F.lit(bool(exactly_once)).alias("exactly_once")
+    )
+
+
+@query(
+    "stream_minilog_sink",
+    oracle=f"""
+    -- Structured Streaming -> MiniLog end to end: every micro-batch's
+    -- counter deltas are appended under txn {{app: 'stream', version:
+    -- batch_id}}, and each append is immediately re-issued (the
+    -- crash-replay stand-in) — the replay must commit nothing. The final
+    -- summed state therefore equals the batch counters exactly;
+    -- exactly_once asserts the log holds one commit per distinct batch.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d, n, true AS exactly_once FROM c
+    """,
+)
+def stream_minilog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB streaming-lakehouse leg: a real Structured Streaming job
+    (AvailableNow over the fixture replay) lands per-batch counter deltas
+    in a MiniLog table via ``foreachBatch``, with ``txn = batch_id``
+    making the sink idempotent under Structured Streaming's
+    at-least-once replay contract — the storage-format twin of the redis
+    sinks' two-phase commit, here END TO END through a live streaming
+    query instead of a simulated replay. Deltas are additive, so the
+    read-back is a per-key SUM over however many micro-batches the
+    source chose; correctness is micro-batch-split independent."""
+    tbl, ready = _staged(spark, sf_dir, "stream_sink")
+    if not ready:
+        ev = stream_table(spark, sf_dir, "events")
+
+        def land(batch_df: DataFrame, batch_id: int) -> None:
+            deltas = batch_df.groupBy(
+                "event_type", F.dayofmonth("ts").cast("long").alias("d")
+            ).agg(lcount("n"))
+            txn = {"app": "stream", "version": int(batch_id)}
+            tbl.append(deltas, txn=txn)
+            tbl.append(deltas, txn=txn)  # simulated replay: must no-op
+
+        run_foreach_batch(ev, land, mode="append")
+        _mark_ready(tbl)
+    versions = [h["txn"]["version"] for h in tbl.history() if h["txn"]]
+    exactly_once = (
+        len(versions) == len(set(versions)) == tbl.version + 1
+    )
+    return (
+        tbl.read()
+        .groupBy("event_type", "d")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .select(
+            "event_type", "d", "n",
+            F.lit(bool(exactly_once)).alias("exactly_once"),
+        )
     )

@@ -88,13 +88,13 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: then-registered ops has a green driver row (union r1-r5, zero stale
 #: failures — VERDICT r5). Round 6 (below) front-loads the 4 r6 additions,
 #: then re-checks the stalest greens (VERDICT r5 task 7): the 14 rows
-#: untouched by the driver since r1, then 29 of the 50 r2 rows —
+#: untouched by the driver since r1, then 28 of the 50 r2 rows —
 #: prioritizing the ones this round's churn touched (q3_topk_join's
 #: broadcast-side plan fix, the streaming runner's progress capture, the
 #: redis sinks' new RESP factory path). The 18 remaining r2 rows queue
 #: for round 7.
 #: Verification status of every entry, stated precisely (ADVICE r3 item 2):
-#: all 221 registered pairs pass the local oracle gate at sf0.01
+#: all 222 registered pairs pass the local oracle gate at sf0.01
 #: (tests/test_oracle.py, exact value compare); linear-oracle ops are also
 #: swept at sf0.1 (pytest with SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1,
 #: logs at tools/sweep_sf01_r4.log / _r5.log); the quadratic/recursive-oracle
@@ -102,18 +102,18 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: tools/sweep_sf01.py. Queries absent from this list keep their
 #: registration order after it.
 _GATE_PRIORITY: list[str] = [
-    # --- slots 1-7: the ops ADDED during round 6 (local-oracle green at
+    # --- slots 1-8: the ops ADDED during round 6 (local-oracle green at
     # --- sf0.01, driver-sim green under hostile timezone this session).
     "agg_product_logspace", "llm_multimodal_png", "snk_redis_resp",
     "llm_ann_ivfpq", "tx_time_travel", "tx_merge_filepruned",
-    "tx_idempotent_replay",
-    # --- slots 8-21: the 14 stalest rows — driver-verified in round 1
+    "tx_idempotent_replay", "stream_minilog_sink",
+    # --- slots 9-22: the 14 stalest rows — driver-verified in round 1
     # --- and never re-checked since (trivial fn_* families continuously
     # --- re-proved by the local oracle suite, now due their re-check).
     "agg_multi_rollup", "agg_sum_avg_minmax", "fn_array", "fn_bitwise",
     "fn_cast", "fn_cond", "fn_date", "fn_hash", "fn_json", "fn_map",
     "fn_math", "fn_string", "fn_trycast", "fn_url",
-    # --- slots 22-50: 29 of the 50 round-2 rows (stalest after r1),
+    # --- slots 23-50: 28 of the 50 round-2 rows (stalest after r1),
     # --- prioritized by r6 churn: q3_topk_join's plan changed (broadcast
     # --- side fix), the streaming family's runner gained progress
     # --- capture, and the redis sinks sit atop the new RESP factory
@@ -126,7 +126,7 @@ _GATE_PRIORITY: list[str] = [
     "join_anti", "join_asof", "join_broadcast", "join_cross",
     "join_left_right_outer", "join_multiway", "join_semi", "join_shuffle",
     "join_skew_salted", "join_theta_range",
-    "proj_select", "filt_event_type",
+    "filt_event_type",
     "rank_rank_dense", "rank_topk_global", "rank_topk_per_group",
 ]
 

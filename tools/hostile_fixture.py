@@ -125,6 +125,11 @@ def _events_rows():
         # window-boundary instants (stay inside the fixture min/max window)
         _event(1011, datetime(2024, 1, 1, 0, 10, 0), 44, "signup", 1.0, "{}"),
         _event(1012, datetime(2024, 1, 30, 23, 0, 0), 44, "view", 1.0, "{}"),
+        # NULL ts (r6): clock-less / parse-failed events — every real
+        # ingest stream has them; time-bucketed aggs must emit (not drop,
+        # not crash on) the NULL bucket exactly like the SQL oracle does
+        _event(1013, None, 45, "view", 1.0, '{"nt":1}'),
+        _event(1014, None, None, "error", None, None),
     ]
 
 
