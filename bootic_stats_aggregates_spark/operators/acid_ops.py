@@ -48,28 +48,44 @@ _COUNTERS_SQL = """
 """
 
 
+def _fingerprint(sf_dir: str) -> str:
+    """Recipe + source-content fingerprint: staging must invalidate when
+    the EVENTS FIXTURE changes too, not only when the recipe does — a
+    regenerated fixture under the same path (hostile-corpus iteration)
+    otherwise serves stale staged tables against a fresh oracle (found
+    by the r6 NULL-ts sweep)."""
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        sig = "missing"
+    return f"{_RECIPE}|{sig}"
+
+
 def _staged(
     spark: SparkSession, sf_dir: str, name: str
 ) -> tuple[MiniLogTable, bool]:
     """A MiniLog handle under /tmp keyed by (sf tag, op name). Returns
-    (table, already_built): a marker file carrying the recipe fingerprint
-    makes staging idempotent across processes and rounds, and any partial
-    or stale-recipe build is torn down and redone."""
+    (table, already_built): a marker file carrying the recipe + fixture
+    fingerprint makes staging idempotent across processes and rounds, and
+    any partial, stale-recipe, or stale-fixture build is torn down and
+    redone."""
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = os.path.join(tempfile.gettempdir(), "bootic_minilog", tag, name)
     marker = os.path.join(root, "_READY")
     ready = False
     if os.path.exists(marker):
         with open(marker) as fh:
-            ready = fh.read().strip() == _RECIPE
+            ready = fh.read().strip() == _fingerprint(sf_dir)
     if not ready and os.path.exists(root):
         shutil.rmtree(root)
     return MiniLogTable(spark, root, stats_cols=("d",)), ready
 
 
-def _mark_ready(tbl: MiniLogTable) -> None:
+def _mark_ready(tbl: MiniLogTable, sf_dir: str) -> None:
     with open(os.path.join(tbl.path, "_READY"), "w") as fh:
-        fh.write(_RECIPE)
+        fh.write(_fingerprint(sf_dir))
 
 
 @query(
@@ -102,7 +118,7 @@ def tx_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl.delete_where("d", 1, 5)                       # v2
         tbl.append(c.filter(F.col("d") >= 21))            # v3
         assert tbl.version == 3, tbl.history()
-        _mark_ready(tbl)
+        _mark_ready(tbl, sf_dir)
     v1 = tbl.read(version=1).select(
         F.lit("v1").alias("as_of"), "event_type", "d", "n"
     )
@@ -155,7 +171,7 @@ def tx_merge_filepruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         info = tbl.merge(updates, keys=("event_type", "d"), prune_col="d")
         with open(tag, "w") as fh:
             json.dump(info, fh)
-        _mark_ready(tbl)
+        _mark_ready(tbl, sf_dir)
     with open(tag) as fh:
         info = json.load(fh)
     pruned_ok = info["rewritten"] == 1 and info["kept"] == 1
@@ -195,7 +211,7 @@ def tx_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl.append(b1, txn={"app": "loader", "version": 1})  # replay: skip
         tbl.append(b2, txn={"app": "loader", "version": 2})  # applied: v1
         tbl.append(b1, txn={"app": "loader", "version": 1})  # replay: skip
-        _mark_ready(tbl)
+        _mark_ready(tbl, sf_dir)
     exactly_once = tbl.version == 1 and all(
         h["operation"] == "append" for h in tbl.history()
     )
@@ -240,7 +256,7 @@ def stream_minilog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             tbl.append(deltas, txn=txn)  # simulated replay: must no-op
 
         run_foreach_batch(ev, land, mode="append")
-        _mark_ready(tbl)
+        _mark_ready(tbl, sf_dir)
     versions = [h["txn"]["version"] for h in tbl.history() if h["txn"]]
     exactly_once = (
         len(versions) == len(set(versions)) == tbl.version + 1

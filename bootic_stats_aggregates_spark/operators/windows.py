@@ -125,9 +125,16 @@ def rank_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Previous/next event per user (inter-event navigation)."""
+    """Previous/next event per user (inter-event navigation).
+
+    NULL contract: clock-less events (NULL ts) sort NULLS LAST to match
+    the SQL default — Spark's ascending window default is NULLS FIRST,
+    which silently flips prev/next for the NULL-ts tail (r6 hostile
+    NULL-ts sweep finding)."""
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    )
     return ev.select(
         "event_id",
         "user_id",
@@ -158,7 +165,7 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return ev.select(
@@ -191,7 +198,7 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-row sliding average per user (exact cents numerator / count)."""
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id").rowsBetween(-6, 0)
     return ev.select(
         "event_id",
         "user_id",
@@ -225,7 +232,7 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return ev.select(
@@ -287,7 +294,7 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select(
         "user_id", "event_id", F.unix_timestamp("ts").alias("sec")
     )
-    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("sec"), "event_id")
     prev = F.lag("sec").over(w)
     flagged = e.withColumn(
         "new_s",
@@ -840,12 +847,12 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_run = (
         Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_full = (
         Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return src.select(
