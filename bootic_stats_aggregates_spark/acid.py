@@ -74,6 +74,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any, Optional
@@ -84,6 +85,15 @@ from pyspark.sql import functions as F
 FORMAT_VERSION = 1
 CHECKPOINT_EVERY = 10
 _LOG_DIR = "_minilog"
+
+#: vacuum() refuses to delete unreferenced data files younger than this.
+#: Writers rename staged files into the table root BEFORE their commit
+#: entry lands (_stage -> _try_commit), so a vacuum racing an in-flight
+#: write would otherwise delete that transaction's data — committed-but-
+#: unreadable data loss (ADVICE r6). Delta guards the same race with a
+#: retention window on file age; one hour comfortably covers any staging
+#: -> commit gap while still letting daily vacuums reclaim space.
+VACUUM_MIN_AGE_SECONDS = 3600.0
 
 
 class ConcurrentModification(RuntimeError):
@@ -257,6 +267,18 @@ class MiniLogTable:
         while True:
             snap = self.snapshot() if self.version >= 0 else Snapshot(-1, [], {})
             if txn is not None and snap.txns.get(txn["app"], -1) >= txn["version"]:
+                # Replay of an already-applied txn detected AFTER staging
+                # (a concurrent writer applied it between our _stage and
+                # this commit attempt): the staged files were already
+                # renamed into the table root but will never be referenced
+                # by any log entry. Delete them here or they orphan until
+                # a vacuum (ADVICE r6).
+                for act in actions:
+                    if act["type"] == "add":
+                        try:
+                            os.unlink(os.path.join(self.path, act["file"]))
+                        except FileNotFoundError:
+                            pass
                 return snap.version  # replay of an already-applied txn
             if removed:
                 live = {f.file for f in snap.files}
@@ -445,6 +467,17 @@ class MiniLogTable:
         duplicate — the semantic Delta's MERGE docs recommend for
         nullable keys; oracles must mirror it with IS NOT DISTINCT FROM.
 
+        "Matched keys take the update row" is literal: the whole update
+        row wins, INCLUDING intentional NULLs in non-key columns. The
+        match is carried by an explicit marker column on the update side
+        (not per-column coalesce, which would silently keep the stale
+        base value whenever an update sets a column to NULL — ADVICE r6).
+
+        Updates must be unique on ``keys``: a duplicate key would fan out
+        the full-outer join, duplicating matched base rows with a
+        nondeterministic last-writer — Delta raises the same
+        multiple-match error; we fail fast with :class:`ValueError`.
+
         Correctness of the pruning: ``prune_col`` must be one of ``keys``.
         A file whose [min, max] on that key does not intersect the
         updates' [min, max] cannot contain a matching key, so skipping it
@@ -454,6 +487,20 @@ class MiniLogTable:
         """
         prune_col = prune_col or keys[0]
         assert prune_col in keys, "prune_col must be a merge key"
+        # fail fast on duplicate update keys (NULL-safe: groupBy buckets
+        # NULL keys into one group, matching eqNullSafe below)
+        n_dup = (
+            updates.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > 1)
+            .limit(1)
+            .count()
+        )
+        if n_dup:
+            raise ValueError(
+                f"merge: updates contain duplicate keys on {keys} — "
+                "dedupe (e.g. row_number() == 1) before merging"
+            )
         snap = self.snapshot()
         bounds = updates.agg(
             F.min(prune_col).alias("lo"),
@@ -486,14 +533,21 @@ class MiniLogTable:
             )
         else:
             base = self.spark.createDataFrame([], updates.schema)
-        b, u = base.alias("b"), updates.alias("u")
+        # the marker column makes "update row wins" row-wise, not
+        # column-wise: __upd is non-NULL exactly when an update row
+        # matched, so an intentional NULL in a non-key update column is
+        # WRITTEN, never silently replaced by the stale base value
+        b = base.alias("b")
+        u = updates.withColumn("__upd", F.lit(True)).alias("u")
         cond = None
         for k in keys:
             eq = F.col(f"b.{k}").eqNullSafe(F.col(f"u.{k}"))
             cond = eq if cond is None else (cond & eq)
         merged = b.join(u, cond, "full_outer").select(
             *[
-                F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+                F.when(F.col("u.__upd"), F.col(f"u.{c}"))
+                .otherwise(F.col(f"b.{c}"))
+                .alias(c)
                 for c in base.columns
             ]
         )
@@ -543,10 +597,22 @@ class MiniLogTable:
         return [os.path.join(self.path, f.file) for f in files]
 
     # ------------------------------------------------------------- vacuum
-    def vacuum(self, retain_last: int = 1) -> list[str]:
+    def vacuum(
+        self,
+        retain_last: int = 1,
+        min_age_seconds: float = VACUUM_MIN_AGE_SECONDS,
+    ) -> list[str]:
         """Delete data files unreachable from the last ``retain_last``
         versions, and drop the log entries older than that window (time
-        travel shortens accordingly — same contract as Delta's VACUUM)."""
+        travel shortens accordingly — same contract as Delta's VACUUM).
+
+        Files younger than ``min_age_seconds`` (mtime) are SKIPPED even
+        when unreferenced: an in-flight writer renames staged files into
+        the table root before its commit lands, so a young unreferenced
+        file may belong to a transaction about to commit (ADVICE r6;
+        Delta's VACUUM retention window guards the same race). Pass 0
+        only when no concurrent writers can exist (tests, single-owner
+        maintenance windows)."""
         versions = self._versions()
         if not versions:
             return []
@@ -555,9 +621,16 @@ class MiniLogTable:
         for v in keep_versions:
             reachable |= {f.file for f in self.snapshot(v).files}
         removed = []
+        now = time.time()
         for name in os.listdir(self.path):
             if name.endswith(".parquet") and name not in reachable:
-                os.unlink(os.path.join(self.path, name))
+                full = os.path.join(self.path, name)
+                try:
+                    if now - os.path.getmtime(full) < min_age_seconds:
+                        continue  # possibly staged by an in-flight writer
+                    os.unlink(full)
+                except FileNotFoundError:
+                    continue  # a racing vacuum/replay already removed it
                 removed.append(name)
         # keep the newest checkpoint at-or-before the window start so the
         # surviving tail still folds from a complete base state

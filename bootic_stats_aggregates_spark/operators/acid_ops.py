@@ -28,7 +28,7 @@ from ..registry import query
 from ..streaming.runner import run_foreach_batch, stream_table
 
 #: bump to invalidate previously-staged tables when a recipe changes.
-_RECIPE = "minilog-ops-v3"  # v3: per-file NULL counts in stats
+_RECIPE = "minilog-ops-v4"  # v4: row-wise merge semantics (ADVICE r6)
 
 
 def _day_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,16 +132,19 @@ def tx_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tx_merge_filepruned",
     oracle=f"""
     -- MERGE (last-writer-wins upsert) against the MiniLog table: matched
-    -- keys take the update row, unmatched base rows survive. pruned_ok
-    -- asserts the WRITE-side data skipping: the table holds two files
-    -- (day stats [1,15] and [16,31]) and the update set (days >= 20)
-    -- provably cannot match the first, so exactly one file is rewritten.
+    -- keys take the WHOLE update row (row-wise via the u_m marker, so an
+    -- update writing NULL into a non-key column wins too — ADVICE r6),
+    -- unmatched base rows survive. pruned_ok asserts the WRITE-side data
+    -- skipping: the table holds two files (day stats [1,15] and [16,31])
+    -- and the update set (days >= 20) provably cannot match the first,
+    -- so exactly one file is rewritten.
     WITH c AS ({_COUNTERS_SQL}),
-    u AS (SELECT event_type, d, n + 1000 AS n FROM c WHERE d >= 20)
+    u AS (SELECT event_type, d, n + 1000 AS n, true AS u_m
+          FROM c WHERE d >= 20)
     SELECT
-      coalesce(u.event_type, c.event_type) AS event_type,
-      coalesce(u.d, c.d) AS d,
-      coalesce(u.n, c.n) AS n,
+      CASE WHEN u.u_m THEN u.event_type ELSE c.event_type END AS event_type,
+      CASE WHEN u.u_m THEN u.d ELSE c.d END AS d,
+      CASE WHEN u.u_m THEN u.n ELSE c.n END AS n,
       true AS pruned_ok
     FROM c FULL OUTER JOIN u
       ON c.event_type IS NOT DISTINCT FROM u.event_type

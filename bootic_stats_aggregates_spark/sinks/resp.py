@@ -46,6 +46,10 @@ def _encode(*args) -> bytes:
     return b"".join(out)
 
 
+class RespError(RuntimeError):
+    """A Redis ``-ERR`` reply, surfaced after the wire is fully drained."""
+
+
 class _Reader:
     """Buffered RESP reply reader over a socket."""
 
@@ -72,12 +76,28 @@ class _Reader:
         return data
 
     def reply(self):
+        """One reply; raises :class:`RespError` on an ``-ERR`` reply.
+
+        The raise happens only AFTER the reply (including every element
+        of an array) is fully consumed off the wire: raising mid-array —
+        the previous behavior — left the remaining elements unread in
+        the buffer and desynced every later command on the connection
+        (ADVICE r6). redis-py parses nested errors as values for the
+        same reason."""
+        r = self.parse()
+        if isinstance(r, RespError):
+            raise r
+        return r
+
+    def parse(self):
+        """One reply with errors AS VALUES (never raises on ``-``):
+        pipeline paths use this to drain N replies before raising."""
         line = self._line()
         t, rest = line[:1], line[1:]
         if t == b"+":
             return rest.decode()
         if t == b"-":
-            raise RuntimeError(f"RESP error: {rest.decode()}")
+            return RespError(f"RESP error: {rest.decode()}")
         if t == b":":
             return int(rest)
         if t == b"$":
@@ -85,7 +105,7 @@ class _Reader:
             return None if n == -1 else self._exact(n)
         if t == b"*":
             n = int(rest)
-            return None if n == -1 else [self.reply() for _ in range(n)]
+            return None if n == -1 else [self.parse() for _ in range(n)]
         raise RuntimeError(f"bad RESP type byte {t!r}")
 
 
@@ -335,13 +355,26 @@ class RespClient:
         if transaction:
             frames.append(_encode("EXEC"))
         self._sock.sendall(b"".join(frames))  # ONE burst for N commands
+        # Drain EVERY queued reply before raising: a mid-drain raise
+        # leaves unread replies in the buffer and desyncs the connection
+        # for all later commands (ADVICE r6) — errors parse as values
+        # (reader.parse), then the first one raises after the wire is
+        # clean, redis-py's raise_on_error contract.
         if transaction:
-            self._reader.reply()  # +OK for MULTI
+            replies = [self._reader.parse()]  # +OK / -ERR for MULTI
             for _ in cmds:
-                self._reader.reply()  # +QUEUED each
-            replies = self._reader.reply()  # EXEC's reply array
-            return list(replies or [])
-        return [self._reader.reply() for _ in cmds]
+                replies.append(self._reader.parse())  # +QUEUED / -ERR
+            exec_reply = self._reader.parse()  # EXEC's reply array
+            for r in replies + [exec_reply]:
+                if isinstance(r, RespError):
+                    raise r
+            out = list(exec_reply or [])
+        else:
+            out = [self._reader.parse() for _ in cmds]
+        for r in out:
+            if isinstance(r, RespError):
+                raise r
+        return out
 
     # -- redis-py command surface --
 

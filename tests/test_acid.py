@@ -173,7 +173,7 @@ def test_vacuum_drops_unreachable_and_shortens_history(spark, tbl):
     tbl.overwrite(_df(spark, [(3, "c")]))
     n_parquet = len([n for n in os.listdir(tbl.path) if n.endswith(".parquet")])
     assert n_parquet == 3
-    removed = tbl.vacuum(retain_last=1)
+    removed = tbl.vacuum(retain_last=1, min_age_seconds=0)
     assert len(removed) == 2
     assert [tuple(r) for r in tbl.read().collect()] == [(3, "c")]
     with pytest.raises(NoSuchVersion):
@@ -212,3 +212,61 @@ def test_merge_null_safe_keys(spark, tbl):
         key=lambda t: (t[0] is None, t),
     )
     assert got == [(1, "a"), (None, "new")]
+
+
+def test_merge_update_can_write_null(spark, tbl):
+    """The matched update row wins ROW-WISE: an update that intentionally
+    sets a non-key column to NULL writes that NULL instead of silently
+    keeping the stale base value (the per-column-coalesce bug, ADVICE
+    r6)."""
+    tbl.append(_df(spark, [(1, "keep"), (2, "stale")]))
+    tbl.merge(_df(spark, [(2, None)]), keys=("k",))
+    got = sorted(tuple(r) for r in tbl.read().collect())
+    assert got == [(1, "keep"), (2, None)]
+
+
+def test_merge_duplicate_update_keys_fail_fast(spark, tbl):
+    """Duplicate keys in the updates side would fan out the full-outer
+    join (nondeterministic last-writer, duplicated base rows): merge
+    raises instead, mirroring Delta's multiple-match error (ADVICE r6)."""
+    tbl.append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        tbl.merge(_df(spark, [(1, "x"), (1, "y")]), keys=("k",))
+
+
+def test_vacuum_age_guard_protects_inflight_staging(spark, tbl):
+    """A fresh unreferenced parquet in the table root may belong to a
+    transaction between _stage and commit: vacuum must skip it under the
+    default retention window and reclaim it only at min_age_seconds=0
+    (ADVICE r6 staging-race guard)."""
+    tbl.append(_df(spark, [(1, "a")]))
+    staged = os.path.join(tbl.path, "deadbeef00000000.parquet")
+    with open(staged, "wb") as fh:
+        fh.write(b"not-yet-committed")
+    assert tbl.vacuum(retain_last=1) == []  # young file survives
+    assert os.path.exists(staged)
+    removed = tbl.vacuum(retain_last=1, min_age_seconds=0)
+    assert removed == ["deadbeef00000000.parquet"]
+    assert not os.path.exists(staged)
+
+
+def test_txn_replay_after_staging_cleans_orphans(spark, tbl):
+    """If the SAME txn was applied by a concurrent writer between our
+    _stage and _try_commit, the replay-skip return must delete the
+    already-renamed staged files instead of orphaning them until a
+    vacuum (ADVICE r6)."""
+    tbl.append(_df(spark, [(1, "a")]), txn={"app": "s", "version": 7})
+    # simulate the race: stage a second copy by hand, then try to commit
+    # it under the SAME txn marker — _try_commit must skip AND clean up
+    actions = tbl._stage(_df(spark, [(1, "dup")]), target_files=1)
+    staged_names = {a["file"] for a in actions}
+    assert all(
+        os.path.exists(os.path.join(tbl.path, n)) for n in staged_names
+    )
+    v = tbl._try_commit("append", actions, txn={"app": "s", "version": 7})
+    assert v == tbl.version  # no new commit
+    assert not any(
+        os.path.exists(os.path.join(tbl.path, n)) for n in staged_names
+    )
+    parquet = [n for n in os.listdir(tbl.path) if n.endswith(".parquet")]
+    assert len(parquet) == 1  # only the originally-committed file

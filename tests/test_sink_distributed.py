@@ -227,6 +227,27 @@ def test_resp_protocol_semantics():
         assert c.get("marker") == b"1"
         c.flushdb()
         assert c.get("marker") is None and c.hgetall("h") == {}
+        # error inside a MULTI/EXEC reply array: the raise must come only
+        # AFTER the whole array is drained, so the connection stays in
+        # sync for later commands (ADVICE r6 desync bug). Real Redis
+        # applies the non-erroring queued commands; so does the server.
+        t = c.pipeline(transaction=True)
+        t.hincrby("hh", "f", 1)
+        t._cmds.append(("HINCRBY", "hh", "f", "nope"))  # -ERR at apply
+        t.hincrby("hh", "f", 2)
+        with pytest.raises(RuntimeError, match="RESP error"):
+            t.execute()
+        assert c.ping() == "PONG"  # NOT desynced
+        assert c.hgetall("hh") == {b"f": b"3"}
+        # same contract on a non-transactional burst
+        p = c.pipeline(transaction=False)
+        p.hincrby("hh", "f", 4)
+        p._cmds.append(("HINCRBY", "hh", "f", "bad"))
+        p.hincrby("hh", "f", 5)
+        with pytest.raises(RuntimeError, match="RESP error"):
+            p.execute()
+        assert c.ping() == "PONG"
+        assert c.hgetall("hh") == {b"f": b"12"}
         c.close()
     finally:
         srv.close()
