@@ -104,6 +104,12 @@ class NoSuchVersion(ValueError):
     """Requested a version the log does not (or no longer) contains."""
 
 
+class SchemaMismatch(ValueError):
+    """Write schema conflicts with the table schema recorded in the log
+    (type change on an existing column, or new columns without
+    ``evolve_schema=True``)."""
+
+
 @dataclass
 class FileEntry:
     """One live data file in a snapshot."""
@@ -138,6 +144,11 @@ class Snapshot:
     version: int
     files: list[FileEntry]
     txns: dict[str, int]
+    #: table schema as recorded by the log's latest metaData action:
+    #: ``[{"name": col, "type": spark-ddl-type}, ...]``. None only for
+    #: tables written before schema tracking (read falls back to the
+    #: files' own parquet schemas).
+    schema: Optional[list[dict]] = None
 
 
 class MiniLogTable:
@@ -201,6 +212,7 @@ class MiniLogTable:
             )
         live: dict[str, FileEntry] = {}
         txns: dict[str, int] = {}
+        schema: Optional[list[dict]] = None
         start = 0
         ckpts = [
             c
@@ -215,6 +227,7 @@ class MiniLogTable:
                 for f in state["files"]
             }
             txns = dict(state.get("txns", {}))
+            schema = state.get("schema")
             start = ckpts[-1] + 1
         for cv in versions:
             if cv < start or cv > v:
@@ -228,9 +241,13 @@ class MiniLogTable:
                     live[act["file"]] = FileEntry(
                         act["file"], act["rows"], act.get("stats", {})
                     )
-                else:
+                elif act["type"] == "remove":
                     live.pop(act["file"], None)
-        return Snapshot(v, sorted(live.values(), key=lambda f: f.file), txns)
+                elif act["type"] == "metaData":
+                    schema = act["schema"]  # latest metaData wins
+        return Snapshot(
+            v, sorted(live.values(), key=lambda f: f.file), txns, schema
+        )
 
     def history(self) -> list[dict]:
         """Commit metadata, oldest first (version, operation, txn, #actions)."""
@@ -328,6 +345,7 @@ class MiniLogTable:
                 for f in snap.files
             ],
             "txns": snap.txns,
+            "schema": snap.schema,
         }
         tmp = os.path.join(
             self.path, _LOG_DIR, f"_tmp.{uuid.uuid4().hex}.ckpt"
@@ -403,26 +421,82 @@ class MiniLogTable:
         shutil.rmtree(staging)
         return actions
 
+    @staticmethod
+    def _df_schema(df: DataFrame) -> list[dict]:
+        return [
+            {"name": f.name, "type": f.dataType.simpleString()}
+            for f in df.schema.fields
+        ]
+
+    def _schema_actions(
+        self, df: DataFrame, evolve_schema: bool
+    ) -> list[dict]:
+        """The metaData action (if any) an incoming write must commit.
+
+        Schema evolution contract (the public Delta mergeSchema design,
+        carried in the log rather than inferred from files):
+
+        - first write records the table schema;
+        - an existing column must keep its type (else SchemaMismatch);
+        - a write MISSING some table columns is fine — readers null-fill
+          from the log schema;
+        - NEW columns require ``evolve_schema=True`` and append to the
+          end of the table schema via a new metaData action; old files
+          simply lack the column and read back as NULL.
+        """
+        incoming = self._df_schema(df)
+        current = (
+            self.snapshot().schema if self.version >= 0 else None
+        )
+        if current is None:
+            return [{"type": "metaData", "schema": incoming}]
+        types = {c["name"]: c["type"] for c in current}
+        fresh = []
+        for c in incoming:
+            if c["name"] not in types:
+                fresh.append(c)
+            elif types[c["name"]] != c["type"]:
+                raise SchemaMismatch(
+                    f"column {c['name']!r}: table has {types[c['name']]!r},"
+                    f" write has {c['type']!r} (type changes not supported)"
+                )
+        if not fresh:
+            return []
+        if not evolve_schema:
+            raise SchemaMismatch(
+                f"write adds columns {[c['name'] for c in fresh]} — pass "
+                "evolve_schema=True to evolve the table schema"
+            )
+        return [{"type": "metaData", "schema": current + fresh}]
+
     def append(
         self,
         df: DataFrame,
         txn: Optional[dict] = None,
         target_files: Optional[int] = 1,
+        evolve_schema: bool = False,
     ) -> int:
         """Blind append: stages files, then commits pure adds (never
         conflicts — auto-rebases through any number of commit races).
-        ``txn={'app':…, 'version':…}`` makes the append exactly-once."""
+        ``txn={'app':…, 'version':…}`` makes the append exactly-once.
+        ``evolve_schema=True`` lets the write ADD columns: the commit
+        carries a metaData action with the widened schema and readers
+        null-fill the column for pre-evolution files."""
         if txn is not None and self.version >= 0:
             snap = self.snapshot()
             if snap.txns.get(txn["app"], -1) >= txn["version"]:
                 return snap.version  # skip staging work entirely on replay
-        actions = self._stage(df, target_files)
+        actions = self._schema_actions(df, evolve_schema)
+        actions += self._stage(df, target_files)
         return self._try_commit("append", actions, txn=txn)
 
     def overwrite(self, df: DataFrame, target_files: Optional[int] = 1) -> int:
-        """Replace the whole table in one atomic commit."""
+        """Replace the whole table in one atomic commit (data AND schema:
+        an overwrite may change the schema freely — the metaData action
+        records ``df``'s schema as the table's)."""
         snap = self.snapshot() if self.version >= 0 else Snapshot(-1, [], {})
-        actions = self._stage(df, target_files) + [
+        actions = [{"type": "metaData", "schema": self._df_schema(df)}]
+        actions += self._stage(df, target_files) + [
             {"type": "remove", "file": f.file} for f in snap.files
         ]
         return self._try_commit("overwrite", actions)
@@ -437,8 +511,9 @@ class MiniLogTable:
         # NULL contract: a NULL key is never "in [lo, hi]" — it must
         # SURVIVE the rewrite, not vanish into the filter's NULL result
         # (the hostile-corpus bug class from round 5's sweep).
-        kept_df = self.spark.read.parquet(
-            *[os.path.join(self.path, f.file) for f in touched]
+        kept_df = self._read_files(
+            [os.path.join(self.path, f.file) for f in touched],
+            snap.schema,
         ).filter(
             F.col(col).isNull() | ~F.col(col).between(F.lit(lo), F.lit(hi))
         )
@@ -528,8 +603,9 @@ class MiniLogTable:
         ]
         untouched = len(snap.files) - len(touched)
         if touched:
-            base = self.spark.read.parquet(
-                *[os.path.join(self.path, f.file) for f in touched]
+            base = self._read_files(
+                [os.path.join(self.path, f.file) for f in touched],
+                snap.schema,
             )
         else:
             base = self.spark.createDataFrame([], updates.schema)
@@ -558,43 +634,158 @@ class MiniLogTable:
         return {"version": v, "rewritten": len(touched), "kept": untouched}
 
     # --------------------------------------------------------------- read
+    @staticmethod
+    def _normalize_prune(
+        prune: Optional[object],
+    ) -> list[tuple[str, Any, Any]]:
+        """``prune`` may be one ``(col, lo, hi)`` triple or a list of
+        them (multi-dimensional skipping — the Z-order read path ANDs a
+        box predicate across two stats columns)."""
+        if prune is None:
+            return []
+        if isinstance(prune, tuple):
+            return [prune]
+        return list(prune)
+
+    def _project(self, df: DataFrame, schema: Optional[list[dict]]) -> DataFrame:
+        """Conform a raw parquet read to the log schema: null-fill
+        columns a pre-evolution file lacks, in log column order."""
+        if not schema:
+            return df
+        cols = []
+        for c in schema:
+            if c["name"] in df.columns:
+                cols.append(F.col(c["name"]))
+            else:
+                cols.append(F.lit(None).cast(c["type"]).alias(c["name"]))
+        return df.select(*cols)
+
+    def _read_files(
+        self, files: list[str], schema: Optional[list[dict]]
+    ) -> DataFrame:
+        """Schema-aware multi-file read: mergeSchema unions the physical
+        parquet schemas across generations, then the log schema projects
+        (order + null-fill). All internal rewrite paths (delete, merge,
+        optimize) read through this so they preserve evolved columns."""
+        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        return self._project(df, schema)
+
     def read(
         self,
         version: Optional[int] = None,
-        prune: Optional[tuple[str, Any, Any]] = None,
+        prune: Optional[object] = None,
     ) -> DataFrame:
-        """Snapshot read. ``prune=(col, lo, hi)`` applies file-level data
-        skipping via the log stats AND the row-level filter in Spark (the
-        skip is an optimization, never the filter)."""
-        files = self.select_files(version, prune)
+        """Snapshot read. ``prune=(col, lo, hi)`` (or a list of triples,
+        ANDed) applies file-level data skipping via the log stats AND the
+        row-level filter in Spark (the skip is an optimization, never the
+        filter)."""
+        preds = self._normalize_prune(prune)
+        snap = self.snapshot(version)
+        files = self._select_entries(snap, preds)
         if not files:
-            snap_any = self.snapshot(version)
-            if snap_any.files:  # schema from any live file, zero rows
+            if snap.schema:  # empty result, schema from the log
+                ddl = ", ".join(
+                    f"`{c['name']}` {c['type']}" for c in snap.schema
+                )
+                df = self.spark.createDataFrame([], ddl)
+            elif snap.files:  # pre-schema-tracking table: any live file
                 df = self.spark.read.parquet(
-                    os.path.join(self.path, snap_any.files[0].file)
+                    os.path.join(self.path, snap.files[0].file)
                 ).limit(0)
             else:
                 raise NoSuchVersion("empty table has no schema to read")
         else:
-            df = self.spark.read.parquet(*files)
-        if prune is not None:
-            col, lo, hi = prune
+            df = self._read_files(
+                [os.path.join(self.path, f.file) for f in files],
+                snap.schema,
+            )
+        for col, lo, hi in preds:
             df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
         return df
+
+    def _select_entries(
+        self, snap: Snapshot, preds: list[tuple[str, Any, Any]]
+    ) -> list[FileEntry]:
+        files = snap.files
+        for col, lo, hi in preds:
+            files = [f for f in files if f.may_contain(col, lo, hi)]
+        return files
 
     def select_files(
         self,
         version: Optional[int] = None,
-        prune: Optional[tuple[str, Any, Any]] = None,
+        prune: Optional[object] = None,
     ) -> list[str]:
         """The post-skipping file list a read would scan (test hook: data
         skipping is asserted on THIS, not on timing)."""
         snap = self.snapshot(version)
-        files = snap.files
-        if prune is not None:
-            col, lo, hi = prune
-            files = [f for f in files if f.may_contain(col, lo, hi)]
+        files = self._select_entries(snap, self._normalize_prune(prune))
         return [os.path.join(self.path, f.file) for f in files]
+
+    # ----------------------------------------------------------- optimize
+    def optimize(self, target_rows: int = 1_000_000) -> dict:
+        """OPTIMIZE (compaction): bin-pack files smaller than
+        ``target_rows`` into rewrites of up to ``target_rows`` rows each,
+        committed as one atomic remove+add ("optimize") entry. Data is
+        byte-identical; the new files carry freshly collected stats, so
+        data skipping keeps working on the compacted layout.
+
+        This is the small-file problem at the format level (the same
+        problem ``snk_compact`` solves for plain parquet directories): a
+        streaming sink appending one file per micro-batch turns a day of
+        5-second triggers into ~17k files, and at 100 TB the driver-side
+        file listing + per-file open cost dominates the scan. Delta's
+        public OPTIMIZE has the same shape: pick small files, rewrite
+        bin-packed, commit remove+add.
+
+        Concurrency rides the existing conflict matrix for free:
+        ``_try_commit`` re-validates every removed file against the live
+        snapshot on a version race, so a compaction racing a delete/merge
+        that rewrote one of its input files raises
+        :class:`ConcurrentModification` instead of resurrecting rows —
+        compaction never wins over a data-changing commit.
+
+        First-fit-decreasing over the log's per-file row counts: pure
+        metadata, no data read until the rewrite itself."""
+        snap = self.snapshot()
+        small = sorted(
+            (f for f in snap.files if f.rows < target_rows),
+            key=lambda f: -f.rows,
+        )
+        bins: list[list[FileEntry]] = []
+        sizes: list[int] = []
+        for f in small:
+            for i, s in enumerate(sizes):
+                if s + f.rows <= target_rows:
+                    bins[i].append(f)
+                    sizes[i] += f.rows
+                    break
+            else:
+                bins.append([f])
+                sizes.append(f.rows)
+        bins = [b for b in bins if len(b) > 1]  # singletons: no gain
+        if not bins:
+            return {
+                "version": snap.version,
+                "compacted": 0,
+                "files_before": len(snap.files),
+                "files_after": len(snap.files),
+            }
+        actions: list[dict] = []
+        for b in bins:
+            df = self._read_files(
+                [os.path.join(self.path, f.file) for f in b], snap.schema
+            )
+            actions += self._stage(df, 1)
+        compacted = [f for b in bins for f in b]
+        actions += [{"type": "remove", "file": f.file} for f in compacted]
+        v = self._try_commit("optimize", actions)
+        return {
+            "version": v,
+            "compacted": len(compacted),
+            "files_before": len(snap.files),
+            "files_after": len(snap.files) - len(compacted) + len(bins),
+        }
 
     # ------------------------------------------------------------- vacuum
     def vacuum(

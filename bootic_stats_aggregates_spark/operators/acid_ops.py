@@ -21,10 +21,12 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..acid import MiniLogTable
+from ..acid import MiniLogTable, NoSuchVersion
 from ..helpers import lcount
 from ..io import table
+from ..layout import _interleave_sql
 from ..registry import query
+from ..session import tune
 from ..streaming.runner import run_foreach_batch, stream_table
 
 #: bump to invalidate previously-staged tables when a recipe changes.
@@ -64,7 +66,10 @@ def _fingerprint(sf_dir: str) -> str:
 
 
 def _staged(
-    spark: SparkSession, sf_dir: str, name: str
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    stats_cols: tuple[str, ...] = ("d",),
 ) -> tuple[MiniLogTable, bool]:
     """A MiniLog handle under /tmp keyed by (sf tag, op name). Returns
     (table, already_built): a marker file carrying the recipe + fixture
@@ -80,7 +85,7 @@ def _staged(
             ready = fh.read().strip() == _fingerprint(sf_dir)
     if not ready and os.path.exists(root):
         shutil.rmtree(root)
-    return MiniLogTable(spark, root, stats_cols=("d",)), ready
+    return MiniLogTable(spark, root, stats_cols=stats_cols), ready
 
 
 def _mark_ready(tbl: MiniLogTable, sf_dir: str) -> None:
@@ -272,4 +277,280 @@ def stream_minilog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "d", "n",
             F.lit(bool(exactly_once)).alias("exactly_once"),
         )
+    )
+
+
+@query(
+    "tx_vacuum_boundary",
+    oracle=f"""
+    -- VACUUM with a time-travel retention boundary: the table's history
+    -- is append(d<=10), append(11-20), overwrite(6-25 + NULL-d),
+    -- append(d>=26); vacuum(retain_last=2) keeps versions 2-3 readable,
+    -- deletes the two data files only version 0/1 referenced, and drops
+    -- their log entries. The surviving latest state is the overwrite
+    -- plus the last append; vacuum_ok carries the boundary assertions
+    -- (retained version still reads, vacuumed version raises cleanly,
+    -- exactly the 2 unreachable files deleted) into the checked result.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d, n, true AS vacuum_ok FROM c
+    WHERE d BETWEEN 6 AND 25 OR d >= 26 OR d IS NULL
+    """,
+)
+def tx_vacuum_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM on the MiniLog format (VERDICT r6 task 2): data files are
+    immutable, so every historical version stays readable for free —
+    until storage must be reclaimed. vacuum(retain_last=N) deletes data
+    files unreachable from the last N snapshots and truncates the log
+    below the retention base, shortening time travel with a CLEAN error
+    (NoSuchVersion) rather than a dangling read. The in-flight-writer
+    race is guarded by the mtime retention window (acid.py
+    VACUUM_MIN_AGE_SECONDS, tests/test_acid.py); this op passes 0
+    because it owns the table exclusively. At 100 TB vacuum is the only
+    O(dead files) operation in the format — everything else folds
+    metadata."""
+    tbl, ready = _staged(spark, sf_dir, "vacuum_boundary")
+    tag = os.path.join(tbl.path, "_VACUUM_INFO")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        tbl.append(c.filter((F.col("d") <= 10) | F.col("d").isNull()))
+        tbl.append(c.filter(F.col("d").between(11, 20)))
+        tbl.overwrite(
+            c.filter(F.col("d").between(6, 25) | F.col("d").isNull())
+        )
+        tbl.append(c.filter(F.col("d") >= 26))
+        removed = tbl.vacuum(retain_last=2, min_age_seconds=0)
+        # boundary property: retained versions read, vacuumed raise
+        retained_reads = tbl.read(version=2).count() > 0
+        try:
+            tbl.read(version=0)
+            vacuumed_raises = False
+        except NoSuchVersion:
+            vacuumed_raises = True
+        info = {
+            "removed": len(removed),
+            "retained_reads": bool(retained_reads),
+            "vacuumed_raises": vacuumed_raises,
+        }
+        with open(tag, "w") as fh:
+            json.dump(info, fh)
+        _mark_ready(tbl, sf_dir)
+    with open(tag) as fh:
+        info = json.load(fh)
+    vacuum_ok = (
+        info["removed"] == 2
+        and info["retained_reads"]
+        and info["vacuumed_raises"]
+    )
+    return tbl.read().select(
+        "event_type", "d", "n", F.lit(bool(vacuum_ok)).alias("vacuum_ok")
+    )
+
+
+@query(
+    "tx_optimize_compact",
+    oracle=f"""
+    -- OPTIMIZE (compaction): six single-file appends (a streaming
+    -- sink's small-file pattern) bin-packed into ONE file by a single
+    -- remove+add commit. Data is unchanged — the result is the plain
+    -- counters — and compact_ok asserts the file-count drop (6 -> 1),
+    -- that the pre-compaction version still time-travels (its files are
+    -- not vacuumed), and that data skipping works on the fresh stats.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d, n, true AS compact_ok FROM c
+    """,
+)
+def tx_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE on the MiniLog format (VERDICT r6 task 3) — the format-
+    level answer to the small-file problem snk_compact solves for plain
+    parquet: a foreachBatch sink appending one file per micro-batch
+    accumulates O(batches) files, and at 100 TB the per-file listing +
+    open cost dominates scans. optimize() bin-packs (first-fit
+    decreasing over the log's row counts — pure metadata until the
+    rewrite) and commits remove+add atomically; a reader either sees all
+    small files or the compacted one, never a mix. Concurrency rides the
+    existing conflict matrix: compaction racing a delete/merge that
+    rewrote an input file aborts with ConcurrentModification
+    (tests/test_acid.py::test_optimize_conflicts_with_concurrent_rewrite)
+    — compaction never wins over a data-changing commit."""
+    tbl, ready = _staged(spark, sf_dir, "optimize_compact")
+    tag = os.path.join(tbl.path, "_OPT_INFO")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        slices = [
+            (F.col("d") <= 5) | F.col("d").isNull(),
+            F.col("d").between(6, 10),
+            F.col("d").between(11, 15),
+            F.col("d").between(16, 20),
+            F.col("d").between(21, 25),
+            F.col("d") >= 26,
+        ]
+        for pred in slices:
+            tbl.append(c.filter(pred))
+        info = tbl.optimize(target_rows=10_000_000)
+        info["pre_version_rows"] = tbl.read(
+            version=info["version"] - 1
+        ).count()
+        info["latest_rows"] = tbl.read().count()
+        info["skip_works"] = len(tbl.select_files(prune=("d", 1, 5))) <= 1
+        with open(tag, "w") as fh:
+            json.dump(info, fh)
+        _mark_ready(tbl, sf_dir)
+    with open(tag) as fh:
+        info = json.load(fh)
+    compact_ok = (
+        info["files_before"] == 6
+        and info["files_after"] == 1
+        and info["compacted"] == 6
+        and info["pre_version_rows"] == info["latest_rows"]
+        and info["skip_works"]
+    )
+    return tbl.read().select(
+        "event_type", "d", "n", F.lit(bool(compact_ok)).alias("compact_ok")
+    )
+
+
+@query(
+    "tx_schema_evolve",
+    oracle=f"""
+    -- SCHEMA EVOLUTION in the commit log: generation 1 (days <= 15 and
+    -- NULL-day) wrote (event_type, d, n); generation 2 (days >= 16)
+    -- added n2 = n*2 via a metaData action. Reading the two-generation
+    -- table null-fills n2 for gen-1 files; evolve_ok asserts the log
+    -- schema is the widened one AND that time travel to v0 still
+    -- presents the ORIGINAL narrow schema.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d, n,
+           CASE WHEN d >= 16 THEN CAST(n * 2 AS BIGINT) END AS n2,
+           true AS evolve_ok
+    FROM c
+    """,
+)
+def tx_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD-COLUMN schema evolution on the MiniLog format (VERDICT r6
+    task 4): the table schema lives in the log as a metaData action (the
+    src_schema_evolution read semantics, moved INTO the format), so an
+    evolving streaming sink can widen the table without rewriting old
+    files — readers union the physical parquet schemas (mergeSchema) and
+    project through the LOG schema, null-filling columns a
+    pre-evolution file lacks. Versioned like everything else: time
+    travel to a pre-evolution version folds the OLD metaData and
+    presents the narrow schema. Type changes are rejected
+    (SchemaMismatch), new columns require an explicit
+    evolve_schema=True — Delta's public mergeSchema contract."""
+    tbl, ready = _staged(spark, sf_dir, "schema_evolve")
+    tag = os.path.join(tbl.path, "_EVOLVE_INFO")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        tbl.append(c.filter((F.col("d") <= 15) | F.col("d").isNull()))
+        gen2 = c.filter(F.col("d") >= 16).withColumn(
+            "n2", (F.col("n") * 2).cast("long")
+        )
+        gen2_rejected = False
+        try:
+            tbl.append(gen2)  # without evolve_schema: must refuse
+        except Exception:
+            gen2_rejected = True
+        tbl.append(gen2, evolve_schema=True)
+        info = {
+            "gen2_rejected": gen2_rejected,
+            "log_schema": [col["name"] for col in tbl.snapshot().schema],
+            "v0_schema": tbl.read(version=0).columns,
+        }
+        with open(tag, "w") as fh:
+            json.dump(info, fh)
+        _mark_ready(tbl, sf_dir)
+    with open(tag) as fh:
+        info = json.load(fh)
+    evolve_ok = (
+        info["gen2_rejected"]
+        and info["log_schema"] == ["event_type", "d", "n", "n2"]
+        and info["v0_schema"] == ["event_type", "d", "n"]
+    )
+    return tbl.read().select(
+        "event_type", "d", "n", "n2",
+        F.lit(bool(evolve_ok)).alias("evolve_ok"),
+    )
+
+
+@query(
+    "tx_zorder_pruned",
+    oracle=f"""
+    -- Z-ORDERED MiniLog table: per-(user bucket, hour bucket) counters
+    -- written in Morton-curve order across 32 range files, so the log's
+    -- per-file min/max stats are tight on BOTH dimensions and the 2-D
+    -- box predicate (xb, yb both in [0, 31]) prunes most files before
+    -- Spark opens them. pruned_ok asserts files_scanned <= half of
+    -- files_total via select_files() — the layout_zorder geometry
+    -- carried into the table format's skipping index.
+    WITH coords AS (
+      SELECT user_id % 256 AS xb,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) % 256 AS yb
+      FROM events
+    )
+    SELECT CAST(xb AS BIGINT) AS xb, CAST(yb AS BIGINT) AS yb,
+           CAST(count(*) AS BIGINT) AS n, true AS pruned_ok
+    FROM coords
+    WHERE xb BETWEEN 0 AND 31 AND yb BETWEEN 0 AND 31
+    GROUP BY 1, 2
+    """,
+)
+def tx_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER composed with the format (VERDICT r6 task 6):
+    layout_zorder proves the Morton-tile geometry on plain parquet and
+    MiniLog proves stats-based skipping — this op composes them. The
+    write path interleaves (user bucket, hour bucket) bits into one z
+    key, repartitionByRange(32, z) + sortWithinPartitions(z) so each of
+    the 32 files covers a narrow z range (= a small rectangle in BOTH
+    dimensions), and appends with stats_cols=(xb, yb) so the log carries
+    a tight 2-D bounding box per file. The read side then evaluates the
+    2-D box predicate against the log stats (read(prune=[(xb…),(yb…)]))
+    and scans the surviving files only — select_files() asserts scanned
+    <= total/2 deterministically (every file whose z range lies wholly
+    above 2^11 has x >= 64 or y >= 32 in ALL rows, so most of z space is
+    provably outside the box). At 100 TB this is OPTIMIZE ZORDER BY
+    (user, hour): point-in-box dashboards touch O(box) files instead of
+    O(table)."""
+    tune(spark)
+    tbl, ready = _staged(
+        spark, sf_dir, "zorder_pruned", stats_cols=("xb", "yb")
+    )
+    tag = os.path.join(tbl.path, "_ZORDER_INFO")
+    if not ready:
+        ev = table(spark, sf_dir, "events")
+        g = (
+            ev.select(
+                (F.col("user_id") % 256).cast("long").alias("xb"),
+                (
+                    F.floor(F.col("ts").cast("double") / 3600).cast("long")
+                    % 256
+                ).alias("yb"),
+            )
+            .groupBy("xb", "yb")
+            .agg(lcount("n"))
+        )
+        z = g.withColumn(
+            "z", F.expr(_interleave_sql("xb", "yb", 8))
+        )
+        zordered = (
+            z.repartitionByRange(32, "z")
+            .sortWithinPartitions("z")
+            .select("xb", "yb", "n")
+        )
+        tbl.append(zordered, target_files=None)
+        box = [("xb", 0, 31), ("yb", 0, 31)]
+        info = {
+            "files_total": len(tbl.select_files()),
+            "files_scanned": len(tbl.select_files(prune=box)),
+        }
+        with open(tag, "w") as fh:
+            json.dump(info, fh)
+        _mark_ready(tbl, sf_dir)
+    with open(tag) as fh:
+        info = json.load(fh)
+    pruned_ok = (
+        info["files_total"] >= 8
+        and info["files_scanned"] * 2 <= info["files_total"]
+    )
+    return tbl.read(prune=[("xb", 0, 31), ("yb", 0, 31)]).select(
+        "xb", "yb", "n", F.lit(bool(pruned_ok)).alias("pruned_ok")
     )

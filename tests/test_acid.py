@@ -20,6 +20,7 @@ from bootic_stats_aggregates_spark.acid import (
     ConcurrentModification,
     MiniLogTable,
     NoSuchVersion,
+    SchemaMismatch,
 )
 
 
@@ -162,7 +163,7 @@ def test_checkpoint_written_and_equivalent(spark, tbl):
         for a in e["actions"]:
             if a["type"] == "add":
                 live[a["file"]] = a["rows"]
-            else:
+            elif a["type"] == "remove":
                 live.pop(a["file"], None)
     assert {f.file: f.rows for f in snap.files} == live
 
@@ -248,6 +249,118 @@ def test_vacuum_age_guard_protects_inflight_staging(spark, tbl):
     removed = tbl.vacuum(retain_last=1, min_age_seconds=0)
     assert removed == ["deadbeef00000000.parquet"]
     assert not os.path.exists(staged)
+
+
+def test_optimize_binpacks_and_preserves_data(spark, tbl):
+    """OPTIMIZE rewrites many small files into few, as one remove+add
+    commit; rows, values, and data skipping all survive."""
+    for i in range(5):
+        tbl.append(_df(spark, [(10 * i, f"r{i}"), (10 * i + 5, f"s{i}")]))
+    assert len(tbl.snapshot().files) == 5
+    before = sorted(tuple(r) for r in tbl.read().collect())
+    info = tbl.optimize(target_rows=1000)
+    assert info["compacted"] == 5 and info["files_after"] == 1
+    assert len(tbl.snapshot().files) == 1
+    assert sorted(tuple(r) for r in tbl.read().collect()) == before
+    # fresh stats on the compacted file keep skipping alive
+    assert tbl.select_files(prune=("k", 100, 200)) == []
+    assert len(tbl.select_files(prune=("k", 0, 5))) == 1
+    # the pre-optimize version still time-travels (files not vacuumed)
+    assert tbl.read(version=info["version"] - 1).count() == 10
+
+
+def test_optimize_noop_cases(spark, tbl):
+    """Nothing to pack (single file, or every file at target size) —
+    optimize must commit nothing."""
+    tbl.append(_df(spark, [(1, "a")]))
+    v = tbl.version
+    info = tbl.optimize(target_rows=1000)
+    assert info["compacted"] == 0 and tbl.version == v
+    # two files that can't share a bin (each >= target) also no-op
+    tbl.append(_df(spark, [(2, "b"), (3, "c")]))
+    info = tbl.optimize(target_rows=2)
+    assert info["compacted"] == 0
+
+
+def test_optimize_conflicts_with_concurrent_rewrite(spark, tbl):
+    """A compaction whose input file was rewritten by a concurrent
+    delete must abort (ConcurrentModification), never resurrect the
+    deleted rows — the Delta conflict matrix's rewrite/rewrite cell."""
+    tbl.append(_df(spark, [(1, "a")]))
+    tbl.append(_df(spark, [(2, "b")]))
+    victims = [f.file for f in tbl.snapshot().files]
+    # compaction staged against this snapshot; a delete lands first
+    tbl.delete_where("k", 1, 1)
+    with pytest.raises(ConcurrentModification):
+        tbl._try_commit(
+            "optimize", [{"type": "remove", "file": v} for v in victims]
+        )
+
+
+def test_schema_evolution_add_column(spark, tbl):
+    """Add-column via the log's metaData action: gen-2 files carry the
+    new column, gen-1 files null-fill on read; both generations stay
+    readable through every path (read, time travel, delete rewrite)."""
+    tbl.append(_df(spark, [(1, "a")]))
+    with pytest.raises(SchemaMismatch, match="adds columns"):
+        tbl.append(
+            spark.createDataFrame([(2, "b", 99)], "k INT, v STRING, w INT")
+        )
+    tbl.append(
+        spark.createDataFrame([(2, "b", 99)], "k INT, v STRING, w INT"),
+        evolve_schema=True,
+    )
+    got = sorted(tuple(r) for r in tbl.read().collect())
+    assert got == [(1, "a", None), (2, "b", 99)]
+    assert [c["name"] for c in tbl.snapshot().schema] == ["k", "v", "w"]
+    # time travel to gen-1 keeps the OLD schema (metaData folds by version)
+    assert tbl.read(version=0).columns == ["k", "v"]
+    # a rewrite path (delete) must preserve the evolved column
+    tbl.delete_where("k", 1, 1)
+    assert [tuple(r) for r in tbl.read().collect()] == [(2, "b", 99)]
+
+
+def test_schema_evolution_rejects_type_change(spark, tbl):
+    tbl.append(_df(spark, [(1, "a")]))
+    with pytest.raises(SchemaMismatch, match="type changes"):
+        tbl.append(
+            spark.createDataFrame([(2, 3)], "k INT, v INT"),
+            evolve_schema=True,
+        )
+
+
+def test_schema_evolution_missing_column_write(spark, tbl):
+    """A write missing a table column is legal: readers null-fill from
+    the log schema (the Delta nullable-column contract)."""
+    tbl.append(_df(spark, [(1, "a")]))
+    tbl.append(spark.createDataFrame([(7,)], "k INT"))
+    got = sorted(
+        (tuple(r) for r in tbl.read().collect()),
+        key=lambda t: t[0],
+    )
+    assert got == [(1, "a"), (7, None)]
+
+
+def test_multidim_prune_list(spark, tbl2d):
+    """prune accepts a LIST of (col, lo, hi) triples, ANDed at both the
+    file level (stats skipping) and the row level."""
+    tbl2d.append(
+        spark.createDataFrame([(1, 1, "a"), (2, 9, "b")], "x INT, y INT, v STRING")
+    )
+    tbl2d.append(
+        spark.createDataFrame([(8, 1, "c"), (9, 9, "d")], "x INT, y INT, v STRING")
+    )
+    assert len(tbl2d.select_files(prune=[("x", 0, 5), ("y", 0, 5)])) == 1
+    got = [
+        tuple(r)
+        for r in tbl2d.read(prune=[("x", 0, 5), ("y", 0, 5)]).collect()
+    ]
+    assert got == [(1, 1, "a")]
+
+
+@pytest.fixture
+def tbl2d(spark, tmp_path):
+    return MiniLogTable(spark, str(tmp_path / "t2"), stats_cols=("x", "y"))
 
 
 def test_txn_replay_after_staging_cleans_orphans(spark, tbl):

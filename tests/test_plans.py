@@ -321,7 +321,8 @@ BUILD_RUNS_JOBS_OK = {
     # a file-pruned merge, txn replays) — the transactions ARE the op;
     # the returned frame is the snapshot read-back through the log
     "tx_time_travel", "tx_merge_filepruned", "tx_idempotent_replay",
-    "stream_minilog_sink",
+    "stream_minilog_sink", "tx_vacuum_boundary", "tx_optimize_compact",
+    "tx_schema_evolve", "tx_zorder_pruned",
 }
 
 
