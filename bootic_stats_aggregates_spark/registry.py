@@ -102,32 +102,37 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: tools/sweep_sf01.py. Queries absent from this list keep their
 #: registration order after it.
 _GATE_PRIORITY: list[str] = [
-    # --- slots 1-8: the ops ADDED during round 6 (local-oracle green at
-    # --- sf0.01, driver-sim green under hostile timezone this session).
-    "agg_product_logspace", "llm_multimodal_png", "snk_redis_resp",
-    "llm_ann_ivfpq", "tx_time_travel", "tx_merge_filepruned",
-    "tx_idempotent_replay", "stream_minilog_sink",
-    # --- slots 9-22: the 14 stalest rows — driver-verified in round 1
-    # --- and never re-checked since (trivial fn_* families continuously
-    # --- re-proved by the local oracle suite, now due their re-check).
-    "agg_multi_rollup", "agg_sum_avg_minmax", "fn_array", "fn_bitwise",
-    "fn_cast", "fn_cond", "fn_date", "fn_hash", "fn_json", "fn_map",
-    "fn_math", "fn_string", "fn_trycast", "fn_url",
-    # --- slots 23-50: 28 of the 50 round-2 rows (stalest after r1),
-    # --- prioritized by r6 churn: q3_topk_join's plan changed (broadcast
-    # --- side fix), the streaming family's runner gained progress
-    # --- capture, and the redis sinks sit atop the new RESP factory
-    # --- path. The 18 remaining r2 rows queue for round 7.
-    "q3_topk_join", "agg_approx_percentile",
-    "stream_stateful", "stream_tumbling", "stream_watermark",
-    "stream_dedup", "stream_session", "stream_sliding",
-    "stream_output_modes", "join_stream_static", "join_stream_stream",
-    "src_event_stream", "snk_redis_hash", "snk_redis_zset",
-    "join_anti", "join_asof", "join_broadcast", "join_cross",
-    "join_left_right_outer", "join_multiway", "join_semi", "join_shuffle",
-    "join_skew_salted", "join_theta_range",
-    "filt_event_type",
-    "rank_rank_dense", "rank_topk_global", "rank_topk_per_group",
+    # --- slots 1-5: the ops ADDED during round 7 (local-oracle green at
+    # --- sf0.01, driver-sim green under hostile timezone this session):
+    # --- the MiniLog lifecycle quartet + late-data dead-letter.
+    "tx_vacuum_boundary", "tx_optimize_compact", "tx_schema_evolve",
+    "tx_zorder_pruned", "stream_late_deadletter",
+    # --- slots 6-9: r7-churned ops due a re-check: llm_ann_ivfpq was
+    # --- rewritten from IVF-SQ8 to real product quantization (subspace
+    # --- codebooks + ADC tables, VERDICT r6 task 1), and the three r6
+    # --- MiniLog ops sit atop the reworked merge/fold (row-wise update
+    # --- semantics, metaData actions — ADVICE r6 fixes).
+    "llm_ann_ivfpq", "tx_merge_filepruned", "tx_time_travel",
+    "tx_idempotent_replay",
+    # --- slots 10-31: the 22 remaining round-2 rows (the stalest greens
+    # --- after r6's rotation re-checked r1 + 28 of the 50 r2 rows).
+    "agg_cube", "agg_histogram", "agg_percentile", "agg_pivot",
+    "filt_json_pred", "filt_predicate", "proj_select",
+    "set_except", "set_intersect", "set_union",
+    "sort_limit", "sort_orderby",
+    "src_json_decode", "src_json_lines", "src_parquet_scan",
+    "sub_scalar_corr",
+    "win_first_last", "win_funnel", "win_lag_lead", "win_moving_avg",
+    "win_running_total", "win_sessionize",
+    # --- slots 32-50: 19 of the round-3 rows, oldest-first — continuing
+    # --- the freshness rotation (the rest of r3 queues for round 8).
+    "agg_approx_distinct", "agg_argmax", "agg_bitmap_distinct",
+    "agg_corr_stats", "agg_filtered", "agg_grouping_sets",
+    "agg_heavy_hitters_cms", "agg_hll_mergeable",
+    "fn_regex", "fn_struct", "fn_tz_bucket",
+    "join_null_safe", "join_range_bucketed", "join_shuffle_hash",
+    "llm_ann_ivf", "llm_cc_star", "llm_contamination",
+    "llm_dedup_cascade", "llm_entropy",
 ]
 
 

@@ -718,3 +718,210 @@ def stream_approx_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("approx_users") <= F.round(F.col("exact_users") * 1.1))
         ).alias("within_10pct"),
     )
+
+
+@query(
+    "stream_late_deadletter",
+    oracle="""
+    -- batch truth of the late set: the staged source replays on-time
+    -- days 11-20 as micro-batch 1, days >= 21 as micro-batch 2, and the
+    -- day <= 10 stragglers as micro-batch 3. The dedup ingest's
+    -- late-event watermark for batch 3 (the PREVIOUS batch's watermark,
+    -- Spark's two-watermark design) stands ~10 days past every
+    -- straggler, so the late set is exactly the day <= 10 rows — each
+    -- dropped by the operator AND landed in the dead-letter table.
+    -- deadletter_ok asserts telemetry == dead-letter:
+    -- sum(numRowsDroppedByWatermark) over the run equals the
+    -- dead-letter row count, the run really split into >= 3
+    -- micro-batches, and the drop count is non-zero (a degenerate
+    -- single-batch run, where the watermark never advances and nothing
+    -- drops, FAILS the gate).
+    SELECT event_type,
+           CAST(date_part('day', ts) AS BIGINT) AS d,
+           CAST(count(*) AS BIGINT) AS n,
+           true AS deadletter_ok
+    FROM events
+    WHERE date_part('day', ts) <= 10
+    GROUP BY 1, 2
+    """,
+)
+def stream_late_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-DATA ACCOUNTING (VERDICT r6 task 5): watermark drops must be
+    OBSERVABLE, not silent. At 100 TB a misconfigured upstream that
+    replays yesterday's partition into today's stream silently loses
+    every row to the watermark — an ops incident nothing surfaces unless
+    the pipeline (a) counts drops and (b) lands the dropped rows
+    somewhere queryable. This op composes the two halves VERDICT r6
+    names: the `numRowsDroppedByWatermark` state-operator metric from
+    the query's progress telemetry for the counting, and the
+    snk_observe_audit side-output pattern for the landing — here a
+    foreachBatch dead-letter writer into a MiniLog table with txn =
+    batch_id (exactly-once under replay, operators/acid_ops.py
+    contract).
+
+    The accounting operator is the watermarked DEDUP ingest
+    (dropDuplicates on (event_id, ts) — the ZMQ-redelivery-tolerant
+    shape of stream_dedup): measured on this build (4.1.2), the
+    windowed AGGREGATION admits late rows (it aggregates and emits
+    them; numRowsDroppedByWatermark stays 0 — late-input filtering for
+    aggregates is best-effort by spec), while the dedup operator
+    enforces the drop and counts it. Measured along the way, and load-
+    bearing for the staging below: the drop filter uses the PREVIOUS
+    batch's watermark, not the current one (the two-watermark
+    late-events/eviction split, visible as
+    watermarkPredicateForDataForLateEvents in the plan) — so a late
+    file must arrive at least TWO batches after the on-time data it
+    trails.
+
+    Determinism: the fixture is staged as THREE source files with
+    ordered mtimes — days 11-20, then days >= 21, then the day <= 10
+    stragglers — and maxFilesPerTrigger=1 forces one micro-batch each
+    (AvailableNow honors source read limits). Batch 3's late-event
+    watermark is at least max(days 11-20) − 1h ≈ Jan 20, ~10 days past
+    every straggler, and the batch-2 file (days >= 21) sits fully above
+    every candidate watermark, so the late set is exactly the day <= 10
+    rows regardless of the engine's <-vs-<= boundary convention or
+    which prior batch's watermark applies.
+
+    The dead-letter writer mirrors the two-watermark mechanics on the
+    driver (late watermark for batch k = max event time through batch
+    k−2, minus the delay), tagging each batch's sub-watermark rows
+    before appending them — the documented production recipe for
+    dead-lettering, since the stateful operator has no side output for
+    the rows it drops.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..acid import MiniLogTable
+    from ..session import tune
+    from .runner import run_foreach_batch
+
+    tune(spark)
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "bootic_late_dl",
+        f"{tag}-{st.st_size}-{st.st_mtime_ns}-v2",
+    )
+    marker = os.path.join(root, "_READY")
+    sdir = os.path.join(root, "stream")
+    info_path = os.path.join(root, "_DL_INFO")
+    if not os.path.exists(marker):
+        if os.path.exists(root):
+            shutil.rmtree(root)
+        os.makedirs(sdir)
+        dl = MiniLogTable(
+            spark, os.path.join(root, "deadletter"), stats_cols=("d",)
+        )
+        ev = table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "user_id", "ts"
+        )
+        splits = [
+            ("00_ontime", F.dayofmonth("ts").between(11, 20)),
+            ("01_advance", F.dayofmonth("ts") >= 21),
+            ("02_late", F.dayofmonth("ts") <= 10),
+        ]
+        for i, (name, pred) in enumerate(splits):
+            tmp = os.path.join(root, f"_tmp_{name}")
+            ev.filter(pred).coalesce(1).write.parquet(tmp)
+            part = next(
+                n for n in os.listdir(tmp) if n.endswith(".parquet")
+            )
+            dst = os.path.join(sdir, f"{name}.parquet")
+            os.rename(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            # FileStreamSource admits oldest-mtime first: the straggler
+            # file must arrive two batches after the on-time data (the
+            # late filter lags one batch behind the eviction watermark)
+            t = 1_700_000_000 + i * 3600
+            os.utime(dst, (t, t))
+
+        schema = spark.read.parquet(sdir).schema
+
+        def src():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(sdir)
+            )
+
+        # half 1: the watermarked dedup ingest, telemetry captured
+        dedup = (
+            src()
+            .withWatermark("ts", "1 hour")
+            .dropDuplicates(["event_id", "ts"])
+        )
+        progress: list = []
+        run_to_memory(dedup, mode="append", progress_sink=progress)
+        n_dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in progress
+            for op in (p.get("stateOperators") or [])
+        )
+        n_batches = sum(1 for p in progress if p.get("numInputRows"))
+
+        # half 2: the dead-letter side output — the driver mirrors the
+        # two-watermark mechanics (late watermark for batch k = max
+        # event time through batch k-2, minus the delay); sub-watermark
+        # rows are appended exactly-once via txn=batch_id
+        wm_hist: list = []  # max event ts of each completed batch
+
+        def land(batch_df: DataFrame, batch_id: int) -> None:
+            prior = [t for t in wm_hist[:-1] if t is not None]
+            if prior:
+                late = batch_df.filter(
+                    F.col("ts")
+                    < F.lit(max(prior)) - F.expr("interval 1 hour")
+                )
+            else:
+                late = batch_df.limit(0)
+            dl.append(
+                late.select(
+                    "event_id",
+                    "event_type",
+                    F.dayofmonth("ts").cast("long").alias("d"),
+                ),
+                txn={"app": "deadletter", "version": int(batch_id)},
+            )
+            mx = batch_df.agg(F.max("ts").alias("m")).collect()[0]["m"]
+            wm_hist.append(mx)
+
+        run_foreach_batch(src(), land, mode="append")
+        n_deadletter = dl.read().count()
+        with open(info_path, "w") as fh:
+            import json
+
+            json.dump(
+                {
+                    "n_dropped": n_dropped,
+                    "n_deadletter": n_deadletter,
+                    "n_batches": n_batches,
+                },
+                fh,
+            )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    import json
+
+    dl = MiniLogTable(
+        spark, os.path.join(root, "deadletter"), stats_cols=("d",)
+    )
+    with open(info_path) as fh:
+        info = json.load(fh)
+    deadletter_ok = (
+        info["n_dropped"] == info["n_deadletter"]
+        and info["n_batches"] >= 3
+        and info["n_dropped"] > 0
+    )
+    return (
+        dl.read()
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "event_type", "d", "n",
+            F.lit(bool(deadletter_ok)).alias("deadletter_ok"),
+        )
+    )
