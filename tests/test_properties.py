@@ -1111,12 +1111,13 @@ def test_near_dup_pairs_for_planted_and_guards(spark):
 
 
 def test_ivfpq_recall_meets_target(spark):
-    """llm_ann_ivfpq's contract (VERDICT r5 task 5): recall@5 vs the
-    brute-force truth >= 0.9 on the fixture WITH real pruning (6/16
-    trained cells probed, 10 candidates exact-scored per query), and
-    every returned cosine exact (equal to the brute pair's). The fixed
-    random centroids of llm_ann_ivf manage only ~0.3 here — the trained
-    quantizer is what buys the recall."""
+    """llm_ann_ivfpq's contract (VERDICT r5 task 5, PQ per r6 task 1):
+    recall@5 vs the brute-force truth >= 0.9 on the fixture WITH real
+    pruning (6/16 trained cells probed, compressed-domain ADC cut, 40
+    candidates exact-scored per query), and every returned cosine exact
+    (equal to the brute pair's). The fixed random centroids of
+    llm_ann_ivf manage only ~0.3 here — the trained quantizer is what
+    buys the recall."""
     brute = {
         (r.q_vec_id, r.vec_id): r.cos_sim
         for r in QUERIES["llm_cosine_topk"](spark, SF_DIR).collect()
@@ -1130,6 +1131,43 @@ def test_ivfpq_recall_meets_target(spark):
             assert brute[pair] == cos, f"cosine mismatch for {pair}"
     recall = len(set(brute) & set(pq)) / len(brute)
     assert recall >= 0.9, f"IVF-PQ recall@5 below target: {recall}"
+
+
+def test_pq_codes_are_real_product_quantization(spark):
+    """The PQ fidelity contract (VERDICT r6 task 1, replacing IVF-SQ8):
+    (a) trained SUBSPACE codebooks exist — PQ_M * PQ_KSUB centroids of
+    PQ_SUBDIM dims, exactly PQ_KSUB per subspace; (b) every vector's
+    code is PQ_M centroid ids, each < PQ_KSUB (4-bit representable at
+    PQ_KSUB=16), so a packed code is PQ_M/2 = 8 bytes — >= 8x smaller
+    than the 64-byte-per-vector SQ8 scheme it replaced (one int8 per
+    dim); (c) codes are non-trivial: more than one distinct code exists
+    per subspace (the degenerate everything-in-cell-0 codebook fails)."""
+    from bootic_stats_aggregates_spark.llm import similarity as sim
+
+    e = sim._scored_vectors(spark, SF_DIR).select("vec_id", "emb")
+    cents, assigned = sim._train_pq(e, sim.KMEANS_ITERS)
+    crows = cents.collect()
+    assert len(crows) == sim.PQ_M * sim.PQ_KSUB
+    per_sub = {}
+    for r in crows:
+        per_sub.setdefault(r["sub"], set()).add(r["cid"])
+        assert len(r["c"]) == sim.PQ_SUBDIM
+    assert set(per_sub) == set(range(sim.PQ_M))
+    assert all(len(cids) == sim.PQ_KSUB for cids in per_sub.values())
+    codes = assigned.collect()
+    n_vecs = e.count()
+    assert len(codes) == n_vecs * sim.PQ_M  # every vector fully encoded
+    assert all(0 <= r["cid"] < sim.PQ_KSUB for r in codes)
+    # 4-bit packability and the 8x-vs-SQ8 pin, from the geometry itself
+    assert sim.PQ_KSUB <= 16, "codes must stay 4-bit packable"
+    packed_bytes = sim.PQ_M * 4 / 8
+    sq8_bytes = 64  # one int8 per dim, the r6 scheme
+    assert sq8_bytes / packed_bytes >= 8
+    # non-degenerate: each subspace uses more than one centroid
+    used = {}
+    for r in codes:
+        used.setdefault(r["sub"], set()).add(r["cid"])
+    assert all(len(cids) > 1 for cids in used.values())
 
 
 def test_rocksdb_state_store_provider(spark):
