@@ -281,26 +281,58 @@ def main() -> None:
     suite = round(sum(timings[n] for n in HEADLINE), 4)
     fresh_suite = round(sum(fresh[n] for n in HEADLINE), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"headline_suite_wall_clock (q1+q3+rollup+topk, min of "
-                    f"2x{runs}, warm steady-state: repeated registered plan, "
-                    f"shuffle outputs retained; see queries_fresh for full "
-                    f"per-execution recompute)"
-                ),
-                "value": suite,
-                "unit": "sec",
-                "queries": timings,
-                "queries_fresh": fresh,
-                "fresh_suite": fresh_suite,
-                "scale10": scale10,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "host_load": {"start": load_start, "end": _host_load()},
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    load_end = _host_load()
+    # Full record -> file, compact headline -> stdout (VERDICT r6 item 8):
+    # the driver captures the TAIL of stdout, so the old single 20 KB line
+    # (220+ steady entries + the scale section) lost its FRONT — the
+    # "metric"/"value" keys — and BENCH_r06.json recorded parsed: null.
+    # The compact line below stays well under any sane capture window;
+    # the full record (every steady timing, the fresh series, scale10,
+    # both load snapshots) lands next to this script as BENCH_FULL.json.
+    full = {
+        "metric": (
+            f"headline_suite_wall_clock (q1+q3+rollup+topk, min of "
+            f"2x{runs}, warm steady-state: repeated registered plan, "
+            f"shuffle outputs retained; see queries_fresh for full "
+            f"per-execution recompute)"
+        ),
+        "value": suite,
+        "unit": "sec",
+        "queries": timings,
+        "queries_fresh": fresh,
+        "fresh_suite": fresh_suite,
+        "scale10": scale10,
+        "sf": sf_val,
+        "host_load": {"start": load_start, "end": load_end},
+    }
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:  # read-only checkout: the compact line still stands
+        full_path = None
+    compact = {
+        "metric": (
+            f"headline_suite_wall_clock (q1+q3+rollup+topk, min of "
+            f"2x{runs} warm steady; full record in BENCH_FULL.json)"
+        ),
+        "value": suite,
+        "unit": "sec",
+        "queries": {n: timings[n] for n in HEADLINE},
+        "queries_fresh": fresh,
+        "fresh_suite": fresh_suite,
+        "stream_events_per_sec": timings.get("stream_events_per_sec"),
+        "sf": sf_val,
+        "host_load1": {
+            "start": load_start.get("load1"),
+            "end": load_end.get("load1"),
+        },
+        "full_record": full_path,
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
