@@ -554,3 +554,49 @@ def tx_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read(prune=[("xb", 0, 31), ("yb", 0, 31)]).select(
         "xb", "yb", "n", F.lit(bool(pruned_ok)).alias("pruned_ok")
     )
+
+
+@query(
+    "tx_change_feed",
+    oracle=f"""
+    -- CHANGE DATA FEED between v1 and latest, replayed in SQL: after
+    -- two appends (days <= 15 + NULL-day, days >= 16), a MERGE bumped
+    -- n by 500 for days >= 25 (delete old row + insert new row in the
+    -- feed) and a DELETE removed days 1-3 (delete rows). Rows the
+    -- rewrites copied unchanged (days 4-24, NULL-day) cancel in the
+    -- file-diff bag difference and never appear.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d, CAST(n + 500 AS BIGINT) AS n,
+           'insert' AS change FROM c WHERE d >= 25
+    UNION ALL
+    SELECT event_type, d, n, 'delete' AS change FROM c WHERE d >= 25
+    UNION ALL
+    SELECT event_type, d, n, 'delete' AS change FROM c
+    WHERE d BETWEEN 1 AND 3
+    """,
+)
+def tx_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED on the MiniLog format (the Delta CDF read
+    surface, derived by file-diffing — acid.py changes()): an
+    incremental consumer asks "what changed between version A and B"
+    and gets row-level inserts/deletes, paying O(churned files), never
+    O(table). Updates surface as delete(old)+insert(new) of the same
+    key; rows a rewrite copied unchanged cancel in the EXCEPT ALL bag
+    difference. This is the op that turns the table format into a
+    pipeline SOURCE: downstream jobs (index refresh, cache invalidation,
+    the reference daemon's own counter deltas) consume the feed instead
+    of re-scanning the table."""
+    tbl, ready = _staged(spark, sf_dir, "change_feed")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        tbl.append(c.filter((F.col("d") <= 15) | F.col("d").isNull()))
+        tbl.append(c.filter(F.col("d") >= 16))               # v1
+        updates = c.filter(F.col("d") >= 25).withColumn(
+            "n", (F.col("n") + F.lit(500)).cast("long")
+        )
+        tbl.merge(updates, keys=("event_type", "d"), prune_col="d")  # v2
+        tbl.delete_where("d", 1, 3)                          # v3
+        _mark_ready(tbl, sf_dir)
+    return tbl.changes(1, 3).select(
+        "event_type", "d", "n", F.col("_change_type").alias("change")
+    )

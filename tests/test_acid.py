@@ -363,6 +363,43 @@ def tbl2d(spark, tmp_path):
     return MiniLogTable(spark, str(tmp_path / "t2"), stats_cols=("x", "y"))
 
 
+def test_change_feed_insert_update_delete(spark, tbl):
+    """changes(a, b) yields row-level inserts/deletes from the file
+    diff: updates surface as delete(old)+insert(new), rows a rewrite
+    copied unchanged cancel, and the feed pays only for churned files."""
+    tbl.append(_df(spark, [(1, "a"), (2, "b")]))          # v0
+    tbl.append(_df(spark, [(3, "c")]))                    # v1
+    tbl.merge(_df(spark, [(2, "B")]), keys=("k",))        # v2: update
+    tbl.delete_where("k", 3, 3)                           # v3: delete
+    feed = {
+        (r["k"], r["v"], r["_change_type"])
+        for r in tbl.changes(1, 3).collect()
+    }
+    assert feed == {
+        (2, "B", "insert"),  # update: new row in
+        (2, "b", "delete"),  # update: old row out
+        (3, "c", "delete"),  # delete
+    }
+    # (1, "a") was copied unchanged through the merge rewrite: no change
+    assert tbl.changes(0, 1).collect()[0]["_change_type"] == "insert"
+
+
+def test_change_feed_spans_schema_evolution(spark, tbl):
+    """A feed across an add-column evolution presents old rows
+    null-filled in the NEW shape (both sides project through the TO
+    snapshot's log schema)."""
+    tbl.append(_df(spark, [(1, "a")]))
+    tbl.append(
+        spark.createDataFrame([(2, "b", 9)], "k INT, v STRING, w INT"),
+        evolve_schema=True,
+    )
+    feed = {
+        (r["k"], r["v"], r["w"], r["_change_type"])
+        for r in tbl.changes(0, 1).collect()
+    }
+    assert feed == {(2, "b", 9, "insert")}
+
+
 def test_txn_replay_after_staging_cleans_orphans(spark, tbl):
     """If the SAME txn was applied by a concurrent writer between our
     _stage and _try_commit, the replay-skip return must delete the
