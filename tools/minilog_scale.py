@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""MiniLog at scale: does the metadata design actually buy O(churn)?
+
+Builds a MiniLog table of FILES x ROWS_PER_FILE rows (key-ranged files,
+stats on the key) and measures the three claims the format makes:
+
+1. point/range READ: log-stats file skipping prunes the scan to the
+   stat-overlapping files BEFORE Spark lists anything — wall time should
+   track files-scanned, not table size.
+2. MERGE: an update set confined to one file's key range rewrites ONE
+   file — wall time should track the touched file, not the table.
+3. CHANGE FEED: changes(v, v+1) after that merge reads only the churned
+   files — O(churn) vs the O(table) full-scan alternative.
+
+Usage: python tools/minilog_scale.py [files] [rows_per_file]
+Defaults: 64 files x 100_000 rows = 6.4M rows.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FILES = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+ROWS = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from bootic_stats_aggregates_spark.acid import MiniLogTable
+    from bootic_stats_aggregates_spark.session import get_spark
+
+    spark = get_spark("minilog-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="minilog_scale_")
+    tbl = MiniLogTable(spark, os.path.join(root, "t"), stats_cols=("k",))
+
+    t0 = time.perf_counter()
+    for i in range(FILES):
+        df = spark.range(i * ROWS, (i + 1) * ROWS).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 997).cast("long").alias("v"),
+        )
+        tbl.append(df)
+    t_build = time.perf_counter() - t0
+    total = FILES * ROWS
+    print(
+        f"build: {FILES} files x {ROWS} rows = {total} rows "
+        f"in {t_build:.1f}s ({FILES} commits)"
+    )
+
+    # 1. pruned read vs full read
+    lo, hi = 5 * ROWS + 10, 5 * ROWS + 5_000  # inside file 5
+    n_pruned = len(tbl.select_files(prune=("k", lo, hi)))
+    t0 = time.perf_counter()
+    c1 = tbl.read(prune=("k", lo, hi)).count()
+    t_pruned = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    c2 = tbl.read().filter(F.col("k").between(lo, hi)).count()
+    t_full = time.perf_counter() - t0
+    assert c1 == c2 == hi - lo + 1
+    print(
+        f"read:  box of {c1} rows -> {n_pruned}/{FILES} files scanned; "
+        f"pruned {t_pruned:.2f}s vs full-scan {t_full:.2f}s "
+        f"({t_full / t_pruned:.1f}x)"
+    )
+
+    # 2. file-pruned merge
+    updates = spark.range(7 * ROWS, 7 * ROWS + 1_000).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    t0 = time.perf_counter()
+    info = tbl.merge(updates, keys=("k",))
+    t_merge = time.perf_counter() - t0
+    print(
+        f"merge: 1k-row update -> rewrote {info['rewritten']}/{FILES} "
+        f"files in {t_merge:.2f}s (kept {info['kept']} untouched)"
+    )
+    assert info["rewritten"] == 1
+
+    # 3. change feed pays O(churn)
+    t0 = time.perf_counter()
+    feed = tbl.changes(info["version"] - 1, info["version"])
+    n_changes = feed.count()
+    t_feed = time.perf_counter() - t0
+    print(
+        f"cdf:   {n_changes} change rows (2 x 1k updated) from "
+        f"{info['rewritten'] + 1} churned files in {t_feed:.2f}s "
+        f"— table is {total} rows"
+    )
+    assert n_changes == 2_000
+
+    shutil.rmtree(root)
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()
