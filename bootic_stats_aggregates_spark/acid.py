@@ -746,8 +746,17 @@ class MiniLogTable:
         Scale shape: the diff reads ONLY the added/removed files — an
         incremental consumer of a 100 TB table pays O(churn), never
         O(table); the except-all is one hash aggregate over those rows.
+
+        ``from_version < 0`` means "before the table existed": the feed
+        from -1 to v is every live row of v as an insert, so folding
+        changes(v-1, v) over the whole history reconstructs the table
+        (the completeness invariant tx_cdf_replay pins).
         """
-        snap_a = self.snapshot(from_version)
+        snap_a = (
+            Snapshot(-1, [], {})
+            if from_version < 0
+            else self.snapshot(from_version)
+        )
         snap_b = self.snapshot(to_version)
         a_files = {f.file for f in snap_a.files}
         b_files = {f.file for f in snap_b.files}
@@ -840,6 +849,81 @@ class MiniLogTable:
             "files_before": len(snap.files),
             "files_after": len(snap.files) - len(compacted) + len(bins),
         }
+
+    def optimize_zorder(
+        self,
+        cols: tuple[str, str],
+        target_files: int = 16,
+        bits: int = 8,
+    ) -> dict:
+        """OPTIMIZE ZORDER BY: rewrite the WHOLE table clustered on the
+        Morton interleave of two columns, as one atomic remove+add
+        commit. After the rewrite every file covers a narrow z range —
+        a small rectangle in BOTH dimensions — so the per-file min/max
+        stats the log collects on write turn 2-D box predicates into
+        O(box) file scans (the tx_zorder_pruned read path, now reachable
+        from ANY existing table instead of only a z-aware writer).
+
+        Column-to-bucket mapping is linear min/max scaling into 2^bits
+        buckets, with the bounds taken from the LOG's file stats when
+        the column is a stats column (zero data jobs for the planning
+        step) and one aggregate otherwise. Linear scaling is the
+        deterministic public variant; heavily skewed columns would want
+        quantile cuts (approxQuantile) — same commit shape, noted here
+        for the production extension. NULLs map to bucket 0 (they sort
+        first and stay confined to the first file; stats NULL counts
+        keep them skippable-safe).
+
+        Concurrency: the commit removes every pre-rewrite live file, so
+        it rides the standard conflict matrix — a z-order racing ANY
+        data-changing commit aborts with ConcurrentModification rather
+        than resurrecting rows. Delta's OPTIMIZE ZORDER has the same
+        "maintenance loses to data" policy."""
+        from .layout import _interleave_sql
+
+        snap = self.snapshot()
+        if not snap.files:
+            return {"version": snap.version, "rewritten": 0}
+        df = self._read_files(
+            [os.path.join(self.path, f.file) for f in snap.files],
+            snap.schema,
+        )
+
+        def bounds(col: str) -> tuple[Any, Any]:
+            mins = [f.stats.get(col, {}).get("min") for f in snap.files]
+            maxs = [f.stats.get(col, {}).get("max") for f in snap.files]
+            if all(v is not None for v in mins + maxs):
+                return min(mins), max(maxs)  # pure metadata
+            row = df.agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).collect()[0]
+            return row["lo"], row["hi"]
+
+        n_buckets = 1 << bits
+        tmp = df
+        for suffix, col in zip(("__bx", "__by"), cols):
+            lo, hi = bounds(col)
+            span = (hi - lo + 1) if (hi is not None and lo is not None) else 1
+            b = F.floor(
+                (F.col(col) - F.lit(lo)).cast("double")
+                * n_buckets
+                / F.lit(span)
+            ).cast("long")
+            b = F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1))
+            tmp = tmp.withColumn(suffix, F.coalesce(b, F.lit(0)))
+        ordered = (
+            tmp.withColumn(
+                "__z", F.expr(_interleave_sql("__bx", "__by", bits))
+            )
+            .repartitionByRange(target_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__bx", "__by", "__z")
+        )
+        actions = self._stage(ordered, None) + [
+            {"type": "remove", "file": f.file} for f in snap.files
+        ]
+        v = self._try_commit("zorder", actions)
+        return {"version": v, "rewritten": len(snap.files)}
 
     # ------------------------------------------------------------- vacuum
     def vacuum(

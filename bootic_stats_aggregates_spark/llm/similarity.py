@@ -1538,3 +1538,63 @@ def llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(_topk_window()).cast("long"))
         .filter(F.col("rk") <= TOP_K)
     )
+
+
+def _pq_train_oracle() -> str:
+    pq_body = _pq_sql_ctes(KMEANS_ITERS)
+    fa, fc = f"pa{KMEANS_ITERS + 1}", f"pc{KMEANS_ITERS}"
+    return f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    {pq_body}
+    SELECT CAST(a.sub AS BIGINT) AS sub,
+           CAST(a.cid AS BIGINT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(any_value(c.c)[1], 6) AS c_dim0,
+           round(list_sum(any_value(c.c)), 6) AS c_sum
+    FROM {fa} a JOIN {fc} c ON a.sub = c.sub AND a.cid = c.cid
+    GROUP BY a.sub, a.cid
+    """
+
+
+@query("llm_pq_train", oracle=_pq_train_oracle())
+def llm_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ CODEBOOK TRAINING as a first-class op (the subspace twin of
+    llm_ivf_train): per-subspace Lloyd's — PQ_M subspaces of PQ_SUBDIM
+    dims, PQ_KSUB centroids each, one GROUPED k-means chain training
+    every codebook together (subspace id rides the grouping key, so the
+    cost is a single fixed-depth DAG over m*n subvector points, not m
+    sequential trainings). The result is the trained quantizer
+    llm_ann_ivfpq consumes: per (subspace, cluster) the assignment
+    census plus centroid probes (first dim + sum, rounded 6), all
+    driver-checked against the SQL replay of the identical training —
+    the codebooks themselves are oracle-verified, not just the search
+    results built on them.
+
+    Same determinism discipline as llm_ivf_train: first-K init,
+    exact-double distance folds, cid tie-break, means rounded to 6
+    before the next round reads them, empty cells keep their previous
+    centroid."""
+    e = _scored_vectors(spark, sf_dir).select("vec_id", "emb")
+    cents, final = _train_pq(e, KMEANS_ITERS)
+    probes = cents.select(
+        "sub",
+        "cid",
+        F.round(F.element_at("c", 1), 6).alias("c_dim0"),
+        F.round(
+            F.aggregate("c", F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("c_sum"),
+    )
+    return (
+        final.groupBy("sub", "cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+        .join(probes, ["sub", "cid"])
+        .select(
+            F.col("sub").cast("long").alias("sub"),
+            F.col("cid").cast("long").alias("cluster"),
+            "n_vecs",
+            "c_dim0",
+            "c_sum",
+        )
+    )

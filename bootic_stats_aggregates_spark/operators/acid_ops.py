@@ -600,3 +600,158 @@ def tx_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.changes(1, 3).select(
         "event_type", "d", "n", F.col("_change_type").alias("change")
     )
+
+
+@query(
+    "tx_optimize_zorder",
+    oracle=f"""
+    -- OPTIMIZE ZORDER on an EXISTING badly-laid-out table: the
+    -- (user-bucket, hour-bucket) counters were appended in four
+    -- event-type slices, so every file spans the full (xb, yb) grid
+    -- and a 2-D box predicate must scan ALL files. optimize_zorder
+    -- rewrites the whole table Morton-clustered in one atomic commit;
+    -- afterwards the same box touches <= half the files. Data is
+    -- unchanged — the result is the box's rows — and zorder_ok carries
+    -- the before==all / after<=half scan-count assertions.
+    WITH coords AS (
+      SELECT event_type, user_id % 256 AS xb,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) % 256 AS yb
+      FROM events
+    )
+    SELECT CAST(xb AS BIGINT) AS xb, CAST(yb AS BIGINT) AS yb,
+           CAST(count(*) AS BIGINT) AS n, true AS zorder_ok
+    FROM coords
+    WHERE xb BETWEEN 0 AND 31 AND yb BETWEEN 0 AND 31
+    GROUP BY 1, 2
+    """,
+)
+def tx_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY as a TABLE MAINTENANCE op (acid.py
+    optimize_zorder): tx_zorder_pruned proves the clustered-write read
+    path, but a real 100 TB table was usually written in arrival order
+    — every file spans the whole key grid and box predicates scan
+    O(table). This op stages exactly that pathology (four appends
+    sliced by event_type, each covering the full (xb, yb) range, so the
+    box predicate prunes NOTHING), then runs the in-place re-cluster:
+    full-table Morton rewrite, one atomic remove+add commit, bucket
+    bounds taken from the log's own file stats (the planning step is
+    pure metadata). The zorder_ok flag pins the before/after
+    select_files() counts — before == every file scanned, after <= half
+    — which is the entire point of the operation."""
+    tune(spark)
+    tbl, ready = _staged(
+        spark, sf_dir, "optimize_zorder", stats_cols=("xb", "yb")
+    )
+    tag = os.path.join(tbl.path, "_OZ_INFO")
+    if not ready:
+        ev = table(spark, sf_dir, "events")
+        g = (
+            ev.select(
+                "event_type",
+                (F.col("user_id") % 256).cast("long").alias("xb"),
+                (
+                    F.floor(F.col("ts").cast("double") / 3600).cast("long")
+                    % 256
+                ).alias("yb"),
+            )
+            .groupBy("event_type", "xb", "yb")
+            .agg(lcount("n"))
+        )
+        # arrival-order pathology: each slice covers the FULL grid
+        etypes = [r["event_type"] for r in g.select("event_type").distinct().collect()]
+        for et in sorted(etypes):
+            tbl.append(
+                g.filter(F.col("event_type") == et).select("xb", "yb", "n"),
+                target_files=1,
+            )
+        box = [("xb", 0, 31), ("yb", 0, 31)]
+        before_total = len(tbl.select_files())
+        before_scanned = len(tbl.select_files(prune=box))
+        info = tbl.optimize_zorder(("xb", "yb"), target_files=32)
+        after_total = len(tbl.select_files())
+        after_scanned = len(tbl.select_files(prune=box))
+        info.update(
+            before_total=before_total,
+            before_scanned=before_scanned,
+            after_total=after_total,
+            after_scanned=after_scanned,
+        )
+        with open(tag, "w") as fh:
+            json.dump(info, fh)
+        _mark_ready(tbl, sf_dir)
+    with open(tag) as fh:
+        info = json.load(fh)
+    zorder_ok = (
+        info["before_scanned"] == info["before_total"] >= 3
+        and info["after_scanned"] * 2 <= info["after_total"]
+    )
+    return (
+        tbl.read(prune=[("xb", 0, 31), ("yb", 0, 31)])
+        .groupBy("xb", "yb")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .select(
+            "xb", "yb", "n", F.lit(bool(zorder_ok)).alias("zorder_ok")
+        )
+    )
+
+
+@query(
+    "tx_cdf_replay",
+    oracle=f"""
+    -- the CHANGE-FEED COMPLETENESS invariant: folding changes(v-1, v)
+    -- over the table's whole history (insert rows added, delete rows
+    -- bag-removed, per version in order) must reconstruct the live
+    -- table exactly. The history here is append / append / merge
+    -- (days >= 25: n+500) / delete (days 1-3), so the reconstructed —
+    -- and therefore the directly-read — state is the merged view minus
+    -- the deleted days; replay_ok carries the reconstruction==read
+    -- equality into the checked result.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d,
+           CASE WHEN d >= 25 THEN CAST(n + 500 AS BIGINT) ELSE n END AS n,
+           true AS replay_ok
+    FROM c
+    WHERE (d NOT BETWEEN 1 AND 3) OR d IS NULL
+    """,
+)
+def tx_cdf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF REPLAY = TABLE: the invariant that makes a change feed
+    trustworthy as a pipeline source — no change is ever lost or
+    duplicated, so a consumer that folds every version's feed
+    (state := state EXCEPT ALL deletes(v) UNION ALL inserts(v))
+    reconstructs the table it never scanned. Exercised over the full
+    commit history including the v=-1 bootstrap feed (everything is an
+    insert) and verified two ways: the reconstruction is what this op
+    RETURNS (checked against the SQL replay of the same history by the
+    driver), and replay_ok pins reconstruction == direct snapshot read
+    inside Spark. An incremental consumer of a 100 TB table runs
+    exactly this fold, one O(churn) feed at a time."""
+    tbl, ready = _staged(spark, sf_dir, "cdf_replay")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        tbl.append(c.filter((F.col("d") <= 15) | F.col("d").isNull()))
+        tbl.append(c.filter(F.col("d") >= 16))
+        updates = c.filter(F.col("d") >= 25).withColumn(
+            "n", (F.col("n") + F.lit(500)).cast("long")
+        )
+        tbl.merge(updates, keys=("event_type", "d"), prune_col="d")
+        tbl.delete_where("d", 1, 3)
+        _mark_ready(tbl, sf_dir)
+    state = None
+    for v in range(tbl.version + 1):
+        feed = tbl.changes(v - 1, v)
+        ins = feed.filter(F.col("_change_type") == "insert").drop(
+            "_change_type"
+        )
+        dels = feed.filter(F.col("_change_type") == "delete").drop(
+            "_change_type"
+        )
+        state = ins if state is None else state.exceptAll(dels).unionAll(ins)
+    direct = tbl.read()
+    replay_ok = (
+        state.exceptAll(direct).isEmpty()
+        and direct.exceptAll(state).isEmpty()
+    )
+    return state.select(
+        "event_type", "d", "n", F.lit(bool(replay_ok)).alias("replay_ok")
+    )

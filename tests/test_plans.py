@@ -323,7 +323,7 @@ BUILD_RUNS_JOBS_OK = {
     "tx_time_travel", "tx_merge_filepruned", "tx_idempotent_replay",
     "stream_minilog_sink", "tx_vacuum_boundary", "tx_optimize_compact",
     "tx_schema_evolve", "tx_zorder_pruned", "stream_late_deadletter",
-    "tx_change_feed",
+    "tx_change_feed", "tx_optimize_zorder", "tx_cdf_replay",
 }
 
 
