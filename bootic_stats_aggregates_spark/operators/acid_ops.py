@@ -755,3 +755,75 @@ def tx_cdf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         "event_type", "d", "n", F.lit(bool(replay_ok)).alias("replay_ok")
     )
+
+
+@query(
+    "tx_mview_incremental",
+    oracle=f"""
+    -- INCREMENTAL VIEW MAINTENANCE from the change feed: the
+    -- materialized per-event_type SUM(n) is maintained purely from
+    -- changes(v-1, v) deltas (+insert, -delete) across the history
+    -- append / append / merge (days >= 25: n+500) / delete (days 1-3)
+    -- — the view never scans the table. The maintained view must equal
+    -- the direct recompute of the final state, which is what this SQL
+    -- expresses; mview_ok carries the Spark-side equality assertion.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type,
+           CAST(SUM(CASE WHEN d >= 25 THEN n + 500 ELSE n END)
+                AS BIGINT) AS total,
+           true AS mview_ok
+    FROM c
+    WHERE (d NOT BETWEEN 1 AND 3) OR d IS NULL
+    GROUP BY 1
+    """,
+)
+def tx_mview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — the reference
+    daemon's entire reason to exist (constant-time incremental updates
+    of aggregate counters as events arrive), re-expressed on the
+    lakehouse leg: a per-event_type SUM(n) view is maintained from the
+    MiniLog CHANGE FEED alone. Every commit's changes(v-1, v) rows are
+    tagged +1 (insert) / -1 (delete) and the view is the single hash
+    aggregate SUM(sign * n) over the union of all feeds — updates
+    (delete old + insert new) contribute their net delta, deletes
+    subtract, and the view NEVER rescans the table. At 100 TB this is
+    the O(churn-per-commit) refresh loop every downstream dashboard
+    aggregate runs instead of an O(table) recompute; the whole fold is
+    one declarative plan (no driver-side accumulation). mview_ok pins
+    maintained == direct-recompute inside Spark, and the driver checks
+    the maintained view against the SQL replay of the same history."""
+    tbl, ready = _staged(spark, sf_dir, "mview_incremental")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        tbl.append(c.filter((F.col("d") <= 15) | F.col("d").isNull()))
+        tbl.append(c.filter(F.col("d") >= 16))
+        updates = c.filter(F.col("d") >= 25).withColumn(
+            "n", (F.col("n") + F.lit(500)).cast("long")
+        )
+        tbl.merge(updates, keys=("event_type", "d"), prune_col="d")
+        tbl.delete_where("d", 1, 3)
+        _mark_ready(tbl, sf_dir)
+    signed = None
+    for v in range(tbl.version + 1):
+        feed = tbl.changes(v - 1, v).withColumn(
+            "sign",
+            F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        signed = feed if signed is None else signed.unionAll(feed)
+    mview = signed.groupBy("event_type").agg(
+        F.sum(F.col("sign") * F.col("n")).cast("long").alias("total")
+    )
+    direct = (
+        tbl.read()
+        .groupBy("event_type")
+        .agg(F.sum("n").cast("long").alias("total"))
+    )
+    mview_ok = (
+        mview.exceptAll(direct).isEmpty()
+        and direct.exceptAll(mview).isEmpty()
+    )
+    return mview.select(
+        "event_type", "total", F.lit(bool(mview_ok)).alias("mview_ok")
+    )

@@ -113,3 +113,77 @@ def sample_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= STRATUM_CAP)
     )
+
+
+@query(
+    "agg_aqp_sample",
+    oracle=f"""
+    -- sampling-based APPROXIMATE QUERY PROCESSING: per-group SUM/COUNT
+    -- estimated from the deterministic {SAMPLE_PCT}% hash sample with
+    -- the Horvitz-Thompson scale-up (x{100 // SAMPLE_PCT}), side by
+    -- side with the exact values and a 15% error-envelope boolean.
+    -- Every number is a pure function of the rows (decimal-exact sums,
+    -- hash-deterministic membership), so both engines agree bit-for-bit
+    -- on estimates AND booleans.
+    WITH s AS (
+      SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+             {oracle_bucket('event_id')} AS b
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS exact_rows,
+           round(CAST(sum(v) AS DOUBLE), 2) AS exact_sum,
+           CAST({100 // SAMPLE_PCT} * count(*) FILTER (WHERE b < {SAMPLE_PCT})
+                AS BIGINT) AS est_rows,
+           round(CAST({100 // SAMPLE_PCT} *
+                      sum(v) FILTER (WHERE b < {SAMPLE_PCT}) AS DOUBLE),
+                 2) AS est_sum,
+           abs({100 // SAMPLE_PCT} * count(*) FILTER (WHERE b < {SAMPLE_PCT})
+               - count(*)) <= 0.15 * count(*) AS rows_within
+    FROM s GROUP BY 1
+    """,
+)
+def agg_aqp_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE QUERY PROCESSING over the deterministic sample: the
+    100 TB dashboard pattern where a 10% (or 0.1%) sample answers the
+    aggregate in 1/10th (1/1000th) the scan and the consumer sees the
+    estimate NEXT TO its error envelope. Membership is the same pure
+    key-hash as sample_hash_det — so the estimate is reproducible
+    across runs, engines, and layouts (Spark's ``TABLESAMPLE`` is not),
+    and at scale the sample can be MATERIALIZED once and reused by
+    every downstream approximate query. Estimator is Horvitz-Thompson
+    with uniform inclusion probability (scale by 1/p); sums run through
+    DECIMAL(18,2) so both engines' estimates agree bit-for-bit and the
+    within-15% boolean is itself oracle-checkable rather than a
+    tolerance assertion. Map-only + one hash aggregate: the sample
+    filter rides the scan, no extra shuffle vs the exact aggregate it
+    approximates."""
+    ev = table(spark, sf_dir, "events")
+    scale = 100 // SAMPLE_PCT
+    h = (F.col("event_id") * F.lit(HASH_A) + F.lit(HASH_C)) % F.lit(HASH_P)
+    b = h % F.lit(100)
+    v = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.select(
+            "event_type",
+            v.alias("v"),
+            # membership marker independent of v: a sampled row with a
+            # NULL value still counts toward est_rows (the oracle's
+            # count(*) FILTER does — hostile-corpus NULL-value finding)
+            F.when(b < SAMPLE_PCT, F.lit(1)).alias("in_s"),
+            F.when(b < SAMPLE_PCT, v).alias("sv"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("exact_rows"),
+            F.round(F.sum("v").cast("double"), 2).alias("exact_sum"),
+            (F.lit(scale) * F.count("in_s")).cast("long").alias("est_rows"),
+            F.round(
+                (F.lit(scale) * F.sum("sv")).cast("double"), 2
+            ).alias("est_sum"),
+            (
+                F.abs(F.lit(scale) * F.count("in_s") - F.count(F.lit(1)))
+                <= 0.15 * F.count(F.lit(1))
+            ).alias("rows_within"),
+        )
+    )

@@ -108,6 +108,7 @@ _GATE_PRIORITY: list[str] = [
     "tx_vacuum_boundary", "tx_optimize_compact", "tx_schema_evolve",
     "tx_zorder_pruned", "stream_late_deadletter", "tx_change_feed",
     "tx_optimize_zorder", "tx_cdf_replay", "llm_pq_train",
+    "tx_mview_incremental", "agg_aqp_sample",
     # --- slots 6-9: r7-churned ops due a re-check: llm_ann_ivfpq was
     # --- rewritten from IVF-SQ8 to real product quantization (subspace
     # --- codebooks + ADC tables, VERDICT r6 task 1), and the three r6
