@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 #: name -> registered query id; headline names match BASELINE.md rows.
@@ -163,6 +164,35 @@ def _time_stream(fn, spark, sf_dir: str, runs: int) -> float:
     return min(samples)
 
 
+def _fresh_isolated(
+    group: dict, sf_dir: str, runs: int, queries, spark
+) -> dict:
+    """Time a fresh-execution group in its own JVM via
+    tools/fresh_bench.py (see the call site for why); inline fallback on
+    any spawn failure so the bench line never loses entries."""
+    import subprocess
+
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "fresh_bench.py"
+    )
+    cmd = [sys.executable, script, sf_dir, str(runs)] + [
+        f"{n}={q}" for n, q in group.items()
+    ]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=1800
+        )
+        out = json.loads(proc.stdout.strip().splitlines()[-1])
+        if set(out) == set(group):
+            return {n: round(float(v), 4) for n, v in out.items()}
+    except Exception:
+        pass  # fall through to inline
+    return {
+        name: round(_time_query_fresh(queries[qid], spark, sf_dir, runs), 4)
+        for name, qid in group.items()
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # 13 samples: the min of 5 wobbled ±10% under co-tenant CPU spikes on
@@ -233,11 +263,22 @@ def main() -> None:
     "ann_recall": "llm_ann_recall",
     }
     fresh: dict[str, float] = {}
-    for name, qid in {**HEADLINE, **FRESH_EXTRA}.items():
+    for name, qid in HEADLINE.items():
         fresh[name] = round(
             _time_query_fresh(queries[qid], spark, sf_dir, max(runs // 2, 5)),
             4,
         )
+    # The ANN/dedup fresh group runs in its OWN JVM (tools/fresh_bench.py):
+    # the r7 adjudication measured llm_near_dedup at 3.15 s inside this
+    # long-lived session (after ~200 steady queries: GC pressure + code
+    # cache) vs 1.80 s isolated — the isolated number is the one that
+    # means anything round-over-round. Inline fallback keeps the bench
+    # line complete if the spawn fails.
+    fresh.update(
+        _fresh_isolated(
+            FRESH_EXTRA, sf_dir, max(runs // 2, 5), queries, spark
+        )
+    )
 
     # Streaming throughput: full AvailableNow pipeline over events.parquet
     # (ingest -> event-time tumbling agg -> sink), reference-daemon shape.
