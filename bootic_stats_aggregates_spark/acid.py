@@ -170,6 +170,19 @@ class MiniLogTable:
         self.stats_cols = tuple(stats_cols)
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
 
+    @classmethod
+    def fold_only(cls, path: str) -> "MiniLogTable":
+        """A handle that can fold the log (snapshot/history/version) but
+        not run Spark jobs — what the DataSource driver side needs: it
+        resolves snapshots to file lists; Spark itself schedules the
+        reads (sources/minilog_source.py)."""
+        self = cls.__new__(cls)
+        self.spark = None
+        self.path = path
+        self.stats_cols = ()
+        os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
+        return self
+
     # ---------------------------------------------------------------- log
     def _log_path(self, version: int) -> str:
         return os.path.join(self.path, _LOG_DIR, f"{version:08d}.json")

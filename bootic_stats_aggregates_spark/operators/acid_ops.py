@@ -827,3 +827,100 @@ def tx_mview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mview.select(
         "event_type", "total", F.lit(bool(mview_ok)).alias("mview_ok")
     )
+
+
+@query(
+    "src_minilog_dsv2",
+    oracle=f"""
+    -- MiniLog read through the SPARK-NATIVE DataSource surface
+    -- (spark.read.format("minilog")): the table holds days <= 20 at v1
+    -- and additionally days >= 21 at latest (after a delete of days
+    -- 1-5); both reads go through the registered Python DataSource —
+    -- snapshot resolution on the driver, per-file Arrow scans on
+    -- executors — and must equal the log-fold truth.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT 'v1' AS as_of, event_type, d, n FROM c
+    WHERE d <= 20 OR d IS NULL
+    UNION ALL
+    -- NULL-day groups ride the v0 file and SURVIVE the delete of days
+    -- 1-5 (a NULL key is never "in [lo, hi]" — the NULL contract), so
+    -- they appear in BOTH snapshots
+    SELECT 'latest' AS as_of, event_type, d, n FROM c
+    WHERE (d BETWEEN 6 AND 20) OR d >= 21 OR d IS NULL
+    """,
+)
+def src_minilog_dsv2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MiniLog as a REGISTERED SPARK DATA SOURCE (Spark 4 Python
+    DataSource API, sources/minilog_source.py): the boundary that makes
+    the format consumable by anything that speaks Spark — SQL, other
+    teams' jobs — without importing this repo's API. Batch reads
+    resolve a snapshot (latest or option("version", N) time travel) to
+    a file list on the driver and scan the immutable parquet files as
+    one InputPartition each via Arrow on executors; the log schema
+    projects every file (null-fill across schema evolution). This op
+    reads the SAME staged table at two versions through
+    spark.read.format("minilog") and the driver checks both against the
+    SQL history replay."""
+    from ..sources.minilog_source import register
+
+    register(spark)
+    tbl, ready = _staged(spark, sf_dir, "minilog_dsv2")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        tbl.append(c.filter((F.col("d") <= 10) | F.col("d").isNull()))
+        tbl.append(c.filter(F.col("d").between(11, 20)))   # v1
+        tbl.delete_where("d", 1, 5)                        # v2
+        tbl.append(c.filter(F.col("d") >= 21))             # v3
+        _mark_ready(tbl, sf_dir)
+    v1 = (
+        spark.read.format("minilog")
+        .option("version", 1)
+        .load(tbl.path)
+        .select(F.lit("v1").alias("as_of"), "event_type", "d", "n")
+    )
+    latest = (
+        spark.read.format("minilog")
+        .load(tbl.path)
+        .select(F.lit("latest").alias("as_of"), "event_type", "d", "n")
+    )
+    return v1.unionAll(latest)
+
+
+@query(
+    "stream_minilog_tail",
+    oracle=f"""
+    -- STREAMING source over the MiniLog commit log: log versions are
+    -- the offsets (Delta's streaming-source design), each micro-batch
+    -- reads the files ADDED by the commits in its offset range, and an
+    -- AvailableNow run over the three-append history must deliver
+    -- exactly the table's rows — the counters — exactly once.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d, n FROM c
+    """,
+)
+def stream_minilog_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAILING the MiniLog commit log as a Structured Streaming SOURCE
+    (the read-side complement of stream_minilog_sink): offsets are log
+    versions, latestOffset is the current table version, and a
+    micro-batch (start, end] emits the files its commits added — so a
+    downstream pipeline consumes the table incrementally, exactly once
+    per commit, without ever rescanning it. Non-append commits FAIL the
+    stream by default (replaying a rewrite as appends would duplicate
+    rows — Delta's contract; ignoreChanges=true opts into re-emitted
+    files, covered in tests/test_acid.py). Driver-checked end to end: a
+    real AvailableNow query through the registered source lands in a
+    memory sink and must equal the batch counters."""
+    from ..sources.minilog_source import register
+    from ..streaming.runner import run_to_memory
+
+    register(spark)
+    tbl, ready = _staged(spark, sf_dir, "minilog_tail")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        tbl.append(c.filter((F.col("d") <= 10) | F.col("d").isNull()))
+        tbl.append(c.filter(F.col("d").between(11, 20)))
+        tbl.append(c.filter(F.col("d") >= 21))
+        _mark_ready(tbl, sf_dir)
+    stream = spark.readStream.format("minilog").load(tbl.path)
+    out = run_to_memory(stream, mode="append")
+    return out.select("event_type", "d", "n")

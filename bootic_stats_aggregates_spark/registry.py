@@ -91,8 +91,15 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: untouched by the driver since r1, then 28 of the 50 r2 rows —
 #: prioritizing the ones this round's churn touched (q3_topk_join's
 #: broadcast-side plan fix, the streaming runner's progress capture, the
-#: redis sinks' new RESP factory path). The 18 remaining r2 rows queue
-#: for round 7.
+#: redis sinks' new RESP factory path). Round 7 (below) front-loads the
+#: round's additions (the MiniLog lifecycle ops, late-data dead-letter,
+#: CDF family, PQ training, AQP) and the PQ-rewritten llm_ann_ivfpq +
+#: the three r6 MiniLog ops sitting atop the reworked merge/fold, then
+#: drains ALL remaining r2 rows and the oldest r3 rows. Independent of
+#: the 50-row driver gate, tools/driver_sim_r7.log holds a fresh-process
+#: hostile-timezone sim of the ENTIRE registry (all green), and
+#: tools/hostile_sweep_r7.log the adversarial-corpus sweep of every
+#: round-7 slot.
 #: Verification status of every entry, stated precisely (ADVICE r3 item 2):
 #: all 222 registered pairs pass the local oracle gate at sf0.01
 #: (tests/test_oracle.py, exact value compare); linear-oracle ops are also
@@ -109,6 +116,7 @@ _GATE_PRIORITY: list[str] = [
     "tx_zorder_pruned", "stream_late_deadletter", "tx_change_feed",
     "tx_optimize_zorder", "tx_cdf_replay", "llm_pq_train",
     "tx_mview_incremental", "agg_aqp_sample",
+    "src_minilog_dsv2", "stream_minilog_tail",
     # --- slots 6-9: r7-churned ops due a re-check: llm_ann_ivfpq was
     # --- rewritten from IVF-SQ8 to real product quantization (subspace
     # --- codebooks + ADC tables, VERDICT r6 task 1), and the three r6

@@ -420,3 +420,69 @@ def test_txn_replay_after_staging_cleans_orphans(spark, tbl):
     )
     parquet = [n for n in os.listdir(tbl.path) if n.endswith(".parquet")]
     assert len(parquet) == 1  # only the originally-committed file
+
+
+def test_minilog_datasource_batch_and_stream(spark, tmp_path):
+    """The Spark-native DataSource surface (sources/minilog_source.py):
+    batch read, option('version') time travel, schema evolution
+    null-fill through the source, streaming tail delivering each commit
+    exactly once, rewrite commits failing the default stream, and
+    ignoreChanges re-emitting rewritten files (Delta's documented
+    caveat)."""
+    import tempfile
+
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        register,
+    )
+
+    register(spark)
+    path = str(tmp_path / "ds")
+    tbl = MiniLogTable(spark, path, stats_cols=("k",))
+    tbl.append(_df(spark, [(1, "a"), (2, "b")]))
+    tbl.append(_df(spark, [(3, "c")]))
+    got = sorted(
+        tuple(r) for r in spark.read.format("minilog").load(path).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    v0 = sorted(
+        tuple(r)
+        for r in spark.read.format("minilog")
+        .option("version", 0)
+        .load(path)
+        .collect()
+    )
+    assert v0 == [(1, "a"), (2, "b")]
+    # evolution: old files null-fill THROUGH the source
+    tbl.append(
+        spark.createDataFrame([(4, "d", 9)], "k INT, v STRING, w INT"),
+        evolve_schema=True,
+    )
+    evolved = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in spark.read.format("minilog").load(path).collect()
+    )
+    assert evolved == [(1, "a", None), (2, "b", None), (3, "c", None), (4, "d", 9)]
+
+    def tail(name, **opts):
+        s = spark.readStream.format("minilog")
+        for k, v in opts.items():
+            s = s.option(k, v)
+        q = (
+            s.load(path)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r["k"] for r in spark.table(name).collect())
+
+    assert tail("ds_tail1") == [1, 2, 3, 4]  # each commit exactly once
+    # a rewrite commit must FAIL the default stream...
+    tbl.delete_where("k", 1, 1)
+    with pytest.raises(Exception, match="rewrites data files"):
+        tail("ds_tail2")
+    # ...and ignoreChanges re-emits the rewritten file (k=2 twice)
+    assert tail("ds_tail3", ignoreChanges="true") == [1, 2, 2, 3, 4]

@@ -324,7 +324,7 @@ BUILD_RUNS_JOBS_OK = {
     "stream_minilog_sink", "tx_vacuum_boundary", "tx_optimize_compact",
     "tx_schema_evolve", "tx_zorder_pruned", "stream_late_deadletter",
     "tx_change_feed", "tx_optimize_zorder", "tx_cdf_replay",
-    "tx_mview_incremental",
+    "tx_mview_incremental", "src_minilog_dsv2", "stream_minilog_tail",
 }
 
 
