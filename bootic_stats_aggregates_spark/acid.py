@@ -444,43 +444,13 @@ class MiniLogTable:
     def _schema_actions(
         self, df: DataFrame, evolve_schema: bool
     ) -> list[dict]:
-        """The metaData action (if any) an incoming write must commit.
-
-        Schema evolution contract (the public Delta mergeSchema design,
-        carried in the log rather than inferred from files):
-
-        - first write records the table schema;
-        - an existing column must keep its type (else SchemaMismatch);
-        - a write MISSING some table columns is fine — readers null-fill
-          from the log schema;
-        - NEW columns require ``evolve_schema=True`` and append to the
-          end of the table schema via a new metaData action; old files
-          simply lack the column and read back as NULL.
-        """
+        """The metaData action (if any) an incoming write must commit —
+        see :func:`schema_merge_actions` for the contract."""
         incoming = self._df_schema(df)
         current = (
             self.snapshot().schema if self.version >= 0 else None
         )
-        if current is None:
-            return [{"type": "metaData", "schema": incoming}]
-        types = {c["name"]: c["type"] for c in current}
-        fresh = []
-        for c in incoming:
-            if c["name"] not in types:
-                fresh.append(c)
-            elif types[c["name"]] != c["type"]:
-                raise SchemaMismatch(
-                    f"column {c['name']!r}: table has {types[c['name']]!r},"
-                    f" write has {c['type']!r} (type changes not supported)"
-                )
-        if not fresh:
-            return []
-        if not evolve_schema:
-            raise SchemaMismatch(
-                f"write adds columns {[c['name'] for c in fresh]} — pass "
-                "evolve_schema=True to evolve the table schema"
-            )
-        return [{"type": "metaData", "schema": current + fresh}]
+        return schema_merge_actions(incoming, current, evolve_schema)
 
     def append(
         self,
@@ -986,6 +956,50 @@ class MiniLogTable:
                 if os.path.exists(ck):
                     os.unlink(ck)
         return sorted(removed)
+
+
+def schema_merge_actions(
+    incoming: list[dict],
+    current: Optional[list[dict]],
+    evolve_schema: bool,
+) -> list[dict]:
+    """The metaData action (if any) a write with ``incoming`` schema must
+    commit against a table whose log schema is ``current``.
+
+    Schema evolution contract (the public Delta mergeSchema design,
+    carried in the log rather than inferred from files):
+
+    - first write records the table schema;
+    - an existing column must keep its type (else SchemaMismatch);
+    - a write MISSING some table columns is fine — readers null-fill
+      from the log schema;
+    - NEW columns require ``evolve_schema=True`` and append to the end
+      of the table schema via a new metaData action; old files simply
+      lack the column and read back as NULL.
+
+    Shared by the Python write path (:meth:`MiniLogTable.append`) and
+    the Spark-native DataSource writer (sources/minilog_source.py).
+    """
+    if current is None:
+        return [{"type": "metaData", "schema": incoming}]
+    types = {c["name"]: c["type"] for c in current}
+    fresh = []
+    for c in incoming:
+        if c["name"] not in types:
+            fresh.append(c)
+        elif types[c["name"]] != c["type"]:
+            raise SchemaMismatch(
+                f"column {c['name']!r}: table has {types[c['name']]!r},"
+                f" write has {c['type']!r} (type changes not supported)"
+            )
+    if not fresh:
+        return []
+    if not evolve_schema:
+        raise SchemaMismatch(
+            f"write adds columns {[c['name'] for c in fresh]} — pass "
+            "evolve_schema=True to evolve the table schema"
+        )
+    return [{"type": "metaData", "schema": current + fresh}]
 
 
 def _json_safe(v: Any) -> Any:

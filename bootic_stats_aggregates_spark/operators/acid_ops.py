@@ -924,3 +924,177 @@ def stream_minilog_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.format("minilog").load(tbl.path)
     out = run_to_memory(stream, mode="append")
     return out.select("event_type", "d", "n")
+
+
+@query(
+    "src_minilog_pushdown",
+    oracle=f"""
+    -- FILTER PUSHDOWN through the native DataSource: the table holds
+    -- two day-ranged files ([1,15]+NULL-day, [16,31]) and the query
+    -- df.filter(d >= 16) goes through the 4.1 pushFilters hook, which
+    -- turns the predicate into log-stats file skipping BEFORE Spark
+    -- schedules the scan. Rows = the filtered counters; pruned_ok
+    -- carries the reader-level assertion that the [1,15] file was
+    -- never partitioned into the scan.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d, n, true AS pruned_ok FROM c WHERE d >= 16
+    """,
+)
+def src_minilog_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-STATS SKIPPING THROUGH THE NATIVE SURFACE: Spark 4.1's
+    Python-source ``pushFilters`` hook hands the scan's predicates to
+    the reader at plan time; the reader folds single-column ranges and
+    prunes the snapshot's file list against the log's min/max stats —
+    so a plain ``spark.read.format("minilog").load(p).filter(...)``
+    gets the same O(box) file scan as MiniLogTable.read(prune=...),
+    with every filter handed back for row-level evaluation (the skip is
+    an optimization, never the filter). ``pruned_ok`` asserts it at the
+    reader level: partitions() under the pushed filter excludes the
+    non-overlapping file. Sessions with the pushdown conf disabled fall
+    back to the plain reader instead of failing the scan."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from ..sources.minilog_source import _MiniLogBatchReader, register
+
+    register(spark)
+    tbl, ready = _staged(spark, sf_dir, "minilog_pushdown")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        tbl.append(c.filter((F.col("d") <= 15) | F.col("d").isNull()))
+        tbl.append(c.filter(F.col("d") >= 16))
+        _mark_ready(tbl, sf_dir)
+    rdr = _MiniLogBatchReader(tbl.path, {})
+    rdr.pushFilters([GreaterThanOrEqual(("d",), 16)])
+    scanned = len([p for p in rdr.partitions() if p.path])
+    total = len(tbl.select_files())
+    pruned_ok = total == 2 and scanned == 1
+    return (
+        spark.read.format("minilog")
+        .load(tbl.path)
+        .filter(F.col("d") >= 16)
+        .select(
+            "event_type", "d", "n",
+            F.lit(bool(pruned_ok)).alias("pruned_ok"),
+        )
+    )
+
+
+@query(
+    "snk_minilog_dsv2_write",
+    oracle=f"""
+    -- the NATIVE WRITE path (df.write.format("minilog")): two appends
+    -- land the counters through Spark's two-phase writer protocol —
+    -- tasks write immutable files with Arrow-computed stats, the
+    -- driver commit folds them into one atomic log entry. Reading the
+    -- table back (through the log) must equal the counters, and
+    -- write_ok asserts the commits landed as two append entries WITH
+    -- working stats (the day <= 15 file prunes for a d >= 20 read).
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d, n, true AS write_ok FROM c
+    """,
+)
+def snk_minilog_dsv2_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MiniLog as a NATIVE SPARK SINK: ``df.write.format("minilog")``
+    maps Spark's two-phase commit protocol 1:1 onto the format — every
+    task lands its partition as an immutable UUID parquet file and
+    returns an add action with per-file min/max/null stats computed
+    from the Arrow table (no extra Spark job: the stats ride the write
+    itself, unlike the Python path's one distributed stats job), and
+    the DRIVER commit folds all task actions + the schema action into
+    ONE atomic log entry. A failed job's abort deletes its files; the
+    log never references them. option("statsCols", "d") selects the
+    skipping index; mode("overwrite") swaps the whole snapshot
+    atomically. Driver-checked: the written table read back through the
+    log must equal the counters."""
+    from ..sources.minilog_source import register
+
+    register(spark)
+    tbl, ready = _staged(spark, sf_dir, "minilog_dsv2_write")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        for pred in [
+            (F.col("d") <= 15) | F.col("d").isNull(),
+            F.col("d") >= 16,
+        ]:
+            (
+                c.filter(pred)
+                .coalesce(1)
+                .write.format("minilog")
+                .mode("append")
+                .option("statsCols", "d")
+                .save(tbl.path)
+            )
+        _mark_ready(tbl, sf_dir)
+    write_ok = (
+        tbl.version == 1
+        and all(h["operation"] == "append" for h in tbl.history())
+        and len(tbl.select_files(prune=("d", 20, 31))) == 1
+    )
+    return tbl.read().select(
+        "event_type", "d", "n", F.lit(bool(write_ok)).alias("write_ok")
+    )
+
+
+@query(
+    "stream_minilog_dsv2_sink",
+    oracle=f"""
+    -- the NATIVE STREAMING SINK (df.writeStream.format("minilog")):
+    -- a live AvailableNow query lands per-micro-batch counter deltas
+    -- through the stream writer, whose commit carries txn = (txnApp,
+    -- batchId) — exactly-once under Structured Streaming's
+    -- at-least-once replay, without foreachBatch. The summed read-back
+    -- equals the batch counters; exactly_once asserts one commit per
+    -- distinct batch id.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d, n, true AS exactly_once FROM c
+    """,
+)
+def stream_minilog_dsv2_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_minilog_sink's foreachBatch recipe PROMOTED INTO THE
+    NATIVE WRITER PROTOCOL: ``df.writeStream.format("minilog")`` is a
+    first-class Structured Streaming sink whose commit(messages,
+    batchId) writes the micro-batch's files under txn = (txnApp,
+    batchId). A replayed batch commits nothing, and the replay's
+    already-landed task files are deleted by the txn-replay path (the
+    orphan-cleanup contract) — exactly-once with zero user code in the
+    loop. The pipeline is the bronze-layer ingest shape: the RAW event
+    stream appends map-only projections per micro-batch (a cumulative
+    complete/update-mode aggregate would double-count across appends —
+    additive DELTAS need the foreachBatch twin, stream_minilog_sink);
+    the counters materialize on read-back, micro-batch-split
+    independent."""
+    from ..sources.minilog_source import register
+    from ..streaming.runner import _ckpt_dir, stream_table
+
+    register(spark)
+    tbl, ready = _staged(spark, sf_dir, "minilog_dsv2_sink")
+    if not ready:
+        ev = stream_table(spark, sf_dir, "events")
+        rows = ev.select(
+            "event_type", F.dayofmonth("ts").cast("long").alias("d")
+        )
+        q = (
+            rows.writeStream.format("minilog")
+            .option("path", tbl.path)
+            .option("statsCols", "d")
+            .option("txnApp", "dsv2-sink")
+            .outputMode("append")
+            .option("checkpointLocation", _ckpt_dir())
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("minilog dsv2 sink stream exceeded 300s")
+        _mark_ready(tbl, sf_dir)
+    versions = [h["txn"]["version"] for h in tbl.history() if h["txn"]]
+    exactly_once = len(versions) == len(set(versions)) == tbl.version + 1
+    return (
+        tbl.read()
+        .groupBy("event_type", "d")
+        .agg(lcount("n"))
+        .select(
+            "event_type", "d", "n",
+            F.lit(bool(exactly_once)).alias("exactly_once"),
+        )
+    )

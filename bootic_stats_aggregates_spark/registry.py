@@ -116,7 +116,8 @@ _GATE_PRIORITY: list[str] = [
     "tx_zorder_pruned", "stream_late_deadletter", "tx_change_feed",
     "tx_optimize_zorder", "tx_cdf_replay", "llm_pq_train",
     "tx_mview_incremental", "agg_aqp_sample",
-    "src_minilog_dsv2", "stream_minilog_tail",
+    "src_minilog_dsv2", "stream_minilog_tail", "src_minilog_pushdown",
+    "snk_minilog_dsv2_write", "stream_minilog_dsv2_sink",
     # --- slots 6-9: r7-churned ops due a re-check: llm_ann_ivfpq was
     # --- rewritten from IVF-SQ8 to real product quantization (subspace
     # --- codebooks + ADC tables, VERDICT r6 task 1), and the three r6

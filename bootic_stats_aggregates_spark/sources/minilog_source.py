@@ -6,7 +6,9 @@ one::
 
     spark.dataSource.register(MiniLogDataSource)
     spark.read.format("minilog").option("version", 3).load(path)
-    spark.readStream.format("minilog").load(path)      # tail the log
+    spark.readStream.format("minilog").load(path)       # tail the log
+    df.write.format("minilog").mode("append").save(path)
+    df.writeStream.format("minilog").start(path)        # exactly-once
 
 Why this matters at 100 TB: the DataSource boundary is what makes the
 format consumable by ANYTHING that speaks Spark — SQL (``CREATE TABLE
@@ -26,14 +28,29 @@ FAIL the stream by default — replaying a rewrite as appends would
 duplicate rows — matching Delta's contract; ``ignoreChanges=true``
 opts into Delta's same caveat (rewritten files re-emitted in full).
 
-Capability honesty: the Python DataSource API (4.1) gives no
-filter/column pushdown hooks, so a predicate read through this surface
-scans every live file of the snapshot (parquet row-group pruning still
-applies inside each file). When log-stats skipping matters, read
-through ``MiniLogTable.read(prune=...)`` — the file list is pruned
-BEFORE Spark sees it. Schema evolution IS honored: every partition
-projects its file to the snapshot's log schema (null-filling columns a
+Filter pushdown (4.1's ``pushFilters`` hook) harvests single-column
+range constraints and applies the log's min/max FILE SKIPPING before
+Spark schedules anything — the same stats index as
+``MiniLogTable.read(prune=...)``, now reachable from plain
+``df.filter(...)`` through the native surface; every filter is handed
+back to Spark for row-level evaluation, so the skip is an optimization,
+never the filter. Column pruning has no hook in 4.1 — a projection
+reads full rows (row-group pruning still applies inside each parquet
+file). Schema evolution IS honored on read: every partition projects
+its file to the snapshot's log schema (null-filling columns a
 pre-evolution file lacks) before emitting Arrow batches.
+
+The WRITE path maps Spark's two-phase writer protocol 1:1 onto the
+format's commit: tasks land immutable UUID-named parquet files with
+per-file stats computed from the Arrow table (option("statsCols",
+"a,b") selects the skipping index), the driver's commit folds every
+task's add actions into ONE atomic log entry (``mode("overwrite")``
+additionally removes the prior snapshot; ``mergeSchema`` opts into
+add-column evolution), and abort deletes the landed files — the log
+never references them, so no reader ever saw the failed job. The
+STREAMING writer adds exactly-once: commit carries txn =
+(``txnApp``, batchId), a replayed micro-batch commits nothing and the
+replay's already-landed files are deleted by the txn-replay path.
 """
 
 from __future__ import annotations
@@ -45,12 +62,25 @@ from typing import Iterator, Optional
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
 )
 
-from ..acid import MiniLogTable, NoSuchVersion
+from ..acid import (
+    MiniLogTable,
+    NoSuchVersion,
+    _json_safe,
+    schema_merge_actions,
+)
 
 @dataclass
 class _FilePartition(InputPartition):
@@ -118,10 +148,38 @@ def _read_file_arrow(part: _FilePartition):
     yield from table.to_batches(max_chunksize=8192)
 
 
-class _MiniLogBatchReader(DataSourceReader):
+def _file_may_match(f, col: str, lo, hi) -> bool:
+    """Conservative range test with open bounds (None = unbounded):
+    True unless the file's log stats PROVE no matching row exists."""
+    s = f.stats.get(col)
+    if not s or s.get("min") is None or s.get("max") is None:
+        return True
+    try:
+        if lo is not None and s["max"] < lo:
+            return False
+        if hi is not None and s["min"] > hi:
+            return False
+    except TypeError:  # JSON round-trip changed the type: stay safe
+        return True
+    return True
+
+
+class _MiniLogBatchReaderBase(DataSourceReader):
+    """Snapshot scan WITHOUT the pushFilters hook: Spark refuses any
+    reader that implements pushFilters when
+    ``spark.sql.python.filterPushdown.enabled`` is false (the 4.1
+    default), so the source picks this class for such sessions instead
+    of failing the scan — skipping is an optimization, losing it must
+    never lose the read. register() enables the conf, so sessions going
+    through this repo's entry points get the pushdown reader."""
+
     def __init__(self, path: str, options: dict) -> None:
         self._path = path
         self._options = options
+        #: column -> (lo, hi) range constraints harvested by pushFilters
+        #: (None bound = unbounded); consumed by partitions() for
+        #: log-stats file skipping. Stays empty in this base class.
+        self._ranges: dict = {}
 
     def partitions(self):
         tbl = _handle(self._path)
@@ -132,15 +190,46 @@ class _MiniLogBatchReader(DataSourceReader):
             if snap.schema
             else None
         )
+        files = snap.files
+        for col, (lo, hi) in self._ranges.items():
+            files = [f for f in files if _file_may_match(f, col, lo, hi)]
         return [
             _FilePartition(os.path.join(self._path, f.file), schema)
-            for f in snap.files
+            for f in files
         ] or [_FilePartition("", schema)]
 
     def read(self, partition: _FilePartition):
         if not partition.path:  # empty table: schema-only
             return iter(())
         return _read_file_arrow(partition)
+
+
+class _MiniLogBatchReader(_MiniLogBatchReaderBase):
+    def pushFilters(self, filters):
+        """Log-stats FILE SKIPPING through the native surface: harvest
+        single-column range constraints and prune the file list in
+        partitions(). Every filter is RETURNED (Spark re-evaluates them
+        row-level), so the skip is an optimization, never the filter —
+        the same contract as MiniLogTable.read(prune=...). Filters on
+        columns without log stats simply prune nothing."""
+        for flt in filters:
+            attr = getattr(flt, "attribute", None)
+            if not attr or len(attr) != 1:  # nested paths: not ours
+                continue
+            col = attr[0]
+            lo, hi = self._ranges.get(col, (None, None))
+            if isinstance(flt, EqualTo):
+                lo = flt.value if lo is None else max(lo, flt.value)
+                hi = flt.value if hi is None else min(hi, flt.value)
+            elif isinstance(flt, (GreaterThan, GreaterThanOrEqual)):
+                # stats skipping is conservative: treat > as >=
+                lo = flt.value if lo is None else max(lo, flt.value)
+            elif isinstance(flt, (LessThan, LessThanOrEqual)):
+                hi = flt.value if hi is None else min(hi, flt.value)
+            else:
+                continue
+            self._ranges[col] = (lo, hi)
+        return filters  # Spark applies all of them row-level
 
 
 class _MiniLogStreamReader(DataSourceStreamReader):
@@ -209,6 +298,148 @@ def _handle(path: str) -> MiniLogTable:
     return MiniLogTable.fold_only(path)
 
 
+@dataclass
+class _MiniLogCommitMessage(WriterCommitMessage):
+    #: add actions (file + rows + stats) for the files this task wrote
+    actions: list
+
+
+def _write_task_file(path: str, stats_cols: tuple, iterator):
+    """Executor-side write task: land this partition's Arrow batches as
+    ONE immutable parquet file under a fresh UUID name and return its
+    add action with per-file min/max/null stats — the same stats the
+    Python write path collects, computed here directly from the Arrow
+    table (no Spark job needed)."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    batches = [b for b in iterator if b.num_rows]
+    if not batches:
+        return _MiniLogCommitMessage(actions=[])
+    table = pa.Table.from_batches(batches)
+    name = f"{_uuid.uuid4().hex}.parquet"
+    pq.write_table(table, os.path.join(path, name))
+    stats = {}
+    for c in stats_cols:
+        if c in table.column_names:
+            col = table.column(c)
+            nulls = col.null_count
+            has_values = table.num_rows > nulls
+            stats[c] = {
+                "min": _json_safe(pc.min(col).as_py()) if has_values else None,
+                "max": _json_safe(pc.max(col).as_py()) if has_values else None,
+                "nulls": nulls,
+            }
+    return _MiniLogCommitMessage(
+        actions=[
+            {
+                "type": "add",
+                "file": name,
+                "rows": table.num_rows,
+                "stats": stats,
+            }
+        ]
+    )
+
+
+def _abort_task_files(path: str, messages) -> None:
+    for m in messages:
+        for a in getattr(m, "actions", None) or []:
+            try:
+                os.unlink(os.path.join(path, a["file"]))
+            except FileNotFoundError:
+                pass
+
+
+class _MiniLogArrowWriter(DataSourceArrowWriter):
+    """df.write.format("minilog"): Spark's two-phase writer protocol
+    mapped 1:1 onto the format's commit — tasks land immutable files
+    (speculative duplicates are aborted files, never data), the DRIVER
+    commit folds every task's add actions plus the schema action into
+    ONE atomic log entry. A failed job aborts by deleting its files;
+    the log never references them, so readers never saw anything."""
+
+    def __init__(
+        self,
+        path: str,
+        schema: list,
+        stats_cols: tuple,
+        overwrite: bool,
+        merge_schema: bool,
+    ) -> None:
+        self._path = path
+        self._schema = schema
+        self._stats_cols = stats_cols
+        self._overwrite = overwrite
+        self._merge_schema = merge_schema
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator):
+        return _write_task_file(self._path, self._stats_cols, iterator)
+
+    def commit(self, messages):
+        tbl = _handle(self._path)
+        if self._overwrite:
+            actions = [{"type": "metaData", "schema": self._schema}]
+        else:
+            current = tbl.snapshot().schema if tbl.version >= 0 else None
+            actions = schema_merge_actions(
+                self._schema, current, self._merge_schema
+            )
+        for m in messages:
+            actions += getattr(m, "actions", None) or []
+        op = "overwrite" if self._overwrite else "append"
+        if self._overwrite and tbl.version >= 0:
+            actions += [
+                {"type": "remove", "file": f.file}
+                for f in tbl.snapshot().files
+            ]
+        tbl._try_commit(op, actions)
+
+    def abort(self, messages):
+        _abort_task_files(self._path, messages)
+
+
+class _MiniLogStreamArrowWriter(DataSourceStreamArrowWriter):
+    """df.writeStream.format("minilog"): the streaming sink leg with
+    EXACTLY-ONCE via the format's txn markers — commit(messages,
+    batchId) carries txn = (txnApp option, batchId), so a replayed
+    micro-batch commits nothing and _try_commit's replay path deletes
+    the replay's already-landed files (the orphan-cleanup contract,
+    tests/test_acid.py). This is stream_minilog_sink's foreachBatch
+    recipe promoted into the native writer protocol."""
+
+    def __init__(
+        self, path: str, schema: list, stats_cols: tuple, txn_app: str
+    ) -> None:
+        self._path = path
+        self._schema = schema
+        self._stats_cols = stats_cols
+        self._txn_app = txn_app
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator):
+        return _write_task_file(self._path, self._stats_cols, iterator)
+
+    def commit(self, messages, batchId: int):
+        tbl = _handle(self._path)
+        current = tbl.snapshot().schema if tbl.version >= 0 else None
+        actions = schema_merge_actions(self._schema, current, False)
+        for m in messages:
+            actions += getattr(m, "actions", None) or []
+        tbl._try_commit(
+            "append",
+            actions,
+            txn={"app": self._txn_app, "version": int(batchId)},
+        )
+
+    def abort(self, messages, batchId: int):
+        _abort_task_files(self._path, messages)
+
+
 class MiniLogDataSource(DataSource):
     """``spark.read.format("minilog")`` / ``spark.readStream.format(...)``.
 
@@ -247,19 +478,78 @@ class MiniLogDataSource(DataSource):
             return from_arrow_schema(sch)
         raise NoSuchVersion("empty minilog table has no schema")
 
-    def reader(self, schema) -> _MiniLogBatchReader:
-        return _MiniLogBatchReader(self._path(), dict(self.options))
+    def reader(self, schema) -> _MiniLogBatchReaderBase:
+        cls = (
+            _MiniLogBatchReader
+            if _pushdown_enabled()
+            else _MiniLogBatchReaderBase
+        )
+        return cls(self._path(), dict(self.options))
 
     def streamReader(self, schema) -> _MiniLogStreamReader:
         opts = {k.lower(): v for k, v in dict(self.options).items()}
         return _MiniLogStreamReader(self._path(), opts)
 
+    @staticmethod
+    def _schema_list(schema) -> list:
+        return [
+            {"name": f.name, "type": f.dataType.simpleString()}
+            for f in schema.fields
+        ]
+
+    def _stats_cols(self) -> tuple:
+        raw = self.options.get("statscols", "")
+        return tuple(c.strip() for c in raw.split(",") if c.strip())
+
+    def writer(self, schema, overwrite: bool) -> _MiniLogArrowWriter:
+        merge = (
+            str(self.options.get("mergeschema", "false")).lower() == "true"
+        )
+        return _MiniLogArrowWriter(
+            self._path(),
+            self._schema_list(schema),
+            self._stats_cols(),
+            overwrite,
+            merge,
+        )
+
+    def streamWriter(
+        self, schema, overwrite: bool
+    ) -> _MiniLogStreamArrowWriter:
+        return _MiniLogStreamArrowWriter(
+            self._path(),
+            self._schema_list(schema),
+            self._stats_cols(),
+            self.options.get("txnapp", "minilog-stream-writer"),
+        )
+
+
+def _pushdown_enabled() -> bool:
+    """Does the ACTIVE session allow Python-source filter pushdown?
+    (Runs driver-side at plan time, where a session always exists.)"""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    return (
+        str(
+            spark.conf.get(
+                "spark.sql.python.filterPushdown.enabled", "false"
+            )
+        ).lower()
+        == "true"
+    )
+
 
 def register(spark) -> None:
-    """Idempotently register the source with a session."""
+    """Idempotently register the source with a session (and enable
+    Python-source filter pushdown so the log-stats skipping reader is
+    eligible — the conf is runtime-settable and off by default)."""
     from ..session import session_cache
 
     cache = session_cache(spark, "minilog_dsv2")
     if not cache.get("registered"):
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         spark.dataSource.register(MiniLogDataSource)
         cache["registered"] = True

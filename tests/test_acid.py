@@ -486,3 +486,52 @@ def test_minilog_datasource_batch_and_stream(spark, tmp_path):
         tail("ds_tail2")
     # ...and ignoreChanges re-emits the rewritten file (k=2 twice)
     assert tail("ds_tail3", ignoreChanges="true") == [1, 2, 2, 3, 4]
+
+
+def test_minilog_datasource_writer(spark, tmp_path):
+    """The native write path (sources/minilog_source.py writers):
+    append commits carry task-computed stats (skipping works on the
+    written table), overwrite swaps the snapshot atomically, schema
+    evolution needs mergeSchema, and a plain-session read of the
+    written table round-trips."""
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        register,
+    )
+
+    register(spark)
+    path = str(tmp_path / "w")
+    spark.createDataFrame([(1, "a"), (5, "b")], "k INT, v STRING").coalesce(
+        1
+    ).write.format("minilog").mode("append").option("statsCols", "k").save(
+        path
+    )
+    spark.createDataFrame([(10, "c")], "k INT, v STRING").coalesce(
+        1
+    ).write.format("minilog").mode("append").option("statsCols", "k").save(
+        path
+    )
+    tbl = MiniLogTable(spark, path, stats_cols=("k",))
+    assert tbl.version == 1
+    assert sorted(tuple(r) for r in tbl.read().collect()) == [
+        (1, "a"), (5, "b"), (10, "c"),
+    ]
+    # stats computed by the WRITE TASKS drive skipping
+    assert len(tbl.select_files(prune=("k", 1, 4))) == 1
+    # adding a column without mergeSchema must refuse; with it, evolve
+    df3 = spark.createDataFrame([(20, "d", 9)], "k INT, v STRING, w INT")
+    with pytest.raises(Exception, match="adds columns"):
+        df3.write.format("minilog").mode("append").save(path)
+    df3.coalesce(1).write.format("minilog").mode("append").option(
+        "mergeSchema", "true"
+    ).save(path)
+    assert [c["name"] for c in tbl.snapshot().schema] == ["k", "v", "w"]
+    got = sorted(
+        (r["k"], r["w"]) for r in tbl.read().collect()
+    )
+    assert got == [(1, None), (5, None), (10, None), (20, 9)]
+    # overwrite replaces data AND schema in one commit
+    spark.createDataFrame([(99,)], "z INT").coalesce(1).write.format(
+        "minilog"
+    ).mode("overwrite").save(path)
+    assert [tuple(r) for r in tbl.read().collect()] == [(99,)]
+    assert [c["name"] for c in tbl.snapshot().schema] == ["z"]

@@ -325,6 +325,8 @@ BUILD_RUNS_JOBS_OK = {
     "tx_schema_evolve", "tx_zorder_pruned", "stream_late_deadletter",
     "tx_change_feed", "tx_optimize_zorder", "tx_cdf_replay",
     "tx_mview_incremental", "src_minilog_dsv2", "stream_minilog_tail",
+    "src_minilog_pushdown", "snk_minilog_dsv2_write",
+    "stream_minilog_dsv2_sink",
 }
 
 
