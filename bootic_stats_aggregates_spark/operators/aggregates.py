@@ -247,15 +247,22 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
+    # n_days counts NON-NULL days (F.count skips NULLs) and the join is
+    # null-SAFE: clock-less events (NULL ts, hostile-fixture r7) form a
+    # NULL month bucket on both engines — count(DISTINCT date_trunc) in
+    # SQL ignores the NULL day, and a plain equi-join would silently drop
+    # the whole bucket (NULL != NULL).
     monthly = daily.groupBy(F.date_trunc("month", "day").alias("month")).agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.count(F.col("day")).cast("long").alias("n_days"),
     )
     exact = ev.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
         F.countDistinct("user_id").cast("long").alias("exact_users")
     )
-    return monthly.join(exact, "month").select(
-        "month",
+    return monthly.join(
+        exact, monthly["month"].eqNullSafe(exact["month"])
+    ).select(
+        monthly["month"],
         "exact_users",
         "n_days",
         (
@@ -1281,8 +1288,11 @@ def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- fixture has 5 event types, so the heavy-hitter estimates are exact
     -- and re-ranked deterministically by (count desc, item)
     SELECT day, item, cnt,
+           -- COALESCE sentinel: DuckDB v1.0.0 windowed PARTITION BY is
+           -- nondeterministic on NULL keys (hostile fixture r7); '-' is
+           -- outside the CAST(date) domain.
            CAST(row_number() OVER (
-             PARTITION BY day ORDER BY cnt DESC, item
+             PARTITION BY COALESCE(day, '-') ORDER BY cnt DESC, item
            ) AS BIGINT) AS rk
     FROM (
       SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,

@@ -121,7 +121,7 @@ def rank_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
       lag(event_id) OVER w AS prev_event_id,
       lead(event_id) OVER w AS next_event_id
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY COALESCE(user_id, -1) ORDER BY ts, event_id)
     """,
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,7 +153,7 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0, 2) AS run_total
     FROM events
     WINDOW w AS (
-      PARTITION BY user_id ORDER BY ts, event_id
+      PARTITION BY COALESCE(user_id, -1) ORDER BY ts, event_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
     )
     """,
@@ -190,7 +190,7 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) AS mov_avg
     FROM events
     WINDOW w AS (
-      PARTITION BY user_id ORDER BY ts, event_id
+      PARTITION BY COALESCE(user_id, -1) ORDER BY ts, event_id
       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
     )
     """,
@@ -221,7 +221,7 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       last_value(event_id) OVER w AS last_eid
     FROM events
     WINDOW w AS (
-      PARTITION BY user_id ORDER BY ts, event_id
+      PARTITION BY COALESCE(user_id, -1) ORDER BY ts, event_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
     )
     """,
@@ -260,12 +260,12 @@ SESSION_GAP_SEC = 1800
                OR sec - lag(sec) OVER w > {SESSION_GAP_SEC}
              THEN 1 ELSE 0 END AS new_s
       FROM e
-      WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+      WINDOW w AS (PARTITION BY COALESCE(user_id, -1) ORDER BY sec, event_id)
     ),
     sess AS (
       SELECT *,
         sum(new_s) OVER (
-          PARTITION BY user_id ORDER BY sec, event_id
+          PARTITION BY COALESCE(user_id, -1) ORDER BY sec, event_id
           ROWS UNBOUNDED PRECEDING
         ) AS session_id
       FROM flagged
@@ -380,12 +380,12 @@ def win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       event_id,
       user_id,
       CAST(round(sum(CAST(round(value * 100) AS BIGINT)) OVER (
-        PARTITION BY user_id
+        PARTITION BY COALESCE(user_id, -1)
         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
       ) / 100.0, 2) AS DOUBLE) AS trailing_1h_value,
       CAST(count(*) OVER (
-        PARTITION BY user_id
+        PARTITION BY COALESCE(user_id, -1)
         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
       ) AS BIGINT) AS trailing_1h_events
@@ -491,7 +491,7 @@ def win_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged AS (
       SELECT user_id, day,
              day - CAST(row_number() OVER (
-               PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+               PARTITION BY COALESCE(user_id, -1) ORDER BY day) AS INTEGER) AS anchor
       FROM days
     )
     SELECT user_id,
@@ -566,9 +566,13 @@ def win_trailing_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = table(spark, sf_dir, "events")
     days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    # explode_OUTER: a clock-less event (NULL ts -> NULL day, hostile
+    # fixture r7) must surface as the NULL as-of bucket exactly like the
+    # oracle's `day + g` (NULL-propagating) arithmetic does — plain
+    # explode(NULL sequence) would silently drop the row instead.
     fan = days.select(
         "user_id",
-        F.explode(
+        F.explode_outer(
             F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
         ).alias("as_of_day"),
     )
@@ -637,11 +641,16 @@ def win_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cents
       FROM events GROUP BY 1, 2
     )
-    SELECT day, event_type,
-           round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
-           round(CAST(cents AS DOUBLE)
-                 / sum(cents) OVER (PARTITION BY day), 6) AS share
-    FROM daily
+    -- denominator via GROUP BY + null-safe join, NOT a window: DuckDB
+    -- v1.0.0's parallel windowed PARTITION BY nondeterministically merges
+    -- the NULL-day partition into a neighboring date's partition on the
+    -- hostile fixture (measured 20/30 runs, r7 — and a COALESCE sentinel
+    -- key did NOT stabilize it); hash aggregation is deterministic.
+    , tot AS (SELECT day, sum(cents) AS total FROM daily GROUP BY day)
+    SELECT d.day, d.event_type,
+           round(CAST(d.cents AS DOUBLE) / 100.0, 2) AS revenue,
+           round(CAST(d.cents AS DOUBLE) / t.total, 6) AS share
+    FROM daily d JOIN tot t ON d.day IS NOT DISTINCT FROM t.day
     """,
 )
 def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:

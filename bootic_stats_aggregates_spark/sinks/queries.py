@@ -32,7 +32,8 @@ from .redis_sink import (
 _HASH_ORACLE = """
     WITH agg AS (
       SELECT
-        'stats:' || event_type || ':' || strftime(ts, '%Y:%m:%d:%H') AS key,
+        'stats:' || event_type || ':'
+          || COALESCE(strftime(ts, '%Y:%m:%d:%H'), '-') AS key,
         CAST(count(*) AS BIGINT) AS n,
         CAST(COALESCE(sum(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT)
           AS cents
@@ -74,7 +75,8 @@ def snk_redis_zset(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       'ZINCRBY' AS cmd,
-      'top_paths:' || event_type || ':' || strftime(ts, '%Y:%m:%d') AS key,
+      'top_paths:' || event_type || ':'
+        || COALESCE(strftime(ts, '%Y:%m:%d'), '-') AS key,
       COALESCE('/p/' || CAST(CAST(json_extract(props, '$.k') AS BIGINT)
                              AS VARCHAR), '-') AS member,
       CAST(count(*) AS BIGINT) AS delta
@@ -94,7 +96,7 @@ def snk_redis_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH agg AS (
       SELECT
         'stats:' || COALESCE(CAST(user_id % 20 AS VARCHAR), '-') || ':' || event_type
-          || ':' || strftime(ts, '%Y:%m:%d:%H') AS key,
+          || ':' || COALESCE(strftime(ts, '%Y:%m:%d:%H'), '-') AS key,
         CAST(count(*) AS BIGINT) AS n,
         CAST(COALESCE(sum(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT)
           AS cents
@@ -122,7 +124,8 @@ def snk_redis_acct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("stats"),
         F.coalesce((F.col("user_id") % 20).cast("string"), F.lit("-")),
         F.col("event_type"),
-        F.date_format("ts", "yyyy:MM:dd:HH"),
+        # NULL ts -> explicit '-' bucket segment (hostile sweep r7)
+        F.coalesce(F.date_format("ts", "yyyy:MM:dd:HH"), F.lit("-")),
     )
     agg = ev.groupBy(key.alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -146,7 +149,8 @@ def snk_redis_acct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT DISTINCT
       'SADD' AS cmd,
-      'uniq:' || event_type || ':' || strftime(ts, '%Y:%m:%d') AS key,
+      'uniq:' || event_type || ':'
+      || COALESCE(strftime(ts, '%Y:%m:%d'), '-') AS key,
       COALESCE(CAST(user_id AS VARCHAR), '-') AS member
     FROM events
     """,
@@ -161,7 +165,8 @@ def snk_redis_uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH agg AS (
       SELECT
-        'stats:' || event_type || ':' || strftime(ts, '%Y:%m:%d:%H') AS key,
+        'stats:' || event_type || ':'
+          || COALESCE(strftime(ts, '%Y:%m:%d:%H'), '-') AS key,
         CAST(count(*) AS BIGINT) AS n,
         CAST(COALESCE(sum(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT)
           AS cents
@@ -199,7 +204,8 @@ def stream_redis_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH agg AS (
       SELECT
-        'stats:' || event_type || ':' || strftime(ts, '%Y:%m:%d:%H') AS key,
+        'stats:' || event_type || ':'
+          || COALESCE(strftime(ts, '%Y:%m:%d:%H'), '-') AS key,
         CAST(count(*) AS BIGINT) AS n,
         CAST(COALESCE(sum(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT)
           AS cents
@@ -358,12 +364,20 @@ def snk_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "snk_partition_overwrite",
     oracle="""
     -- replay of the dynamic partition overwrite: the earliest day's
-    -- partition is rewritten to purchases-only; every other day untouched
+    -- partition is rewritten to purchases-only; every other day untouched.
+    -- NULL event_date rows land in (and survive as) Spark's
+    -- __HIVE_DEFAULT_PARTITION__ — an untouched partition like any other —
+    -- so the IS NULL branch keeps them (hostile sweep r7).
     WITH ev AS (
       SELECT *, CAST(date_trunc('day', ts) AS DATE) AS event_date FROM events
     ),
     final AS (
-      SELECT * FROM ev WHERE event_date <> (SELECT min(event_date) FROM ev)
+      -- `ts IS NULL`, not `event_date IS NULL`: DuckDB v1.0.0's optimizer
+      -- wrongly folds `CAST(date_trunc('day', ts) AS DATE) IS NULL` to
+      -- false (statistics propagation marks the cast non-NULL; measured
+      -- on the hostile fixture, r7). ts IS NULL is the same predicate.
+      SELECT * FROM ev WHERE ts IS NULL
+        OR event_date <> (SELECT min(event_date) FROM ev)
       UNION ALL
       SELECT * FROM ev
       WHERE event_date = (SELECT min(event_date) FROM ev)

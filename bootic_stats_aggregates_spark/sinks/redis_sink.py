@@ -61,7 +61,10 @@ def counter_commands(events: DataFrame) -> DataFrame:
         ":",
         F.lit(KEY_PREFIX),
         F.col("event_type"),
-        F.date_format("ts", BUCKET_FMT),
+        # clock-less events (NULL ts) go to an explicit '-' bucket:
+        # concat_ws would silently DROP the NULL segment, leaving a
+        # two-part key that corrupts the schema (hostile sweep r7)
+        F.coalesce(F.date_format("ts", BUCKET_FMT), F.lit("-")),
     )
     # NULL policy (uniform across the redis command family, hostile-fixture
     # sweep r5): a bucket whose every value is NULL sums to NULL — an
@@ -113,7 +116,8 @@ def path_ranking_commands(events: DataFrame) -> DataFrame:
         F.get_json_object("props", "$.k"),
     )
     path = F.parse_url(url, F.lit("PATH"))
-    day = F.date_format("ts", "yyyy:MM:dd")
+    # NULL ts -> explicit '-' day segment (concat_ws drops NULL segments)
+    day = F.coalesce(F.date_format("ts", "yyyy:MM:dd"), F.lit("-"))
     agg = events.groupBy(
         F.concat_ws(":", F.lit("top_paths"), F.col("event_type"), day).alias("key"),
         # NULL/unparseable props -> '-' sentinel member
@@ -133,7 +137,8 @@ def unique_commands(events: DataFrame) -> DataFrame:
         ":",
         F.lit("uniq"),
         F.col("event_type"),
-        F.date_format("ts", "yyyy:MM:dd"),
+        # NULL ts -> explicit '-' day segment (concat_ws drops NULLs)
+        F.coalesce(F.date_format("ts", "yyyy:MM:dd"), F.lit("-")),
     )
     return (
         events.select(

@@ -82,13 +82,19 @@ def stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
         AS total_value
     FROM events
+    WHERE ts IS NOT NULL  -- event-time windows REQUIRE an event time
     GROUP BY 1, 2
     """,
 )
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour counters per event type — the reference's hot path
     as a streaming stateful aggregation (complete output to make the full
-    materialized state comparable)."""
+    materialized state comparable).
+
+    NULL-ts contract (hostile fixture r7): ``window()`` cannot assign a
+    clock-less row to any window — Spark's event-time operators drop it —
+    so the oracle models the same contract with ``ts IS NOT NULL``;
+    surfacing/landing those rows is ``stream_late_deadletter``'s job."""
     ev = stream_table(spark, sf_dir, "events")
     agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
@@ -150,13 +156,19 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
           THEN 1 ELSE 0
         END AS new_session
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      WHERE ts IS NOT NULL  -- session windows REQUIRE an event time
+      WINDOW w AS (PARTITION BY COALESCE(user_id, -1) ORDER BY ts)
     ),
     sessions AS (
       SELECT
         user_id, ts,
         sum(new_session) OVER (
-          PARTITION BY user_id ORDER BY ts
+          -- COALESCE sentinel: DuckDB v1.0.0's windowed PARTITION BY
+          -- nondeterministically merges a NULL-key partition into a
+          -- neighbor (measured 20/30 runs on the hostile fixture, r7);
+          -- a non-NULL sentinel keys the same partition stably. GROUP BY
+          -- below is unaffected (hash-agg NULL grouping is sound).
+          PARTITION BY COALESCE(user_id, -1) ORDER BY ts
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         ) AS session_id
       FROM flagged
@@ -175,7 +187,10 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``session_window`` merges events into [first_ts, last_ts + gap) per
     user in streaming state; the oracle is the classic gaps-and-islands
-    construction over the same rows (session starts when gap >= 30min —
+    construction over the same rows, filtered to ``ts IS NOT NULL``
+    because a clock-less row cannot join any session window (Spark's
+    event-time operators drop it; ``stream_late_deadletter`` accounts
+    for such rows). Session starts when gap >= 30min —
     session windows are half-open intervals).
     """
     ev = stream_table(spark, sf_dir, "events")
@@ -505,6 +520,7 @@ def stream_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            CAST(count(*) AS BIGINT) AS n_events
     FROM events
+    WHERE ts IS NOT NULL  -- event-time windows REQUIRE an event time
     GROUP BY 1, 2
     """,
 )
@@ -572,7 +588,18 @@ def stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = f"{sf_dir.strip('/').replace('/', '_')}__events_sharded"
     d = os.path.join(_STAGE_ROOT, key)
     marker = os.path.join(d, "_STAGED")
-    if not os.path.exists(marker):
+    # The marker records a (size, mtime_ns) fingerprint of the source
+    # parquet: a regenerated fixture invalidates the staged shards instead
+    # of silently replaying stale rows (hostile sweep r7 found exactly
+    # that — shards staged before the fixture gained its NULL-ts rows).
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fingerprint = f"{st.st_size}:{st.st_mtime_ns}"
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            stale = fh.read().strip() != fingerprint
+    if stale:
         shutil.rmtree(d, ignore_errors=True)
         (
             table(spark, sf_dir, "events")
@@ -580,8 +607,8 @@ def stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(d)
         )
-        with open(marker, "w"):
-            pass
+        with open(marker, "w") as fh:
+            fh.write(fingerprint)
     ev = (
         spark.readStream.schema(table(spark, sf_dir, "events").schema)
         .option("maxFilesPerTrigger", 1)
@@ -710,8 +737,12 @@ def stream_approx_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
     )
-    return final.join(exact, "day").select(
-        "day",
+    # Null-SAFE join: this groupBy keys on a plain column (not a time
+    # window), so clock-less events (NULL ts, hostile fixture r7) DO form
+    # a NULL day group in streaming state; a plain equi-join on `day`
+    # would drop that bucket while the oracle emits it.
+    return final.join(exact, final["day"].eqNullSafe(exact["day"])).select(
+        final["day"],
         "exact_users",
         (
             (F.col("approx_users") >= F.round(F.col("exact_users") * 0.9))
