@@ -957,6 +957,88 @@ class MiniLogTable:
                     os.unlink(ck)
         return sorted(removed)
 
+    # ------------------------------------------------------ restore/clone
+    def restore(self, version: int) -> int:
+        """RESTORE the table to an earlier ``version`` as a NEW commit
+        (Delta RESTORE semantics): the target snapshot's file set and
+        schema become live again through plain add/remove/metaData
+        actions. Nothing is rewritten — data files are immutable, so a
+        restore is O(metadata) regardless of table size — and because it
+        is just one more commit, history is preserved: the pre-restore
+        state stays time-travelable and the restore itself is undoable
+        by another restore.
+
+        Raises :class:`NoSuchVersion` if ``version`` left the log window,
+        and ``FileNotFoundError`` if a file the target snapshot needs was
+        already vacuumed (same failure contract as Delta). Concurrency:
+        the commit goes through ``_try_commit``'s rebase loop, so a
+        restore racing an append lands cleanly after it; racing a
+        rewrite of a file it must remove raises ConcurrentModification.
+        """
+        target = self.snapshot(version)  # raises NoSuchVersion
+        current = self.snapshot()
+        cur = {f.file for f in current.files}
+        tgt = {f.file: f for f in target.files}
+        missing = [
+            n
+            for n in tgt
+            if not os.path.exists(os.path.join(self.path, n))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"restore to v{version}: data files vacuumed away: "
+                f"{sorted(missing)}"
+            )
+        actions: list[dict] = [
+            {"type": "add", "file": fe.file, "rows": fe.rows,
+             "stats": fe.stats}
+            for name, fe in sorted(tgt.items())
+            if name not in cur
+        ] + [
+            {"type": "remove", "file": name}
+            for name in sorted(cur - set(tgt))
+        ]
+        if target.schema is not None:
+            actions.append({"type": "metaData", "schema": target.schema})
+        return self._try_commit(f"restore(v{version})", actions)
+
+    def clone(
+        self, dest_path: str, version: Optional[int] = None
+    ) -> "MiniLogTable":
+        """ZERO-COPY CLONE of a snapshot into a fresh table root:
+        hardlink (``os.link``) every live data file into ``dest_path``
+        and commit them as version 0 of a NEW log. O(1) per file, no
+        bytes copied — the immutable parquet blocks are shared — and
+        because the clone owns its OWN directory entries, a later vacuum
+        or overwrite on the SOURCE cannot invalidate the clone (stronger
+        isolation than Delta's path-referencing shallow clone, available
+        because both roots live on one filesystem; a cross-filesystem
+        deployment would fall back to copies). The clone then evolves
+        independently: appends/merges/restores on either side never
+        touch the other — the dev/test-against-prod-data pattern.
+        """
+        snap = self.snapshot(version)
+        dst = MiniLogTable(self.spark, dest_path, stats_cols=self.stats_cols)
+        if dst.version >= 0:
+            raise ValueError(
+                f"clone target {dest_path} already has a log "
+                f"(v{dst.version}); clone only into empty roots"
+            )
+        actions: list[dict] = []
+        for fe in snap.files:
+            os.link(
+                os.path.join(self.path, fe.file),
+                os.path.join(dest_path, fe.file),
+            )
+            actions.append(
+                {"type": "add", "file": fe.file, "rows": fe.rows,
+                 "stats": fe.stats}
+            )
+        if snap.schema is not None:
+            actions.append({"type": "metaData", "schema": snap.schema})
+        dst._try_commit(f"clone({self.path}@v{snap.version})", actions)
+        return dst
+
 
 def schema_merge_actions(
     incoming: list[dict],

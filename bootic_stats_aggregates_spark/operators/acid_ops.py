@@ -1098,3 +1098,107 @@ def stream_minilog_dsv2_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(bool(exactly_once)).alias("exactly_once"),
         )
     )
+
+
+@query(
+    "tx_restore",
+    oracle=f"""
+    -- RESTORE as a commit: v0 appended days 1-10, v1 appended 11-20,
+    -- v2 deleted days 1-5, v3 = restore(v1). The latest state is the
+    -- FULL v1 content (the delete undone, O(metadata) — no rewrite),
+    -- and history is preserved: the pre-restore v2 state still time-
+    -- travels. Both reads come back from one table directory.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT 'restored' AS as_of, event_type, d, n FROM c WHERE d <= 20
+    UNION ALL
+    SELECT 'pre_restore' AS as_of, event_type, d, n FROM c
+    WHERE d BETWEEN 6 AND 20
+    """,
+)
+def tx_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE on the MiniLog format (Delta RESTORE semantics): roll the
+    table back to an earlier version as ONE new commit of add/remove
+    actions over the immutable data files — O(metadata) regardless of
+    table size, because nothing is rewritten. Unlike resetting the log,
+    a restore PRESERVES history: the mistaken state stays
+    time-travelable for audit, and the restore itself can be restored
+    away. The op builds append/append/delete, restores across the
+    delete, and returns latest (== v1's full content) next to the
+    pre-restore v2 state — both read through the same log. The vacuumed-
+    file failure contract (restore raises FileNotFoundError when the
+    target's files were reclaimed) is pinned in tests/test_acid.py."""
+    tbl, ready = _staged(spark, sf_dir, "restore")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        tbl.append(c.filter(F.col("d") <= 10))            # v0
+        tbl.append(c.filter(F.col("d").between(11, 20)))  # v1
+        tbl.delete_where("d", 1, 5)                       # v2
+        v = tbl.restore(1)                                # v3
+        assert v == 3, tbl.history()
+        assert tbl.history()[-1]["operation"] == "restore(v1)"
+        _mark_ready(tbl, sf_dir)
+    restored = tbl.read().select(
+        F.lit("restored").alias("as_of"), "event_type", "d", "n"
+    )
+    pre = tbl.read(version=2).select(
+        F.lit("pre_restore").alias("as_of"), "event_type", "d", "n"
+    )
+    return restored.unionByName(pre)
+
+
+@query(
+    "tx_clone_zero_copy",
+    oracle=f"""
+    -- ZERO-COPY CLONE: the source table (days 1-20 + the NULL-day
+    -- bucket from clock-less events) is cloned by hardlinking its
+    -- immutable files into a new root (no bytes copied), then the
+    -- SOURCE alone appends days 21+. The clone still reads exactly the
+    -- snapshot it was taken from; the source shows the divergence.
+    -- zero_copy_ok carries the hardlink proof (every clone file shares
+    -- an inode with a source file, st_nlink >= 2).
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT 'clone' AS side, event_type, d, n, true AS zero_copy_ok
+    FROM c WHERE d <= 20 OR d IS NULL
+    UNION ALL
+    SELECT 'source' AS side, event_type, d, n, true AS zero_copy_ok
+    FROM c
+    """,
+)
+def tx_clone_zero_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLONE on the MiniLog format: a snapshot becomes an independent
+    table by HARDLINKING its immutable data files into a fresh root and
+    committing them as v0 of a new log — O(1) per file, zero bytes
+    copied (the dev/test-against-prod-data pattern at 100 TB, where a
+    physical copy is days of IO). Because the clone owns its own
+    directory entries, vacuum/overwrite on the source cannot invalidate
+    it — stronger isolation than Delta's path-referencing shallow
+    clone (tests/test_acid.py pins read-after-source-vacuum). After the
+    clone, the source appends more days; the result returns both sides
+    from their own logs, plus an inode-level zero-copy assertion."""
+    tbl, ready = _staged(spark, sf_dir, "clone_src")
+    clone_root = tbl.path + "_clone"
+    if not ready:
+        shutil.rmtree(clone_root, ignore_errors=True)
+        c = _day_counters(spark, sf_dir)
+        # NULL-day bucket (clock-less events, hostile fixture) rides v0:
+        # every day filter must place it somewhere or the source table
+        # silently diverges from the oracle's full-table side
+        tbl.append(c.filter((F.col("d") <= 10) | F.col("d").isNull()))  # v0
+        tbl.append(c.filter(F.col("d").between(11, 20)))  # v1
+        tbl.clone(clone_root)
+        tbl.append(c.filter(F.col("d") >= 21))            # source diverges
+        _mark_ready(tbl, sf_dir)
+    clone = MiniLogTable(spark, clone_root, stats_cols=("d",))
+    linked = all(
+        os.stat(os.path.join(clone_root, fe.file)).st_nlink >= 2
+        for fe in clone.snapshot().files
+    )
+    c_side = clone.read().select(
+        F.lit("clone").alias("side"), "event_type", "d", "n",
+        F.lit(bool(linked)).alias("zero_copy_ok"),
+    )
+    s_side = tbl.read().select(
+        F.lit("source").alias("side"), "event_type", "d", "n",
+        F.lit(bool(linked)).alias("zero_copy_ok"),
+    )
+    return c_side.unionByName(s_side)

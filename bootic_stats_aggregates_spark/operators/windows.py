@@ -585,21 +585,44 @@ def win_trailing_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_mom_growth",
     oracle="""
     -- period-over-period reporting: monthly revenue, absolute delta and
-    -- percent growth vs the previous month, per event type
+    -- percent growth vs the previous PRESENT month, per event type. The
+    -- NULL-month bucket (clock-less events) is reported but never joins
+    -- the chain — a clock-less bucket is nobody's "previous month". The
+    -- previous month comes from a correlated top-1 lookup, NOT lag():
+    -- DuckDB v1.0.0's parallel window operator produced a flaky lag
+    -- chain for this op inside the 240-query sweep connection (hostile
+    -- fixture, r7) while hash/join plans stayed deterministic.
+    -- the clockless flag is aggregated from ts IS NULL because DuckDB
+    -- v1.0.0 wrongly constant-folds `date_trunc(...) IS NULL` (and the
+    -- DATE-cast form) to false — statistics propagation marks the
+    -- expression non-NULL (measured on the hostile fixture, r7)
     WITH monthly AS (
       SELECT event_type, date_trunc('month', ts) AS month,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-               AS cents
+               AS cents,
+             max(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) = 1 AS clockless
       FROM events GROUP BY 1, 2
+    ),
+    real AS (SELECT * FROM monthly WHERE NOT clockless),
+    chained AS (
+      SELECT r.event_type, r.month, r.cents,
+             (SELECT p.cents FROM real p
+               WHERE p.event_type = r.event_type AND p.month < r.month
+               ORDER BY p.month DESC LIMIT 1) AS prev_cents
+      FROM real r
     )
     SELECT event_type, month,
            round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
-           round(CAST(cents - lag(cents) OVER w AS DOUBLE) / 100.0, 2)
-             AS delta,
-           round(CAST(cents - lag(cents) OVER w AS DOUBLE)
-                 / lag(cents) OVER w * 100, 4) AS pct_growth
-    FROM monthly
-    WINDOW w AS (PARTITION BY event_type ORDER BY month)
+           round(CAST(cents - prev_cents AS DOUBLE) / 100.0, 2) AS delta,
+           round(CAST(cents - prev_cents AS DOUBLE)
+                 / prev_cents * 100, 4) AS pct_growth
+    FROM chained
+    UNION ALL
+    SELECT event_type, month,
+           round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+           CAST(NULL AS DOUBLE) AS delta,
+           CAST(NULL AS DOUBLE) AS pct_growth
+    FROM monthly WHERE clockless
     """,
 )
 def win_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,7 +633,11 @@ def win_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     the monthly rollup. The window partitions by event type over months
     — tiny after aggregation, so the lag costs nothing; the heavy lifting
     stays in the mergeable cents rollup. First month's delta/growth is
-    NULL (no prior period) on both engines.
+    NULL (no prior period) on both engines, and the NULL-month bucket
+    (clock-less events, hostile fixture r7) is reported with NULL
+    delta/growth WITHOUT entering anyone's lag chain — lag over a
+    nulls-first order would otherwise make January's "previous month"
+    the clock-less bucket.
     """
     ev = table(spark, sf_dir, "events")
     monthly = ev.groupBy(
@@ -618,7 +645,7 @@ def win_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum(cents("value")).alias("cents"))
     w = Window.partitionBy("event_type").orderBy("month")
     prev = F.lag("cents").over(w)
-    return monthly.select(
+    real = monthly.filter(F.col("month").isNotNull()).select(
         "event_type",
         "month",
         F.round(F.col("cents").cast("double") / 100.0, 2).alias("revenue"),
@@ -629,6 +656,14 @@ def win_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents") - prev).cast("double") / prev * 100, 4
         ).alias("pct_growth"),
     )
+    nullb = monthly.filter(F.col("month").isNull()).select(
+        "event_type",
+        "month",
+        F.round(F.col("cents").cast("double") / 100.0, 2).alias("revenue"),
+        F.lit(None).cast("double").alias("delta"),
+        F.lit(None).cast("double").alias("pct_growth"),
+    )
+    return real.unionByName(nullb)
 
 
 @query(

@@ -535,3 +535,84 @@ def test_minilog_datasource_writer(spark, tmp_path):
     ).mode("overwrite").save(path)
     assert [tuple(r) for r in tbl.read().collect()] == [(99,)]
     assert [c["name"] for c in tbl.snapshot().schema] == ["z"]
+
+
+def test_restore_rolls_back_as_new_commit(spark, tbl):
+    tbl.append(_df(spark, [(1, "a"), (2, "b")]))   # v0
+    tbl.append(_df(spark, [(3, "c")]))             # v1
+    tbl.delete_where("k", 1, 1)                    # v2
+    v = tbl.restore(1)                             # v3: undo the delete
+    assert v == 3
+    got = sorted(tuple(r) for r in tbl.read().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # history preserved: the pre-restore state still time-travels
+    assert sorted(tuple(r) for r in tbl.read(version=2).collect()) == [
+        (2, "b"), (3, "c"),
+    ]
+    # and the restore itself is undoable
+    tbl.restore(2)
+    assert sorted(tuple(r) for r in tbl.read().collect()) == [
+        (2, "b"), (3, "c"),
+    ]
+
+
+def test_restore_after_vacuum_raises_cleanly(spark, tbl):
+    tbl.append(_df(spark, [(1, "a")]))             # v0
+    tbl.overwrite(_df(spark, [(2, "b")]))          # v1 (v0's file now dead)
+    tbl.overwrite(_df(spark, [(3, "c")]))          # v2
+    tbl.vacuum(retain_last=1, min_age_seconds=0)
+    # the retention window dropped v0/v1 entirely: NoSuchVersion
+    with pytest.raises(NoSuchVersion):
+        tbl.restore(1)
+
+
+def test_restore_missing_file_raises_filenotfound(spark, tbl):
+    tbl.append(_df(spark, [(1, "a")]))             # v0
+    tbl.overwrite(_df(spark, [(2, "b")]))          # v1
+    # v0 is still in the log, but its data file is manually reclaimed
+    dead = [f.file for f in tbl.snapshot(0).files]
+    for name in dead:
+        os.unlink(os.path.join(tbl.path, name))
+    with pytest.raises(FileNotFoundError):
+        tbl.restore(0)
+    # the failed restore committed nothing
+    assert tbl.version == 1
+
+
+def test_clone_is_zero_copy_and_isolated(spark, tbl, tmp_path):
+    tbl.append(_df(spark, [(1, "a"), (2, "b")]))   # v0
+    clone = tbl.clone(str(tmp_path / "c"))
+    # zero-copy: every clone file is a hardlink (shared inode)
+    for fe in clone.snapshot().files:
+        st = os.stat(os.path.join(clone.path, fe.file))
+        assert st.st_nlink >= 2
+    # divergence: each side evolves independently
+    tbl.append(_df(spark, [(3, "src")]))
+    clone.append(_df(spark, [(4, "cl")]))
+    assert sorted(tuple(r) for r in tbl.read().collect()) == [
+        (1, "a"), (2, "b"), (3, "src"),
+    ]
+    assert sorted(tuple(r) for r in clone.read().collect()) == [
+        (1, "a"), (2, "b"), (4, "cl"),
+    ]
+    # isolation: vacuuming/overwriting the SOURCE cannot break the clone
+    tbl.overwrite(_df(spark, [(9, "z")]))
+    tbl.vacuum(retain_last=1, min_age_seconds=0)
+    assert sorted(tuple(r) for r in clone.read().collect()) == [
+        (1, "a"), (2, "b"), (4, "cl"),
+    ]
+
+
+def test_clone_refuses_nonempty_target(spark, tbl, tmp_path):
+    tbl.append(_df(spark, [(1, "a")]))
+    other = MiniLogTable(spark, str(tmp_path / "o"), stats_cols=("k",))
+    other.append(_df(spark, [(2, "b")]))
+    with pytest.raises(ValueError, match="already has a log"):
+        tbl.clone(other.path)
+
+
+def test_clone_at_version(spark, tbl, tmp_path):
+    tbl.append(_df(spark, [(1, "a")]))             # v0
+    tbl.append(_df(spark, [(2, "b")]))             # v1
+    clone = tbl.clone(str(tmp_path / "cv"), version=0)
+    assert [tuple(r) for r in clone.read().collect()] == [(1, "a")]
