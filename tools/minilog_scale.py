@@ -11,6 +11,10 @@ stats on the key) and measures the three claims the format makes:
    file — wall time should track the touched file, not the table.
 3. CHANGE FEED: changes(v, v+1) after that merge reads only the churned
    files — O(churn) vs the O(table) full-scan alternative.
+4. RESTORE: undoing the merge is O(metadata) — milliseconds at any
+   table size, file-set equality asserted against the target snapshot.
+5. CLONE: hardlinking the table into a new root is O(files) — zero
+   bytes copied.
 
 Usage: python tools/minilog_scale.py [files] [rows_per_file]
 Defaults: 64 files x 100_000 rows = 6.4M rows.
@@ -95,6 +99,30 @@ def main() -> None:
         f"— table is {total} rows"
     )
     assert n_changes == 2_000
+
+    # 4. RESTORE is O(metadata): undoing the merge on the 64M-row table
+    # must cost milliseconds — it commits add/remove actions, rewrites
+    # nothing. Verified by file-set equality with the pre-merge snapshot.
+    pre_merge = info["version"] - 1
+    before = {f.file for f in tbl.snapshot(pre_merge).files}
+    t0 = time.perf_counter()
+    rv = tbl.restore(pre_merge)
+    t_restore = time.perf_counter() - t0
+    assert {f.file for f in tbl.snapshot(rv).files} == before
+    print(
+        f"restore: v{rv} -> file set of v{pre_merge} in {t_restore * 1e3:.0f}ms "
+        f"— table is {total} rows, zero rewritten"
+    )
+
+    # 5. CLONE is O(files): hardlink the whole table into a new root.
+    t0 = time.perf_counter()
+    cl = tbl.clone(os.path.join(root, "c"))
+    t_clone = time.perf_counter() - t0
+    assert len(cl.snapshot().files) == len(before)
+    print(
+        f"clone: {len(before)} files hardlinked in {t_clone * 1e3:.0f}ms "
+        f"— zero bytes copied for {total} rows"
+    )
 
     shutil.rmtree(root)
     print("OK")
