@@ -895,3 +895,92 @@ def llm_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= CONTAINMENT_THRESHOLD)
         .select("doc_id_a", "doc_id_b", F.round(cont, 6).alias("containment"))
     )
+
+
+#: Fuzzy-join (entity resolution) config: the normalized join key is the
+#: doc's first 24 characters (whitespace squashed); pairs must share a
+#: blocking key and sit within this edit distance to match.
+FUZZY_KEY_LEN = 24
+FUZZY_MAX_DIST = 6
+FUZZY_BAND_CHARS = 64  # length-band width for the second blocking key
+
+
+@query(
+    "llm_fuzzy_join",
+    oracle=f"""
+    -- BLOCKED FUZZY SELF-JOIN (entity resolution): pairs of documents
+    -- whose normalized 24-char prefix keys are within edit distance
+    -- {FUZZY_MAX_DIST}, discovered ONLY inside (lang, length-band)
+    -- blocks — the record-linkage pattern that replaces the O(n^2)
+    -- all-pairs distance matrix. levenshtein() has identical unit-cost
+    -- semantics in both engines.
+    WITH k AS (
+      SELECT doc_id, lang,
+             -- floor() explicitly: DuckDB CAST(DOUBLE AS BIGINT) ROUNDS
+             -- while Spark's cast truncates — a half-band silent skew
+             CAST(floor(n_chars / {FUZZY_BAND_CHARS}) AS BIGINT) AS band,
+             substr(regexp_replace(trim(text), ' +', ' ', 'g'),
+                    1, {FUZZY_KEY_LEN}) AS key
+      FROM documents
+      WHERE length(trim(text)) > 0
+    )
+    SELECT a.lang,
+           a.doc_id AS doc_id_a,
+           b.doc_id AS doc_id_b,
+           CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+    FROM k a JOIN k b
+      ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.key, b.key) <= {FUZZY_MAX_DIST}
+    """,
+)
+def llm_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked FUZZY JOIN — entity resolution / record linkage over noisy
+    text keys, the data-cleaning shape (near-identical titles, typo'd
+    URLs, OCR'd names) that exact dedup misses and MinHash over-kills.
+
+    The scale architecture is standard ER **blocking**: candidates are
+    generated ONLY within (lang, length-band) blocks via an equi-join —
+    never an all-pairs cross join — and the quadratic edit-distance
+    verification is paid per block, bounded by the largest block, not by
+    |docs|². At 100 TB the same plan holds with sharper blocks (more key
+    prefix chars, sorted-neighborhood bands, or a MinHash band on the key
+    exactly like llm_near_dedup); the equi-join shuffles on the block key
+    and Spark's levenshtein is a codegen'd JVM expression, so the verify
+    stage never leaves the executor. The normalized key (trimmed,
+    whitespace-squashed prefix) and the unit-cost levenshtein are
+    bit-identical across engines, so the full pair list is exact-oracle-
+    checked. Empty/whitespace-only docs (hostile fixture) are excluded
+    up front: an empty key would fuzzy-match every short key in its
+    block at distance ≤ its length — the ER equivalent of the NULL-band
+    skew bomb. Known recall boundary (inherent to single-pass blocking):
+    a pair straddling a length-band edge is not generated; production
+    runs a second pass with bands offset by half a width (same plan,
+    one more shuffle) or swaps the band for a MinHash band.
+    """
+    d = table(spark, sf_dir, "documents")
+    k = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / FUZZY_BAND_CHARS).cast("long").alias("band"),
+        F.substring(
+            F.regexp_replace(F.trim("text"), " +", " "), 1, FUZZY_KEY_LEN
+        ).alias("key"),
+    )
+    a = k.select(
+        F.col("lang"), F.col("band"),
+        F.col("doc_id").alias("doc_id_a"), F.col("key").alias("key_a"),
+    )
+    b = k.select(
+        F.col("lang"), F.col("band"),
+        F.col("doc_id").alias("doc_id_b"), F.col("key").alias("key_b"),
+    )
+    dist = F.levenshtein("key_a", "key_b")
+    return (
+        a.join(b, ["lang", "band"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .filter(dist <= FUZZY_MAX_DIST)
+        .select(
+            "lang", "doc_id_a", "doc_id_b",
+            dist.cast("long").alias("dist"),
+        )
+    )

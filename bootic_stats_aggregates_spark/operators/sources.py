@@ -597,3 +597,76 @@ def src_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("ts").cast("long").alias("y"),
         F.month("ts").cast("long").alias("m"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+
+
+@query(
+    "src_profile_stats",
+    oracle="""
+    -- per-column data profile of the events table: null count + exact
+    -- distinct count per column, one row per column — the DESCRIBE /
+    -- data-quality surface every ingest gate runs before trusting a
+    -- new drop of data
+    SELECT 'event_id' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM events
+    UNION ALL
+    SELECT 'ts', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(ts) AS BIGINT),
+           CAST(count(DISTINCT ts) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(user_id) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(event_type) AS BIGINT),
+           CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'value', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(value) AS BIGINT),
+           CAST(count(DISTINCT value) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'props', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(props) AS BIGINT),
+           CAST(count(DISTINCT props) AS BIGINT) FROM events
+    """,
+)
+def src_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN PROFILER — the data-quality gate a pipeline runs on every
+    new drop before trusting it: per-column null count and exact
+    distinct count, one row per column. ONE Spark job: a single
+    grouping-free aggregate computes all 18 measures (Catalyst plans
+    the multi-distinct via one Expand — #columns passes over the scan,
+    zero extra shuffles beyond the partial/final agg), then the 1-row
+    result is unpivoted driver-free with ``stack``. At 100 TB swap each
+    countDistinct for approx_count_distinct (same plan minus the
+    Expand, one pass total) — kept exact here so the profile itself is
+    oracle-checked; NULL accounting (count(*) - count(col)) is the SQL
+    identity on both engines. The profile over the HOSTILE fixture is
+    what flags clock-less events and NULL users before they reach
+    time-bucketed aggregation (tools/duckdb_oracle_notes.md's bug class
+    starts exactly there).
+    """
+    ev = table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).cast("long").alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).cast("long").alias(f"nd_{c}"))
+    one = ev.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) AS (col_name, nn, nd)"
+        ),
+        "n_rows",
+    ).select(
+        "col_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("nn")).cast("long").alias("n_null"),
+        F.col("nd").cast("long").alias("n_distinct"),
+    )

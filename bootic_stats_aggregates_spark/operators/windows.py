@@ -907,3 +907,91 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("k_val", ignorenulls=True).over(w_full).alias("first_k"),
         F.last("k_val", ignorenulls=True).over(w_full).alias("last_k"),
     )
+
+
+@query(
+    "win_ewma_decay",
+    oracle="""
+    -- EXPONENTIALLY-DECAYED daily counters (half-life = 1 day): the
+    -- reference daemon's "recent activity" score. decayed_t =
+    -- sum_{i<=t} cents_i * 2^-(t-i), computed EXACTLY: the numerator
+    -- N_t = sum cents_i * 2^(d_i - d_min) accumulates in DECIMAL(38,0)
+    -- (power-of-two integer weights, day span <= 31, cents <= 1e14 ->
+    -- fits), and only the final N_t / 2^(t-d_min) touches floating
+    -- point — one identically-rounded double op on each engine. The
+    -- oracle accumulates via a <=31-row self-join instead of a running
+    -- window: DuckDB v1.0.0's parallel window operator is the flaky
+    -- one (tools/duckdb_oracle_notes.md); hash joins are deterministic.
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_part('day', ts) AS BIGINT) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events
+      WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    lo AS (SELECT event_type, min(d) AS d0 FROM daily GROUP BY 1),
+    acc AS (
+      SELECT a.event_type, a.d,
+             sum(CAST(b.cents AS DECIMAL(38,0))
+                 * CAST(power(2, b.d - lo.d0) AS DECIMAL(38,0))) AS num
+      FROM daily a
+      JOIN lo ON lo.event_type = a.event_type
+      JOIN daily b ON b.event_type = a.event_type AND b.d <= a.d
+      GROUP BY 1, 2
+    )
+    SELECT acc.event_type, acc.d,
+           round(CAST(acc.num AS DOUBLE)
+                 / power(2, acc.d - lo.d0) / 100.0, 2) AS decayed
+    FROM acc JOIN lo ON lo.event_type = acc.event_type
+    """,
+)
+def win_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-DECAYED counters (half-life one day) — the "recent
+    activity" score a stats daemon keeps next to its raw counters: each
+    day the score halves, today's revenue adds in full. The naive
+    recurrence (s_t = x_t + s_{t-1}/2) is sequential; the distributed
+    form is one running SUM over weights 2^(d-d_min): numerator exact in
+    DECIMAL(38,0) (power-of-two weights are exact integers; 31-day span
+    × 1e14 max cents stays < 10^38), then ONE double division at the
+    end. That makes an inherently-floating 'EWMA' bit-identical across
+    engines — same discipline as the integer-cents rule (FIXTURES.md
+    rule 3), extended to geometric weights. Spark runs the real
+    streaming-shaped plan: a cumulative window per event_type over the
+    tiny daily rollup (|types × days| rows), decimal-exact; the decayed
+    score merges across partial aggregates because the weighted
+    numerator is a plain SUM — the mergeable-aggregate property that
+    lets a 100 TB backfill and a live stream maintain the same score.
+    Clock-less events carry no day and are excluded on both engines.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.dayofmonth("ts").cast("long").alias("d")
+    ).agg(F.sum(cents("value")).alias("cents"))
+    w_min = Window.partitionBy("event_type")
+    d0 = F.min("d").over(w_min)
+    weighted = daily.select(
+        "event_type",
+        "d",
+        (
+            F.col("cents").cast("decimal(38,0)")
+            * F.pow(F.lit(2), F.col("d") - d0).cast("decimal(38,0)")
+        ).alias("wcents"),
+        d0.alias("d0"),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return weighted.select(
+        "event_type",
+        "d",
+        F.round(
+            F.sum("wcents").over(w_run).cast("double")
+            / F.pow(F.lit(2), F.col("d") - F.col("d0"))
+            / 100.0,
+            2,
+        ).alias("decayed"),
+    )

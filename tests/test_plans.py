@@ -326,7 +326,7 @@ BUILD_RUNS_JOBS_OK = {
     "tx_change_feed", "tx_optimize_zorder", "tx_cdf_replay",
     "tx_mview_incremental", "src_minilog_dsv2", "stream_minilog_tail",
     "src_minilog_pushdown", "snk_minilog_dsv2_write",
-    "stream_minilog_dsv2_sink",
+    "stream_minilog_dsv2_sink", "tx_restore", "tx_clone_zero_copy",
 }
 
 
