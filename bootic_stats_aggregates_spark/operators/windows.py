@@ -995,3 +995,97 @@ def win_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("decayed"),
     )
+
+
+@query(
+    "win_scd2_intervals",
+    oracle="""
+    -- SCD TYPE 2 build: collapse each user's event stream into
+    -- slowly-changing-dimension intervals — one row per consecutive RUN
+    -- of the same event_type, valid_from = first event of the run,
+    -- valid_to = start of the next run (NULL = current state). The
+    -- total order inside a user is (ts, event_id) — FIXTURES.md rule 2.
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+        CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+             THEN 1 ELSE 0 END AS chg
+      FROM events
+      WHERE ts IS NOT NULL  -- a clock-less event has no place on a timeline
+      WINDOW w AS (PARTITION BY COALESCE(user_id, -1)
+                   ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+        sum(chg) OVER (PARTITION BY COALESCE(user_id, -1)
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ordered
+    ),
+    iv AS (
+      SELECT user_id, run_id, event_type AS state,
+             min(ts) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY 1, 2, 3
+    )
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY COALESCE(user_id, -1)
+                                  ORDER BY valid_from, run_id) AS valid_to,
+           n_events
+    FROM iv
+    """,
+)
+def win_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 2 dimension build — turn an event stream into
+    slowly-changing-dimension history rows: one interval per consecutive
+    run of the same state per user, half-open [valid_from, valid_to),
+    NULL valid_to marking the current state. This is THE warehouse
+    pattern for "what was this user's state at time T" joins (pair it
+    with join_asof for the probe side).
+
+    Plan: classic gaps-and-islands — lag() flags state changes, a running
+    sum numbers the runs, one hash aggregate collapses runs to intervals,
+    lead() closes them. All three windows share ONE hashpartitioning on
+    user_id, so the whole build is a single shuffle over the events scan;
+    the aggregate shrinks data before the final lead. Determinism: the
+    in-user order is total ((ts, event_id) tie-break — the fixture's
+    simultaneous-events user exercises it), NULL users are one SCD
+    subject on both engines (oracle sentinel: DuckDB v1.0.0's parallel
+    window NULL-key nondeterminism, tools/duckdb_oracle_notes.md), and
+    clock-less rows are excluded — a stateless event has no place on a
+    timeline (same contract as the streaming windows).
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    runs = ev.select(
+        "user_id", "event_type", "ts", "event_id", chg.alias("chg")
+    ).select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("chg")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("run_id"),
+    )
+    iv = runs.groupBy("user_id", "run_id").agg(
+        F.first("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "run_id")
+    return iv.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )
