@@ -33,9 +33,20 @@ def money(col: str | Column) -> Column:
 
 
 def cents(col: str | Column) -> Column:
-    """2-decimal double -> exact integer cents (int64)."""
+    """2-decimal double -> exact integer cents (int64).
+
+    NaN/±Inf contract (r7): a non-finite amount becomes NULL cents — it
+    contributes NOTHING to any sum, exactly like the established NULL
+    policy ("an unknown amount increments nothing"). Without the guard,
+    a single NaN leaked into a 100 TB metrics column ABORTS every
+    aggregation fleet-wide under ANSI mode (CAST_OVERFLOW on the
+    long cast) — measured, tests/test_properties.py pins the policy.
+    The guard is a codegen'd CASE riding the existing projection; the
+    fixtures contain only finite values, so every oracle is unaffected.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * 100).cast("long")
+    finite = ~c.isNaN() & (c > float("-inf")) & (c < float("inf"))
+    return F.when(finite, F.round(c * 100).cast("long"))
 
 
 def _cents_sql(expr: str) -> str:

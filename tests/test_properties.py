@@ -1235,3 +1235,27 @@ def test_rocksdb_state_store_provider(spark):
         fn = getattr(QUERIES[qid], "__wrapped__", QUERIES[qid])
         default_rows = {tuple(r) for r in fn(spark, SF_DIR).collect()}
         assert rows == default_rows, f"{qid} diverged across providers"
+
+
+def test_cents_nan_inf_contract(spark):
+    """A non-finite amount (NaN/±Inf leaked into a metrics column) must
+    contribute NOTHING — not abort the aggregation. Without the guard in
+    helpers.cents(), ANSI mode raises CAST_OVERFLOW on the long cast and
+    a single bad row takes down every money aggregate fleet-wide."""
+    from pyspark.sql import functions as F
+
+    from bootic_stats_aggregates_spark.helpers import cents
+
+    df = spark.createDataFrame(
+        [
+            (1, float("nan")),
+            (2, float("inf")),
+            (3, float("-inf")),
+            (4, 1.5),
+            (5, None),
+        ],
+        "k INT, value DOUBLE",
+    )
+    rows = df.select(cents("value").alias("c")).collect()
+    assert [r.c for r in rows] == [None, None, None, 150, None]
+    assert df.agg(F.sum(cents("value")).alias("s")).collect()[0].s == 150
