@@ -1238,10 +1238,11 @@ def test_rocksdb_state_store_provider(spark):
 
 
 def test_cents_nan_inf_contract(spark):
-    """A non-finite amount (NaN/±Inf leaked into a metrics column) must
-    contribute NOTHING — not abort the aggregation. Without the guard in
-    helpers.cents(), ANSI mode raises CAST_OVERFLOW on the long cast and
-    a single bad row takes down every money aggregate fleet-wide."""
+    """An unrepresentable amount (NaN/±Inf, or a finite magnitude past
+    the int64-cents range) must contribute NOTHING — not abort the
+    aggregation. Without the guard in helpers.cents(), ANSI mode raises
+    CAST_OVERFLOW on the long cast and a single bad row takes down
+    every money aggregate fleet-wide."""
     from pyspark.sql import functions as F
 
     from bootic_stats_aggregates_spark.helpers import cents
@@ -1253,9 +1254,11 @@ def test_cents_nan_inf_contract(spark):
             (3, float("-inf")),
             (4, 1.5),
             (5, None),
+            (6, 1e18),  # finite, but 1e20 cents overflows int64
+            (7, -1e18),
         ],
         "k INT, value DOUBLE",
     )
     rows = df.select(cents("value").alias("c")).collect()
-    assert [r.c for r in rows] == [None, None, None, 150, None]
+    assert [r.c for r in rows] == [None, None, None, 150, None, None, None]
     assert df.agg(F.sum(cents("value")).alias("s")).collect()[0].s == 150
