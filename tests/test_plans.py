@@ -411,3 +411,41 @@ def test_multimodal_decode_is_map_only(spark):
         body = plan.split("===== Subqueries =====")[0]
         assert "Exchange" not in body, f"{qid} plans a shuffle:\n{body}"
         assert "MapInPandas" in body or "ArrowEvalPython" in body, body
+
+
+def test_fuzzy_join_is_blocked_equi_join(spark):
+    """llm_fuzzy_join claims candidates come ONLY from the (lang, band)
+    block equi-join — never an all-pairs matrix: no cartesian/nested-loop
+    node, and the levenshtein verify rides the join as a post-filter."""
+    plan = formatted_plan(fresh(spark, "llm_fuzzy_join"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan  # verify stage is a JVM expression
+
+
+def test_scd2_single_exchange(spark):
+    """win_scd2_intervals claims all three windows + the run-collapse
+    aggregate share ONE hashpartitioning on user_id: a single exchange in
+    the whole build (the aggregate's partial/final split reuses it)."""
+    plan = formatted_plan(fresh(spark, "win_scd2_intervals"))
+    body = plan.split("===== Subqueries =====")[0]
+    n_exchanges = sum(
+        1 for ln in body.splitlines() if ln.strip().startswith("(")
+        and "Exchange" in ln and "Reused" not in ln
+    )
+    assert n_exchanges == 1, f"expected 1 exchange, got {n_exchanges}"
+    assert "CartesianProduct" not in plan
+
+
+def test_profile_stats_single_scan_no_shuffle_joins(spark):
+    """src_profile_stats claims ONE grouping-free aggregate computes all
+    per-column measures: no join anywhere (the naive per-column UNION
+    would scan 6x), a single scan of the events parquet."""
+    plan = formatted_plan(fresh(spark, "src_profile_stats"))
+    body = plan.split("===== Subqueries =====")[0]
+    assert "Join" not in body
+    n_scans = sum(
+        1 for ln in body.splitlines() if ln.strip().startswith("(")
+        and "Scan parquet" in ln
+    )
+    assert n_scans == 1, f"expected 1 scan, got {n_scans}"
