@@ -616,3 +616,61 @@ def test_clone_at_version(spark, tbl, tmp_path):
     tbl.append(_df(spark, [(2, "b")]))             # v1
     clone = tbl.clone(str(tmp_path / "cv"), version=0)
     assert [tuple(r) for r in clone.read().collect()] == [(1, "a")]
+
+
+def test_restore_fails_tail_stream_and_vacuum_keeps_restored(spark, tmp_path):
+    """Cross-feature contracts for RESTORE:
+
+    1. A streaming consumer tailing the log must FAIL on a restore
+       commit by default — a restore carries remove actions (it swaps
+       the live file set), and replaying its re-added files as appends
+       would duplicate rows downstream (same contract as any rewrite;
+       ignoreChanges opts into the re-emission).
+    2. VACUUM after a restore keeps the restored files: they are live
+       again in the retained snapshot, so only the files the restore
+       displaced are reclaimable.
+    """
+    import tempfile
+
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        register,
+    )
+
+    register(spark)
+    path = str(tmp_path / "rs")
+    tbl = MiniLogTable(spark, path, stats_cols=("k",))
+    tbl.append(_df(spark, [(1, "a"), (2, "b")]))   # v0
+    tbl.delete_where("k", 1, 1)                    # v1: rewrite
+    restored_files = {f.file for f in tbl.snapshot(0).files}
+    tbl.restore(0)                                 # v2: re-add v0's file,
+    #                                                remove the rewrite
+
+    def tail(name, **opts):
+        s = spark.readStream.format("minilog")
+        for k, v in opts.items():
+            s = s.option(k, v)
+        q = (
+            s.load(path)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r["k"] for r in spark.table(name).collect())
+
+    with pytest.raises(Exception, match="rewrites data files"):
+        tail("rs_tail1")
+    # ignoreChanges: v0 emits [1,2], the delete's rewrite re-emits [2],
+    # the restore re-emits the re-added original [1,2]
+    assert tail("rs_tail2", ignoreChanges="true") == [1, 1, 2, 2, 2]
+
+    removed = tbl.vacuum(retain_last=1, min_age_seconds=0)
+    live = {f.file for f in tbl.snapshot().files}
+    assert live == restored_files                  # restored files kept
+    assert all(n not in restored_files for n in removed)
+    assert sorted(tuple(r) for r in tbl.read().collect()) == [
+        (1, "a"), (2, "b"),
+    ]
