@@ -112,11 +112,19 @@ class SchemaMismatch(ValueError):
 
 @dataclass
 class FileEntry:
-    """One live data file in a snapshot."""
+    """One live data file in a snapshot.
+
+    ``dv`` (r7) optionally names a DELETION-VECTOR sidecar parquet of
+    (file, row_index) pairs: rows listed there are logically deleted
+    from this file without rewriting it (merge-on-read, the public
+    Delta deletion-vector design). ``rows`` stays the PHYSICAL row
+    count; ``dv_rows`` is how many of them the vector masks."""
 
     file: str
     rows: int
     stats: dict[str, dict[str, Any]] = field(default_factory=dict)
+    dv: Optional[str] = None
+    dv_rows: int = 0
 
     def may_contain(self, col: str, lo: Any, hi: Any) -> bool:
         """Conservative range-overlap test: True unless the file's stats
@@ -236,7 +244,10 @@ class MiniLogTable:
             with open(self._ckpt_path(ckpts[-1])) as fh:
                 state = json.load(fh)
             live = {
-                f["file"]: FileEntry(f["file"], f["rows"], f.get("stats", {}))
+                f["file"]: FileEntry(
+                    f["file"], f["rows"], f.get("stats", {}),
+                    f.get("dv"), f.get("dv_rows", 0),
+                )
                 for f in state["files"]
             }
             txns = dict(state.get("txns", {}))
@@ -252,7 +263,8 @@ class MiniLogTable:
             for act in entry["actions"]:
                 if act["type"] == "add":
                     live[act["file"]] = FileEntry(
-                        act["file"], act["rows"], act.get("stats", {})
+                        act["file"], act["rows"], act.get("stats", {}),
+                        act.get("dv"), act.get("dv_rows", 0),
                     )
                 elif act["type"] == "remove":
                     live.pop(act["file"], None)
@@ -311,13 +323,28 @@ class MiniLogTable:
                             pass
                 return snap.version  # replay of an already-applied txn
             if removed:
-                live = {f.file for f in snap.files}
-                gone = removed - live
+                live = {f.file: f for f in snap.files}
+                gone = removed - set(live)
                 if gone:
                     raise ConcurrentModification(
                         f"{operation}: files rewritten by a concurrent "
                         f"commit: {sorted(gone)}"
                     )
+                # Entry-VERSION check (r7, deletion vectors): a remove
+                # action may pin the dv it was staged against; if a
+                # concurrent commit swapped the entry's dv since (a DV
+                # delete re-adds the same file name), proceeding would
+                # erase that delete or resurrect its rows — same-file
+                # writers must serialize, exactly Delta's matrix.
+                for a in actions:
+                    if a["type"] == "remove" and "base_dv" in a:
+                        cur = live[a["file"]].dv
+                        if cur != a["base_dv"]:
+                            raise ConcurrentModification(
+                                f"{operation}: deletion vector of "
+                                f"{a['file']} changed concurrently "
+                                f"({a['base_dv']!r} -> {cur!r})"
+                            )
             target = snap.version + 1
             entry = {
                 "format": FORMAT_VERSION,
@@ -354,7 +381,8 @@ class MiniLogTable:
         state = {
             "version": version,
             "files": [
-                {"file": f.file, "rows": f.rows, "stats": f.stats}
+                {"file": f.file, "rows": f.rows, "stats": f.stats,
+                 "dv": f.dv, "dv_rows": f.dv_rows}
                 for f in snap.files
             ],
             "txns": snap.txns,
@@ -480,7 +508,7 @@ class MiniLogTable:
         snap = self.snapshot() if self.version >= 0 else Snapshot(-1, [], {})
         actions = [{"type": "metaData", "schema": self._df_schema(df)}]
         actions += self._stage(df, target_files) + [
-            {"type": "remove", "file": f.file} for f in snap.files
+            {"type": "remove", "file": f.file, "base_dv": f.dv} for f in snap.files
         ]
         return self._try_commit("overwrite", actions)
 
@@ -494,14 +522,11 @@ class MiniLogTable:
         # NULL contract: a NULL key is never "in [lo, hi]" — it must
         # SURVIVE the rewrite, not vanish into the filter's NULL result
         # (the hostile-corpus bug class from round 5's sweep).
-        kept_df = self._read_files(
-            [os.path.join(self.path, f.file) for f in touched],
-            snap.schema,
-        ).filter(
+        kept_df = self._read_entries(touched, snap.schema).filter(
             F.col(col).isNull() | ~F.col(col).between(F.lit(lo), F.lit(hi))
         )
         actions = self._stage(kept_df, 1) + [
-            {"type": "remove", "file": f.file} for f in touched
+            {"type": "remove", "file": f.file, "base_dv": f.dv} for f in touched
         ]
         v = self._try_commit("delete", actions)
         return {
@@ -509,6 +534,110 @@ class MiniLogTable:
             "rewritten": len(touched),
             "kept": len(snap.files) - len(touched),
         }
+
+    def delete_where_dv(self, col: str, lo: Any, hi: Any) -> dict:
+        """DELETE via DELETION VECTORS (merge-on-read, the public Delta
+        DV design): instead of rewriting every file that holds a
+        matching row (:meth:`delete_where`, O(touched file bytes)), mark
+        the matching rows' (file, parquet row position) pairs in a tiny
+        sidecar and re-commit the SAME data files pointing at it —
+        O(deleted rows) written, zero data bytes rewritten. At 100 TB
+        this is the difference between a GDPR delete rewriting a
+        terabyte of touched files and writing a few kilobytes of
+        positions; the rewrite (:meth:`optimize`) later reclaims the
+        masked rows during routine compaction.
+
+        Contracts: a NULL key never matches (the fleet NULL rule);
+        positions address only still-LIVE rows, so repeated DV deletes
+        compose (the new sidecar carries the prior vector's positions
+        forward); every remove action pins ``base_dv``, so a DV delete
+        racing any other commit on the same file aborts with
+        :class:`ConcurrentModification` instead of silently dropping
+        the other writer's vector; time travel to the pre-delete
+        version reads the file unmasked.
+        """
+        snap = self.snapshot()
+        touched = [f for f in snap.files if f.may_contain(col, lo, hi)]
+        if not touched:
+            return {"version": snap.version, "dv_files": 0, "dv_rows": 0}
+        matched = (
+            self._tagged_read(touched)
+            .filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+            .select(
+                F.col("__dv_file").alias("file"),
+                F.col("__dv_pos").alias("row_index"),
+            )
+        )
+        new_counts = {
+            r["file"]: r["n"]
+            for r in matched.groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        swap = [e for e in touched if new_counts.get(e.file)]
+        if not swap:
+            return {"version": snap.version, "dv_files": 0, "dv_rows": 0}
+        mask = matched.filter(F.col("file").isin([e.file for e in swap]))
+        # carry the prior vectors of the swapped entries forward: one
+        # sidecar per commit holds each file's FULL deletion set
+        for dv in sorted({e.dv for e in swap if e.dv}):
+            holders = [e.file for e in swap if e.dv == dv]
+            mask = mask.unionByName(
+                self.spark.read.parquet(os.path.join(self.path, dv))
+                .filter(F.col("file").isin(holders))
+                .select("file", "row_index")
+            )
+        sidecar = self._write_dv_sidecar(mask)
+        totals = {
+            r["file"]: r["n"]
+            for r in self.spark.read.parquet(
+                os.path.join(self.path, sidecar)
+            )
+            .groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        actions: list[dict] = []
+        for e in swap:
+            actions.append(
+                {"type": "remove", "file": e.file, "base_dv": e.dv}
+            )
+            actions.append(
+                {
+                    "type": "add",
+                    "file": e.file,
+                    "rows": e.rows,
+                    "stats": e.stats,
+                    "dv": sidecar,
+                    "dv_rows": int(totals.get(e.file, 0)),
+                }
+            )
+        v = self._try_commit("delete_dv", actions)
+        return {
+            "version": v,
+            "dv_files": len(swap),
+            "dv_rows": int(sum(totals.values())),
+            "rewritten": 0,
+        }
+
+    def _write_dv_sidecar(self, mask: DataFrame) -> str:
+        """Materialize a deletion-vector mask as ONE sidecar parquet in
+        the table root (``dv-<uuid>.parquet``, schema (file,
+        row_index)). Sidecars are immutable like data files; vacuum
+        reclaims them when no retained snapshot references them."""
+        staging = os.path.join(
+            self.path, _LOG_DIR, f"_tmp.{uuid.uuid4().hex}"
+        )
+        mask.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            n for n in sorted(os.listdir(staging)) if n.endswith(".parquet")
+        )
+        name = f"dv-{uuid.uuid4().hex}.parquet"
+        os.rename(
+            os.path.join(staging, part), os.path.join(self.path, name)
+        )
+        shutil.rmtree(staging)
+        return name
 
     def merge(
         self,
@@ -586,10 +715,7 @@ class MiniLogTable:
         ]
         untouched = len(snap.files) - len(touched)
         if touched:
-            base = self._read_files(
-                [os.path.join(self.path, f.file) for f in touched],
-                snap.schema,
-            )
+            base = self._read_entries(touched, snap.schema)
         else:
             base = self.spark.createDataFrame([], updates.schema)
         # the marker column makes "update row wins" row-wise, not
@@ -611,7 +737,7 @@ class MiniLogTable:
             ]
         )
         actions = self._stage(merged, 1) + [
-            {"type": "remove", "file": f.file} for f in touched
+            {"type": "remove", "file": f.file, "base_dv": f.dv} for f in touched
         ]
         v = self._try_commit("merge", actions)
         return {"version": v, "rewritten": len(touched), "kept": untouched}
@@ -653,6 +779,58 @@ class MiniLogTable:
         df = self.spark.read.option("mergeSchema", "true").parquet(*files)
         return self._project(df, schema)
 
+    def _tagged_read(self, entries: list[FileEntry]) -> DataFrame:
+        """LIVE rows of ``entries`` with their physical address exposed
+        as (__dv_file, __dv_pos): parquet ``_metadata`` row positions,
+        minus whatever each entry's deletion vector already masks. The
+        read side of the merge-on-read protocol — both the table read
+        and the next DV delete (which must address only still-live
+        rows) build on this."""
+        paths = [os.path.join(self.path, e.file) for e in entries]
+        raw = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        tagged = raw.select(
+            *[F.col(c) for c in raw.columns],
+            F.col("_metadata.file_name").alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+        # A sidecar may cover several files from its commit, and a later
+        # rewrite may have dropped the DV from SOME of them — so each
+        # sidecar's mask applies only to the files still referencing it.
+        dv_entries = [e for e in entries if e.dv]
+        masks = None
+        for dv in sorted({e.dv for e in dv_entries}):
+            holders = [e.file for e in dv_entries if e.dv == dv]
+            m = (
+                self.spark.read.parquet(os.path.join(self.path, dv))
+                .filter(F.col("file").isin(holders))
+                .select(
+                    F.col("file").alias("__dv_file"),
+                    F.col("row_index").alias("__dv_pos"),
+                )
+            )
+            masks = m if masks is None else masks.unionByName(m)
+        if masks is not None:
+            tagged = tagged.join(
+                F.broadcast(masks), ["__dv_file", "__dv_pos"], "left_anti"
+            )
+        return tagged
+
+    def _read_entries(
+        self, entries: list[FileEntry], schema: Optional[list[dict]]
+    ) -> DataFrame:
+        """Deletion-vector-aware entry read: like :meth:`_read_files`,
+        but rows masked by an entry's DV sidecar are filtered out via a
+        broadcast anti-join on (file, parquet row position). Entries
+        without a DV skip the join entirely (the common case costs
+        nothing). Every internal rewrite path reads through THIS so a
+        rewrite can never resurrect DV-deleted rows."""
+        if not any(e.dv for e in entries):
+            return self._read_files(
+                [os.path.join(self.path, e.file) for e in entries], schema
+            )
+        kept = self._tagged_read(entries).drop("__dv_file", "__dv_pos")
+        return self._project(kept, schema)
+
     def read(
         self,
         version: Optional[int] = None,
@@ -678,10 +856,7 @@ class MiniLogTable:
             else:
                 raise NoSuchVersion("empty table has no schema to read")
         else:
-            df = self._read_files(
-                [os.path.join(self.path, f.file) for f in files],
-                snap.schema,
-            )
+            df = self._read_entries(files, snap.schema)
         for col, lo, hi in preds:
             df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
         return df
@@ -741,17 +916,20 @@ class MiniLogTable:
             else self.snapshot(from_version)
         )
         snap_b = self.snapshot(to_version)
-        a_files = {f.file for f in snap_a.files}
-        b_files = {f.file for f in snap_b.files}
-        added = sorted(b_files - a_files)
-        removed = sorted(a_files - b_files)
+        # entry identity = (file, dv): a DV delete re-adds the same data
+        # file with a new vector — the old (file, None) identity reads
+        # the full file, the new (file, dv) identity reads it masked,
+        # and the bag difference yields exactly the deleted rows.
+        a_ids = {(f.file, f.dv): f for f in snap_a.files}
+        b_ids = {(f.file, f.dv): f for f in snap_b.files}
+        _k = lambda k: (k[0], k[1] or "")  # noqa: E731 - None-safe sort
+        added = [b_ids[k] for k in sorted(set(b_ids) - set(a_ids), key=_k)]
+        removed = [a_ids[k] for k in sorted(set(a_ids) - set(b_ids), key=_k)]
         schema = snap_b.schema
 
-        def rd(names: list[str]) -> DataFrame:
-            if names:
-                return self._read_files(
-                    [os.path.join(self.path, n) for n in names], schema
-                )
+        def rd(entries: list[FileEntry]) -> DataFrame:
+            if entries:
+                return self._read_entries(entries, schema)
             if schema:
                 ddl = ", ".join(f"`{c['name']}` {c['type']}" for c in schema)
                 return self.spark.createDataFrame([], ddl)
@@ -795,7 +973,7 @@ class MiniLogTable:
         metadata, no data read until the rewrite itself."""
         snap = self.snapshot()
         small = sorted(
-            (f for f in snap.files if f.rows < target_rows),
+            (f for f in snap.files if f.rows < target_rows or f.dv),
             key=lambda f: -f.rows,
         )
         bins: list[list[FileEntry]] = []
@@ -809,7 +987,10 @@ class MiniLogTable:
             else:
                 bins.append([f])
                 sizes.append(f.rows)
-        bins = [b for b in bins if len(b) > 1]  # singletons: no gain
+        # singletons: no gain — UNLESS the file carries a deletion
+        # vector, in which case the rewrite is what purges the masked
+        # rows and retires the sidecar (Delta's OPTIMIZE does the same)
+        bins = [b for b in bins if len(b) > 1 or any(f.dv for f in b)]
         if not bins:
             return {
                 "version": snap.version,
@@ -819,12 +1000,10 @@ class MiniLogTable:
             }
         actions: list[dict] = []
         for b in bins:
-            df = self._read_files(
-                [os.path.join(self.path, f.file) for f in b], snap.schema
-            )
+            df = self._read_entries(list(b), snap.schema)
             actions += self._stage(df, 1)
         compacted = [f for b in bins for f in b]
-        actions += [{"type": "remove", "file": f.file} for f in compacted]
+        actions += [{"type": "remove", "file": f.file, "base_dv": f.dv} for f in compacted]
         v = self._try_commit("optimize", actions)
         return {
             "version": v,
@@ -867,10 +1046,7 @@ class MiniLogTable:
         snap = self.snapshot()
         if not snap.files:
             return {"version": snap.version, "rewritten": 0}
-        df = self._read_files(
-            [os.path.join(self.path, f.file) for f in snap.files],
-            snap.schema,
-        )
+        df = self._read_entries(snap.files, snap.schema)
 
         def bounds(col: str) -> tuple[Any, Any]:
             mins = [f.stats.get(col, {}).get("min") for f in snap.files]
@@ -903,7 +1079,7 @@ class MiniLogTable:
             .drop("__bx", "__by", "__z")
         )
         actions = self._stage(ordered, None) + [
-            {"type": "remove", "file": f.file} for f in snap.files
+            {"type": "remove", "file": f.file, "base_dv": f.dv} for f in snap.files
         ]
         v = self._try_commit("zorder", actions)
         return {"version": v, "rewritten": len(snap.files)}
@@ -931,7 +1107,9 @@ class MiniLogTable:
         keep_versions = versions[-retain_last:]
         reachable: set[str] = set()
         for v in keep_versions:
-            reachable |= {f.file for f in self.snapshot(v).files}
+            snap_v = self.snapshot(v)
+            reachable |= {f.file for f in snap_v.files}
+            reachable |= {f.dv for f in snap_v.files if f.dv}
         removed = []
         now = time.time()
         for name in os.listdir(self.path):
@@ -977,11 +1155,17 @@ class MiniLogTable:
         """
         target = self.snapshot(version)  # raises NoSuchVersion
         current = self.snapshot()
-        cur = {f.file for f in current.files}
-        tgt = {f.file: f for f in target.files}
+        # entry identity = (file, dv): restoring across a DV delete must
+        # swap the entry back to its pre-delete vector state even though
+        # the data file name is unchanged
+        cur = {(f.file, f.dv): f for f in current.files}
+        tgt = {(f.file, f.dv): f for f in target.files}
+        needed = {f.file for f in target.files} | {
+            f.dv for f in target.files if f.dv
+        }
         missing = [
             n
-            for n in tgt
+            for n in needed
             if not os.path.exists(os.path.join(self.path, n))
         ]
         if missing:
@@ -989,14 +1173,22 @@ class MiniLogTable:
                 f"restore to v{version}: data files vacuumed away: "
                 f"{sorted(missing)}"
             )
+        # removes FIRST: the fold is file-name-keyed and processes a
+        # commit's actions in order, so a same-name entry swap (a DV
+        # state change) must remove the old entry before adding the new
         actions: list[dict] = [
-            {"type": "add", "file": fe.file, "rows": fe.rows,
-             "stats": fe.stats}
-            for name, fe in sorted(tgt.items())
-            if name not in cur
+            {"type": "remove", "file": fe.file, "base_dv": fe.dv}
+            for key, fe in sorted(
+                cur.items(), key=lambda kv: (kv[0][0], kv[0][1] or "")
+            )
+            if key not in tgt
         ] + [
-            {"type": "remove", "file": name}
-            for name in sorted(cur - set(tgt))
+            {"type": "add", "file": fe.file, "rows": fe.rows,
+             "stats": fe.stats, "dv": fe.dv, "dv_rows": fe.dv_rows}
+            for key, fe in sorted(
+                tgt.items(), key=lambda kv: (kv[0][0], kv[0][1] or "")
+            )
+            if key not in cur
         ]
         if target.schema is not None:
             actions.append({"type": "metaData", "schema": target.schema})

@@ -1202,3 +1202,94 @@ def tx_clone_zero_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(linked)).alias("zero_copy_ok"),
     )
     return c_side.unionByName(s_side)
+
+
+@query(
+    "tx_deletion_vectors",
+    oracle="""
+    -- DELETION VECTORS (merge-on-read): days 3-5 are deleted from the
+    -- counters table WITHOUT rewriting any data file — the commit
+    -- re-points the one stats-touched file at a tiny (file, row
+    -- position) sidecar. 'post' is the masked read; 'pre' time-travels
+    -- to the unmasked version from the same directory. The clockless
+    -- flag is aggregated from ts IS NULL (DuckDB v1.0.0 wrongly folds
+    -- date-derived IS NULL predicates — tools/duckdb_oracle_notes.md);
+    -- clock-less rows never match a day range and must survive.
+    WITH c AS (
+      SELECT event_type, CAST(date_part('day', ts) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS n,
+             max(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) = 1 AS clockless
+      FROM events GROUP BY 1, 2
+    )
+    SELECT 'post' AS as_of, event_type, d, n, true AS dv_ok FROM c
+    WHERE clockless OR d < 3 OR d > 5
+    UNION ALL
+    SELECT 'pre' AS as_of, event_type, d, n, true AS dv_ok FROM c
+    """,
+)
+def tx_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION VECTORS on the MiniLog format (the public Delta DV
+    design, merge-on-read): a delete marks row POSITIONS in a sidecar
+    and re-commits the same immutable data files pointing at it —
+    O(deleted rows) written instead of O(touched file bytes) rewritten.
+    At 100 TB this is a GDPR erasure writing kilobytes instead of
+    rewriting terabytes; OPTIMIZE later purges masked rows during
+    routine compaction (acid.py delete_where_dv / _tagged_read; the
+    base_dv entry-version pin extends the conflict matrix so racing
+    same-file writers serialize instead of erasing each other's
+    vectors — raced in tests/test_acid.py).
+
+    The staged table holds day counters in two stats-keyed files (days
+    ≤15 + the clock-less bucket, days ≥16); deleting days 3-5 swaps
+    exactly ONE entry (write-side data skipping) and rewrites nothing.
+    ``dv_ok`` carries the protocol assertions into the checked result:
+    zero files rewritten, the data-file set byte-identical before and
+    after, exactly one entry carrying a vector, and the vector's
+    cardinality equal to the day-3-5 row count. 'pre' time-travels to
+    the unmasked version through the same log.
+    """
+    tbl, ready = _staged(spark, sf_dir, "deletion_vectors")
+    tag = os.path.join(tbl.path, "_DV_INFO")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        tbl.append(c.filter((F.col("d") <= 15) | F.col("d").isNull()))
+        tbl.append(c.filter(F.col("d") >= 16))
+        files_before = sorted(f.file for f in tbl.snapshot().files)
+        info = tbl.delete_where_dv("d", 3, 5)
+        snap = tbl.snapshot()
+        dv_entries = [f for f in snap.files if f.dv]
+        payload = {
+            "rewritten": info["rewritten"],
+            "dv_files": info["dv_files"],
+            "dv_rows": info["dv_rows"],
+            "same_files": sorted(f.file for f in snap.files)
+            == files_before,
+            "n_dv_entries": len(dv_entries),
+            "version": info["version"],
+        }
+        with open(tag, "w") as fh:
+            json.dump(payload, fh)
+        _mark_ready(tbl, sf_dir)
+    with open(tag) as fh:
+        payload = json.load(fh)
+    expected_dv_rows = (
+        _day_counters(spark, sf_dir)
+        .filter(F.col("d").between(3, 5))
+        .count()
+    )
+    dv_ok = (
+        payload["rewritten"] == 0
+        and payload["dv_files"] == 1
+        and payload["n_dv_entries"] == 1
+        and payload["same_files"]
+        and payload["dv_rows"] == expected_dv_rows
+    )
+    post = tbl.read().select(
+        F.lit("post").alias("as_of"), "event_type", "d", "n",
+        F.lit(bool(dv_ok)).alias("dv_ok"),
+    )
+    pre = tbl.read(version=payload["version"] - 1).select(
+        F.lit("pre").alias("as_of"), "event_type", "d", "n",
+        F.lit(bool(dv_ok)).alias("dv_ok"),
+    )
+    return post.unionByName(pre)

@@ -87,6 +87,10 @@ class _FilePartition(InputPartition):
     path: str
     #: (name, ddl_type) pairs of the snapshot schema, None = file schema
     schema: Optional[tuple]
+    #: deletion-vector sidecar path (None = no rows masked): positions
+    #: listed there for this file are dropped executor-side before the
+    #: batches leave the reader — merge-on-read through the native source
+    dv: Optional[str] = None
 
 
 def _ddl(schema: list[dict]) -> str:
@@ -129,11 +133,26 @@ def _arrow_type(ddl: str):
 
 def _read_file_arrow(part: _FilePartition):
     """Executor-side: one immutable parquet file -> Arrow batches
-    projected to the log schema (null-fill for pre-evolution files)."""
+    projected to the log schema (null-fill for pre-evolution files),
+    minus any rows the partition's deletion vector masks."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     table = pq.read_table(part.path)
+    if part.dv:
+        import pyarrow.compute as pc
+
+        mask = pq.read_table(part.dv)
+        fname = os.path.basename(part.path)
+        dead = mask.filter(
+            pc.equal(mask.column("file"), fname)
+        ).column("row_index")
+        if len(dead):
+            dead_set = set(dead.to_pylist())
+            keep = [
+                i for i in range(table.num_rows) if i not in dead_set
+            ]
+            table = table.take(keep)
     if part.schema is not None:
         fields = [
             pa.field(name, _arrow_type(ddl)) for name, ddl in part.schema
@@ -194,7 +213,11 @@ class _MiniLogBatchReaderBase(DataSourceReader):
         for col, (lo, hi) in self._ranges.items():
             files = [f for f in files if _file_may_match(f, col, lo, hi)]
         return [
-            _FilePartition(os.path.join(self._path, f.file), schema)
+            _FilePartition(
+                os.path.join(self._path, f.file),
+                schema,
+                os.path.join(self._path, f.dv) if f.dv else None,
+            )
             for f in files
         ] or [_FilePartition("", schema)]
 
@@ -276,7 +299,11 @@ class _MiniLogStreamReader(DataSourceStreamReader):
                 if a["type"] == "add":
                     parts.append(
                         _FilePartition(
-                            os.path.join(self._path, a["file"]), schema
+                            os.path.join(self._path, a["file"]),
+                            schema,
+                            os.path.join(self._path, a["dv"])
+                            if a.get("dv")
+                            else None,
                         )
                     )
         return parts or [_FilePartition("", schema)]

@@ -674,3 +674,139 @@ def test_restore_fails_tail_stream_and_vacuum_keeps_restored(spark, tmp_path):
     assert sorted(tuple(r) for r in tbl.read().collect()) == [
         (1, "a"), (2, "b"),
     ]
+
+
+def test_deletion_vector_basic_and_time_travel(spark, tbl):
+    tbl.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))   # v0, one file
+    files_before = {f.file for f in tbl.snapshot().files}
+    info = tbl.delete_where_dv("k", 2, 2)                    # v1
+    assert info["rewritten"] == 0 and info["dv_rows"] == 1
+    # same data file, now carrying a vector — zero bytes rewritten
+    snap = tbl.snapshot()
+    assert {f.file for f in snap.files} == files_before
+    assert all(f.dv for f in snap.files)
+    assert sorted(tuple(r) for r in tbl.read().collect()) == [
+        (1, "a"), (3, "c"),
+    ]
+    # time travel to v0 reads the file unmasked
+    assert sorted(tuple(r) for r in tbl.read(version=0).collect()) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+
+
+def test_deletion_vectors_compose_and_rewrites_drop_them(spark, tbl):
+    tbl.append(_df(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")]))
+    tbl.delete_where_dv("k", 1, 1)
+    tbl.delete_where_dv("k", 3, 3)   # second vector carries the first
+    assert sorted(tuple(r) for r in tbl.read().collect()) == [
+        (2, "b"), (4, "d"),
+    ]
+    assert tbl.snapshot().files[0].dv_rows == 2
+    # a rewrite path reads THROUGH the vector (no resurrection) and the
+    # rewritten file carries no dv
+    tbl.optimize(target_rows=10)
+    snap = tbl.snapshot()
+    assert all(f.dv is None for f in snap.files)
+    assert sorted(tuple(r) for r in tbl.read().collect()) == [
+        (2, "b"), (4, "d"),
+    ]
+
+
+def test_deletion_vector_conflict_detection(spark, tmp_path):
+    t1 = MiniLogTable(spark, str(tmp_path / "t"), stats_cols=("k",))
+    t1.append(_df(spark, [(1, "a"), (2, "b")]))
+    t2 = MiniLogTable(spark, t1.path, stats_cols=("k",))
+    # t2 snapshots, then t1 lands a DV delete; t2's delete (staged
+    # against the old entry version) must abort, not erase t1's vector
+    snap = t2.snapshot()
+    touched = [f for f in snap.files]
+    t1.delete_where_dv("k", 1, 1)
+    import pytest as _pytest
+
+    with _pytest.raises(ConcurrentModification, match="deletion vector"):
+        t2._try_commit(
+            "delete_dv",
+            [{"type": "remove", "file": touched[0].file,
+              "base_dv": touched[0].dv},
+             {"type": "add", "file": touched[0].file,
+              "rows": touched[0].rows, "stats": touched[0].stats,
+              "dv": "dv-bogus.parquet", "dv_rows": 1}],
+        )
+
+
+def test_deletion_vector_cdf_and_vacuum(spark, tbl):
+    tbl.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))   # v0
+    info = tbl.delete_where_dv("k", 2, 2)                    # v1
+    # CDF across the DV delete: exactly one row-level delete
+    feed = tbl.changes(0, 1).collect()
+    assert [(r.k, r.v, r._change_type) for r in feed] == [(2, "b", "delete")]
+    # vacuum keeps the sidecar while v1 is retained...
+    tbl.append(_df(spark, [(9, "z")]))                       # v2
+    removed = tbl.vacuum(retain_last=2, min_age_seconds=0)
+    assert not [n for n in removed if n.startswith("dv-")]
+    assert sorted(r.k for r in tbl.read().collect()) == [1, 3, 9]
+    # ...and reclaims it once a rewrite drops the vector everywhere
+    tbl.optimize(target_rows=100)
+    removed = tbl.vacuum(retain_last=1, min_age_seconds=0)
+    assert [n for n in removed if n.startswith("dv-")]
+    assert sorted(r.k for r in tbl.read().collect()) == [1, 3, 9]
+
+
+def test_deletion_vector_restore_swaps_vector_state(spark, tbl):
+    tbl.append(_df(spark, [(1, "a"), (2, "b")]))             # v0
+    tbl.delete_where_dv("k", 1, 1)                           # v1
+    tbl.restore(0)                                           # v2: unmask
+    assert sorted(r.k for r in tbl.read().collect()) == [1, 2]
+    tbl.restore(1)                                           # v3: remask
+    assert sorted(r.k for r in tbl.read().collect()) == [2]
+
+
+def test_deletion_vector_through_native_source(spark, tmp_path):
+    """spark.read.format('minilog') must apply deletion vectors — the
+    native surface and the repo API agree on masked rows; the stream
+    tail fails on the DV commit by default and re-emits the masked file
+    with ignoreChanges."""
+    import tempfile
+
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        register,
+    )
+
+    register(spark)
+    path = str(tmp_path / "dvds")
+    tbl = MiniLogTable(spark, path, stats_cols=("k",))
+    tbl.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    tbl.delete_where_dv("k", 2, 2)
+    got = sorted(
+        r.k for r in spark.read.format("minilog").load(path).collect()
+    )
+    assert got == [1, 3]
+    v0 = sorted(
+        r.k
+        for r in spark.read.format("minilog")
+        .option("version", 0)
+        .load(path)
+        .collect()
+    )
+    assert v0 == [1, 2, 3]
+
+    def tail(name, **opts):
+        s = spark.readStream.format("minilog")
+        for k, v in opts.items():
+            s = s.option(k, v)
+        q = (
+            s.load(path)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r.k for r in spark.table(name).collect())
+
+    with pytest.raises(Exception, match="rewrites data files"):
+        tail("dv_tail1")
+    # ignoreChanges re-emits the file WITH its vector applied
+    assert tail("dv_tail2", ignoreChanges="true") == [1, 1, 2, 3, 3]
