@@ -1217,14 +1217,24 @@ class MiniLogTable:
                 f"(v{dst.version}); clone only into empty roots"
             )
         actions: list[dict] = []
+        linked_dvs: set[str] = set()
         for fe in snap.files:
             os.link(
                 os.path.join(self.path, fe.file),
                 os.path.join(dest_path, fe.file),
             )
+            if fe.dv and fe.dv not in linked_dvs:
+                # deletion-vector sidecars are part of the snapshot:
+                # the clone must own its own link or its masked reads
+                # would dangle after a source vacuum
+                os.link(
+                    os.path.join(self.path, fe.dv),
+                    os.path.join(dest_path, fe.dv),
+                )
+                linked_dvs.add(fe.dv)
             actions.append(
                 {"type": "add", "file": fe.file, "rows": fe.rows,
-                 "stats": fe.stats}
+                 "stats": fe.stats, "dv": fe.dv, "dv_rows": fe.dv_rows}
             )
         if snap.schema is not None:
             actions.append({"type": "metaData", "schema": snap.schema})

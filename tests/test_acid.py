@@ -810,3 +810,14 @@ def test_deletion_vector_through_native_source(spark, tmp_path):
         tail("dv_tail1")
     # ignoreChanges re-emits the file WITH its vector applied
     assert tail("dv_tail2", ignoreChanges="true") == [1, 1, 2, 3, 3]
+
+
+def test_clone_carries_deletion_vectors(spark, tbl, tmp_path):
+    tbl.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    tbl.delete_where_dv("k", 2, 2)
+    clone = tbl.clone(str(tmp_path / "dvc"))
+    assert sorted(r.k for r in clone.read().collect()) == [1, 3]
+    # the clone owns its own sidecar link: source vacuum can't break it
+    tbl.optimize(target_rows=100)            # drops the source's vector
+    tbl.vacuum(retain_last=1, min_age_seconds=0)
+    assert sorted(r.k for r in clone.read().collect()) == [1, 3]
