@@ -1293,3 +1293,51 @@ def tx_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(dv_ok)).alias("dv_ok"),
     )
     return post.unionByName(pre)
+
+
+@query(
+    "tx_history_audit",
+    oracle="""
+    -- DESCRIBE HISTORY: the commit log itself as a queryable relation —
+    -- the audit surface an operator reads before a restore ("what
+    -- happened to this table and when"). The staged table's history is
+    -- fully deterministic: append, append, delete_dv (deletion-vector
+    -- mask, no files rewritten), restore(v1), so the expected rows are
+    -- literal. n_add/n_remove are the action counts each commit
+    -- carries; the delete_dv commit swaps ONE entry (1 remove + 1
+    -- re-add of the same file pointing at the vector) and the restore
+    -- swaps it back.
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), 'append',       CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+      (CAST(1 AS BIGINT), 'append',       CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+      (CAST(2 AS BIGINT), 'delete_dv',    CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+      (CAST(3 AS BIGINT), 'restore(v1)',  CAST(1 AS BIGINT), CAST(1 AS BIGINT))
+    ) AS h(version, operation, n_add, n_remove)
+    """,
+)
+def tx_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY — the lakehouse audit surface: every commit's
+    version, operation, and action counts read straight from the log
+    fold (MiniLogTable.history()), surfaced as a DataFrame so the same
+    relation joins against incident timelines or feeds a retention
+    dashboard. O(log entries), zero data files opened — at 100 TB the
+    history of a million-file table is still a few kilobytes of JSON.
+    The staged history exercises the round's lifecycle ops end to end
+    (deletion-vector delete, then a restore across it), so the audit
+    row for each is pinned literally in the oracle."""
+    tbl, ready = _staged(spark, sf_dir, "history_audit")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        tbl.append(c.filter((F.col("d") <= 15) | F.col("d").isNull()))
+        tbl.append(c.filter(F.col("d") >= 16))
+        tbl.delete_where_dv("d", 3, 5)
+        tbl.restore(1)
+        _mark_ready(tbl, sf_dir)
+    rows = [
+        (h["version"], h["operation"], h["n_add"], h["n_remove"])
+        for h in tbl.history()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version long, operation string, n_add long, n_remove long",
+    )

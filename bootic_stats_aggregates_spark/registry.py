@@ -101,7 +101,7 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: tools/hostile_sweep_r7.log the adversarial-corpus sweep of every
 #: round-7 slot.
 #: Verification status of every entry, stated precisely (ADVICE r3 item 2):
-#: all 245 registered pairs pass the local oracle gate at sf0.01
+#: all 246 registered pairs pass the local oracle gate at sf0.01
 #: (tests/test_oracle.py, exact value compare); linear-oracle ops are also
 #: swept at sf0.1 (pytest with SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1,
 #: logs at tools/sweep_sf01_r4.log / _r5.log); the quadratic/recursive-oracle
@@ -109,14 +109,15 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: tools/sweep_sf01.py. Queries absent from this list keep their
 #: registration order after it.
 _GATE_PRIORITY: list[str] = [
-    # --- slots 1-23: the ops ADDED during round 7 (local-oracle green
+    # --- slots 1-24: the ops ADDED during round 7 (local-oracle green
     # --- at sf0.01, fresh-process-sim green on clean AND hostile
     # --- fixtures this session): the MiniLog lifecycle quartet,
     # --- late-data dead-letter, the CDF family (feed/replay/mview),
     # --- PQ training, sampled AQP, the native DataSource legs, and
     # --- the RESTORE / zero-copy CLONE lifecycle pair, blocked fuzzy
     # --- join (ER), exact-decimal EWMA decay, the column profiler,
-    # --- the SCD Type 2 interval build, and deletion vectors.
+    # --- the SCD Type 2 interval build, deletion vectors, and the
+    # --- DESCRIBE HISTORY audit surface.
     "tx_vacuum_boundary", "tx_optimize_compact", "tx_schema_evolve",
     "tx_zorder_pruned", "stream_late_deadletter", "tx_change_feed",
     "tx_optimize_zorder", "tx_cdf_replay", "llm_pq_train",
@@ -125,15 +126,15 @@ _GATE_PRIORITY: list[str] = [
     "snk_minilog_dsv2_write", "stream_minilog_dsv2_sink",
     "tx_restore", "tx_clone_zero_copy",
     "llm_fuzzy_join", "win_ewma_decay", "src_profile_stats",
-    "win_scd2_intervals", "tx_deletion_vectors",
-    # --- slots 24-27: r7-churned ops due a re-check: llm_ann_ivfpq was
+    "win_scd2_intervals", "tx_deletion_vectors", "tx_history_audit",
+    # --- slots 25-28: r7-churned ops due a re-check: llm_ann_ivfpq was
     # --- rewritten from IVF-SQ8 to real product quantization (subspace
     # --- codebooks + ADC tables, VERDICT r6 task 1), and the three r6
     # --- MiniLog ops sit atop the reworked merge/fold (row-wise update
     # --- semantics, metaData actions — ADVICE r6 fixes).
     "llm_ann_ivfpq", "tx_merge_filepruned", "tx_time_travel",
     "tx_idempotent_replay",
-    # --- slots 28-49: the 22 remaining round-2 rows (the stalest greens
+    # --- slots 29-50: the 22 remaining round-2 rows (the stalest greens
     # --- after r6's rotation re-checked r1 + 28 of the 50 r2 rows).
     "agg_cube", "agg_histogram", "agg_percentile", "agg_pivot",
     "filt_json_pred", "filt_predicate", "proj_select",
@@ -143,8 +144,8 @@ _GATE_PRIORITY: list[str] = [
     "sub_scalar_corr",
     "win_first_last", "win_funnel", "win_lag_lead", "win_moving_avg",
     "win_running_total", "win_sessionize",
-    # --- slots 50+: round-3 rows, oldest-first — the first 1 fits the
-    # --- 50-row gate this round; the rest queue for round 8. ALL of
+    # --- slots 51+: round-3 rows, oldest-first — they queue for
+    # --- round 8 (the 50-row gate is filled by the slots above). ALL of
     # --- them (and everything else) have fresh r7 sim rows in
     # --- tools/driver_sim_r7.log regardless of the gate cut.
     "agg_approx_distinct", "agg_argmax", "agg_bitmap_distinct",

@@ -327,7 +327,7 @@ BUILD_RUNS_JOBS_OK = {
     "tx_mview_incremental", "src_minilog_dsv2", "stream_minilog_tail",
     "src_minilog_pushdown", "snk_minilog_dsv2_write",
     "stream_minilog_dsv2_sink", "tx_restore", "tx_clone_zero_copy",
-    "tx_deletion_vectors",
+    "tx_deletion_vectors", "tx_history_audit",
 }
 
 
