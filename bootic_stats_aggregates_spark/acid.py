@@ -179,16 +179,30 @@ class MiniLogTable:
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
 
     @classmethod
-    def fold_only(cls, path: str) -> "MiniLogTable":
+    def fold_only(cls, path: str, create: bool = False) -> "MiniLogTable":
         """A handle that can fold the log (snapshot/history/version) but
         not run Spark jobs — what the DataSource driver side needs: it
         resolves snapshots to file lists; Spark itself schedules the
-        reads (sources/minilog_source.py)."""
+        reads (sources/minilog_source.py).
+
+        ``create=False`` (the READ default) raises ``FileNotFoundError``
+        when ``<path>/_minilog`` does not exist instead of silently
+        creating directories: a typo'd path through
+        ``spark.read.format("minilog")`` must say "not a MiniLog table",
+        not "empty minilog table has no schema" (ADVICE r7). Writer
+        paths pass ``create=True`` — only writers may create the log."""
         self = cls.__new__(cls)
         self.spark = None
         self.path = path
         self.stats_cols = ()
-        os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
+        log_dir = os.path.join(path, _LOG_DIR)
+        if create:
+            os.makedirs(log_dir, exist_ok=True)
+        elif not os.path.isdir(log_dir):
+            raise FileNotFoundError(
+                f"not a MiniLog table: {path!r} has no {_LOG_DIR}/ log "
+                "directory (check the path; only writers create tables)"
+            )
         return self
 
     # ---------------------------------------------------------------- log
@@ -301,13 +315,45 @@ class MiniLogTable:
         actions: list[dict],
         txn: Optional[dict] = None,
         max_retries: int = 20,
+        schema_ctx: Optional[tuple] = None,
+        remove_all_live: bool = False,
     ) -> int:
         """Atomically claim the next version via ``os.link``; on loss,
-        rebase (appends always; removals only if their files stay live)."""
+        rebase (appends always; removals only if their files stay live).
+
+        ``schema_ctx=(incoming_schema, evolve_schema)`` makes the commit's
+        metaData action RACE-SAFE: it is re-derived from the LIVE snapshot
+        schema on every attempt, so two concurrent evolve-appends merge
+        their new columns instead of the loser's stale metaData silently
+        dropping the winner's column (ADVICE r7 medium — the analog of
+        Delta's MetadataChangedException, resolved by re-merge when the
+        merge is well-defined and raised as :class:`SchemaMismatch` when
+        it is not, e.g. a concurrent type conflict).
+
+        ``remove_all_live=True`` (overwrite semantics) rebuilds the remove
+        set from the LIVE snapshot on every attempt, pinning each entry's
+        current deletion vector: an overwrite that loses a commit race
+        lands removing what is live THEN — a concurrently appended file
+        cannot survive an "overwrite", and a concurrent DV swap cannot be
+        silently erased (ADVICE r7: the native writer previously carried
+        an entry-time remove list with no base_dv pins)."""
         removed = {a["file"] for a in actions if a["type"] == "remove"}
         attempt = 0
         while True:
             snap = self.snapshot() if self.version >= 0 else Snapshot(-1, [], {})
+            if schema_ctx is not None:
+                incoming, evolve = schema_ctx
+                actions = [
+                    a for a in actions if a["type"] != "metaData"
+                ] + schema_merge_actions(incoming, snap.schema, evolve)
+            if remove_all_live:
+                actions = [a for a in actions if a["type"] != "remove"] + [
+                    {"type": "remove", "file": f.file, "base_dv": f.dv}
+                    for f in snap.files
+                ]
+                removed = {
+                    a["file"] for a in actions if a["type"] == "remove"
+                }
             if txn is not None and snap.txns.get(txn["app"], -1) >= txn["version"]:
                 # Replay of an already-applied txn detected AFTER staging
                 # (a concurrent writer applied it between our _stage and
@@ -497,20 +543,30 @@ class MiniLogTable:
             snap = self.snapshot()
             if snap.txns.get(txn["app"], -1) >= txn["version"]:
                 return snap.version  # skip staging work entirely on replay
-        actions = self._schema_actions(df, evolve_schema)
-        actions += self._stage(df, target_files)
-        return self._try_commit("append", actions, txn=txn)
+        self._schema_actions(df, evolve_schema)  # fail fast BEFORE staging
+        actions = self._stage(df, target_files)
+        # schema_ctx: the metaData action is re-derived from the LIVE
+        # snapshot inside the commit loop, so a concurrent evolve-append
+        # cannot drop this write's (or the other writer's) new columns
+        return self._try_commit(
+            "append",
+            actions,
+            txn=txn,
+            schema_ctx=(self._df_schema(df), evolve_schema),
+        )
 
     def overwrite(self, df: DataFrame, target_files: Optional[int] = 1) -> int:
         """Replace the whole table in one atomic commit (data AND schema:
         an overwrite may change the schema freely — the metaData action
         records ``df``'s schema as the table's)."""
-        snap = self.snapshot() if self.version >= 0 else Snapshot(-1, [], {})
         actions = [{"type": "metaData", "schema": self._df_schema(df)}]
-        actions += self._stage(df, target_files) + [
-            {"type": "remove", "file": f.file, "base_dv": f.dv} for f in snap.files
-        ]
-        return self._try_commit("overwrite", actions)
+        actions += self._stage(df, target_files)
+        # remove_all_live: the remove set is rebuilt from the LIVE
+        # snapshot inside the commit loop (base_dv pinned per entry), so
+        # an overwrite losing a commit race still removes a concurrently
+        # appended file — "overwrite" means the latest state, not the
+        # state when the overwrite started
+        return self._try_commit("overwrite", actions, remove_all_live=True)
 
     def delete_where(self, col: str, lo: Any, hi: Any) -> dict:
         """Delete rows with ``col`` in [lo, hi], rewriting ONLY the files

@@ -56,7 +56,17 @@ def cents(col: str | Column) -> Column:
 
 
 def _cents_sql(expr: str) -> str:
-    return f"CAST(round(({expr}) * 100) AS BIGINT)"
+    """DuckDB twin of :func:`cents` INCLUDING the non-finite/overflow
+    guard: the Spark side maps NaN/±Inf/|x|>1e15 to NULL cents via the
+    BETWEEN predicate, so the oracle must implement the identical
+    contract or a hostile fixture with one NaN would fail every money
+    oracle for the wrong reason (ADVICE r7 — both engines agree that an
+    unrepresentable amount contributes nothing). DuckDB's BETWEEN on NaN
+    is false and ±Inf falls outside the bound, exactly like Spark's."""
+    return (
+        f"CASE WHEN ({expr}) BETWEEN -1e15 AND 1e15 "
+        f"THEN CAST(round(({expr}) * 100) AS BIGINT) END"
+    )
 
 
 def dsum(col: str | Column, alias: str, scale: int = 2) -> Column:
@@ -103,7 +113,7 @@ def rev_sum(alias: str, scale: int = 2) -> Column:
 
 def oracle_rev_sum(alias: str, scale: int = 2) -> str:
     return (
-        "round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+        f"round(CAST(sum({_cents_sql('l_extendedprice')}"
         " * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)"
         f" / 1e4, {scale}) AS {alias}"
     )
@@ -123,7 +133,7 @@ def charge_sum(alias: str, scale: int = 2) -> Column:
 
 def oracle_charge_sum(alias: str, scale: int = 2) -> str:
     return (
-        "round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+        f"round(CAST(sum({_cents_sql('l_extendedprice')}"
         " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
         " * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE)"
         f" / 1e6, {scale}) AS {alias}"

@@ -79,7 +79,6 @@ from ..acid import (
     MiniLogTable,
     NoSuchVersion,
     _json_safe,
-    schema_merge_actions,
 )
 
 @dataclass
@@ -266,7 +265,23 @@ class _MiniLogStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         # tail from the table's beginning: a bootstrap consumer sees
-        # every commit exactly once
+        # every commit exactly once. On a VACUUM-TRUNCATED log the
+        # early entries are gone, so clamp to just before the oldest
+        # retained version — partitions() then serves that version as a
+        # SNAPSHOT bootstrap batch (everything live there) instead of
+        # failing on a deleted log entry (ADVICE r7; Delta's streaming
+        # source bootstraps from the earliest retained snapshot the
+        # same way).
+        versions = _handle(self._path)._versions()
+        if versions and versions[0] > 0:
+            # "bootstrap" marks that the FIRST batch must read the
+            # SNAPSHOT at that version (commits before it are gone), not
+            # just that version's add actions. The marker rides the
+            # offset into the query checkpoint, so only the genuinely
+            # first batch of this stream bootstraps — a long-running
+            # stream that merely reaches this version through normal
+            # tailing carries a plain offset and never re-emits.
+            return {"version": versions[0] - 1, "bootstrap": versions[0]}
         return {"version": -1}
 
     def latestOffset(self) -> dict:
@@ -281,7 +296,41 @@ class _MiniLogStreamReader(DataSourceStreamReader):
             else None
         )
         parts: list[_FilePartition] = []
-        for v in range(start["version"] + 1, end["version"] + 1):
+        versions = tbl._versions()
+        oldest = versions[0] if versions else 0
+        first = start["version"] + 1
+        boot = start.get("bootstrap")
+        if boot is not None and first <= boot <= end["version"]:
+            # fresh stream on a vacuum-truncated table: the first batch
+            # is the earliest retained snapshot (see initialOffset)
+            for f in tbl.snapshot(boot).files:
+                parts.append(
+                    _FilePartition(
+                        os.path.join(self._path, f.file),
+                        schema,
+                        os.path.join(self._path, f.dv) if f.dv else None,
+                    )
+                )
+            first = boot + 1
+        elif first < oldest:
+            # the log no longer holds [first, oldest): a vacuum ran
+            # since this offset was recorded (or the stream starts on a
+            # truncated table). Serve the earliest retained SNAPSHOT as
+            # the bootstrap — every row live at `oldest` exactly once —
+            # then tail normally from oldest+1. A resumed stream whose
+            # offset fell inside the vacuumed window gets the snapshot
+            # re-emission rather than a crash (the ignoreChanges-style
+            # at-least-once caveat, documented).
+            for f in tbl.snapshot(oldest).files:
+                parts.append(
+                    _FilePartition(
+                        os.path.join(self._path, f.file),
+                        schema,
+                        os.path.join(self._path, f.dv) if f.dv else None,
+                    )
+                )
+            first = oldest + 1
+        for v in range(first, end["version"] + 1):
             entry = tbl._read_entry(v)
             removes = [
                 a for a in entry["actions"] if a["type"] == "remove"
@@ -320,9 +369,12 @@ class _MiniLogStreamReader(DataSourceStreamReader):
         pass
 
 
-def _handle(path: str) -> MiniLogTable:
-    """Log-fold-only handle (no SparkSession needed on this side)."""
-    return MiniLogTable.fold_only(path)
+def _handle(path: str, create: bool = False) -> MiniLogTable:
+    """Log-fold-only handle (no SparkSession needed on this side).
+    Read paths keep ``create=False`` so a typo'd path raises
+    ``FileNotFoundError`` instead of silently creating directories;
+    only the writer paths pass ``create=True`` (ADVICE r7)."""
+    return MiniLogTable.fold_only(path, create=create)
 
 
 @dataclass
@@ -408,23 +460,30 @@ class _MiniLogArrowWriter(DataSourceArrowWriter):
         return _write_task_file(self._path, self._stats_cols, iterator)
 
     def commit(self, messages):
-        tbl = _handle(self._path)
-        if self._overwrite:
-            actions = [{"type": "metaData", "schema": self._schema}]
-        else:
-            current = tbl.snapshot().schema if tbl.version >= 0 else None
-            actions = schema_merge_actions(
-                self._schema, current, self._merge_schema
-            )
+        tbl = _handle(self._path, create=True)
+        actions = []
         for m in messages:
             actions += getattr(m, "actions", None) or []
-        op = "overwrite" if self._overwrite else "append"
-        if self._overwrite and tbl.version >= 0:
-            actions += [
-                {"type": "remove", "file": f.file}
-                for f in tbl.snapshot().files
-            ]
-        tbl._try_commit(op, actions)
+        if self._overwrite:
+            # remove_all_live: _try_commit rebuilds the remove set from
+            # the LIVE snapshot (base_dv pinned) on every retry, so the
+            # native overwrite has the same conflict semantics as the
+            # Python path — a concurrent append cannot survive the
+            # overwrite and a concurrent DV swap cannot be silently
+            # erased (ADVICE r7)
+            actions = [
+                {"type": "metaData", "schema": self._schema}
+            ] + actions
+            tbl._try_commit("overwrite", actions, remove_all_live=True)
+        else:
+            # schema_ctx re-derives the metaData action from the live
+            # snapshot inside the commit loop (concurrent evolve-append
+            # race, ADVICE r7 medium)
+            tbl._try_commit(
+                "append",
+                actions,
+                schema_ctx=(self._schema, self._merge_schema),
+            )
 
     def abort(self, messages):
         _abort_task_files(self._path, messages)
@@ -452,15 +511,15 @@ class _MiniLogStreamArrowWriter(DataSourceStreamArrowWriter):
         return _write_task_file(self._path, self._stats_cols, iterator)
 
     def commit(self, messages, batchId: int):
-        tbl = _handle(self._path)
-        current = tbl.snapshot().schema if tbl.version >= 0 else None
-        actions = schema_merge_actions(self._schema, current, False)
+        tbl = _handle(self._path, create=True)
+        actions = []
         for m in messages:
             actions += getattr(m, "actions", None) or []
         tbl._try_commit(
             "append",
             actions,
             txn={"app": self._txn_app, "version": int(batchId)},
+            schema_ctx=(self._schema, False),
         )
 
     def abort(self, messages, batchId: int):

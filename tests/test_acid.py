@@ -821,3 +821,110 @@ def test_clone_carries_deletion_vectors(spark, tbl, tmp_path):
     tbl.optimize(target_rows=100)            # drops the source's vector
     tbl.vacuum(retain_last=1, min_age_seconds=0)
     assert sorted(r.k for r in clone.read().collect()) == [1, 3]
+
+
+# --------------------------------------------------------------- r8 fixes
+def test_concurrent_evolve_appends_keep_both_columns(spark, tbl):
+    """ADVICE r7 (medium): two evolve-appends staged against the SAME
+    pre-commit snapshot — the loser's metaData must re-merge against the
+    live schema inside the commit loop, not land its stale schema and
+    silently drop the winner's new column."""
+    tbl.append(_df(spark, [(1, "a")]))
+    dfx = spark.createDataFrame([(2, "b", 7)], "k INT, v STRING, x INT")
+    dfy = spark.createDataFrame(
+        [(3, "c", 8.5)], "k INT, v STRING, y DOUBLE"
+    )
+    # both stage before either commits (the race, made deterministic)
+    ax = tbl._stage(dfx, 1)
+    ay = tbl._stage(dfy, 1)
+    tbl._try_commit("append", ax, schema_ctx=(tbl._df_schema(dfx), True))
+    tbl._try_commit("append", ay, schema_ctx=(tbl._df_schema(dfy), True))
+    names = [c["name"] for c in tbl.snapshot().schema]
+    assert names == ["k", "v", "x", "y"], "loser dropped the winner's column"
+    got = sorted(
+        (r["k"], r["x"], r["y"]) for r in tbl.read().collect()
+    )
+    assert got == [(1, None, None), (2, 7, None), (3, None, 8.5)]
+
+
+def test_concurrent_evolve_type_conflict_raises(spark, tbl):
+    """Same race but the columns CONFLICT (both add 'x', different
+    types): no well-defined merge exists, so the loser must raise
+    SchemaMismatch (Delta's MetadataChangedException analog), never
+    commit a schema that mistypes the winner's data."""
+    tbl.append(_df(spark, [(1, "a")]))
+    dfx1 = spark.createDataFrame([(2, "b", 7)], "k INT, v STRING, x INT")
+    dfx2 = spark.createDataFrame(
+        [(3, "c", "oops")], "k INT, v STRING, x STRING"
+    )
+    a1 = tbl._stage(dfx1, 1)
+    a2 = tbl._stage(dfx2, 1)
+    tbl._try_commit("append", a1, schema_ctx=(tbl._df_schema(dfx1), True))
+    with pytest.raises(SchemaMismatch):
+        tbl._try_commit(
+            "append", a2, schema_ctx=(tbl._df_schema(dfx2), True)
+        )
+
+
+def test_fold_only_read_missing_table_raises(spark, tmp_path):
+    """ADVICE r7: reading a typo'd path must say 'not a MiniLog table',
+    not silently create directories and report an empty table."""
+    bad = str(tmp_path / "no_such_table")
+    with pytest.raises(FileNotFoundError, match="not a MiniLog table"):
+        MiniLogTable.fold_only(bad)
+    assert not os.path.exists(bad), "a read must not create directories"
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        register,
+    )
+
+    register(spark)
+    with pytest.raises(Exception, match="not a MiniLog table"):
+        spark.read.format("minilog").load(bad).collect()
+    assert not os.path.exists(bad)
+
+
+def test_overwrite_removes_concurrently_appended_file(spark, tbl):
+    """ADVICE r7: an overwrite that loses a commit race rebuilds its
+    remove set from the LIVE snapshot — a concurrently appended file
+    cannot survive an 'overwrite' (previously the entry-time remove
+    list let the append's rows leak through)."""
+    tbl.append(_df(spark, [(1, "a")]))
+    # overwrite stages against v0, then an append lands before commit
+    actions = [
+        {"type": "metaData", "schema": tbl._df_schema(_df(spark, []))}
+    ] + tbl._stage(_df(spark, [(9, "z")]), 1)
+    tbl.append(_df(spark, [(2, "race")]))  # the concurrent append
+    tbl._try_commit("overwrite", actions, remove_all_live=True)
+    assert [tuple(r) for r in tbl.read().collect()] == [(9, "z")]
+
+
+def test_stream_tail_bootstraps_after_vacuum(spark, tmp_path):
+    """ADVICE r7: a NEW stream on a vacuum-truncated table must
+    bootstrap from the earliest retained snapshot instead of crashing
+    on a deleted early log entry."""
+    import tempfile
+
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        register,
+    )
+
+    register(spark)
+    path = str(tmp_path / "vt")
+    tbl = MiniLogTable(spark, path, stats_cols=("k",))
+    for i in range(4):
+        tbl.append(_df(spark, [(i, f"r{i}")]))
+    tbl.vacuum(retain_last=2, min_age_seconds=0)
+    assert tbl._versions()[0] > 0  # the log really is truncated
+    q = (
+        spark.readStream.format("minilog")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName("vac_tail")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["k"] for r in spark.table("vac_tail").collect())
+    assert got == [0, 1, 2, 3]  # snapshot bootstrap + retained tail
