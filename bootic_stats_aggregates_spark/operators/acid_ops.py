@@ -1101,6 +1101,104 @@ def stream_minilog_dsv2_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_cdf_feed",
+    oracle=f"""
+    -- STREAMING CHANGE DATA FEED (readChangeFeed=true on the native
+    -- MiniLog source): micro-batches of ROW-LEVEL inserts/deletes per
+    -- commit, including across a DELETION-VECTOR delete (v2: days 1-3
+    -- surface as deletes) and an OPTIMIZE compaction (v3: rows cancel,
+    -- empty feed), where the plain tail correctly fails. Folding the
+    -- whole feed (net = inserts - deletes per row) must reconstruct
+    -- the table: counters with n+500 for days >= 25 (the v4 merge),
+    -- minus days 1-3, NULL-day surviving. feed_ok carries the
+    -- stream-side assertions (reconstruction == direct read, the
+    -- optimize commit fed zero rows, the DV commit fed only deletes).
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d,
+           CASE WHEN d >= 25 THEN CAST(n + 500 AS BIGINT) ELSE n END AS n,
+           true AS feed_ok
+    FROM c
+    WHERE (d NOT BETWEEN 1 AND 3) OR d IS NULL
+    """,
+)
+def stream_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING CHANGE-FEED SOURCE (VERDICT r7 task 1):
+    ``spark.readStream.format("minilog").option("readChangeFeed",
+    "true")`` composes acid.changes()'s file-diff CDF with the stream
+    reader's version offsets — each micro-batch delivers the row-level
+    inserts/deletes of its commits, INCLUDING the commit kinds the
+    plain tail must reject (DV deletes, OPTIMIZE rewrites, MERGE).
+    This is the mode an incremental 100 TB consumer actually wants: a
+    GDPR DV-delete arrives as a handful of delete rows, a compaction
+    arrives as nothing (rows cancel in the bag difference), and every
+    trigger costs O(commit churn), never O(table).
+
+    History staged: append(days<=15+NULL) / append(days>=16) /
+    delete_where_dv(days 1-3) / optimize() / merge(days>=25: n+500).
+    The tx_cdf_replay invariant is held AS A STREAM: the AvailableNow
+    feed folded by net sign reconstructs the direct snapshot read
+    (feed_ok), and the driver checks the reconstruction against the
+    SQL replay of the same history."""
+    from ..sources.minilog_source import register
+    from ..streaming.runner import run_to_memory
+
+    register(spark)
+    tbl, ready = _staged(spark, sf_dir, "cdf_feed_stream")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        tbl.append(c.filter((F.col("d") <= 15) | F.col("d").isNull()))
+        tbl.append(c.filter(F.col("d") >= 16))            # v1
+        tbl.delete_where_dv("d", 1, 3)                    # v2: DV delete
+        tbl.optimize(target_rows=10_000_000)              # v3: compaction
+        updates = c.filter(F.col("d") >= 25).withColumn(
+            "n", (F.col("n") + F.lit(500)).cast("long")
+        )
+        tbl.merge(updates, keys=("event_type", "d"), prune_col="d")  # v4
+        _mark_ready(tbl, sf_dir)
+    feed = run_to_memory(
+        spark.readStream.format("minilog")
+        .option("readChangeFeed", "true")
+        .load(tbl.path),
+        mode="append",
+    )
+    # fold the feed: net multiplicity per row (inserts - deletes); for
+    # this keyed counter table net is 0 or 1, and the net-1 rows ARE the
+    # table — ONE hash aggregate over the whole feed, no per-version loop
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    state = (
+        feed.groupBy("event_type", "d", "n")
+        .agg(F.sum(sign).alias("__net"))
+        .filter(F.col("__net") == 1)
+        .drop("__net")
+    )
+    direct = tbl.read()
+    by_version = {
+        r["_commit_version"]: r["cnt"]
+        for r in feed.groupBy("_commit_version")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    dv_deletes = feed.filter(F.col("_commit_version") == 2)
+    feed_ok = (
+        state.exceptAll(direct).isEmpty()
+        and direct.exceptAll(state).isEmpty()
+        # the OPTIMIZE commit (v3) contributed NOTHING to the feed
+        and 3 not in by_version
+        # the DV commit (v2) contributed ONLY deletes, all in days 1-3
+        and dv_deletes.filter(
+            (F.col("_change_type") != "delete")
+            | ~F.col("d").between(1, 3)
+        ).isEmpty()
+        and by_version.get(2, 0) > 0
+    )
+    return state.select(
+        "event_type", "d", "n", F.lit(bool(feed_ok)).alias("feed_ok")
+    )
+
+
+@query(
     "tx_restore",
     oracle=f"""
     -- RESTORE as a commit: v0 appended days 1-10, v1 appended 11-20,

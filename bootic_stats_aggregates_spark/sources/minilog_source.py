@@ -27,6 +27,15 @@ those commits. Non-append commits (merge/delete/optimize rewrites)
 FAIL the stream by default — replaying a rewrite as appends would
 duplicate rows — matching Delta's contract; ``ignoreChanges=true``
 opts into Delta's same caveat (rewritten files re-emitted in full).
+``option("readChangeFeed", "true")`` switches to the CHANGE-DATA-FEED
+stream instead: micro-batches of row-level inserts/deletes per commit
+(acid.changes()'s file-diff composed with the version offsets), which
+handles ALL commit kinds — DV deletes arrive as delete rows, OPTIMIZE
+cancels to an empty feed, MERGE as delete(old)+insert(new) — with
+``_change_type`` / ``_commit_version`` columns appended to the table
+schema. A fresh CDF stream on a vacuum-truncated log bootstraps with
+changes(-1, earliest-retained); a RESUMED offset that fell inside the
+vacuumed window fails loudly (deltas are unrecoverable).
 
 Filter pushdown (4.1's ``pushFilters`` hook) harvests single-column
 range constraints and applies the log's min/max FILE SKIPPING before
@@ -151,7 +160,7 @@ def _read_file_arrow(part: _FilePartition):
             keep = [
                 i for i in range(table.num_rows) if i not in dead_set
             ]
-            table = table.take(keep)
+            table = table.take(pa.array(keep, type=pa.int64()))
     if part.schema is not None:
         fields = [
             pa.field(name, _arrow_type(ddl)) for name, ddl in part.schema
@@ -369,6 +378,212 @@ class _MiniLogStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class _CDFPartition(InputPartition):
+    """One commit's row-level change feed: the executor loads the files
+    present only in the TO snapshot (added) and only in the FROM snapshot
+    (removed) — entry identity (file, dv), exactly acid.changes() — and
+    emits the multiset difference both ways as insert/delete rows."""
+
+    version: int
+    #: ((data path, dv path | None), ...) — entries only in snapshot(v)
+    added: tuple
+    #: entries only in snapshot(v-1)
+    removed: tuple
+    #: (name, ddl_type) pairs — the feed schema (required in CDF mode)
+    schema: tuple
+
+
+def _bag_subtract(a, b):
+    """Multiset difference ``a ∖ b`` by whole-row identity. Row keys are
+    ``repr`` of the Python tuple — deterministic, and NaN-stable (both
+    sides render 'nan'), unlike float equality. Per-commit churn is
+    bounded (O(changed files), never O(table)), so the Python loop is
+    the honest cost here; a write-time CDC sidecar (Delta's _change_data
+    files) is the zero-diff production extension."""
+    if a.num_rows == 0 or b.num_rows == 0:
+        return a
+    from collections import Counter
+
+    def keys(t):
+        return [
+            repr(row) for row in zip(*(c.to_pylist() for c in t.columns))
+        ]
+
+    import pyarrow as pa
+
+    remaining = Counter(keys(b))
+    take = []
+    for i, k in enumerate(keys(a)):
+        if remaining.get(k, 0) > 0:
+            remaining[k] -= 1
+        else:
+            take.append(i)
+    if len(take) == a.num_rows:
+        return a
+    # typed index array: a bare [] infers null type, which take() rejects
+    return a.take(pa.array(take, type=pa.int64()))
+
+
+def _read_cdf_version(part: _CDFPartition):
+    """Executor-side: one commit -> insert/delete rows. Added and removed
+    files are read DV-masked and projected to the feed schema (old files
+    null-fill across schema evolution), then bag-differenced: rows a
+    rewrite copied unchanged cancel; a DV delete surfaces exactly the
+    newly masked rows as deletes; an OPTIMIZE (pure compaction) cancels
+    to an empty feed."""
+    import pyarrow as pa
+
+    fields = [pa.field(n, _arrow_type(t)) for n, t in part.schema]
+    base = pa.schema(fields)
+
+    def load(entries):
+        tables = [
+            pa.Table.from_batches(
+                list(_read_file_arrow(_FilePartition(p, part.schema, dv))),
+                schema=base,
+            )
+            for p, dv in entries
+        ]
+        return pa.concat_tables(tables) if tables else base.empty_table()
+
+    new_rows, old_rows = load(part.added), load(part.removed)
+    inserts = _bag_subtract(new_rows, old_rows)
+    deletes = _bag_subtract(old_rows, new_rows)
+    out_schema = base.append(pa.field("_change_type", pa.string())).append(
+        pa.field("_commit_version", pa.int64())
+    )
+
+    def tag(t, label):
+        cols = t.columns + [
+            pa.array([label] * t.num_rows, pa.string()),
+            pa.array([part.version] * t.num_rows, pa.int64()),
+        ]
+        return pa.table(cols, schema=out_schema)
+
+    yield from tag(inserts, "insert").to_batches(max_chunksize=8192)
+    yield from tag(deletes, "delete").to_batches(max_chunksize=8192)
+
+
+class _MiniLogCDFStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("minilog").option("readChangeFeed",
+    "true")``: micro-batches of ROW-LEVEL inserts/deletes per commit —
+    including across DV-delete, MERGE, DELETE and OPTIMIZE commits where
+    the plain tail correctly fails (replaying a rewrite as appends would
+    duplicate rows). Offsets are log versions, like the tail reader; a
+    batch (start, end] emits, for each version, the bag difference
+    between consecutive snapshots' file sets (acid.changes() composed
+    with the version offsets — VERDICT r7 task 1). The feed satisfies
+    the tx_cdf_replay invariant as a stream: folding it reconstructs the
+    table.
+
+    Scale shape: each commit reads only its churned files — an
+    incremental consumer of a 100 TB table pays O(churn) per trigger.
+    """
+
+    def __init__(self, path: str, options: dict) -> None:
+        self._path = path
+        snap = _handle(path).snapshot()
+        if not snap.schema:
+            raise ValueError(
+                "readChangeFeed: the table has no log-tracked schema "
+                "(empty or pre-schema-tracking table) — the feed schema "
+                "must be pinned at stream start"
+            )
+        #: pinned at stream start: every batch projects to THIS schema,
+        #: so Spark sees one stable source schema for the stream's life
+        #: (a feed spanning a later evolution presents old rows
+        #: null-filled — the acid.changes() contract)
+        self._schema = tuple((c["name"], c["type"]) for c in snap.schema)
+
+    def initialOffset(self) -> dict:
+        versions = _handle(self._path)._versions()
+        if versions and versions[0] > 0:
+            # vacuum-truncated log: the first batch is changes(-1, oldest)
+            # = every row live at the earliest retained snapshot, as
+            # inserts (see partitions)
+            return {"version": versions[0] - 1, "bootstrap": versions[0]}
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        return {"version": _handle(self._path).version}
+
+    def partitions(self, start: dict, end: dict):
+        tbl = _handle(self._path)
+        versions = tbl._versions()
+        oldest = versions[0] if versions else 0
+        parts: list[_CDFPartition] = []
+        first = start["version"] + 1
+        boot = start.get("bootstrap")
+
+        def entry_paths(files):
+            return tuple(
+                (
+                    os.path.join(self._path, f.file),
+                    os.path.join(self._path, f.dv) if f.dv else None,
+                )
+                for f in files
+            )
+
+        if boot is not None and first <= boot <= end["version"]:
+            # fresh stream on a truncated table: snapshot(boot) as the
+            # changes(-1, boot) bootstrap feed (all inserts)
+            parts.append(
+                _CDFPartition(
+                    boot,
+                    entry_paths(tbl.snapshot(boot).files),
+                    (),
+                    self._schema,
+                )
+            )
+            first = boot + 1
+        elif first < oldest:
+            # a resumed stream whose offset fell inside a vacuumed
+            # window: the per-commit deltas are unrecoverable, and
+            # re-emitting a snapshot would DUPLICATE deltas the consumer
+            # already applied — fail loudly (Delta's failOnDataLoss)
+            raise RuntimeError(
+                f"readChangeFeed: commits {first}..{oldest - 1} were "
+                "vacuumed away; the row-level deltas are unrecoverable. "
+                "Restart the stream from a fresh checkpoint (it will "
+                "bootstrap from the earliest retained snapshot)."
+            )
+        for v in range(first, end["version"] + 1):
+            snap_a = (
+                tbl.snapshot(v - 1)
+                if v - 1 in versions
+                else None
+            )
+            a_files = snap_a.files if snap_a else []
+            b_files = tbl.snapshot(v).files
+            a_ids = {(f.file, f.dv): f for f in a_files}
+            b_ids = {(f.file, f.dv): f for f in b_files}
+            _k = lambda k: (k[0], k[1] or "")  # noqa: E731
+            added = [b_ids[k] for k in sorted(set(b_ids) - set(a_ids), key=_k)]
+            removed = [a_ids[k] for k in sorted(set(a_ids) - set(b_ids), key=_k)]
+            if added or removed:
+                parts.append(
+                    _CDFPartition(
+                        v,
+                        entry_paths(added),
+                        entry_paths(removed),
+                        self._schema,
+                    )
+                )
+        return parts or [_CDFPartition(-1, (), (), self._schema)]
+
+    def read(self, partition: _CDFPartition):
+        if partition.version < 0:  # empty batch: schema-only
+            return iter(())
+        return _read_cdf_version(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the query's own checkpoint
+
+    def stop(self) -> None:
+        pass
+
+
 def _handle(path: str, create: bool = False) -> MiniLogTable:
     """Log-fold-only handle (no SparkSession needed on this side).
     Read paths keep ``create=False`` so a typo'd path raises
@@ -543,6 +758,12 @@ class MiniLogDataSource(DataSource):
             raise ValueError("minilog: .load(path) or option('path') required")
         return p
 
+    def _cdf(self) -> bool:
+        return (
+            str(self.options.get("readchangefeed", "false")).lower()
+            == "true"
+        )
+
     def schema(self) -> str:
         tbl = _handle(self._path())
         version = self.options.get("version")
@@ -552,6 +773,15 @@ class MiniLogDataSource(DataSource):
             )
         except NoSuchVersion:
             raise
+        if self._cdf():
+            if not snap.schema:
+                raise ValueError(
+                    "readChangeFeed needs a log-tracked table schema"
+                )
+            return (
+                _ddl(snap.schema)
+                + ", `_change_type` string, `_commit_version` bigint"
+            )
         if snap.schema:
             return _ddl(snap.schema)
         if snap.files:  # pre-schema-tracking table: ask parquet
@@ -565,6 +795,12 @@ class MiniLogDataSource(DataSource):
         raise NoSuchVersion("empty minilog table has no schema")
 
     def reader(self, schema) -> _MiniLogBatchReaderBase:
+        if self._cdf():
+            raise ValueError(
+                "readChangeFeed is a STREAMING option "
+                "(spark.readStream.format('minilog')); for batch CDF "
+                "use MiniLogTable.changes(from_version, to_version)"
+            )
         cls = (
             _MiniLogBatchReader
             if _pushdown_enabled()
@@ -572,8 +808,10 @@ class MiniLogDataSource(DataSource):
         )
         return cls(self._path(), dict(self.options))
 
-    def streamReader(self, schema) -> _MiniLogStreamReader:
+    def streamReader(self, schema):
         opts = {k.lower(): v for k, v in dict(self.options).items()}
+        if self._cdf():
+            return _MiniLogCDFStreamReader(self._path(), opts)
         return _MiniLogStreamReader(self._path(), opts)
 
     @staticmethod
