@@ -153,10 +153,69 @@ class Snapshot:
     files: list[FileEntry]
     txns: dict[str, int]
     #: table schema as recorded by the log's latest metaData action:
-    #: ``[{"name": col, "type": spark-ddl-type}, ...]``. None only for
-    #: tables written before schema tracking (read falls back to the
-    #: files' own parquet schemas).
+    #: ``[{"name": col, "type": spark-ddl-type,
+    #:     "physical": parquet-col-name (optional, defaults to name)},
+    #:    ...]``. None only for tables written before schema tracking
+    #: (read falls back to the files' own parquet schemas). The
+    #: ``physical`` indirection is COLUMN MAPPING (the public Delta
+    #: column-mapping design): a RENAME changes only the logical name,
+    #: a DROP removes the entry — both O(metadata), no file rewritten.
     schema: Optional[list[dict]] = None
+    #: physical column names RETIRED by DROP COLUMN commits: a later
+    #: re-add of the same logical name gets a FRESH physical name, so
+    #: the dropped column's bytes (still present in old files) can
+    #: never resurrect into the new column. Carried cumulatively by
+    #: every metaData action except overwrite (which removes all old
+    #: files from the snapshot, making resurrection impossible).
+    retired: list = field(default_factory=list)
+
+    def physical_of(self, col: str) -> str:
+        """Logical -> physical column name (identity without mapping)."""
+        for c in self.schema or []:
+            if c["name"] == col:
+                return c.get("physical", col)
+        return col
+
+
+def _phys(c: dict) -> str:
+    return c.get("physical", c["name"])
+
+
+def _mapping_of(schema: Optional[list[dict]]) -> dict:
+    """logical -> physical for every schema column (identity entries
+    included, so staging can translate unconditionally)."""
+    return {c["name"]: _phys(c) for c in (schema or [])}
+
+
+def plan_write_mapping(
+    incoming: list[dict],
+    current: Optional[list[dict]],
+    retired: list,
+) -> tuple[dict, dict]:
+    """Plan the logical->physical mapping a write must stage with, and
+    the physical names it PRE-ASSIGNS to fresh (evolving) columns.
+
+    Fresh columns keep ``physical == name`` unless that name collides
+    with a live physical or a RETIRED one (a re-add after DROP), in
+    which case they get a ``col-<uuid>`` physical — the indirection that
+    makes drop-then-re-add safe without rewriting any file. The
+    pre-assignment happens ONCE, before staging, and rides into the
+    commit via ``schema_ctx`` so the race-safe metaData re-derive uses
+    the same physical names the staged files were written with."""
+    mapping = _mapping_of(current)
+    taken = set(mapping.values()) | set(retired)
+    fresh: dict = {}
+    for c in incoming:
+        if c["name"] not in mapping:
+            p = (
+                c["name"]
+                if c["name"] not in taken
+                else f"col-{uuid.uuid4().hex[:12]}"
+            )
+            fresh[c["name"]] = p
+            mapping[c["name"]] = p
+            taken.add(p)
+    return mapping, fresh
 
 
 class MiniLogTable:
@@ -248,6 +307,7 @@ class MiniLogTable:
         live: dict[str, FileEntry] = {}
         txns: dict[str, int] = {}
         schema: Optional[list[dict]] = None
+        retired: list = []
         start = 0
         ckpts = [
             c
@@ -266,6 +326,7 @@ class MiniLogTable:
             }
             txns = dict(state.get("txns", {}))
             schema = state.get("schema")
+            retired = list(state.get("retired", []))
             start = ckpts[-1] + 1
         for cv in versions:
             if cv < start or cv > v:
@@ -284,8 +345,13 @@ class MiniLogTable:
                     live.pop(act["file"], None)
                 elif act["type"] == "metaData":
                     schema = act["schema"]  # latest metaData wins
+                    retired = list(act.get("retired", []))
         return Snapshot(
-            v, sorted(live.values(), key=lambda f: f.file), txns, schema
+            v,
+            sorted(live.values(), key=lambda f: f.file),
+            txns,
+            schema,
+            retired,
         )
 
     def history(self) -> list[dict]:
@@ -317,6 +383,7 @@ class MiniLogTable:
         max_retries: int = 20,
         schema_ctx: Optional[tuple] = None,
         remove_all_live: bool = False,
+        expect_schema: Optional[list] = None,
     ) -> int:
         """Atomically claim the next version via ``os.link``; on loss,
         rebase (appends always; removals only if their files stay live).
@@ -341,11 +408,25 @@ class MiniLogTable:
         attempt = 0
         while True:
             snap = self.snapshot() if self.version >= 0 else Snapshot(-1, [], {})
+            if expect_schema is not None and snap.schema != expect_schema:
+                # schema-editing commits (rename/drop) are lost-update
+                # hazards: two concurrent renames would otherwise both
+                # "win" with the later silently undoing the earlier
+                raise ConcurrentModification(
+                    f"{operation}: table schema changed concurrently — "
+                    "re-read and retry"
+                )
             if schema_ctx is not None:
-                incoming, evolve = schema_ctx
+                incoming, evolve, *rest = schema_ctx
                 actions = [
                     a for a in actions if a["type"] != "metaData"
-                ] + schema_merge_actions(incoming, snap.schema, evolve)
+                ] + schema_merge_actions(
+                    incoming,
+                    snap.schema,
+                    evolve,
+                    retired=snap.retired,
+                    preassigned=rest[0] if rest else None,
+                )
             if remove_all_live:
                 actions = [a for a in actions if a["type"] != "remove"] + [
                     {"type": "remove", "file": f.file, "base_dv": f.dv}
@@ -433,6 +514,7 @@ class MiniLogTable:
             ],
             "txns": snap.txns,
             "schema": snap.schema,
+            "retired": snap.retired,
         }
         tmp = os.path.join(
             self.path, _LOG_DIR, f"_tmp.{uuid.uuid4().hex}.ckpt"
@@ -449,10 +531,27 @@ class MiniLogTable:
             os.unlink(tmp)
 
     # -------------------------------------------------------------- write
-    def _stage(self, df: DataFrame, target_files: Optional[int]) -> list[dict]:
+    def _stage(
+        self,
+        df: DataFrame,
+        target_files: Optional[int],
+        mapping: Optional[dict] = None,
+    ) -> list[dict]:
         """Write ``df`` into the table dir under fresh UUID names and
         return the ``add`` actions (rows + min/max stats per file,
-        collected in ONE job grouped by ``input_file_name()``)."""
+        collected in ONE job grouped by ``input_file_name()``).
+
+        ``mapping`` (logical -> physical) renames the columns to their
+        PHYSICAL parquet names before writing, and keys the collected
+        stats by physical name — the write side of column mapping.
+        Stats are ALWAYS keyed by physical name (identity when mapping
+        is absent), so pruning survives any number of later renames."""
+        mapping = mapping or {}
+        if any(mapping.get(c, c) != c for c in df.columns):
+            df = df.select(
+                *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+            )
+        phys_stats = tuple(mapping.get(c, c) for c in self.stats_cols)
         staging = os.path.join(self.path, _LOG_DIR, f"_tmp.{uuid.uuid4().hex}")
         out = df.coalesce(target_files) if target_files else df
         out.write.mode("overwrite").parquet(staging)
@@ -464,7 +563,7 @@ class MiniLogTable:
             return []
         staged = self.spark.read.parquet(staging)
         aggs = [F.count(F.lit(1)).cast("long").alias("__rows")]
-        for c in self.stats_cols:
+        for c in phys_stats:
             if c in staged.columns:
                 aggs += [
                     F.min(c).alias(f"__min_{c}"),
@@ -494,7 +593,7 @@ class MiniLogTable:
                 c: {"min": _json_safe(r[f"__min_{c}"]),
                     "max": _json_safe(r[f"__max_{c}"]),
                     "nulls": r[f"__nulls_{c}"]}
-                for c in self.stats_cols
+                for c in phys_stats
                 if f"__min_{c}" in r.asDict()
             }
             actions.append(
@@ -543,16 +642,100 @@ class MiniLogTable:
             snap = self.snapshot()
             if snap.txns.get(txn["app"], -1) >= txn["version"]:
                 return snap.version  # skip staging work entirely on replay
-        self._schema_actions(df, evolve_schema)  # fail fast BEFORE staging
-        actions = self._stage(df, target_files)
+        snap0 = self.snapshot() if self.version >= 0 else None
+        current = snap0.schema if snap0 else None
+        retired = snap0.retired if snap0 else []
+        incoming = self._df_schema(df)
+        mapping, fresh = plan_write_mapping(incoming, current, retired)
+        # fail fast (type conflicts / evolve flag) BEFORE staging
+        schema_merge_actions(
+            incoming, current, evolve_schema,
+            retired=retired, preassigned=fresh,
+        )
+        actions = self._stage(df, target_files, mapping=mapping)
         # schema_ctx: the metaData action is re-derived from the LIVE
         # snapshot inside the commit loop, so a concurrent evolve-append
-        # cannot drop this write's (or the other writer's) new columns
+        # cannot drop this write's (or the other writer's) new columns;
+        # the pre-assigned fresh physicals ride along so the committed
+        # metaData names exactly the parquet columns staged above
         return self._try_commit(
             "append",
             actions,
             txn=txn,
-            schema_ctx=(self._df_schema(df), evolve_schema),
+            schema_ctx=(incoming, evolve_schema, fresh),
+        )
+
+    # ---------------------------------------------------- column mapping
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN without rewriting a single data file (the
+        public Delta column-mapping design, VERDICT r7 task 3): the
+        commit is ONE metaData action in which the column keeps its
+        PHYSICAL parquet name and changes only its logical name — every
+        reader resolves logical -> physical through the snapshot schema,
+        so old files keep working and time travel to pre-rename versions
+        presents the historical name. O(metadata) at any table size; at
+        100 TB this is the difference between an instant DDL and a
+        full-table rewrite.
+
+        Concurrency: the commit pins the schema it was planned against
+        (``expect_schema``) — racing a concurrent schema change raises
+        :class:`ConcurrentModification` instead of silently undoing it.
+        """
+        snap = self.snapshot()
+        if snap.schema is None:
+            raise SchemaMismatch("rename_column: table has no log schema")
+        names = [c["name"] for c in snap.schema]
+        if old not in names:
+            raise ValueError(f"rename_column: no column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"rename_column: column {new!r} already exists")
+        schema = []
+        for c in snap.schema:
+            if c["name"] == old:
+                e = dict(c)
+                e["physical"] = _phys(c)  # pin: files keep the old name
+                e["name"] = new
+                schema.append(e)
+            else:
+                schema.append(c)
+        action: dict = {"type": "metaData", "schema": schema}
+        if snap.retired:
+            action["retired"] = list(snap.retired)
+        return self._try_commit(
+            f"rename_column({old}->{new})",
+            [action],
+            expect_schema=snap.schema,
+        )
+
+    def drop_column(self, name: str) -> int:
+        """DROP COLUMN without rewriting a single data file: the commit
+        removes the column's schema entry and RETIRES its physical name.
+        Old files still carry the bytes (readers simply never select
+        them; time travel to pre-drop versions still presents the
+        column), and a later re-add of the same logical name gets a
+        fresh ``col-<uuid>`` physical, so the dropped data can never
+        resurrect — the exact hazard Delta's column mapping exists to
+        prevent. Space is reclaimed lazily by routine OPTIMIZE rewrites
+        (which stage through the post-drop schema and physically shed
+        the column)."""
+        snap = self.snapshot()
+        if snap.schema is None:
+            raise SchemaMismatch("drop_column: table has no log schema")
+        entry = next(
+            (c for c in snap.schema if c["name"] == name), None
+        )
+        if entry is None:
+            raise ValueError(f"drop_column: no column {name!r}")
+        if len(snap.schema) == 1:
+            raise ValueError("drop_column: cannot drop the only column")
+        schema = [c for c in snap.schema if c["name"] != name]
+        action = {
+            "type": "metaData",
+            "schema": schema,
+            "retired": sorted(set(snap.retired) | {_phys(entry)}),
+        }
+        return self._try_commit(
+            f"drop_column({name})", [action], expect_schema=snap.schema
         )
 
     def overwrite(self, df: DataFrame, target_files: Optional[int] = 1) -> int:
@@ -572,7 +755,8 @@ class MiniLogTable:
         """Delete rows with ``col`` in [lo, hi], rewriting ONLY the files
         whose stats overlap the range (data skipping on the write path)."""
         snap = self.snapshot()
-        touched = [f for f in snap.files if f.may_contain(col, lo, hi)]
+        pcol = snap.physical_of(col)
+        touched = [f for f in snap.files if f.may_contain(pcol, lo, hi)]
         if not touched:
             return {"version": snap.version, "rewritten": 0, "kept": len(snap.files)}
         # NULL contract: a NULL key is never "in [lo, hi]" — it must
@@ -581,7 +765,9 @@ class MiniLogTable:
         kept_df = self._read_entries(touched, snap.schema).filter(
             F.col(col).isNull() | ~F.col(col).between(F.lit(lo), F.lit(hi))
         )
-        actions = self._stage(kept_df, 1) + [
+        actions = self._stage(
+            kept_df, 1, mapping=_mapping_of(snap.schema)
+        ) + [
             {"type": "remove", "file": f.file, "base_dv": f.dv} for f in touched
         ]
         v = self._try_commit("delete", actions)
@@ -613,12 +799,15 @@ class MiniLogTable:
         version reads the file unmasked.
         """
         snap = self.snapshot()
-        touched = [f for f in snap.files if f.may_contain(col, lo, hi)]
+        pcol = snap.physical_of(col)
+        touched = [f for f in snap.files if f.may_contain(pcol, lo, hi)]
         if not touched:
             return {"version": snap.version, "dv_files": 0, "dv_rows": 0}
         matched = (
+            # _tagged_read exposes RAW parquet columns: filter on the
+            # physical name (identity without mapping)
             self._tagged_read(touched)
-            .filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+            .filter(F.col(pcol).between(F.lit(lo), F.lit(hi)))
             .select(
                 F.col("__dv_file").alias("file"),
                 F.col("__dv_pos").alias("row_index"),
@@ -760,14 +949,15 @@ class MiniLogTable:
         # a file is touched if its range may hold a matching non-NULL key,
         # OR the updates carry NULL keys and the file may hold NULL-keyed
         # rows (min/max ignore NULLs — the per-file NULL count covers them)
+        pprune = snap.physical_of(prune_col)
         touched = [
             f
             for f in snap.files
             if (
                 bounds["lo"] is not None
-                and f.may_contain(prune_col, bounds["lo"], bounds["hi"])
+                and f.may_contain(pprune, bounds["lo"], bounds["hi"])
             )
-            or (upd_nulls and f.may_have_null(prune_col))
+            or (upd_nulls and f.may_have_null(pprune))
         ]
         untouched = len(snap.files) - len(touched)
         if touched:
@@ -792,7 +982,9 @@ class MiniLogTable:
                 for c in base.columns
             ]
         )
-        actions = self._stage(merged, 1) + [
+        actions = self._stage(
+            merged, 1, mapping=_mapping_of(snap.schema)
+        ) + [
             {"type": "remove", "file": f.file, "base_dv": f.dv} for f in touched
         ]
         v = self._try_commit("merge", actions)
@@ -813,14 +1005,18 @@ class MiniLogTable:
         return list(prune)
 
     def _project(self, df: DataFrame, schema: Optional[list[dict]]) -> DataFrame:
-        """Conform a raw parquet read to the log schema: null-fill
-        columns a pre-evolution file lacks, in log column order."""
+        """Conform a raw parquet read to the log schema: resolve each
+        logical column through its PHYSICAL name (column mapping — a
+        renamed column reads the original parquet column, a dropped
+        column is simply not selected), null-fill columns a
+        pre-evolution file lacks, in log column order."""
         if not schema:
             return df
         cols = []
         for c in schema:
-            if c["name"] in df.columns:
-                cols.append(F.col(c["name"]))
+            p = _phys(c)
+            if p in df.columns:
+                cols.append(F.col(p).alias(c["name"]))
             else:
                 cols.append(F.lit(None).cast(c["type"]).alias(c["name"]))
         return df.select(*cols)
@@ -922,7 +1118,8 @@ class MiniLogTable:
     ) -> list[FileEntry]:
         files = snap.files
         for col, lo, hi in preds:
-            files = [f for f in files if f.may_contain(col, lo, hi)]
+            p = snap.physical_of(col)  # stats are keyed by physical name
+            files = [f for f in files if f.may_contain(p, lo, hi)]
         return files
 
     def select_files(
@@ -1057,7 +1254,7 @@ class MiniLogTable:
         actions: list[dict] = []
         for b in bins:
             df = self._read_entries(list(b), snap.schema)
-            actions += self._stage(df, 1)
+            actions += self._stage(df, 1, mapping=_mapping_of(snap.schema))
         compacted = [f for b in bins for f in b]
         actions += [{"type": "remove", "file": f.file, "base_dv": f.dv} for f in compacted]
         v = self._try_commit("optimize", actions)
@@ -1105,8 +1302,9 @@ class MiniLogTable:
         df = self._read_entries(snap.files, snap.schema)
 
         def bounds(col: str) -> tuple[Any, Any]:
-            mins = [f.stats.get(col, {}).get("min") for f in snap.files]
-            maxs = [f.stats.get(col, {}).get("max") for f in snap.files]
+            p = snap.physical_of(col)
+            mins = [f.stats.get(p, {}).get("min") for f in snap.files]
+            maxs = [f.stats.get(p, {}).get("max") for f in snap.files]
             if all(v is not None for v in mins + maxs):
                 return min(mins), max(maxs)  # pure metadata
             row = df.agg(
@@ -1134,7 +1332,9 @@ class MiniLogTable:
             .sortWithinPartitions("__z")
             .drop("__bx", "__by", "__z")
         )
-        actions = self._stage(ordered, None) + [
+        actions = self._stage(
+            ordered, None, mapping=_mapping_of(snap.schema)
+        ) + [
             {"type": "remove", "file": f.file, "base_dv": f.dv} for f in snap.files
         ]
         v = self._try_commit("zorder", actions)
@@ -1247,7 +1447,14 @@ class MiniLogTable:
             if key not in cur
         ]
         if target.schema is not None:
-            actions.append({"type": "metaData", "schema": target.schema})
+            action: dict = {"type": "metaData", "schema": target.schema}
+            # retirement is monotonic: a physical dropped on EITHER side
+            # of the restore must stay retired, or a later re-add could
+            # resurrect its bytes from files the other timeline kept
+            ret = sorted(set(target.retired) | set(current.retired))
+            if ret:
+                action["retired"] = ret
+            actions.append(action)
         return self._try_commit(f"restore(v{version})", actions)
 
     def clone(
@@ -1293,7 +1500,10 @@ class MiniLogTable:
                  "stats": fe.stats, "dv": fe.dv, "dv_rows": fe.dv_rows}
             )
         if snap.schema is not None:
-            actions.append({"type": "metaData", "schema": snap.schema})
+            action: dict = {"type": "metaData", "schema": snap.schema}
+            if snap.retired:
+                action["retired"] = list(snap.retired)
+            actions.append(action)
         dst._try_commit(f"clone({self.path}@v{snap.version})", actions)
         return dst
 
@@ -1302,6 +1512,8 @@ def schema_merge_actions(
     incoming: list[dict],
     current: Optional[list[dict]],
     evolve_schema: bool,
+    retired: list = (),
+    preassigned: Optional[dict] = None,
 ) -> list[dict]:
     """The metaData action (if any) a write with ``incoming`` schema must
     commit against a table whose log schema is ``current``.
@@ -1317,20 +1529,52 @@ def schema_merge_actions(
       of the table schema via a new metaData action; old files simply
       lack the column and read back as NULL.
 
+    Column mapping (r8): a fresh column's PHYSICAL name comes from
+    ``preassigned`` (computed once by :func:`plan_write_mapping` before
+    staging, so the committed metaData names exactly the parquet columns
+    the staged files carry); a fresh physical that collides with a live
+    or ``retired`` physical raises — the caller pre-assigned around
+    retirement, so a collision here means a CONCURRENT commit took the
+    name, and committing anyway would mis-bind this write's data.
+
     Shared by the Python write path (:meth:`MiniLogTable.append`) and
     the Spark-native DataSource writer (sources/minilog_source.py).
     """
     if current is None:
         return [{"type": "metaData", "schema": incoming}]
     types = {c["name"]: c["type"] for c in current}
+    taken = {_phys(c) for c in current} | set(retired)
     fresh = []
     for c in incoming:
         if c["name"] not in types:
-            fresh.append(c)
+            e = {"name": c["name"], "type": c["type"]}
+            p = (preassigned or {}).get(c["name"], c["name"])
+            if p in taken:
+                raise SchemaMismatch(
+                    f"column {c['name']!r}: physical name {p!r} is "
+                    "already live or retired (concurrent schema change) "
+                    "— retry the write"
+                )
+            if p != c["name"]:
+                e["physical"] = p
+            fresh.append(e)
         elif types[c["name"]] != c["type"]:
             raise SchemaMismatch(
                 f"column {c['name']!r}: table has {types[c['name']]!r},"
                 f" write has {c['type']!r} (type changes not supported)"
+            )
+        elif (
+            preassigned
+            and c["name"] in preassigned
+            and preassigned[c["name"]]
+            != _mapping_of(current)[c["name"]]
+        ):
+            # we staged this column as FRESH under our physical, but a
+            # concurrent commit added it under a different one — our
+            # data files would mis-bind; same-column writers serialize
+            raise SchemaMismatch(
+                f"column {c['name']!r} was added concurrently under a "
+                f"different physical name — retry the write"
             )
     if not fresh:
         return []
@@ -1339,7 +1583,10 @@ def schema_merge_actions(
             f"write adds columns {[c['name'] for c in fresh]} — pass "
             "evolve_schema=True to evolve the table schema"
         )
-    return [{"type": "metaData", "schema": current + fresh}]
+    action: dict = {"type": "metaData", "schema": current + fresh}
+    if retired:
+        action["retired"] = list(retired)
+    return [action]
 
 
 def _json_safe(v: Any) -> Any:

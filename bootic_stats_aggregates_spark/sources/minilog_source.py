@@ -88,12 +88,16 @@ from ..acid import (
     MiniLogTable,
     NoSuchVersion,
     _json_safe,
+    _phys,
+    plan_write_mapping,
 )
 
 @dataclass
 class _FilePartition(InputPartition):
     path: str
-    #: (name, ddl_type) pairs of the snapshot schema, None = file schema
+    #: (name, ddl_type, physical) triples of the snapshot schema, None =
+    #: file schema. ``physical`` is the parquet column name (column
+    #: mapping: a renamed column keeps its original physical name)
     schema: Optional[tuple]
     #: deletion-vector sidecar path (None = no rows masked): positions
     #: listed there for this file are dropped executor-side before the
@@ -163,12 +167,13 @@ def _read_file_arrow(part: _FilePartition):
             table = table.take(pa.array(keep, type=pa.int64()))
     if part.schema is not None:
         fields = [
-            pa.field(name, _arrow_type(ddl)) for name, ddl in part.schema
+            pa.field(name, _arrow_type(ddl))
+            for name, ddl, _ in part.schema
         ]
         cols = []
-        for field in fields:
-            if field.name in table.column_names:
-                cols.append(table.column(field.name).cast(field.type))
+        for field, (_, _, phys) in zip(fields, part.schema):
+            if phys in table.column_names:  # resolve via PHYSICAL name
+                cols.append(table.column(phys).cast(field.type))
             else:  # pre-evolution file: null-fill
                 cols.append(pa.nulls(table.num_rows, type=field.type))
         table = pa.table(cols, schema=pa.schema(fields))
@@ -213,13 +218,16 @@ class _MiniLogBatchReaderBase(DataSourceReader):
         version = self._options.get("version")
         snap = tbl.snapshot(int(version) if version is not None else None)
         schema = (
-            tuple((c["name"], c["type"]) for c in snap.schema)
+            tuple((c["name"], c["type"], _phys(c)) for c in snap.schema)
             if snap.schema
             else None
         )
         files = snap.files
         for col, (lo, hi) in self._ranges.items():
-            files = [f for f in files if _file_may_match(f, col, lo, hi)]
+            # pushed filters name LOGICAL columns; the log stats are
+            # keyed by PHYSICAL name (column mapping)
+            p = snap.physical_of(col)
+            files = [f for f in files if _file_may_match(f, p, lo, hi)]
         return [
             _FilePartition(
                 os.path.join(self._path, f.file),
@@ -300,7 +308,7 @@ class _MiniLogStreamReader(DataSourceStreamReader):
         tbl = _handle(self._path)
         snap = tbl.snapshot(end["version"]) if end["version"] >= 0 else None
         schema = (
-            tuple((c["name"], c["type"]) for c in snap.schema)
+            tuple((c["name"], c["type"], _phys(c)) for c in snap.schema)
             if snap and snap.schema
             else None
         )
@@ -434,7 +442,7 @@ def _read_cdf_version(part: _CDFPartition):
     to an empty feed."""
     import pyarrow as pa
 
-    fields = [pa.field(n, _arrow_type(t)) for n, t in part.schema]
+    fields = [pa.field(n, _arrow_type(t)) for n, t, _ in part.schema]
     base = pa.schema(fields)
 
     def load(entries):
@@ -494,7 +502,7 @@ class _MiniLogCDFStreamReader(DataSourceStreamReader):
         #: so Spark sees one stable source schema for the stream's life
         #: (a feed spanning a later evolution presents old rows
         #: null-filled — the acid.changes() contract)
-        self._schema = tuple((c["name"], c["type"]) for c in snap.schema)
+        self._schema = tuple((c["name"], c["type"], _phys(c)) for c in snap.schema)
 
     def initialOffset(self) -> dict:
         versions = _handle(self._path)._versions()
@@ -598,12 +606,17 @@ class _MiniLogCommitMessage(WriterCommitMessage):
     actions: list
 
 
-def _write_task_file(path: str, stats_cols: tuple, iterator):
+def _write_task_file(
+    path: str, stats_cols: tuple, iterator, mapping: Optional[dict] = None
+):
     """Executor-side write task: land this partition's Arrow batches as
     ONE immutable parquet file under a fresh UUID name and return its
     add action with per-file min/max/null stats — the same stats the
     Python write path collects, computed here directly from the Arrow
-    table (no Spark job needed)."""
+    table (no Spark job needed). ``mapping`` (logical -> physical,
+    captured driver-side at writer construction) renames the columns to
+    their physical parquet names and keys the stats by physical — the
+    native-writer leg of column mapping."""
     import uuid as _uuid
 
     import pyarrow as pa
@@ -614,15 +627,20 @@ def _write_task_file(path: str, stats_cols: tuple, iterator):
     if not batches:
         return _MiniLogCommitMessage(actions=[])
     table = pa.Table.from_batches(batches)
+    if mapping:
+        table = table.rename_columns(
+            [mapping.get(c, c) for c in table.column_names]
+        )
     name = f"{_uuid.uuid4().hex}.parquet"
     pq.write_table(table, os.path.join(path, name))
     stats = {}
     for c in stats_cols:
-        if c in table.column_names:
-            col = table.column(c)
+        p = (mapping or {}).get(c, c)
+        if p in table.column_names:
+            col = table.column(p)
             nulls = col.null_count
             has_values = table.num_rows > nulls
-            stats[c] = {
+            stats[p] = {
                 "min": _json_safe(pc.min(col).as_py()) if has_values else None,
                 "max": _json_safe(pc.max(col).as_py()) if has_values else None,
                 "nulls": nulls,
@@ -670,9 +688,23 @@ class _MiniLogArrowWriter(DataSourceArrowWriter):
         self._overwrite = overwrite
         self._merge_schema = merge_schema
         os.makedirs(path, exist_ok=True)
+        # column mapping: capture logical->physical at construction
+        # (driver-side); overwrite resets the schema, so its mapping is
+        # identity. The fresh-column pre-assignment rides into commit's
+        # schema_ctx so the metaData names what the tasks wrote.
+        self._mapping, self._fresh = {}, {}
+        if not overwrite:
+            tbl = _handle(path, create=True)
+            if tbl.version >= 0:
+                snap = tbl.snapshot()
+                self._mapping, self._fresh = plan_write_mapping(
+                    schema, snap.schema, snap.retired
+                )
 
     def write(self, iterator):
-        return _write_task_file(self._path, self._stats_cols, iterator)
+        return _write_task_file(
+            self._path, self._stats_cols, iterator, self._mapping
+        )
 
     def commit(self, messages):
         tbl = _handle(self._path, create=True)
@@ -697,7 +729,7 @@ class _MiniLogArrowWriter(DataSourceArrowWriter):
             tbl._try_commit(
                 "append",
                 actions,
-                schema_ctx=(self._schema, self._merge_schema),
+                schema_ctx=(self._schema, self._merge_schema, self._fresh),
             )
 
     def abort(self, messages):
@@ -721,9 +753,17 @@ class _MiniLogStreamArrowWriter(DataSourceStreamArrowWriter):
         self._stats_cols = stats_cols
         self._txn_app = txn_app
         os.makedirs(path, exist_ok=True)
+        self._mapping = {}
+        tbl = _handle(path, create=True)
+        if tbl.version >= 0:
+            self._mapping, _ = plan_write_mapping(
+                schema, tbl.snapshot().schema, tbl.snapshot().retired
+            )
 
     def write(self, iterator):
-        return _write_task_file(self._path, self._stats_cols, iterator)
+        return _write_task_file(
+            self._path, self._stats_cols, iterator, self._mapping
+        )
 
     def commit(self, messages, batchId: int):
         tbl = _handle(self._path, create=True)

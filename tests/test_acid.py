@@ -1009,3 +1009,112 @@ def test_stream_change_feed_batch_read_refused(spark, tbl):
         spark.read.format("minilog").option(
             "readChangeFeed", "true"
         ).load(tbl.path).collect()
+
+
+# ------------------------------------------------------- column mapping
+def test_rename_column_is_metadata_only(spark, tbl):
+    """RENAME COLUMN: one metaData commit, zero files rewritten, reads
+    resolve the new logical name through the original physical parquet
+    column, time travel presents the historical name, and data skipping
+    keeps working (stats are keyed by physical name)."""
+    tbl.append(_df(spark, [(1, "a"), (5, "b")]))
+    tbl.append(_df(spark, [(10, "c")]))
+    files_before = set(tbl.select_files())
+    v = tbl.rename_column("k", "key")
+    assert set(tbl.select_files()) == files_before  # NO rewrite
+    assert [c["name"] for c in tbl.snapshot().schema] == ["key", "v"]
+    got = sorted((r["key"], r["v"]) for r in tbl.read().collect())
+    assert got == [(1, "a"), (5, "b"), (10, "c")]
+    # time travel: the pre-rename version still presents the old name
+    assert sorted(r["k"] for r in tbl.read(version=v - 1).collect()) == [1, 5, 10]
+    # skipping on the RENAMED logical name still prunes
+    assert len(tbl.select_files(prune=("key", 1, 4))) == 1
+    # rewrite paths keep working through the mapping
+    tbl.delete_where("key", 5, 5)
+    assert sorted(r["key"] for r in tbl.read().collect()) == [1, 10]
+
+
+def test_drop_column_retires_physical_no_resurrection(spark, tbl):
+    """DROP COLUMN retires the physical name; a later re-add of the same
+    logical name binds to a FRESH physical, so the dropped bytes (still
+    in old files) can never resurrect. Time travel pre-drop still
+    presents the dropped values."""
+    tbl.append(_df(spark, [(1, "a"), (2, "b")]))
+    v_drop = tbl.drop_column("v")
+    assert [c["name"] for c in tbl.snapshot().schema] == ["k"]
+    assert tbl.snapshot().retired == ["v"]
+    assert [tuple(r) for r in sorted(tbl.read().collect())] == [(1,), (2,)]
+    # pre-drop version still reads the column
+    old = sorted(tuple(r) for r in tbl.read(version=v_drop - 1).collect())
+    assert old == [(1, "a"), (2, "b")]
+    # re-add the same logical name: old values must NOT come back
+    tbl.append(
+        _df(spark, [(3, "fresh")]), evolve_schema=True
+    )
+    sch = {c["name"]: c for c in tbl.snapshot().schema}
+    assert sch["v"].get("physical", "v") != "v"  # fresh physical
+    got = sorted((r["k"], r["v"]) for r in tbl.read().collect())
+    assert got == [(1, None), (2, None), (3, "fresh")]
+
+
+def test_column_mapping_through_native_source(spark, tbl):
+    """The DSv2 reader resolves logical -> physical per partition and
+    the native writer stages through the mapping, so a renamed table
+    round-trips through spark.read/write.format('minilog')."""
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        register,
+    )
+
+    register(spark)
+    tbl.append(_df(spark, [(1, "a"), (5, "b")]))
+    tbl.rename_column("k", "key")
+    got = sorted(
+        (r["key"], r["v"])
+        for r in spark.read.format("minilog").load(tbl.path).collect()
+    )
+    assert got == [(1, "a"), (5, "b")]
+    # native append AFTER the rename: the task must write the parquet
+    # column under the PHYSICAL name so old and new files agree
+    spark.createDataFrame([(9, "z")], "key INT, v STRING").coalesce(
+        1
+    ).write.format("minilog").mode("append").option(
+        "statsCols", "key"
+    ).save(tbl.path)
+    got = sorted(
+        (r["key"], r["v"])
+        for r in spark.read.format("minilog").load(tbl.path).collect()
+    )
+    assert got == [(1, "a"), (5, "b"), (9, "z")]
+    # pushdown translates the logical filter to the physical stats key
+    assert len(tbl.select_files(prune=("key", 9, 9))) == 1
+
+
+def test_concurrent_schema_edits_conflict(spark, tbl):
+    """Two schema edits planned against the same snapshot: the second
+    must raise ConcurrentModification (lost-update guard), not silently
+    undo the first."""
+    tbl.append(_df(spark, [(1, "a")]))
+    snap = tbl.snapshot()
+    tbl.rename_column("k", "key")
+    with pytest.raises(ConcurrentModification):
+        tbl._try_commit(
+            "rename_column(k->key2)",
+            [{"type": "metaData", "schema": snap.schema}],
+            expect_schema=snap.schema,
+        )
+
+
+def test_optimize_after_drop_sheds_column(spark, tbl):
+    """A routine OPTIMIZE after DROP COLUMN stages through the post-drop
+    schema, physically shedding the dropped bytes — the lazy space
+    reclaim story."""
+    import pyarrow.parquet as pq
+
+    tbl.append(_df(spark, [(1, "a")]))
+    tbl.append(_df(spark, [(2, "b")]))
+    tbl.drop_column("v")
+    info = tbl.optimize(target_rows=1000)
+    assert info["compacted"] == 2
+    for f in tbl.select_files():
+        assert pq.read_schema(f).names == ["k"]  # 'v' bytes gone
+    assert sorted(r["k"] for r in tbl.read().collect()) == [1, 2]
