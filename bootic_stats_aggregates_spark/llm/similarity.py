@@ -997,16 +997,82 @@ def _kmeans_update(assigned: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _fp_d2(a, b):
+    """Exact squared euclidean: left-to-right fold over dims (bitwise
+    identical to DuckDB's list_sum over list_zip in index order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _seed_centroids(e: DataFrame, k: int) -> DataFrame:
+    """DETERMINISTIC FARTHEST-POINT SEEDING (the seeded k-means++-style
+    init, VERDICT r7 task 6): seed 0 is the min-vec_id vector; each next
+    seed is the point MAXIMIZING its distance to the nearest chosen seed
+    (ties: vec_id ASC). Exact-replayable in the DuckDB oracle — every
+    step is a window first_value over a total order of exact doubles —
+    unlike random k-means++ sampling, and robust where first-K init is
+    quality-fragile: an adversarial row order putting K near-identical
+    vectors first degenerates first-K Lloyd's into one effective cell,
+    while farthest-point spreads seeds across the data's diameter
+    (property-tested with such a corpus in tests/test_properties.py).
+
+    Plan shape: the running (dmin, seeds) state threads through k-1
+    SINGLE-REFERENCE projections — the next seed is a global-window
+    first_value computed IN the projection, and the chosen seeds
+    accumulate in a constant array column — so the logical plan grows
+    LINEARLY in k (a naive chosen-set union chain doubles references
+    per step: 2^k). Each step is one single-partition window sort of
+    the training set; at 100 TB you train on a bounded sample (the
+    production recipe for any k-means), so the single partition is by
+    construction small."""
+    full0 = Window.orderBy("vec_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s0 = F.first("emb").over(full0)
+    state = e.select(
+        "vec_id",
+        "emb",
+        F.coalesce(_fp_d2("emb", s0), F.lit(0.0)).alias("dmin"),
+        F.array(
+            F.struct(F.lit(0).cast("int").alias("sid"), s0.alias("c"))
+        ).alias("seeds"),
+    )
+    for j in range(1, k):
+        w = Window.orderBy(F.desc("dmin"), "vec_id").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        nxt = F.first("emb").over(w)
+        state = state.select(
+            "vec_id",
+            "emb",
+            F.least(
+                "dmin", F.coalesce(_fp_d2("emb", nxt), F.lit(0.0))
+            ).alias("dmin"),
+            F.array_append(
+                "seeds",
+                F.struct(F.lit(j).cast("int").alias("sid"), nxt.alias("c")),
+            ).alias("seeds"),
+        )
+    return (
+        state.orderBy("vec_id")
+        .limit(1)
+        .select(F.explode("seeds").alias("s"))
+        .select(F.col("s.sid").alias("cid"), F.col("s.c").alias("cvec"))
+    )
+
+
 def _train_quantizer(
     e: DataFrame, k: int, iters: int
 ) -> tuple[DataFrame, DataFrame]:
-    """Lloyd's for `iters` fixed rounds from the first-k init: returns
-    (trained centroids (cid, cvec), final assignment (vec_id, emb, cid)).
+    """Lloyd's for `iters` fixed rounds from the deterministic
+    farthest-point init (:func:`_seed_centroids`): returns (trained
+    centroids (cid, cvec), final assignment (vec_id, emb, cid)).
     Shared by llm_ivf_train (the training op) and llm_ann_ivfpq (the
     search op that consumes a trained quantizer)."""
-    cents = e.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("emb").alias("cvec")
-    )
+    cents = _seed_centroids(e, k)
     for _ in range(iters):
         cents = _kmeans_update(_kmeans_assign(e, cents), cents)
     return cents, _kmeans_assign(e, cents)
@@ -1018,7 +1084,8 @@ def _train_quantizer(
 #: — 8x smaller than the 64-byte SQ8 code this replaced (VERDICT r6
 #: task 1), 64x smaller than the float64 vector. Swept on the fixture
 #: (r7): 8x8x16 recalls 0.74 even at rerank 40; the finer 16x4x16 grid
-#: recovers the full 0.92 cell-coverage ceiling.
+#: recovers the cell-coverage ceiling (0.90 at the r8 farthest-point
+#: init + NPROBE=10 geometry).
 PQ_M = 16
 PQ_SUBDIM = 4
 PQ_KSUB = 16
@@ -1080,16 +1147,61 @@ def _pq_update(assigned: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _train_pq(e: DataFrame, iters: int) -> tuple[DataFrame, DataFrame]:
-    """Per-subspace Lloyd's (`iters` fixed rounds, first-PQ_KSUB init):
-    returns (codebooks (sub, cid, c), final assignment (vec_id, sub, v8,
-    cid)). ONE grouped k-means trains all PQ_M codebooks together — the
-    subspace id rides the grouping key, so the cost is a single Lloyd
-    chain over m·n training points, not m sequential trainings."""
-    es = _pq_subvectors(e)
-    cents = es.filter(F.col("vec_id") < PQ_KSUB).select(
-        "sub", F.col("vec_id").cast("int").alias("cid"), F.col("v8").alias("c")
+def _seed_pq_centroids(es: DataFrame, k: int) -> DataFrame:
+    """Per-subspace farthest-point seeding — :func:`_seed_centroids`
+    with the subspace id riding the window partition key, so ALL PQ_M
+    codebooks seed in one chain (the same grouped-training economics as
+    _train_pq itself)."""
+    full0 = Window.partitionBy("sub").orderBy("vec_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
+    s0 = F.first("v8").over(full0)
+    state = es.select(
+        "vec_id",
+        "sub",
+        "v8",
+        F.coalesce(_fp_d2("v8", s0), F.lit(0.0)).alias("dmin"),
+        F.array(
+            F.struct(F.lit(0).cast("int").alias("sid"), s0.alias("c"))
+        ).alias("seeds"),
+    )
+    for j in range(1, k):
+        w = Window.partitionBy("sub").orderBy(
+            F.desc("dmin"), "vec_id"
+        ).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        nxt = F.first("v8").over(w)
+        state = state.select(
+            "vec_id",
+            "sub",
+            "v8",
+            F.least(
+                "dmin", F.coalesce(_fp_d2("v8", nxt), F.lit(0.0))
+            ).alias("dmin"),
+            F.array_append(
+                "seeds",
+                F.struct(F.lit(j).cast("int").alias("sid"), nxt.alias("c")),
+            ).alias("seeds"),
+        )
+    one = Window.partitionBy("sub").orderBy("vec_id")
+    return (
+        state.withColumn("rn", F.row_number().over(one))
+        .filter(F.col("rn") == 1)
+        .select("sub", F.explode("seeds").alias("s"))
+        .select("sub", F.col("s.sid").alias("cid"), F.col("s.c").alias("c"))
+    )
+
+
+def _train_pq(e: DataFrame, iters: int) -> tuple[DataFrame, DataFrame]:
+    """Per-subspace Lloyd's (`iters` fixed rounds, farthest-point init
+    per subspace): returns (codebooks (sub, cid, c), final assignment
+    (vec_id, sub, v8, cid)). ONE grouped k-means trains all PQ_M
+    codebooks together — the subspace id rides the grouping key, so the
+    cost is a single Lloyd chain over m·n training points, not m
+    sequential trainings."""
+    es = _pq_subvectors(e)
+    cents = _seed_pq_centroids(es, PQ_KSUB)
     for _ in range(iters):
         cents = _pq_update(_pq_assign(es, cents), cents)
     return cents, _pq_assign(es, cents)
@@ -1125,7 +1237,7 @@ def _kmeans_sql_ctes(k: int, iters: int) -> tuple[str, str, str]:
     {cn} AS (SELECT p.cid, COALESCE(g.c, p.c) AS c
              FROM {cprev} p LEFT JOIN g_{cn} g ON p.cid = g.cid)"""
 
-    stages = []
+    stages = [_fp_seed_sql(k).strip()]
     for i in range(iters):
         stages.append(assign(f"c{i}", f"a{i + 1}").strip())
         stages.append(update(f"a{i + 1}", f"c{i}", f"c{i + 1}").strip())
@@ -1136,9 +1248,90 @@ def _kmeans_sql_ctes(k: int, iters: int) -> tuple[str, str, str]:
     head = f"""e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
-    c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {k}),
     {body}"""
     return head, final_a, final_c
+
+
+def _fp_seed_sql(k: int) -> str:
+    """DuckDB twin of :func:`_seed_centroids`: the deterministic
+    farthest-point chain as k-1 chained window CTEs over exact doubles
+    (first_value over (dmin DESC, vec_id) per step), ending in the c0
+    centroid CTE the Lloyd rounds consume. Bitwise-equal to the Spark
+    side: distances fold left-to-right in index order, least() sees no
+    NULLs (coalesced to 0), and every selection carries the vec_id
+    tie-break."""
+    d2 = (
+        "list_sum(list_transform(list_zip(v, sv),"
+        " p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+    stages = [
+        f"""st0 AS (
+      SELECT vec_id, v, coalesce({d2}, 0.0) AS dmin,
+             [{{'sid': 0, 'c': sv}}] AS seeds
+      FROM (SELECT vec_id, v,
+                   first_value(v) OVER (ORDER BY vec_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+                     FOLLOWING) AS sv
+            FROM e))"""
+    ]
+    for j in range(1, k):
+        stages.append(
+            f"""st{j} AS (
+      SELECT vec_id, v, least(dmin, coalesce({d2}, 0.0)) AS dmin,
+             list_append(seeds, {{'sid': {j}, 'c': sv}}) AS seeds
+      FROM (SELECT vec_id, v, dmin, seeds,
+                   first_value(v) OVER (ORDER BY dmin DESC, vec_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+                     FOLLOWING) AS sv
+            FROM st{j - 1}))"""
+        )
+    stages.append(
+        f"""c0 AS (
+      SELECT CAST(u.sid AS INT) AS cid, u.c AS c
+      FROM (SELECT seeds FROM st{k - 1} ORDER BY vec_id LIMIT 1),
+           unnest(seeds) AS t(u))"""
+    )
+    return ",\n    ".join(s.strip() for s in stages)
+
+
+def _fp_pq_seed_sql(k: int) -> str:
+    """DuckDB twin of :func:`_seed_pq_centroids` (PARTITION BY sub on
+    every window), ending in the pc0 codebook CTE."""
+    d2 = (
+        "list_sum(list_transform(list_zip(v8, sv),"
+        " p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+    stages = [
+        f"""pst0 AS (
+      SELECT vec_id, sub, v8, coalesce({d2}, 0.0) AS dmin,
+             [{{'sid': 0, 'c': sv}}] AS seeds
+      FROM (SELECT vec_id, sub, v8,
+                   first_value(v8) OVER (PARTITION BY sub ORDER BY vec_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+                     FOLLOWING) AS sv
+            FROM es))"""
+    ]
+    for j in range(1, k):
+        stages.append(
+            f"""pst{j} AS (
+      SELECT vec_id, sub, v8, least(dmin, coalesce({d2}, 0.0)) AS dmin,
+             list_append(seeds, {{'sid': {j}, 'c': sv}}) AS seeds
+      FROM (SELECT vec_id, sub, v8, dmin, seeds,
+                   first_value(v8) OVER (PARTITION BY sub
+                     ORDER BY dmin DESC, vec_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+                     FOLLOWING) AS sv
+            FROM pst{j - 1}))"""
+        )
+    stages.append(
+        f"""pc0 AS (
+      SELECT sub, CAST(u.sid AS INT) AS cid, u.c AS c
+      FROM (SELECT sub, seeds, row_number() OVER (PARTITION BY sub
+              ORDER BY vec_id) AS rn FROM pst{k - 1}),
+           unnest(seeds) AS t(u)
+      WHERE rn = 1)"""
+    )
+    return ",\n    ".join(s.strip() for s in stages)
 
 
 def _kmeans_oracle() -> str:
@@ -1162,8 +1355,10 @@ def llm_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     other IVF ops use fixed-literal centroids as the k-means stand-in,
     and this op IS the stand-in's training twin.
 
-    Determinism across engines, by construction: initial centroids are
-    the first K vectors (seed-free); per-iteration distances are exact
+    Determinism across engines, by construction: initial centroids come
+    from the deterministic farthest-point chain (:func:`_seed_centroids`
+    — seed-free, content-dependent, robust to adversarial row order,
+    replayed CTE-for-CTE in the oracle); per-iteration distances are exact
     double folds over IDENTICAL inputs in identical index order (so
     assignments are bitwise-equal, argmin tie-broken by cell id), and
     the only order-sensitive arithmetic — the cluster mean, whose
@@ -1274,15 +1469,31 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # asymmetric int8 scoring -> exact top-k on the survivors.
 # ---------------------------------------------------------------------------
 
-IVFPQ_CELLS = 16  # trained coarse cells (first-16 init, 3 Lloyd rounds)
-IVFPQ_NPROBE = 6  # cells probed per query (37.5% of the index)
+IVFPQ_CELLS = 16  # trained coarse cells (farthest-point init, 3 Lloyd rounds)
+#: cells probed per query. Re-swept in r8 when the init moved to
+#: deterministic farthest-point seeding: the r7 "0.92 recall at
+#: NPROBE=6" was measured with FIRST-16 seeding, and the queries ARE
+#: vec_id < 10 — seeding on the first 16 rows privileged exactly the
+#: query neighborhoods (init-query correlation, found by measuring a
+#: random-mid-corpus init: 0.74 coverage at NPROBE=6, vs first-K's
+#: 0.92 and farthest-point's 0.76). Farthest-point seeds honestly
+#: (above the fair random baseline) and is order-robust; NPROBE=10
+#: restores the >= 0.9 recall ceiling (0.94 cell coverage measured).
+#: On a production index (thousands of cells) nprobe stays a few
+#: percent — the 10/16 fraction is fixture geometry, not the scale
+#: story.
+IVFPQ_NPROBE = 10
 #: candidates exact-scored per query. 8x TOP_K (~21% of the ~187
 #: candidates the 6/16 probe admits at sf0.01): PQ's 4-bit approximate
 #: ranking is lossier than the SQ8 cut it replaced (which managed 2x),
 #: and on this near-orthogonal corpus (true cosines <= ~0.5, most near
-#: 0) rerank 40 is what recovers the 0.92 cell-coverage ceiling —
+#: 0) a wide exact rerank is what recovers the cell-coverage ceiling —
 #: production IVF-PQ re-ranks 10-100x k for the same reason.
-IVFPQ_RERANK = 8 * TOP_K
+#: (r8: 12x with NPROBE=10 — the wider probe admits ~310 candidates
+#: and the 4-bit ADC ranking needs a proportionally wider exact-rerank
+#: cut to hold the coverage ceiling; 60/310 ≈ 19% of candidates exact-
+#: scored, same order as production IVF-PQ rerank ratios.)
+IVFPQ_RERANK = 12 * TOP_K
 
 
 def _pq_sql_ctes(iters: int) -> str:
@@ -1327,10 +1538,7 @@ def _pq_sql_ctes(iters: int) -> str:
              list_slice(v, t.sub * {sd} + 1, t.sub * {sd} + {sd}) AS v8
       FROM e, unnest(range({m})) AS t(sub)
     )""",
-        f"""pc0 AS (
-      SELECT sub, CAST(vec_id AS INT) AS cid, v8 AS c
-      FROM es WHERE vec_id < {k}
-    )""",
+        _fp_pq_seed_sql(k).strip(),
     ]
     for i in range(iters):
         stages.append(assign(f"pc{i}", f"pa{i + 1}").strip())
@@ -1430,9 +1638,10 @@ def llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-byte SQ8 code this replaces and 64x smaller than the float64
     vector (norms for the cosine denominator add 8 bytes — at 100 TB
     the codes + norms for a billion vectors fit one executor's memory
-    where SQ8 needed a cluster's). Recall@5 vs brute force (0.92, the
-    cell-coverage ceiling at NPROBE=6/16) and the 8x code-size edge are
-    pinned in tests/test_properties.py.
+    where SQ8 needed a cluster's). Recall@5 vs brute force (0.90 at the
+    honest farthest-point init, NPROBE=10/16 — the r7 "0.92 at 6/16"
+    was init-query correlation, see the IVFPQ_NPROBE note) and the 8x
+    code-size edge are pinned in tests/test_properties.py.
 
     Scale shape: both trainings are fixed-depth declarative DAGs (no
     driver loops); at search time the codebooks ({PQ_M}*{PQ_KSUB} rows),
@@ -1572,7 +1781,7 @@ def llm_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the codebooks themselves are oracle-verified, not just the search
     results built on them.
 
-    Same determinism discipline as llm_ivf_train: first-K init,
+    Same determinism discipline as llm_ivf_train: farthest-point init,
     exact-double distance folds, cid tie-break, means rounded to 6
     before the next round reads them, empty cells keep their previous
     centroid."""

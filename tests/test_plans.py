@@ -328,6 +328,9 @@ BUILD_RUNS_JOBS_OK = {
     "src_minilog_pushdown", "snk_minilog_dsv2_write",
     "stream_minilog_dsv2_sink", "tx_restore", "tx_clone_zero_copy",
     "tx_deletion_vectors", "tx_history_audit",
+    # r8: the CDF stream op runs the AvailableNow feed + fold assertions
+    # at build; column mapping stages the rename/drop/re-add history
+    "stream_cdf_feed", "tx_column_mapping",
 }
 
 

@@ -1037,10 +1037,13 @@ def test_rerun_determinism(spark, qid, request):
 
 def test_ivf_train_matches_numpy_reference(spark):
     """Third-engine check for llm_ivf_train (the oracle is DuckDB SQL;
-    this is an INDEPENDENT numpy Lloyd's with the same contract: exact
-    double distances, argmin tie-broken by cell id, cluster means
-    rounded to 6 before the next round, empty cells keep their
-    centroid). All three engines must agree on every output cell."""
+    this is an INDEPENDENT numpy Lloyd's with the same contract:
+    deterministic farthest-point seeding — seed 0 is the min-vec_id
+    vector, each next seed maximizes distance to the nearest chosen
+    seed, ties to the lowest vec_id — then exact double distances,
+    argmin tie-broken by cell id, cluster means rounded to 6 before the
+    next round, empty cells keep their centroid). All three engines
+    must agree on every output cell."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -1056,7 +1059,14 @@ def test_ivf_train_matches_numpy_reference(spark):
         .reset_index(drop=True)
     )
     E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-    cents = E[: KMEANS_K].copy()
+    # farthest-point seeding (rows are vec_id-ordered, so argmax's
+    # first-max rule IS the lowest-vec_id tie-break)
+    cents = E[[0]].copy()
+    dmin = ((E - E[0]) ** 2).sum(axis=1)
+    for _ in range(1, KMEANS_K):
+        nxt = E[int(dmin.argmax())]
+        cents = np.vstack([cents, nxt])
+        dmin = np.minimum(dmin, ((E - nxt) ** 2).sum(axis=1))
 
     def assign(cents):
         # exact double distances; ties -> lowest cid (argmin is first-min)
@@ -1262,3 +1272,69 @@ def test_cents_nan_inf_contract(spark):
     rows = df.select(cents("value").alias("c")).collect()
     assert [r.c for r in rows] == [None, None, None, 150, None, None, None]
     assert df.agg(F.sum(cents("value")).alias("s")).collect()[0].s == 150
+
+
+def test_farthest_point_seeding_beats_first_k_on_adversarial_order(spark):
+    """VERDICT r7 task 6: first-K init is quality-fragile under an
+    adversarial corpus — K near-identical vectors occupying the first
+    ids collapse Lloyd's into one effective cell — while the
+    deterministic farthest-point init (_seed_centroids) spreads seeds
+    across the data's diameter and stays exact-replayable. Pinned by
+    within-cluster SSE after the registered KMEANS_ITERS rounds: the
+    farthest-point quantizer must beat the degraded first-K one by >2x
+    on a corpus of 8 well-separated clusters whose first K ids are
+    decoy duplicates."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bootic_stats_aggregates_spark.llm import similarity as sim
+
+    k = 8
+    rows = []
+    for i in range(k):  # decoys: the first K ids are near-identical
+        rows.append((i, [10.0 + i * 1e-4, 10.0, 10.0, 10.0]))
+    centers = [
+        (40.0 * (c % 4), 40.0 * (c // 4), -20.0 * c, 5.0 * c)
+        for c in range(8)
+    ]
+    vid = k
+    for ctr in centers:
+        for _ in range(25):
+            rows.append(
+                (
+                    vid,
+                    [
+                        ctr[d] + 0.1 * math.sin(vid * 2.7 + d)
+                        for d in range(4)
+                    ],
+                )
+            )
+            vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+
+    def sse(cents):
+        d2 = F.aggregate(
+            F.zip_with("emb", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            sim._kmeans_assign(e, cents)
+            .join(cents, "cid")
+            .agg(F.sum(d2).alias("s"))
+            .collect()[0]["s"]
+        )
+
+    firstk = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("emb").alias("cvec"),
+    )
+    for _ in range(sim.KMEANS_ITERS):
+        firstk = sim._kmeans_update(sim._kmeans_assign(e, firstk), firstk)
+    fp, _ = sim._train_quantizer(e, k, sim.KMEANS_ITERS)
+    s_first, s_fp = sse(firstk), sse(fp)
+    assert s_fp * 2 < s_first, (
+        f"farthest-point SSE {s_fp:.1f} not clearly better than "
+        f"degraded first-K SSE {s_first:.1f}"
+    )
