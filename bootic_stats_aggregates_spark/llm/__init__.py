@@ -5,4 +5,11 @@ over embeddings, text analysis (stats, tokenization, tf-idf, language id,
 quality scoring, fingerprinting), and multimodal binary-column plumbing.
 """
 
-from . import dedup, multimodal, sampling, similarity, text  # noqa: F401
+from . import (  # noqa: F401
+    ann_index,
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)

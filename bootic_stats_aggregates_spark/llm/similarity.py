@@ -1207,11 +1207,15 @@ def _train_pq(e: DataFrame, iters: int) -> tuple[DataFrame, DataFrame]:
     return cents, _pq_assign(es, cents)
 
 
-def _kmeans_sql_ctes(k: int, iters: int) -> tuple[str, str, str]:
+def _kmeans_sql_ctes(
+    k: int, iters: int, where: str = ""
+) -> tuple[str, str, str]:
     """Shared Lloyd's-iteration CTE chain (e / c0 heads + assign/update
     rounds): returns (with_body, final_assign_cte, final_cents_cte).
-    Used by BOTH the llm_ivf_train oracle and the llm_ann_ivfpq oracle so
-    the trained quantizer can never drift between them."""
+    Used by the llm_ivf_train and llm_ann_ivfpq oracles so the trained
+    quantizer can never drift between them, and by the persisted-index
+    oracle (llm/ann_index.py) with ``where`` restricting the TRAINING
+    set to the index's base snapshot."""
 
     def assign(cn: str, an: str) -> str:
         return f"""
@@ -1247,7 +1251,7 @@ def _kmeans_sql_ctes(k: int, iters: int) -> tuple[str, str, str]:
     body = ",\n    ".join(stages)
     head = f"""e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings),
+               FROM embeddings{f" WHERE {where}" if where else ""}),
     {body}"""
     return head, final_a, final_c
 

@@ -329,8 +329,10 @@ BUILD_RUNS_JOBS_OK = {
     "stream_minilog_dsv2_sink", "tx_restore", "tx_clone_zero_copy",
     "tx_deletion_vectors", "tx_history_audit",
     # r8: the CDF stream op runs the AvailableNow feed + fold assertions
-    # at build; column mapping stages the rename/drop/re-add history
-    "stream_cdf_feed", "tx_column_mapping",
+    # at build; column mapping stages the rename/drop/re-add history;
+    # the persisted ANN index stages train/encode/maintain and
+    # recomputes its maintained==fresh-rebuild invariants per call
+    "stream_cdf_feed", "tx_column_mapping", "llm_ann_index_maintain",
 }
 
 
