@@ -121,6 +121,78 @@ def test_concurrent_appends_all_land(spark, tmp_path):
     assert tbl.read().count() == n_writers + 1
 
 
+def test_cross_process_commit_race(spark, tmp_path):
+    """VERDICT r7 task 7: the ``os.link`` version-claim must hold where
+    the GIL is NOT accidentally serializing — the thread race above runs
+    all writers in one interpreter, so here N separate PROCESSES race
+    commits on the same table root (fold_only handles + hand-staged
+    parquet, the exact commit layer, no Spark in the workers). A ready
+    file per worker + a barrier file maximize overlap. Every commit must
+    land: gapless serial versions, no lost rows, across TWO checkpoint
+    boundaries (20 commits, CHECKPOINT_EVERY=10). Worker count × commits
+    keeps max possible consecutive losses (15) under _try_commit's
+    20-race abort."""
+    import subprocess
+    import sys
+    import time
+
+    import bootic_stats_aggregates_spark as pkg
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
+    path = str(tmp_path / "xproc")
+    MiniLogTable(spark, path, stats_cols=("k",)).append(
+        _df(spark, [(0, "seed")])
+    )
+    barrier = str(tmp_path / "go")
+    n_procs, k = 4, 5
+    worker = f"""
+import os, sys, time, uuid
+sys.path.insert(0, {repo!r})
+import pyarrow as pa, pyarrow.parquet as pq
+from bootic_stats_aggregates_spark.acid import MiniLogTable
+path, wid = sys.argv[1], int(sys.argv[2])
+tbl = MiniLogTable.fold_only(path, create=True)
+open(path + ".ready." + sys.argv[2], "w").close()
+deadline = time.time() + 60
+while not os.path.exists({barrier!r}):
+    time.sleep(0.002)
+    assert time.time() < deadline, "barrier never appeared"
+for i in range({k}):
+    key = 1000 * wid + i
+    name = uuid.uuid4().hex + ".parquet"
+    pq.write_table(
+        pa.table({{"k": pa.array([key], type=pa.int32()),
+                   "v": pa.array([f"p{{wid}}.{{i}}"])}}),
+        os.path.join(path, name))
+    tbl._try_commit("append", [{{"type": "add", "file": name, "rows": 1,
+        "stats": {{"k": {{"min": key, "max": key, "nulls": 0}}}}}}])
+"""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, path, str(w)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for w in range(n_procs)
+    ]
+    deadline = time.time() + 60
+    while not all(
+        os.path.exists(f"{path}.ready.{w}") for w in range(n_procs)
+    ):
+        time.sleep(0.01)
+        assert time.time() < deadline, "workers never became ready"
+    open(barrier, "w").close()
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()[-2000:]
+    tbl = MiniLogTable(spark, path, stats_cols=("k",))
+    assert tbl.version == n_procs * k  # gapless: seed=v0 + one per commit
+    assert tbl.read().count() == 1 + n_procs * k
+    # the checkpoint boundary was crossed twice by racing writers
+    assert os.path.exists(tbl._ckpt_path(10))
+    assert os.path.exists(tbl._ckpt_path(20))
+
+
 def test_conflicting_rewrites_detected(spark, tbl):
     """Two transactions planning to rewrite the SAME file: the one that
     commits second must fail conflict validation, not silently resurrect
