@@ -71,6 +71,7 @@ files, stats-carrying log, fold semantics) is object-store-native.
 
 from __future__ import annotations
 
+import bisect
 import json
 import os
 import shutil
@@ -309,13 +310,18 @@ class MiniLogTable:
         schema: Optional[list[dict]] = None
         retired: list = []
         start = 0
-        ckpts = [
-            c
-            for c in versions
-            if c <= v and os.path.exists(self._ckpt_path(c))
-        ]
-        if ckpts:
-            with open(self._ckpt_path(ckpts[-1])) as fh:
+        # newest checkpoint <= v, scanned from the top and stopping at
+        # the first hit: checkpoints land every CHECKPOINT_EVERY
+        # commits, so this probes O(interval) paths — the forward list
+        # comprehension it replaces probed ALL v paths per fold, the
+        # dominant cost at 10k commits (tools/minilog_logscale.py)
+        ckpt_v = None
+        for c in reversed(versions):
+            if c <= v and os.path.exists(self._ckpt_path(c)):
+                ckpt_v = c
+                break
+        if ckpt_v is not None:
+            with open(self._ckpt_path(ckpt_v)) as fh:
                 state = json.load(fh)
             live = {
                 f["file"]: FileEntry(
@@ -327,10 +333,12 @@ class MiniLogTable:
             txns = dict(state.get("txns", {}))
             schema = state.get("schema")
             retired = list(state.get("retired", []))
-            start = ckpts[-1] + 1
-        for cv in versions:
-            if cv < start or cv > v:
-                continue
+            start = ckpt_v + 1
+        # versions is sorted: slice the fold tail instead of scanning
+        # the whole list per fold
+        lo = bisect.bisect_left(versions, start)
+        hi = bisect.bisect_right(versions, v)
+        for cv in versions[lo:hi]:
             entry = self._read_entry(cv)
             txn = entry.get("txn")
             if txn:
