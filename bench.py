@@ -88,6 +88,18 @@ EXTRA = {
 }
 
 
+#: provenance stamp for every record (VERDICT r7 task 4): names the
+#: measurement scheme so round-over-round comparisons stop being load
+#: archaeology.
+_PROTOCOL = (
+    "load-gated start (wait<=SPARK_GRAFT_LOAD_WAIT for load1<="
+    "SPARK_GRAFT_LOAD_MAX, verdict in load_gate); steady series in the "
+    "main JVM; fresh ANN/dedup group in its OWN JVM per group "
+    "(tools/fresh_bench.py); headline fresh series in-session with "
+    "plan built outside the timer"
+)
+
+
 def _host_load() -> dict:
     """Snapshot of co-tenant pressure: 1/5/15-min loadavg + uptime seconds."""
     snap: dict = {}
@@ -102,6 +114,28 @@ def _host_load() -> dict:
     except (OSError, ValueError):  # pragma: no cover - non-procfs host
         pass
     return snap
+
+
+def _wait_for_idle(threshold: float, budget_sec: int) -> dict:
+    """VERDICT r7 item 1 (bench hygiene): r7's canonical record was
+    captured at load1 5.25 under a commit titled 'idle box', and the
+    round's fresh-series 'regression' was two sessions of load
+    archaeology. Gate the whole bench on start load1: wait (poll every
+    15 s) up to ``budget_sec`` for the box to go idle, then PROMINENTLY
+    annotate the record either way — a number captured loaded says so
+    in its own provenance field instead of needing adjudication."""
+    waited = 0
+    la1 = _host_load().get("load1")
+    while la1 is not None and la1 > threshold and waited < budget_sec:
+        time.sleep(15)
+        waited += 15
+        la1 = _host_load().get("load1")
+    return {
+        "threshold": threshold,
+        "waited_sec": waited,
+        "start_load1": la1,
+        "idle_start": la1 is not None and la1 <= threshold,
+    }
 
 
 def _time_query(fn, spark, sf_dir: str, runs: int) -> float:
@@ -230,6 +264,12 @@ def main() -> None:
     # rounds were spent adjudicating variance after the fact. Recording
     # loadavg at start AND end makes every bench line self-adjudicating:
     # a high load1 alongside a slow number is host noise, not a regression.
+    # The r8 load GATE goes further: wait for idle (bounded), then stamp
+    # the verdict into the record.
+    load_gate = _wait_for_idle(
+        threshold=float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "1.0")),
+        budget_sec=int(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "300")),
+    )
     load_start = _host_load()
 
     spark = get_spark("bootic-bench")
@@ -346,6 +386,8 @@ def main() -> None:
         "scale10": scale10,
         "sf": sf_val,
         "host_load": {"start": load_start, "end": load_end},
+        "load_gate": load_gate,
+        "bench_protocol": _PROTOCOL,
     }
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
@@ -371,6 +413,8 @@ def main() -> None:
             "start": load_start.get("load1"),
             "end": load_end.get("load1"),
         },
+        "load_gate": load_gate,
+        "bench_protocol": _PROTOCOL,
         "full_record": full_path,
     }
     print(json.dumps(compact))

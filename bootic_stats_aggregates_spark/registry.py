@@ -99,7 +99,10 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: the 50-row driver gate, tools/driver_sim_r7.log holds a fresh-process
 #: hostile-timezone sim of the ENTIRE registry (all green), and
 #: tools/hostile_sweep_r7.log the adversarial-corpus sweep of every
-#: round-7 slot.
+#: round-7 slot. Round 8 (below) front-loads the 3 r8 additions and 8
+#: r8-churned ops (seeding rework, race-safe schema evolution, live
+#: overwrite removes, stream vacuum bootstrap), then drains the oldest
+#: r3 rows — after this pass no id's latest driver check predates r6.
 #: Verification status of every entry, stated precisely (ADVICE r3 item 2):
 #: all 246 registered pairs pass the local oracle gate at sf0.01
 #: (tests/test_oracle.py, exact value compare); linear-oracle ops are also
@@ -109,52 +112,46 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: tools/sweep_sf01.py. Queries absent from this list keep their
 #: registration order after it.
 _GATE_PRIORITY: list[str] = [
-    # --- slots 1-24: the ops ADDED during round 7 (local-oracle green
-    # --- at sf0.01, fresh-process-sim green on clean AND hostile
-    # --- fixtures this session): the MiniLog lifecycle quartet,
-    # --- late-data dead-letter, the CDF family (feed/replay/mview),
-    # --- PQ training, sampled AQP, the native DataSource legs, and
-    # --- the RESTORE / zero-copy CLONE lifecycle pair, blocked fuzzy
-    # --- join (ER), exact-decimal EWMA decay, the column profiler,
-    # --- the SCD Type 2 interval build, deletion vectors, and the
-    # --- DESCRIBE HISTORY audit surface.
-    "tx_vacuum_boundary", "tx_optimize_compact", "tx_schema_evolve",
-    "tx_zorder_pruned", "stream_late_deadletter", "tx_change_feed",
-    "tx_optimize_zorder", "tx_cdf_replay", "llm_pq_train",
-    "tx_mview_incremental", "agg_aqp_sample",
-    "src_minilog_dsv2", "stream_minilog_tail", "src_minilog_pushdown",
-    "snk_minilog_dsv2_write", "stream_minilog_dsv2_sink",
-    "tx_restore", "tx_clone_zero_copy",
-    "llm_fuzzy_join", "win_ewma_decay", "src_profile_stats",
-    "win_scd2_intervals", "tx_deletion_vectors", "tx_history_audit",
-    # --- slots 25-28: r7-churned ops due a re-check: llm_ann_ivfpq was
-    # --- rewritten from IVF-SQ8 to real product quantization (subspace
-    # --- codebooks + ADC tables, VERDICT r6 task 1), and the three r6
-    # --- MiniLog ops sit atop the reworked merge/fold (row-wise update
-    # --- semantics, metaData actions — ADVICE r6 fixes).
-    "llm_ann_ivfpq", "tx_merge_filepruned", "tx_time_travel",
-    "tx_idempotent_replay",
-    # --- slots 29-50: the 22 remaining round-2 rows (the stalest greens
-    # --- after r6's rotation re-checked r1 + 28 of the 50 r2 rows).
-    "agg_cube", "agg_histogram", "agg_percentile", "agg_pivot",
-    "filt_json_pred", "filt_predicate", "proj_select",
-    "set_except", "set_intersect", "set_union",
-    "sort_limit", "sort_orderby",
-    "src_json_decode", "src_json_lines", "src_parquet_scan",
-    "sub_scalar_corr",
-    "win_first_last", "win_funnel", "win_lag_lead", "win_moving_avg",
-    "win_running_total", "win_sessionize",
-    # --- slots 51+: round-3 rows, oldest-first — they queue for
-    # --- round 8 (the 50-row gate is filled by the slots above). ALL of
-    # --- them (and everything else) have fresh r7 sim rows in
-    # --- tools/driver_sim_r7.log regardless of the gate cut.
+    # --- Round 8 rotation (VERDICT r7 task 8: drain the stalest r3
+    # --- greens). Slots 1-3: the ops ADDED in round 8 — the streaming
+    # --- change-feed source, column mapping (rename/drop without
+    # --- rewrite), and the persisted incrementally-maintained ANN
+    # --- index.
+    "stream_cdf_feed", "tx_column_mapping", "llm_ann_index_maintain",
+    # --- slots 4-11: r8-CHURNED ops due a re-check: the k-means/PQ
+    # --- family moved to deterministic farthest-point seeding
+    # --- (ivf_train/pq_train/ann_ivfpq/ann_recall), tx_schema_evolve
+    # --- sits atop the race-safe metaData re-derivation (ADVICE r7
+    # --- medium), the native-writer overwrite gained live remove sets
+    # --- + base_dv pins, and the minilog stream tail gained the
+    # --- vacuum bootstrap.
+    "llm_ivf_train", "llm_pq_train", "llm_ann_ivfpq", "llm_ann_recall",
+    "tx_schema_evolve", "snk_minilog_dsv2_write", "stream_minilog_tail",
+    "snk_partition_overwrite",
+    # --- slots 12-50: the round-3 rows, oldest greens first — after
+    # --- this pass every id's latest driver check is r6 or newer.
     "agg_approx_distinct", "agg_argmax", "agg_bitmap_distinct",
     "agg_corr_stats", "agg_filtered", "agg_grouping_sets",
     "agg_heavy_hitters_cms", "agg_hll_mergeable",
     "fn_regex", "fn_struct", "fn_tz_bucket",
     "join_null_safe", "join_range_bucketed", "join_shuffle_hash",
     "llm_ann_ivf", "llm_cc_star", "llm_contamination",
-    "llm_dedup_cascade", "llm_entropy",
+    "llm_dedup_cascade", "llm_entropy", "llm_embed_neardup_lsh",
+    "llm_mix_weights", "llm_pack_sequences", "llm_pii_redact",
+    "llm_repetition", "llm_simhash", "llm_simhash_pairs",
+    "llm_split_hash", "llm_multimodal_cols", "llm_multimodal_resize",
+    "sample_hash_det", "sample_stratified_cap",
+    "snk_compact", "snk_parquet", "snk_redis_acct", "snk_redis_paths",
+    "snk_redis_uniq", "snk_stream_parquet",
+    "src_csv_robust", "src_socket_stream",
+    # --- slots 51+: the remaining r3 rows queue for round 9. ALL ids
+    # --- (including these) additionally get fresh-process sim rows in
+    # --- tools/driver_sim_r8*.log each round regardless of the gate
+    # --- cut.
+    "stream_quality_gate", "stream_redis_counters",
+    "sub_exists_in", "sub_lateral_topn", "sub_not_in_null",
+    "win_cohort_retention", "win_gap_islands", "win_time_range",
+    "win_trailing_uniques",
 ]
 
 
