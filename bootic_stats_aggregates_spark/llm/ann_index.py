@@ -180,7 +180,10 @@ def _stage(spark: SparkSession, sf_dir: str) -> tuple[
     return vec, cbc, cbp, idx
 
 
-def _maintain_oracle() -> str:
+def _rebuild_oracle(checks: str) -> str:
+    """The shared fresh-rebuild replay (train on base, encode live),
+    parameterized by the op-specific check columns — the batch and
+    stream maintenance ops must equal the SAME independent rebuild."""
     base_where = f"vec_id NOT BETWEEN {INS_LO} AND {INS_HI}"
     body, _final_a, final_c = _kmeans_sql_ctes(
         IVFPQ_CELLS, KMEANS_ITERS, where=base_where
@@ -222,13 +225,162 @@ def _maintain_oracle() -> str:
       GROUP BY vec_id)
     SELECT l.vec_id, CAST(lcell.cell AS INT) AS cell, lcode.code,
            round(sqrt(list_sum(list_transform(l.v, x -> x*x))), 6) AS nrm,
-           true AS maintain_ok,
-           CAST({INS_HI - INS_LO + 1} AS BIGINT) AS n_incr_encoded,
-           true AS incr_ok
+           {checks}
     FROM lv l
     JOIN lcell ON lcell.vec_id = l.vec_id
     JOIN lcode ON lcode.vec_id = l.vec_id
     """
+
+
+def _maintain_oracle() -> str:
+    return _rebuild_oracle(
+        f"""true AS maintain_ok,
+           CAST({INS_HI - INS_LO + 1} AS BIGINT) AS n_incr_encoded,
+           true AS incr_ok"""
+    )
+
+
+def _stream_stage(
+    spark: SparkSession, sf_dir: str
+) -> tuple[MiniLogTable, MiniLogTable]:
+    """The STREAMING maintenance leg: a second index table built and
+    maintained ONLY from the vector table's streaming change feed
+    (readChangeFeed=true on the native source) — bootstrap inserts
+    encode the base, churn inserts encode O(churn), churn deletes
+    DV-mask. Returns (stream index, batch index) for the equivalence
+    assertion. Idempotent per fixture via a marker; each micro-batch's
+    appends carry txn=(app, commit_version) so a replayed batch commits
+    nothing (the stream_minilog_sink exactly-once recipe)."""
+    from ..sources.minilog_source import register
+    from ..streaming.runner import run_foreach_batch
+
+    vec, cbc, cbp, idx = _stage(spark, sf_dir)
+    root = os.path.dirname(vec.path)
+    sroot = os.path.join(root, "index_stream")
+    marker = os.path.join(root, "_READY_STREAM")
+    ready = False
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            ready = fh.read().strip() == _fingerprint(sf_dir)
+    if ready:
+        return MiniLogTable(spark, sroot, stats_cols=("vec_id",)), idx
+    if os.path.exists(sroot):
+        shutil.rmtree(sroot)
+    if os.path.exists(marker):
+        os.unlink(marker)
+    sidx = MiniLogTable(spark, sroot, stats_cols=("vec_id",))
+    register(spark)
+    cents = cbc.read().select("cid", "cvec")
+    pq_cents = cbp.read().select("sub", "cid", "c")
+
+    def fold(bdf: DataFrame, _bid: int) -> None:
+        # one AvailableNow batch may span several commits: apply them in
+        # commit order so a delete never precedes the insert it masks
+        versions = sorted(
+            r["_commit_version"]
+            for r in bdf.select("_commit_version").distinct().collect()
+        )
+        for v in versions:
+            cdf = bdf.filter(F.col("_commit_version") == v)
+            ins = cdf.filter(F.col("_change_type") == "insert").select(
+                "vec_id", "emb"
+            )
+            if not ins.isEmpty():
+                sidx.append(
+                    _encode(ins, cents, pq_cents),
+                    txn={"app": "ann-index-stream", "version": int(v)},
+                )
+            rng = (
+                cdf.filter(F.col("_change_type") == "delete")
+                .agg(
+                    F.min("vec_id").alias("lo"),
+                    F.max("vec_id").alias("hi"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()[0]
+            )
+            if rng["n"]:
+                assert rng["n"] == rng["hi"] - rng["lo"] + 1
+                sidx.delete_where_dv("vec_id", rng["lo"], rng["hi"])
+
+    run_foreach_batch(
+        spark.readStream.format("minilog")
+        .option("readChangeFeed", "true")
+        .load(vec.path),
+        fold,
+        mode="append",
+    )
+    with open(marker, "w") as fh:
+        fh.write(_fingerprint(sf_dir))
+    return sidx, idx
+
+
+def _stream_maintain_oracle() -> str:
+    """Same independent rebuild, stream-named check columns
+    (n_encoded_stream counts EVERY vector exactly once: the feed's
+    bootstrap encodes the base, churn encodes churn, deletes re-encode
+    nothing — so it is the embeddings row count)."""
+    return _rebuild_oracle(
+        """true AS stream_ok,
+           CAST((SELECT count(*) FROM embeddings) AS BIGINT)
+             AS n_encoded_stream,
+           true AS matches_batch"""
+    )
+
+
+@query("stream_ann_index_maintain", oracle=_stream_maintain_oracle())
+def stream_ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN-INDEX MAINTENANCE — the round's pieces composed:
+    the persisted IVF-PQ index (llm_ann_index_maintain) kept current by
+    a STRUCTURED STREAMING job tailing the vector table's change-data
+    feed (stream_cdf_feed's readChangeFeed source) through foreachBatch.
+    The stream index is born from the feed itself (the bootstrap batch
+    encodes the base snapshot), every churn insert encodes exactly once
+    (micro-batch appends carry txn=(app, commit_version), so replays
+    commit nothing), and churn deletes land as deletion-vector masks.
+    This is the always-on shape of index maintenance at 100 TB: no
+    rebuild cron, the index follows the table one O(churn) trigger at a
+    time.
+
+    Checks recomputed live per call: stream_ok pins stream-maintained
+    == fresh rebuild under the frozen codebooks (both exceptAll
+    directions); matches_batch pins stream-maintained == the BATCH
+    change-feed-maintained index bit-for-bit (two independent
+    maintenance paths, one truth); n_encoded_stream counts rows across
+    the stream table's append commits — exactly one encode per vector
+    ever inserted, nothing re-encoded by deletes. The oracle replays
+    the full independent rebuild in DuckDB."""
+    sidx, idx = _stream_stage(spark, sf_dir)
+    vec, cbc, cbp, _ = _stage(spark, sf_dir)
+    cents = cbc.read().select("cid", "cvec")
+    pq_cents = cbp.read().select("sub", "cid", "c")
+    maintained = sidx.read()
+    fresh = _encode(vec.read(), cents, pq_cents)
+    batch = idx.read()
+    stream_ok = (
+        maintained.exceptAll(fresh).isEmpty()
+        and fresh.exceptAll(maintained).isEmpty()
+    )
+    matches_batch = (
+        maintained.exceptAll(batch).isEmpty()
+        and batch.exceptAll(maintained).isEmpty()
+    )
+    n_enc = 0
+    for v in range(sidx.version + 1):
+        e = sidx._read_entry(v)
+        if e["operation"] == "append":
+            n_enc += sum(
+                a["rows"] for a in e["actions"] if a["type"] == "add"
+            )
+    return maintained.select(
+        "vec_id",
+        "cell",
+        "code",
+        "nrm",
+        F.lit(bool(stream_ok)).alias("stream_ok"),
+        F.lit(n_enc).cast("long").alias("n_encoded_stream"),
+        F.lit(bool(matches_batch)).alias("matches_batch"),
+    )
 
 
 @query("llm_ann_index_maintain", oracle=_maintain_oracle())
