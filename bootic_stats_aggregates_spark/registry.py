@@ -113,12 +113,13 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: registration order after it.
 _GATE_PRIORITY: list[str] = [
     # --- Round 8 rotation (VERDICT r7 task 8: drain the stalest r3
-    # --- greens). Slots 1-3: the ops ADDED in round 8 — the streaming
+    # --- greens). Slots 1-4: the ops ADDED in round 8 — the streaming
     # --- change-feed source, column mapping (rename/drop without
     # --- rewrite), and the persisted incrementally-maintained ANN
-    # --- index.
+    # --- index (batch + always-on streaming variants).
     "stream_cdf_feed", "tx_column_mapping", "llm_ann_index_maintain",
-    # --- slots 4-11: r8-CHURNED ops due a re-check: the k-means/PQ
+    "stream_ann_index_maintain",
+    # --- slots 5-12: r8-CHURNED ops due a re-check: the k-means/PQ
     # --- family moved to deterministic farthest-point seeding
     # --- (ivf_train/pq_train/ann_ivfpq/ann_recall), tx_schema_evolve
     # --- sits atop the race-safe metaData re-derivation (ADVICE r7
@@ -128,7 +129,7 @@ _GATE_PRIORITY: list[str] = [
     "llm_ivf_train", "llm_pq_train", "llm_ann_ivfpq", "llm_ann_recall",
     "tx_schema_evolve", "snk_minilog_dsv2_write", "stream_minilog_tail",
     "snk_partition_overwrite",
-    # --- slots 12-50: the round-3 rows, oldest greens first — after
+    # --- slots 13-50: the round-3 rows, oldest greens first — after
     # --- this pass every id's latest driver check is r6 or newer.
     "agg_approx_distinct", "agg_argmax", "agg_bitmap_distinct",
     "agg_corr_stats", "agg_filtered", "agg_grouping_sets",
@@ -143,11 +144,12 @@ _GATE_PRIORITY: list[str] = [
     "sample_hash_det", "sample_stratified_cap",
     "snk_compact", "snk_parquet", "snk_redis_acct", "snk_redis_paths",
     "snk_redis_uniq", "snk_stream_parquet",
-    "src_csv_robust", "src_socket_stream",
+    "src_csv_robust",
     # --- slots 51+: the remaining r3 rows queue for round 9. ALL ids
     # --- (including these) additionally get fresh-process sim rows in
     # --- tools/driver_sim_r8*.log each round regardless of the gate
     # --- cut.
+    "src_socket_stream",
     "stream_quality_gate", "stream_redis_counters",
     "sub_exists_in", "sub_lateral_topn", "sub_not_in_null",
     "win_cohort_retention", "win_gap_islands", "win_time_range",

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Persisted ANN index at scale: is maintenance really O(churn)?
+
+Builds a vector table of N synthetic 64-dim vectors, trains the frozen
+quantizers on a bounded sample (the production recipe), full-builds the
+IVF-PQ code table, then maintains it through an insert feed of K
+vectors and a DV delete — and measures:
+
+1. full index build (encode N vectors)         — paid once
+2. incremental maintenance (encode K << N)     — paid per churn
+3. DV delete on the code table                 — O(deleted rows)
+4. a fresh rebuild for comparison              — what NOT maintaining costs
+
+The claim worth money at 100 TB: (2)+(3) tracks K, not N — maintenance
+cost is independent of index size.
+
+Usage: python tools/ann_index_scale.py [n] [churn]  (default 200_000 / 1_000)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+CHURN = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000
+SAMPLE = 2_000  # quantizer training sample (bounded by recipe)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from bootic_stats_aggregates_spark.acid import MiniLogTable
+    from bootic_stats_aggregates_spark.llm.ann_index import _encode
+    from bootic_stats_aggregates_spark.llm.similarity import (
+        IVFPQ_CELLS,
+        KMEANS_ITERS,
+        _train_pq,
+        _train_quantizer,
+    )
+    from bootic_stats_aggregates_spark.session import get_spark
+
+    spark = get_spark("ann-index-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="ann_index_scale_")
+
+    def synth(lo: int, hi: int):
+        # deterministic pseudo-random 64-dim doubles from the id
+        dims = F.array(
+            *[
+                (F.sin(F.col("id") * (0.37 + 0.011 * d)) * 10.0)
+                for d in range(64)
+            ]
+        )
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"), dims.alias("emb")
+        )
+
+    try:
+        vec = MiniLogTable(
+            spark, os.path.join(root, "vectors"), stats_cols=("vec_id",)
+        )
+        vec.append(synth(0, N), target_files=16)
+        # frozen quantizers trained on a bounded sample — training cost
+        # is constant in N by construction
+        t0 = time.perf_counter()
+        sample = vec.read().filter(F.col("vec_id") < SAMPLE)
+        cents, _ = _train_quantizer(sample, IVFPQ_CELLS, KMEANS_ITERS)
+        cents = cents.localCheckpoint()
+        pq_cents, _ = _train_pq(sample, KMEANS_ITERS)
+        pq_cents = pq_cents.localCheckpoint()
+        t_train = time.perf_counter() - t0
+        print(f"train: quantizers on {SAMPLE}-vector sample in {t_train:.1f}s "
+              f"(constant in N)")
+
+        idx = MiniLogTable(
+            spark, os.path.join(root, "index"), stats_cols=("vec_id",)
+        )
+        t0 = time.perf_counter()
+        idx.append(_encode(vec.read(), cents, pq_cents), target_files=16)
+        t_build = time.perf_counter() - t0
+        print(f"build: encoded {N} vectors in {t_build:.1f}s "
+              f"({N / t_build:.0f} vec/s)")
+
+        # churn: K inserts then a DV delete of K rows
+        vec.append(synth(N, N + CHURN))
+        feed = vec.changes(vec.version - 1, vec.version)
+        ins = feed.filter(F.col("_change_type") == "insert").select(
+            "vec_id", "emb"
+        )
+        t0 = time.perf_counter()
+        idx.append(_encode(ins, cents, pq_cents))
+        t_incr = time.perf_counter() - t0
+        print(f"maintain: encoded {CHURN} feed inserts in {t_incr:.2f}s "
+              f"(fixed job+commit floor dominated — flat in N)")
+
+        t0 = time.perf_counter()
+        info = idx.delete_where_dv("vec_id", 0, CHURN - 1)
+        t_dv = time.perf_counter() - t0
+        print(f"dv-delete: masked {info['dv_rows']} code rows in {t_dv:.2f}s "
+              f"({info.get('dv_files', 0)} sidecars, 0 files rewritten)")
+
+        # the apples-to-apples alternative: a full rebuild WRITES a new
+        # code table (same path as the original build)
+        rb = MiniLogTable(
+            spark, os.path.join(root, "rebuild"), stats_cols=("vec_id",)
+        )
+        t0 = time.perf_counter()
+        rb.append(_encode(vec.read(), cents, pq_cents), target_files=16)
+        t_fresh = time.perf_counter() - t0
+        print(f"rebuild-for-comparison: {N + CHURN} vectors re-encoded "
+              f"and rewritten in {t_fresh:.1f}s — "
+              f"{t_fresh / (t_incr + t_dv):.1f}x the maintenance cost at "
+              f"this N, and it GROWS with N while maintenance does not")
+        n_idx = idx.read().count()
+        assert n_idx == N + CHURN - CHURN, n_idx  # N live code rows
+        print(f"index live rows: {n_idx} (N+{CHURN} encoded, {CHURN} masked)")
+        print("OK")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
