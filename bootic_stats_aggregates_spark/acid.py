@@ -111,6 +111,13 @@ class SchemaMismatch(ValueError):
     ``evolve_schema=True``)."""
 
 
+class ConstraintViolation(ValueError):
+    """A write carries rows that fail a table CHECK constraint, or an
+    ADD CONSTRAINT found existing rows that fail it. A row violates when
+    the predicate is not TRUE (false OR null — the strict contract Delta
+    enforces, stricter than SQL-standard CHECK which passes unknown)."""
+
+
 @dataclass
 class FileEntry:
     """One live data file in a snapshot.
@@ -169,6 +176,14 @@ class Snapshot:
     #: every metaData action except overwrite (which removes all old
     #: files from the snapshot, making resurrection impossible).
     retired: list = field(default_factory=list)
+    #: CHECK constraints: name -> SQL predicate over LOGICAL column
+    #: names. Carried by dedicated ``constraints`` actions (latest
+    #: wins), NOT by schema metaData — so a racing evolve-append's
+    #: re-derived metaData can never silently drop a concurrently added
+    #: constraint. Enforced on every staged write (_stage) and
+    #: validated against existing data at ADD time, so a table with a
+    #: constraint is valid in its entirety at every version.
+    constraints: dict = field(default_factory=dict)
 
     def physical_of(self, col: str) -> str:
         """Logical -> physical column name (identity without mapping)."""
@@ -309,6 +324,7 @@ class MiniLogTable:
         txns: dict[str, int] = {}
         schema: Optional[list[dict]] = None
         retired: list = []
+        constraints: dict = {}
         start = 0
         # newest checkpoint <= v, scanned from the top and stopping at
         # the first hit: checkpoints land every CHECKPOINT_EVERY
@@ -333,6 +349,7 @@ class MiniLogTable:
             txns = dict(state.get("txns", {}))
             schema = state.get("schema")
             retired = list(state.get("retired", []))
+            constraints = dict(state.get("constraints", {}))
             start = ckpt_v + 1
         # versions is sorted: slice the fold tail instead of scanning
         # the whole list per fold
@@ -354,12 +371,15 @@ class MiniLogTable:
                 elif act["type"] == "metaData":
                     schema = act["schema"]  # latest metaData wins
                     retired = list(act.get("retired", []))
+                elif act["type"] == "constraints":
+                    constraints = dict(act["set"])  # latest wins
         return Snapshot(
             v,
             sorted(live.values(), key=lambda f: f.file),
             txns,
             schema,
             retired,
+            constraints,
         )
 
     def history(self) -> list[dict]:
@@ -392,6 +412,7 @@ class MiniLogTable:
         schema_ctx: Optional[tuple] = None,
         remove_all_live: bool = False,
         expect_schema: Optional[list] = None,
+        expect_constraints: Optional[dict] = None,
     ) -> int:
         """Atomically claim the next version via ``os.link``; on loss,
         rebase (appends always; removals only if their files stay live).
@@ -423,6 +444,17 @@ class MiniLogTable:
                 raise ConcurrentModification(
                     f"{operation}: table schema changed concurrently — "
                     "re-read and retry"
+                )
+            if (
+                expect_constraints is not None
+                and snap.constraints != expect_constraints
+            ):
+                # constraint edits are the same lost-update hazard as
+                # schema edits: last-wins would silently drop a racing
+                # ADD/DROP CONSTRAINT
+                raise ConcurrentModification(
+                    f"{operation}: table constraints changed concurrently"
+                    " — re-read and retry"
                 )
             if schema_ctx is not None:
                 incoming, evolve, *rest = schema_ctx
@@ -523,6 +555,7 @@ class MiniLogTable:
             "txns": snap.txns,
             "schema": snap.schema,
             "retired": snap.retired,
+            "constraints": snap.constraints,
         }
         tmp = os.path.join(
             self.path, _LOG_DIR, f"_tmp.{uuid.uuid4().hex}.ckpt"
@@ -537,6 +570,65 @@ class MiniLogTable:
             pass  # a racing writer checkpointed the same fold; identical
         finally:
             os.unlink(tmp)
+
+    # --------------------------------------------------------- constraints
+    def _validate_constraints(self, df: DataFrame, constraints: dict) -> None:
+        """Raise :class:`ConstraintViolation` if any row of ``df`` fails
+        any CHECK constraint. One aggregate job counts violations for
+        ALL constraints at once (a row violates when its predicate is
+        not TRUE). Constraint predicates must reference columns the
+        write carries — an analysis error here is a caller bug, not a
+        pass."""
+        if not constraints:
+            return
+        aggs = [
+            F.sum(
+                (~F.expr(expr).eqNullSafe(F.lit(True))).cast("long")
+            ).alias(name)
+            for name, expr in sorted(constraints.items())
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = {n: row[n] for n in row.asDict() if row[n]}
+        if bad:
+            raise ConstraintViolation(
+                "CHECK constraint violated by "
+                + ", ".join(
+                    f"{n} ({c} rows): {constraints[n]}"
+                    for n, c in sorted(bad.items())
+                )
+            )
+
+    def add_check_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (expr): validates ALL
+        existing rows first (the Delta contract — a constraint is a
+        table-wide invariant, not forward-only), then commits a
+        ``constraints`` action. Concurrent constraint edits abort with
+        :class:`ConcurrentModification` (lost-update protection); the
+        caller re-reads and retries."""
+        snap = self.snapshot() if self.version >= 0 else None
+        current = dict(snap.constraints) if snap else {}
+        if name in current:
+            raise ValueError(f"constraint {name!r} already exists")
+        if snap and snap.files:
+            self._validate_constraints(self.read(), {name: expr})
+        return self._try_commit(
+            "add constraint",
+            [{"type": "constraints", "set": {**current, name: expr}}],
+            expect_constraints=current,
+        )
+
+    def drop_check_constraint(self, name: str) -> int:
+        """ALTER TABLE DROP CONSTRAINT: removes the named constraint in
+        one metadata commit (unknown name raises)."""
+        current = dict(self.snapshot().constraints)
+        if name not in current:
+            raise ValueError(f"no such constraint {name!r}")
+        new = {k: v for k, v in current.items() if k != name}
+        return self._try_commit(
+            "drop constraint",
+            [{"type": "constraints", "set": new}],
+            expect_constraints=current,
+        )
 
     # -------------------------------------------------------------- write
     def _stage(
@@ -555,6 +647,14 @@ class MiniLogTable:
         Stats are ALWAYS keyed by physical name (identity when mapping
         is absent), so pruning survives any number of later renames."""
         mapping = mapping or {}
+        # CHECK constraints gate every staged write, BEFORE the
+        # logical->physical rename (predicates name logical columns):
+        # append, overwrite, merge and rewrite paths all stage through
+        # here, so no write path can land violating rows. Rewrites of
+        # existing data always pass because ADD CONSTRAINT validated
+        # the whole table (the table is valid at every version).
+        if self.version >= 0:
+            self._validate_constraints(df, self.snapshot().constraints)
         if any(mapping.get(c, c) != c for c in df.columns):
             df = df.select(
                 *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
@@ -1463,6 +1563,14 @@ class MiniLogTable:
             if ret:
                 action["retired"] = ret
             actions.append(action)
+        if target.constraints != current.constraints:
+            # constraints are table METADATA and restore with it (the
+            # Delta contract): without this, restoring to a version
+            # that predates an ADD CONSTRAINT would resurrect rows the
+            # constraint forbids while the constraint stays live
+            actions.append(
+                {"type": "constraints", "set": target.constraints}
+            )
         return self._try_commit(f"restore(v{version})", actions)
 
     def clone(
@@ -1512,6 +1620,12 @@ class MiniLogTable:
             if snap.retired:
                 action["retired"] = list(snap.retired)
             actions.append(action)
+        if snap.constraints:
+            # a clone is the snapshot, metadata included — its CHECK
+            # constraints keep gating writes on the clone's own timeline
+            actions.append(
+                {"type": "constraints", "set": snap.constraints}
+            )
         dst._try_commit(f"clone({self.path}@v{snap.version})", actions)
         return dst
 

@@ -410,6 +410,75 @@ def tx_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tx_check_constraint",
+    oracle=f"""
+    -- CHECK CONSTRAINTS (the Delta invariant contract): the table
+    -- carries CHECK (n >= 1 AND event_type IS NOT NULL); both appends
+    -- satisfied it, a violating append (n = -5) and a non-factual
+    -- ADD CONSTRAINT (n > 1e9) were both REJECTED ATOMICALLY (no
+    -- version consumed, nothing staged, the constraint set unchanged —
+    -- check_ok carries those assertions). The visible state is
+    -- therefore exactly the two valid generations.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d, n, true AS check_ok
+    FROM c
+    """,
+)
+def tx_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK CONSTRAINTS on MiniLog — the write-time data-quality gate
+    every governed 100 TB table runs (the public Delta CHECK-constraint
+    design): ``add_check_constraint`` validates ALL existing rows (a
+    constraint is a table-wide invariant, not forward-only), the
+    predicate rides the log as a dedicated ``constraints`` action
+    (latest-wins, independent of schema metaData so a racing
+    evolve-append can never drop it), and EVERY staged write path —
+    append, merge, overwrite, rewrite — validates against it in one
+    aggregate job before any file is staged, so a violating write
+    consumes no version and leaves no orphan. A row violates when the
+    predicate is not TRUE (false OR null — the strict Delta contract).
+    Constraints fold from checkpoints, RESTORE rolls the set back with
+    the target version, and CLONE carries it (tests/test_acid.py).
+
+    check_ok pins: the violating append raised and landed nothing, the
+    non-factual ADD CONSTRAINT raised and recorded nothing, the version
+    counter did not move, and the live constraint set is exactly the
+    one added during staging."""
+    from ..acid import ConstraintViolation
+
+    expr = "n >= 1 AND event_type IS NOT NULL"
+    tbl, ready = _staged(spark, sf_dir, "check_constraint")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        tbl.append(c.filter((F.col("d") <= 15) | F.col("d").isNull()))
+        tbl.add_check_constraint("n_pos", expr)
+        tbl.append(c.filter(F.col("d") >= 16))  # gated, passes
+        _mark_ready(tbl, sf_dir)
+    v = tbl.version
+    bad = spark.createDataFrame(
+        [("hack", 99, -5)], "event_type string, d bigint, n bigint"
+    )
+    try:
+        tbl.append(bad)
+        write_rejected = False
+    except ConstraintViolation:
+        write_rejected = True
+    try:
+        tbl.add_check_constraint("impossible", "n > 1000000000")
+        add_rejected = False
+    except ConstraintViolation:
+        add_rejected = True
+    check_ok = (
+        write_rejected
+        and add_rejected
+        and tbl.version == v
+        and tbl.snapshot().constraints == {"n_pos": expr}
+    )
+    return tbl.read().select(
+        "event_type", "d", "n", F.lit(bool(check_ok)).alias("check_ok")
+    )
+
+
+@query(
     "tx_schema_evolve",
     oracle=f"""
     -- SCHEMA EVOLUTION in the commit log: generation 1 (days <= 15 and

@@ -18,6 +18,7 @@ import pytest
 from bootic_stats_aggregates_spark.acid import (
     CHECKPOINT_EVERY,
     ConcurrentModification,
+    ConstraintViolation,
     MiniLogTable,
     NoSuchVersion,
     SchemaMismatch,
@@ -1190,3 +1191,93 @@ def test_optimize_after_drop_sheds_column(spark, tbl):
     for f in tbl.select_files():
         assert pq.read_schema(f).names == ["k"]  # 'v' bytes gone
     assert sorted(r["k"] for r in tbl.read().collect()) == [1, 2]
+
+
+def test_check_constraint_gates_every_write_path(spark, tbl):
+    """CHECK constraints: add validates existing data, then every staged
+    write path (append, merge) rejects violating rows atomically — the
+    failed write commits nothing and stages nothing."""
+    tbl.append(_df(spark, [(1, "a"), (2, "b")]))
+    tbl.add_check_constraint("k_pos", "k > 0")
+    v = tbl.version
+    tbl.append(_df(spark, [(3, "c")]))  # valid write passes
+    with pytest.raises(ConstraintViolation, match="k_pos"):
+        tbl.append(_df(spark, [(4, "d"), (-1, "bad")]))
+    with pytest.raises(ConstraintViolation, match="k_pos"):
+        tbl.merge(_df(spark, [(-9, "bad")]), keys=("k",))
+    assert tbl.version == v + 1  # only the valid append landed
+    assert sorted(r["k"] for r in tbl.read().collect()) == [1, 2, 3]
+    # NULL is a violation (predicate not TRUE), the strict Delta contract
+    with pytest.raises(ConstraintViolation, match="k_pos"):
+        tbl.append(_df(spark, [(None, "nullk")]))
+
+
+def test_add_check_constraint_rejects_invalid_table(spark, tbl):
+    """ADD CONSTRAINT is a table-wide invariant: existing violating rows
+    reject the ADD itself, and the constraint is NOT recorded."""
+    tbl.append(_df(spark, [(1, "a"), (-5, "neg")]))
+    v = tbl.version
+    with pytest.raises(ConstraintViolation, match="k_pos"):
+        tbl.add_check_constraint("k_pos", "k > 0")
+    assert tbl.version == v
+    assert tbl.snapshot().constraints == {}
+    tbl.append(_df(spark, [(-6, "still fine")]))  # nothing gates
+
+
+def test_drop_check_constraint_reopens_writes(spark, tbl):
+    tbl.append(_df(spark, [(1, "a")]))
+    tbl.add_check_constraint("k_pos", "k > 0")
+    tbl.drop_check_constraint("k_pos")
+    tbl.append(_df(spark, [(-1, "ok now")]))
+    assert sorted(r["k"] for r in tbl.read().collect()) == [-1, 1]
+    with pytest.raises(ValueError, match="no such constraint"):
+        tbl.drop_check_constraint("k_pos")
+    tbl.add_check_constraint("k_low", "k > -10")  # valid for current data
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.add_check_constraint("k_low", "k > -100")
+
+
+def test_concurrent_constraint_edit_detected(spark, tbl):
+    """Two racing constraint edits: the loser aborts instead of silently
+    dropping the winner's edit (the schema-edit lost-update rule)."""
+    tbl.append(_df(spark, [(1, "a")]))
+    stale = dict(tbl.snapshot().constraints)  # {} — before either edit
+    tbl.add_check_constraint("a_pos", "k > 0")  # the winner lands
+    with pytest.raises(ConcurrentModification):
+        tbl._try_commit(
+            "add constraint",
+            [{"type": "constraints", "set": {**stale, "b": "k < 100"}}],
+            expect_constraints=stale,
+        )
+
+
+def test_constraints_survive_checkpoint_and_restore(spark, tbl):
+    """Constraints fold from checkpoints (a fresh handle past
+    CHECKPOINT_EVERY commits still sees them) and RESTORE restores the
+    TARGET version's constraint set — rolling back past an ADD must not
+    leave the constraint gating rows it never validated."""
+    tbl.append(_df(spark, [(-1, "pre")]))
+    v_unconstrained = tbl.version
+    tbl.delete_where("k", -1, -1)
+    tbl.add_check_constraint("k_pos", "k > 0")
+    for i in range(CHECKPOINT_EVERY + 1):  # cross a checkpoint boundary
+        tbl.append(_df(spark, [(10 + i, "x")]))
+    fresh = MiniLogTable(spark, tbl.path, stats_cols=("k",))
+    assert fresh.snapshot().constraints == {"k_pos": "k > 0"}
+    with pytest.raises(ConstraintViolation):
+        fresh.append(_df(spark, [(-2, "bad")]))
+    # restore to the pre-constraint version: the -1 row comes back AND
+    # the constraint set rolls back with it
+    tbl.restore(v_unconstrained)
+    snap = tbl.snapshot()
+    assert snap.constraints == {}
+    assert sorted(r["k"] for r in tbl.read().collect()) == [-1]
+
+
+def test_clone_carries_constraints(spark, tbl, tmp_path):
+    tbl.append(_df(spark, [(1, "a")]))
+    tbl.add_check_constraint("k_pos", "k > 0")
+    dst = tbl.clone(str(tmp_path / "clone_dst"))
+    assert dst.snapshot().constraints == {"k_pos": "k > 0"}
+    with pytest.raises(ConstraintViolation):
+        dst.append(_df(spark, [(-1, "bad")]))
