@@ -85,6 +85,16 @@ from pyspark.sql import functions as F
 
 FORMAT_VERSION = 1
 CHECKPOINT_EVERY = 10
+
+#: file-level BLOOM index shape: m bits (1 KiB bitmap per (file, col))
+#: and k probe hashes. With n distinct values per file, the false-skip
+#: rate is 0 by construction (no false NEGATIVES — a present value's
+#: bits are always set); the false-POSITIVE rate at n=1000 distinct is
+#: (1 - e^(-k*n/m))^k ~= 2.4%, i.e. a point lookup scans ~2.4% of the
+#: non-matching files instead of 100%. Constants are stamped into every
+#: index; files written under other constants simply don't skip.
+BLOOM_BITS = 8192
+BLOOM_K = 4
 _LOG_DIR = "_minilog"
 
 #: vacuum() refuses to delete unreferenced data files younger than this.
@@ -153,6 +163,22 @@ class FileEntry:
         if not s or "nulls" not in s:
             return True
         return s["nulls"] > 0
+
+    def may_contain_value(self, col: str, positions: list[int]) -> bool:
+        """BLOOM-FILTER point probe: True unless this file's bloom for
+        ``col`` PROVES no row equals the probe value (some probed bit
+        unset). ``positions`` are the probe's bit positions under the
+        CURRENT (k, m) constants; a file without a bloom, or one written
+        under different constants, can never be skipped — missing index
+        = no skip, never a wrong skip."""
+        b = (self.stats.get(col) or {}).get("bloom")
+        if not b or b.get("k") != BLOOM_K or b.get("m") != BLOOM_BITS:
+            return True
+        try:
+            bits = bytes.fromhex(b["hex"])
+            return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
+        except (ValueError, IndexError):  # corrupt index: stay safe
+            return True
 
 
 @dataclass
@@ -247,10 +273,17 @@ class MiniLogTable:
         spark: SparkSession,
         path: str,
         stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
     ) -> None:
         self.spark = spark
         self.path = path
         self.stats_cols = tuple(stats_cols)
+        #: columns to build file-level BLOOM indexes for on write —
+        #: point-lookup file skipping where min/max stats can't prune
+        #: (high-cardinality, non-clustered columns). Like stats_cols,
+        #: a per-WRITER choice: files written by a handle without it
+        #: simply carry no bloom and never skip.
+        self.bloom_cols = tuple(bloom_cols)
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
 
     @classmethod
@@ -270,6 +303,7 @@ class MiniLogTable:
         self.spark = None
         self.path = path
         self.stats_cols = ()
+        self.bloom_cols = ()
         log_dir = os.path.join(path, _LOG_DIR)
         if create:
             os.makedirs(log_dir, exist_ok=True)
@@ -688,6 +722,46 @@ class MiniLogTable:
             .agg(*aggs)
             .collect()
         }
+        # file-level BLOOM indexes: per (file, col), the distinct bit
+        # positions of every non-NULL value under BLOOM_K xxhash64
+        # seeds — one extra job per staged write, bounded driver-side
+        # by BLOOM_BITS positions per (file, col). Packed to a 1 KiB
+        # bitmap and carried INSIDE the column's stats dict, so it
+        # rides the existing plumbing (checkpoints, CDF, restore,
+        # clone, physical-name keying under column mapping) for free.
+        blooms: dict[str, dict[str, dict]] = {}
+        for c in (mapping.get(b, b) for b in self.bloom_cols):
+            if c not in staged.columns:
+                continue
+            hashes = F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col(c), F.lit(seed)),
+                        F.lit(BLOOM_BITS),
+                    ).cast("int")
+                    for seed in range(BLOOM_K)
+                ]
+            )
+            rows = (
+                staged.filter(F.col(c).isNotNull())
+                .select(
+                    F.input_file_name().alias("__f"),
+                    F.explode(hashes).alias("p"),
+                )
+                .distinct()
+                .groupBy("__f")
+                .agg(F.collect_list("p").alias("ps"))
+                .collect()
+            )
+            for r in rows:
+                bits = bytearray(BLOOM_BITS // 8)
+                for p in r["ps"]:
+                    bits[p >> 3] |= 1 << (p & 7)
+                blooms.setdefault(os.path.basename(r["__f"]), {})[c] = {
+                    "k": BLOOM_K,
+                    "m": BLOOM_BITS,
+                    "hex": bits.hex(),
+                }
         actions = []
         for part in parts:
             r = stat_rows.get(part)
@@ -704,6 +778,8 @@ class MiniLogTable:
                 for c in phys_stats
                 if f"__min_{c}" in r.asDict()
             }
+            for c, b in blooms.get(part, {}).items():
+                stats.setdefault(c, {})["bloom"] = b
             actions.append(
                 {
                     "type": "add",
@@ -1191,18 +1267,55 @@ class MiniLogTable:
         kept = self._tagged_read(entries).drop("__dv_file", "__dv_pos")
         return self._project(kept, schema)
 
+    def _bloom_positions(self, snap: Snapshot, col: str, value: Any) -> list[int]:
+        """Probe bit positions for a point value — computed by SPARK
+        (one 1-row job) so the probe hash is bitwise the hash the write
+        path stamped into the index (same xxhash64, same column type
+        from the log schema); a Python reimplementation would be a
+        silent divergence bug waiting for an engine upgrade."""
+        ctype = next(
+            (c["type"] for c in snap.schema or [] if c["name"] == col),
+            None,
+        )
+        lit = F.lit(value)
+        if ctype:
+            lit = lit.cast(ctype)
+        row = self.spark.range(1).select(
+            *[
+                F.pmod(F.xxhash64(lit, F.lit(seed)), F.lit(BLOOM_BITS))
+                .cast("int")
+                .alias(f"p{seed}")
+                for seed in range(BLOOM_K)
+            ]
+        ).collect()[0]
+        return [row[f"p{seed}"] for seed in range(BLOOM_K)]
+
     def read(
         self,
         version: Optional[int] = None,
         prune: Optional[object] = None,
+        point: Optional[tuple] = None,
     ) -> DataFrame:
         """Snapshot read. ``prune=(col, lo, hi)`` (or a list of triples,
         ANDed) applies file-level data skipping via the log stats AND the
         row-level filter in Spark (the skip is an optimization, never the
-        filter)."""
+        filter). ``point=(col, value)`` is a POINT LOOKUP: bloom-index
+        file skipping (files whose index proves the value absent are
+        never scanned) composed with the min/max skip and the equality
+        row filter; a NULL probe value is rejected (blooms index values,
+        and ``col = NULL`` matches nothing anyway)."""
         preds = self._normalize_prune(prune)
         snap = self.snapshot(version)
+        if point is not None:
+            pcol, pval = point
+            if pval is None:
+                raise ValueError("point lookup value must be non-NULL")
+            preds = preds + [(pcol, pval, pval)]
         files = self._select_entries(snap, preds)
+        if point is not None:
+            pos = self._bloom_positions(snap, pcol, pval)
+            phys = snap.physical_of(pcol)
+            files = [f for f in files if f.may_contain_value(phys, pos)]
         if not files:
             if snap.schema:  # empty result, schema from the log
                 ddl = ", ".join(
@@ -1234,11 +1347,20 @@ class MiniLogTable:
         self,
         version: Optional[int] = None,
         prune: Optional[object] = None,
+        point: Optional[tuple] = None,
     ) -> list[str]:
         """The post-skipping file list a read would scan (test hook: data
-        skipping is asserted on THIS, not on timing)."""
+        skipping — stats AND bloom — is asserted on THIS, not on
+        timing)."""
         snap = self.snapshot(version)
-        files = self._select_entries(snap, self._normalize_prune(prune))
+        preds = self._normalize_prune(prune)
+        if point is not None:
+            preds = preds + [(point[0], point[1], point[1])]
+        files = self._select_entries(snap, preds)
+        if point is not None:
+            pos = self._bloom_positions(snap, point[0], point[1])
+            phys = snap.physical_of(point[0])
+            files = [f for f in files if f.may_contain_value(phys, pos)]
         return [os.path.join(self.path, f.file) for f in files]
 
     # -------------------------------------------------------- change feed

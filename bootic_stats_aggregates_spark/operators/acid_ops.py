@@ -70,6 +70,7 @@ def _staged(
     sf_dir: str,
     name: str,
     stats_cols: tuple[str, ...] = ("d",),
+    bloom_cols: tuple[str, ...] = (),
 ) -> tuple[MiniLogTable, bool]:
     """A MiniLog handle under /tmp keyed by (sf tag, op name). Returns
     (table, already_built): a marker file carrying the recipe + fixture
@@ -85,7 +86,12 @@ def _staged(
             ready = fh.read().strip() == _fingerprint(sf_dir)
     if not ready and os.path.exists(root):
         shutil.rmtree(root)
-    return MiniLogTable(spark, root, stats_cols=stats_cols), ready
+    return (
+        MiniLogTable(
+            spark, root, stats_cols=stats_cols, bloom_cols=bloom_cols
+        ),
+        ready,
+    )
 
 
 def _mark_ready(tbl: MiniLogTable, sf_dir: str) -> None:
@@ -406,6 +412,84 @@ def tx_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tbl.read().select(
         "event_type", "d", "n", F.lit(bool(compact_ok)).alias("compact_ok")
+    )
+
+
+@query(
+    "src_bloom_skip",
+    oracle=f"""
+    -- FILE-LEVEL BLOOM-INDEX POINT LOOKUP: the staged table holds three
+    -- day-band files (every user appears in every band, so min/max
+    -- stats on user_id could never prune) plus a sentinel band whose
+    -- user ids are offset by 10,000,000 (built from the days 1-3
+    -- events). The probe — sentinel id of the minimum user — lives
+    -- ONLY in the sentinel file; the bloom index proves the other
+    -- bands cannot contain it and the read scans a strict subset of
+    -- the files (bloom_ok also pins point-read == full-scan-and-filter
+    -- equality). Visible result: the probe user's per-day counts.
+    WITH probe AS (SELECT min(user_id) AS u FROM events)
+    SELECT CAST(date_part('day', ts) AS BIGINT) AS d,
+           CAST(count(*) AS BIGINT) AS n,
+           true AS bloom_ok
+    FROM events, probe
+    WHERE user_id = probe.u AND date_part('day', ts) <= 3
+    GROUP BY 1
+    """,
+)
+def src_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-INDEX FILE SKIPPING — point lookups on columns min/max
+    stats can't prune: each write stamps a {BLOOM_BITS}-bit, {BLOOM_K}-hash
+    bloom bitmap per (file, indexed column) into the file's stats (so it
+    rides checkpoints, CDF, restore, clone and column-mapping renames
+    for free), and ``read(point=(col, value))`` skips every file whose
+    index PROVES the value absent — no false negatives by construction,
+    ~2% false-positive scans at 1k distinct values per file. The probe
+    hash is computed BY SPARK (one 1-row job), so writer and reader can
+    never diverge. Files written without the index simply never skip.
+
+    At 100 TB this is the needle-in-haystack path: a point lookup on a
+    high-cardinality, non-clustered column (user id, URL hash, doc id)
+    touches the ~0.1% of files that actually contain the key instead of
+    scanning the table — the same role Parquet column bloom filters and
+    Delta's bloom index play, here at the table-format layer where the
+    planner can skip before Spark schedules anything.
+
+    bloom_ok pins: the point read scanned a STRICT subset of the live
+    files, the sentinel file survived the probe, and the point-read
+    result equals the full-scan equality filter bit-for-bit."""
+    tbl, ready = _staged(
+        spark, sf_dir, "bloom_skip", bloom_cols=("user_id",)
+    )
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.dayofmonth("ts").cast("long").alias("d")
+    )
+    if not ready:
+        tbl.append(ev.filter(F.col("d") <= 10))
+        tbl.append(ev.filter(F.col("d").between(11, 20)))
+        tbl.append(ev.filter((F.col("d") >= 21) | F.col("d").isNull()))
+        tbl.append(  # the sentinel band: offset ids, days 1-3 only
+            ev.filter(F.col("d") <= 3).withColumn(
+                "user_id", F.col("user_id") + F.lit(10_000_000)
+            )
+        )
+        _mark_ready(tbl, sf_dir)
+    probe = 10_000_000 + ev.agg(F.min("user_id")).collect()[0][0]
+    pointed = tbl.read(point=("user_id", probe))
+    result = pointed.groupBy("d").agg(lcount("n"))
+    full = (
+        tbl.read()
+        .filter(F.col("user_id") == F.lit(probe))
+        .groupBy("d")
+        .agg(lcount("n"))
+    )
+    scanned = tbl.select_files(point=("user_id", probe))
+    bloom_ok = (
+        len(scanned) < len(tbl.select_files())
+        and result.exceptAll(full).isEmpty()
+        and full.exceptAll(result).isEmpty()
+    )
+    return result.select(
+        "d", "n", F.lit(bool(bloom_ok)).alias("bloom_ok")
     )
 
 

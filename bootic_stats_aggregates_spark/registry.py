@@ -118,7 +118,7 @@ _GATE_PRIORITY: list[str] = [
     # --- rewrite), and the persisted incrementally-maintained ANN
     # --- index (batch + always-on streaming variants).
     "stream_cdf_feed", "tx_column_mapping", "llm_ann_index_maintain",
-    "stream_ann_index_maintain", "tx_check_constraint",
+    "stream_ann_index_maintain", "tx_check_constraint", "src_bloom_skip",
     # --- slots 5-12: r8-CHURNED ops due a re-check: the k-means/PQ
     # --- family moved to deterministic farthest-point seeding
     # --- (ivf_train/pq_train/ann_ivfpq/ann_recall), tx_schema_evolve
@@ -143,11 +143,12 @@ _GATE_PRIORITY: list[str] = [
     "llm_split_hash", "llm_multimodal_cols", "llm_multimodal_resize",
     "sample_hash_det", "sample_stratified_cap",
     "snk_compact", "snk_parquet", "snk_redis_acct", "snk_redis_paths",
-    "snk_redis_uniq", "snk_stream_parquet",
+    "snk_redis_uniq",
     # --- slots 51+: the remaining r3 rows queue for round 9. ALL ids
     # --- (including these) additionally get fresh-process sim rows in
     # --- tools/driver_sim_r8*.log each round regardless of the gate
     # --- cut.
+    "snk_stream_parquet",
     "src_csv_robust", "src_socket_stream",
     "stream_quality_gate", "stream_redis_counters",
     "sub_exists_in", "sub_lateral_topn", "sub_not_in_null",

@@ -1281,3 +1281,62 @@ def test_clone_carries_constraints(spark, tbl, tmp_path):
     assert dst.snapshot().constraints == {"k_pos": "k > 0"}
     with pytest.raises(ConstraintViolation):
         dst.append(_df(spark, [(-1, "bad")]))
+
+
+def test_bloom_point_skip_and_no_false_negatives(spark, tmp_path):
+    """File-level BLOOM index: point lookups skip files min/max stats
+    can't (values interleave across every file, so range stats are
+    useless), with the no-false-negative guarantee checked for EVERY
+    value, an absent-value probe scanning nothing, and the index
+    surviving a column-mapping RENAME (stats are keyed by physical
+    name)."""
+    tbl = MiniLogTable(
+        spark, str(tmp_path / "b"), stats_cols=("d",), bloom_cols=("u",)
+    )
+    # 4 files; u values {f, 100+f, 200+f, ...}: every file's u-range
+    # spans the whole domain
+    values = {}
+    for f in range(4):
+        rows = [(f, 100 * j + f) for j in range(5)]
+        values[f] = [u for _, u in rows]
+        tbl.append(spark.createDataFrame(rows, "d INT, u INT"))
+    total = len(tbl.select_files())
+    assert total == 4
+    # point probe: exactly the owning file survives (false positives
+    # are ~1e-10 at 5 values / 8192 bits)
+    got = tbl.select_files(point=("u", 203))
+    assert len(got) == 1
+    assert [tuple(r) for r in tbl.read(point=("u", 203)).collect()] == [
+        (3, 203)
+    ]
+    # no false negatives: every present value selects its file's rows
+    for f, us in values.items():
+        for u in us:
+            assert tbl.read(point=("u", u)).count() == 1, (f, u)
+    # absent value: nothing scanned, empty result
+    assert tbl.select_files(point=("u", 999_999)) == []
+    assert tbl.read(point=("u", 999_999)).count() == 0
+    with pytest.raises(ValueError, match="non-NULL"):
+        tbl.read(point=("u", None))
+    # rename survival: the bloom is keyed by the physical name
+    tbl.rename_column("u", "uid")
+    assert len(tbl.select_files(point=("uid", 203))) == 1
+    assert tbl.read(point=("uid", 203)).count() == 1
+
+
+def test_bloom_absent_on_unindexed_writes_means_no_skip(spark, tmp_path):
+    """A writer WITHOUT bloom_cols produces files with no index: point
+    probes must scan them (missing index = no skip, never a wrong
+    skip), while indexed files still skip."""
+    path = str(tmp_path / "mix")
+    plain = MiniLogTable(spark, path, stats_cols=("d",))
+    plain.append(spark.createDataFrame([(1, 10)], "d INT, u INT"))
+    indexed = MiniLogTable(
+        spark, path, stats_cols=("d",), bloom_cols=("u",)
+    )
+    indexed.append(spark.createDataFrame([(2, 20)], "d INT, u INT"))
+    # probe for a value in NEITHER file: the unindexed file cannot be
+    # skipped, the indexed one can
+    assert len(indexed.select_files(point=("u", 999))) == 1
+    assert indexed.read(point=("u", 20)).count() == 1
+    assert indexed.read(point=("u", 10)).count() == 1

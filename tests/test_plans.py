@@ -333,7 +333,7 @@ BUILD_RUNS_JOBS_OK = {
     # the persisted ANN index stages train/encode/maintain and
     # recomputes its maintained==fresh-rebuild invariants per call
     "stream_cdf_feed", "tx_column_mapping", "llm_ann_index_maintain",
-    "stream_ann_index_maintain", "tx_check_constraint",
+    "stream_ann_index_maintain", "tx_check_constraint", "src_bloom_skip",
 }
 
 
