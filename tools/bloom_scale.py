@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Bloom-index file skipping at scale, including its honest limits.
+
+Builds FILES x ROWS rows where the indexed column's DOMAIN fully
+interleaves across files (min/max stats can never prune) and measures a
+point lookup two ways:
+
+1. MODERATE per-file NDV (2000 distinct/file, the designed operating
+   point — e.g. per-shard user activity files): the bloom selects ~1 of
+   FILES files; wall time tracks files-scanned.
+2. SATURATED per-file NDV (every row distinct, ROWS distinct/file >>
+   8192 bits): the index degrades to NO skip — files all scan, results
+   stay exactly correct (no false negatives ever) — the documented
+   sizing boundary (production: size m to NDV or use a sidecar, the
+   Delta/Parquet approach; this format keeps the 1 KiB in-log bitmap).
+
+Usage: python tools/bloom_scale.py [files] [rows_per_file]
+Defaults: 32 x 500_000 = 16M rows.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FILES = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+ROWS = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+NDV = 2000
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from bootic_stats_aggregates_spark.acid import MiniLogTable
+    from bootic_stats_aggregates_spark.session import get_spark
+
+    spark = get_spark("bloom-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="bloom_scale_")
+    try:
+        tbl = MiniLogTable(
+            spark, os.path.join(root, "t"),
+            stats_cols=("f",), bloom_cols=("uid", "rid"),
+        )
+        t0 = time.perf_counter()
+        for f in range(FILES):
+            df = spark.range(ROWS).select(
+                F.lit(f).alias("f"),
+                # moderate NDV, fully interleaved domain: uid % FILES
+                # spreads every file across [f, NDV*FILES)
+                ((F.col("id") % NDV) * FILES + f).alias("uid"),
+                # saturated: every row distinct, domains interleave
+                (F.col("id") * FILES + f).alias("rid"),
+            )
+            tbl.append(df)
+        print(f"build: {FILES} files x {ROWS} rows "
+              f"({FILES * ROWS} total) in {time.perf_counter() - t0:.1f}s; "
+              f"uid NDV/file={NDV}, rid NDV/file={ROWS}")
+
+        probe = 777 * FILES + 5  # uid present ONLY in file 5
+        t0 = time.perf_counter()
+        sel = tbl.select_files(point=("uid", probe))
+        n_rows = tbl.read(point=("uid", probe)).count()
+        t_pt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        full = tbl.read().filter(F.col("uid") == probe).count()
+        t_full = time.perf_counter() - t0
+        assert n_rows == full
+        all_files = tbl.select_files()
+        b_sel = sum(os.path.getsize(p) for p in sel)
+        b_all = sum(os.path.getsize(p) for p in all_files)
+        # the binding metric is BYTES TOUCHED: on cold page cache or
+        # object storage, scan cost tracks it; on a warm local cache
+        # (this box) both reads are CPU-bound and wall times converge,
+        # with the probe's fixed 1-row hash job visible on the point
+        # side. Expected false-positive file rate at NDV=2000/8192
+        # bits: (1-e^-0.98)^4 ~= 15% -> ~5 extra files of 31.
+        print(f"moderate-NDV point lookup: {len(sel)}/{len(all_files)} "
+              f"files = {b_sel / b_all:.1%} of bytes touched "
+              f"({n_rows} rows) in {t_pt:.2f}s; warm full scan "
+              f"{t_full:.2f}s (bytes ratio is the cold/remote win: "
+              f"{b_all / b_sel:.1f}x less IO)")
+
+        rprobe = 123_457 * FILES + 9  # one row, in file 9
+        t0 = time.perf_counter()
+        rn_files = len(tbl.select_files(point=("rid", rprobe)))
+        rn = tbl.read(point=("rid", rprobe)).count()
+        t_sat = time.perf_counter() - t0
+        assert rn == 1
+        print(f"saturated-NDV point lookup: {rn_files}/{FILES} files scanned"
+              f" in {t_sat:.2f}s — index saturated (NDV {ROWS} >> 8192 bits)"
+              f", degrades to no-skip, result still exact")
+        print("OK")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
