@@ -1320,3 +1320,125 @@ def llm_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 search (r8): the retrieval scorer a training-data pipeline runs for
+# corpus search / hard-negative mining, composed from the same token
+# conventions as llm_tfidf_topterms / llm_inverted_index.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@query(
+    "llm_bm25_search",
+    oracle=f"""
+    -- BM25 top-20 documents for a DETERMINISTIC query (the 3 globally
+    -- most frequent tokens of length >= 4, ties alphabetical): Lucene's
+    -- positive IDF ln((N-df+0.5)/(df+0.5)+1), k1={BM25_K1}, b={BM25_B}.
+    -- Per-term contributions round to 9 decimals and sum as
+    -- DECIMAL(20,9) — exact, order-free — so both engines produce the
+    -- same total regardless of addition order; the output rounds to 6.
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE text IS NOT NULL
+    ),
+    q AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS n FROM toks WHERE length(term) >= 4
+        GROUP BY term ORDER BY n DESC, term LIMIT 3)
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+           FROM documents WHERE text IS NOT NULL),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    dfq AS (SELECT tf.term, count(*) AS df
+            FROM tf JOIN q ON tf.term = q.term GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               * tf.tf * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.dl / stats.avgdl)),
+             9) AS DECIMAL(20,9)) AS c
+      FROM tf JOIN dfq ON tf.term = dfq.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ),
+    scored AS (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id)
+    SELECT doc_id, round(CAST(s AS DOUBLE), 6) AS score,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (ORDER BY s DESC, doc_id) AS rk
+          FROM scored)
+    WHERE rk <= 20
+    """,
+)
+def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TOP-K SEARCH over the documents corpus — the lexical
+    retrieval scorer every training-data pipeline runs for corpus
+    search, dedup-adjacent triage, and hard-negative mining. Query
+    terms derive DETERMINISTICALLY from the corpus itself (the 3 most
+    frequent length>=4 tokens, ties alphabetical), so the whole search
+    replays exactly in the oracle; scoring is Lucene's positive-IDF
+    BM25 with k1=1.2, b=0.75.
+
+    Determinism discipline: per-(doc, term) contributions round to 9
+    decimals and sum as DECIMAL(20,9) — an exact, addition-order-free
+    aggregate (the FIXTURES.md money rule applied to relevance scores)
+    — so Spark's partial/final aggregation and DuckDB's single-threaded
+    sum cannot diverge; ln/division inputs are bitwise-identical exact
+    doubles on both sides.
+
+    Plan shape at 100 TB: ONE token-level hash aggregate over the
+    corpus (tf per (doc, term)); everything else is broadcast-sized —
+    the 3 query terms, their document frequencies, the one-row corpus
+    stats — so scoring is a broadcast-join map over the tf rows of the
+    query terms only, and the top-20 is a TakeOrdered, never a global
+    sort materialization."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select("doc_id", F.explode(_toks()).alias("term"))
+    q = (
+        toks.filter(F.length("term") >= 4)
+        .groupBy("term")
+        .agg(lcount("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(3)
+        .select("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(lcount("tf"))
+    dl = d.select("doc_id", F.size(_toks()).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfq = tf.join(F.broadcast(q), "term").groupBy("term").agg(lcount("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * F.col("tf") * (BM25_K1 + 1.0) / denom, 9)
+            .cast("decimal(20,9)")
+            .alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.sum("c").alias("s"))
+    w = Window.orderBy(F.desc("s"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "doc_id",
+            F.round(F.col("s").cast("double"), 6).alias("score"),
+            "rk",
+        )
+    )
