@@ -210,6 +210,15 @@ class Snapshot:
     #: validated against existing data at ADD time, so a table with a
     #: constraint is valid in its entirety at every version.
     constraints: dict = field(default_factory=dict)
+    #: GENERATED columns: name -> Spark SQL expression over the other
+    #: columns (the public Delta generated-column design). Writers
+    #: MATERIALIZE a missing generated column from its expression and
+    #: REJECT provided values that disagree with it, so the column is
+    #: trustworthy for stats-based file skipping (the whole point:
+    #: derived partition-ish columns like day buckets). Carried by a
+    #: dedicated latest-wins ``generated`` action, same rationale as
+    #: ``constraints``.
+    generated: dict = field(default_factory=dict)
 
     def physical_of(self, col: str) -> str:
         """Logical -> physical column name (identity without mapping)."""
@@ -359,6 +368,7 @@ class MiniLogTable:
         schema: Optional[list[dict]] = None
         retired: list = []
         constraints: dict = {}
+        generated: dict = {}
         start = 0
         # newest checkpoint <= v, scanned from the top and stopping at
         # the first hit: checkpoints land every CHECKPOINT_EVERY
@@ -384,6 +394,7 @@ class MiniLogTable:
             schema = state.get("schema")
             retired = list(state.get("retired", []))
             constraints = dict(state.get("constraints", {}))
+            generated = dict(state.get("generated", {}))
             start = ckpt_v + 1
         # versions is sorted: slice the fold tail instead of scanning
         # the whole list per fold
@@ -407,6 +418,8 @@ class MiniLogTable:
                     retired = list(act.get("retired", []))
                 elif act["type"] == "constraints":
                     constraints = dict(act["set"])  # latest wins
+                elif act["type"] == "generated":
+                    generated = dict(act["set"])  # latest wins
         return Snapshot(
             v,
             sorted(live.values(), key=lambda f: f.file),
@@ -414,6 +427,7 @@ class MiniLogTable:
             schema,
             retired,
             constraints,
+            generated,
         )
 
     def history(self) -> list[dict]:
@@ -447,6 +461,7 @@ class MiniLogTable:
         remove_all_live: bool = False,
         expect_schema: Optional[list] = None,
         expect_constraints: Optional[dict] = None,
+        expect_generated: Optional[dict] = None,
     ) -> int:
         """Atomically claim the next version via ``os.link``; on loss,
         rebase (appends always; removals only if their files stay live).
@@ -489,6 +504,14 @@ class MiniLogTable:
                 raise ConcurrentModification(
                     f"{operation}: table constraints changed concurrently"
                     " — re-read and retry"
+                )
+            if (
+                expect_generated is not None
+                and snap.generated != expect_generated
+            ):
+                raise ConcurrentModification(
+                    f"{operation}: generated-column metadata changed "
+                    "concurrently — re-read and retry"
                 )
             if schema_ctx is not None:
                 incoming, evolve, *rest = schema_ctx
@@ -590,6 +613,7 @@ class MiniLogTable:
             "schema": snap.schema,
             "retired": snap.retired,
             "constraints": snap.constraints,
+            "generated": snap.generated,
         }
         tmp = os.path.join(
             self.path, _LOG_DIR, f"_tmp.{uuid.uuid4().hex}.ckpt"
@@ -631,6 +655,60 @@ class MiniLogTable:
                     for n, c in sorted(bad.items())
                 )
             )
+
+    def _apply_generated(self, df: DataFrame, generated: dict) -> DataFrame:
+        """The GENERATED-column write contract (the public Delta
+        design): a write that OMITS a generated column gets it
+        materialized from its expression; a write that PROVIDES it must
+        agree with the expression on every row (null-safe equality) or
+        the whole write rejects — so the stored values are trustworthy
+        for stats-based skipping by construction. One aggregate job
+        validates all provided generated columns at once."""
+        if not generated:
+            return df
+        checks = []
+        for name, expr in sorted(generated.items()):
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+            else:
+                checks.append(
+                    F.sum(
+                        (~F.col(name).eqNullSafe(F.expr(expr))).cast("long")
+                    ).alias(name)
+                )
+        if checks:
+            row = df.agg(*checks).collect()[0]
+            bad = {n: row[n] for n in row.asDict() if row[n]}
+            if bad:
+                raise ConstraintViolation(
+                    "generated column values disagree with their "
+                    "expression: "
+                    + ", ".join(
+                        f"{n} ({c} rows): {generated[n]}"
+                        for n, c in sorted(bad.items())
+                    )
+                )
+        return df
+
+    def set_generated_column(self, name: str, expr: str) -> int:
+        """Declare ``name`` as GENERATED ALWAYS AS (expr): existing data
+        (if the column already exists) must agree with the expression;
+        subsequent writes either omit the column (materialized) or must
+        match it. Concurrent generated-column edits abort (the same
+        lost-update rule as constraints/schema edits)."""
+        snap = self.snapshot() if self.version >= 0 else None
+        current = dict(snap.generated) if snap else {}
+        if name in current:
+            raise ValueError(f"generated column {name!r} already declared")
+        if snap and snap.files:
+            live = self.read()
+            if name in live.columns:
+                self._apply_generated(live, {name: expr})
+        return self._try_commit(
+            "set generated column",
+            [{"type": "generated", "set": {**current, name: expr}}],
+            expect_generated=current,
+        )
 
     def add_check_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT name CHECK (expr): validates ALL
@@ -829,6 +907,13 @@ class MiniLogTable:
         snap0 = self.snapshot() if self.version >= 0 else None
         current = snap0.schema if snap0 else None
         retired = snap0.retired if snap0 else []
+        if snap0 and snap0.generated:
+            before = set(df.columns)
+            df = self._apply_generated(df, snap0.generated)
+            # the generated-column DECLARATION already sanctioned this
+            # schema change: its first materializing write self-evolves
+            if set(df.columns) - before:
+                evolve_schema = True
         incoming = self._df_schema(df)
         mapping, fresh = plan_write_mapping(incoming, current, retired)
         # fail fast (type conflicts / evolve flag) BEFORE staging
@@ -926,6 +1011,8 @@ class MiniLogTable:
         """Replace the whole table in one atomic commit (data AND schema:
         an overwrite may change the schema freely — the metaData action
         records ``df``'s schema as the table's)."""
+        if self.version >= 0:
+            df = self._apply_generated(df, self.snapshot().generated)
         actions = [{"type": "metaData", "schema": self._df_schema(df)}]
         actions += self._stage(df, target_files)
         # remove_all_live: the remove set is rebuilt from the LIVE
@@ -1103,6 +1190,12 @@ class MiniLogTable:
         """
         prune_col = prune_col or keys[0]
         assert prune_col in keys, "prune_col must be a merge key"
+        if self.version >= 0:
+            # the update side honors generated columns like any write:
+            # omitted -> materialized, provided-but-wrong -> rejected
+            updates = self._apply_generated(
+                updates, self.snapshot().generated
+            )
         # fail fast on duplicate update keys (NULL-safe: groupBy buckets
         # NULL keys into one group, matching eqNullSafe below)
         n_dup = (
@@ -1693,6 +1786,8 @@ class MiniLogTable:
             actions.append(
                 {"type": "constraints", "set": target.constraints}
             )
+        if target.generated != current.generated:
+            actions.append({"type": "generated", "set": target.generated})
         return self._try_commit(f"restore(v{version})", actions)
 
     def clone(
@@ -1748,6 +1843,8 @@ class MiniLogTable:
             actions.append(
                 {"type": "constraints", "set": snap.constraints}
             )
+        if snap.generated:
+            actions.append({"type": "generated", "set": snap.generated})
         dst._try_commit(f"clone({self.path}@v{snap.version})", actions)
         return dst
 

@@ -416,6 +416,84 @@ def tx_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tx_generated_columns",
+    oracle=f"""
+    -- GENERATED COLUMNS (the public Delta design): wk is declared
+    -- GENERATED ALWAYS AS ((d - 1) div 7) before the first write; the
+    -- first append OMITS it (materialized, schema self-evolves), the
+    -- second PROVIDES matching values (validated), and an append with
+    -- disagreeing wk values was REJECTED atomically (no version
+    -- consumed — gen_ok carries that plus the live metadata and a
+    -- whole-table re-validation). Visible state: both generations with
+    -- the trustworthy derived week bucket.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d, n,
+           CAST((d - 1) // 7 AS BIGINT) AS wk,
+           true AS gen_ok
+    FROM c
+    """,
+)
+def tx_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED COLUMNS on MiniLog — derived columns the FORMAT keeps
+    trustworthy (the public Delta generated-column design): ``wk =
+    (d - 1) div 7`` is table metadata (a dedicated latest-wins
+    ``generated`` action, same race rules as constraints); a write that
+    omits wk gets it MATERIALIZED from the expression (the first such
+    write self-evolves the schema — the declaration sanctioned it), a
+    write that provides wk must agree on every row (null-safe, one
+    aggregate job) or rejects atomically, and merge update sides follow
+    the same contract. Because the stored values provably equal the
+    expression, per-file min/max stats on wk give DERIVED-column file
+    skipping — the reason generated columns exist at 100 TB: partition
+    buckets (day -> week, ts -> date) the planner can prune on without
+    trusting writers. Declaration on existing disagreeing data rejects;
+    restore/clone carry the metadata (tests/test_acid.py).
+
+    gen_ok pins: the disagreeing append raised and consumed no version,
+    the live metadata is exactly the declared expression, and a
+    whole-table re-validation of wk against its expression passes."""
+    from ..acid import ConstraintViolation
+
+    expr = "(d - 1) div 7"
+    tbl, ready = _staged(
+        spark, sf_dir, "generated_columns", stats_cols=("d", "wk")
+    )
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        tbl.set_generated_column("wk", expr)
+        tbl.append(c.filter((F.col("d") <= 15) | F.col("d").isNull()))
+        tbl.append(  # generation 2 PROVIDES wk (validated on write)
+            c.filter(F.col("d") >= 16).withColumn("wk", F.expr(expr))
+        )
+        _mark_ready(tbl, sf_dir)
+    v = tbl.version
+    bad = spark.createDataFrame(
+        [("hack", 99, 5, 0)],
+        "event_type string, d bigint, n bigint, wk bigint",
+    )
+    try:
+        tbl.append(bad)
+        rejected = False
+    except ConstraintViolation:
+        rejected = True
+    live = tbl.read()
+    try:
+        tbl._apply_generated(live, tbl.snapshot().generated)
+        all_valid = True
+    except ConstraintViolation:
+        all_valid = False
+    gen_ok = (
+        rejected
+        and all_valid
+        and tbl.version == v
+        and tbl.snapshot().generated == {"wk": expr}
+    )
+    return live.select(
+        "event_type", "d", "n", "wk", F.lit(bool(gen_ok)).alias("gen_ok")
+    )
+
+
+@query(
     "src_bloom_skip",
     oracle=f"""
     -- FILE-LEVEL BLOOM-INDEX POINT LOOKUP: the staged table holds three

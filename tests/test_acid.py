@@ -1340,3 +1340,51 @@ def test_bloom_absent_on_unindexed_writes_means_no_skip(spark, tmp_path):
     assert len(indexed.select_files(point=("u", 999))) == 1
     assert indexed.read(point=("u", 20)).count() == 1
     assert indexed.read(point=("u", 10)).count() == 1
+
+
+def test_generated_columns_materialize_validate_evolve(spark, tbl):
+    """GENERATED columns: declared before first write, a write that
+    omits the column gets it materialized (self-evolving the schema —
+    the declaration sanctioned it), a write that provides matching
+    values passes, a disagreeing write rejects atomically, and the
+    merge update side follows the same contract."""
+    tbl.set_generated_column("k2", "k * 2")
+    tbl.append(_df(spark, [(1, "a")]))  # omitted -> materialized
+    assert [tuple(r) for r in tbl.read().collect()] == [(1, "a", 2)]
+    ok = spark.createDataFrame([(2, "b", 4)], "k INT, v STRING, k2 INT")
+    tbl.append(ok)  # provided and correct
+    v = tbl.version
+    bad = spark.createDataFrame([(3, "c", 7)], "k INT, v STRING, k2 INT")
+    with pytest.raises(ConstraintViolation, match="k2"):
+        tbl.append(bad)
+    assert tbl.version == v
+    # merge updates omit k2 -> materialized on the update side
+    tbl.merge(_df(spark, [(2, "B"), (5, "E")]), keys=("k",))
+    got = sorted(tuple(r) for r in tbl.read().collect())
+    assert got == [(1, "a", 2), (2, "B", 4), (5, "E", 10)]
+    with pytest.raises(ValueError, match="already declared"):
+        tbl.set_generated_column("k2", "k * 3")
+
+
+def test_generated_column_declaration_validates_existing(spark, tbl):
+    """Declaring GENERATED on a table whose EXISTING column disagrees
+    with the expression rejects the declaration; clones carry the
+    metadata."""
+    tbl.append(
+        spark.createDataFrame([(1, "a", 99)], "k INT, v STRING, k2 INT")
+    )
+    with pytest.raises(ConstraintViolation, match="k2"):
+        tbl.set_generated_column("k2", "k * 2")
+    assert tbl.snapshot().generated == {}
+
+
+def test_generated_columns_survive_clone(spark, tbl, tmp_path):
+    tbl.set_generated_column("k2", "k * 2")
+    tbl.append(_df(spark, [(1, "a")]))
+    dst = tbl.clone(str(tmp_path / "gen_clone"))
+    assert dst.snapshot().generated == {"k2": "k * 2"}
+    dst.append(_df(spark, [(4, "d")]))
+    assert sorted(tuple(r) for r in dst.read().collect()) == [
+        (1, "a", 2),
+        (4, "d", 8),
+    ]

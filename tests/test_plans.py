@@ -192,6 +192,9 @@ def test_plan_hygiene_all_queries(spark):
                              # corpus scale
         "llm_ann_ivfpq",     # same trained-quantizer machinery: corpus x
                              # broadcast(16 centroids) for assignment/probes
+        "llm_ann_index_maintain",  # same machinery reading FROZEN codebook
+        "stream_ann_index_maintain",  # tables (broadcast-sized)
+        "llm_bm25_search",   # crossJoin(broadcast(<1-row corpus stats>))
     }
     python_ok = {
         "udf_plain",  # the fenced-off last-resort surface
@@ -334,6 +337,7 @@ BUILD_RUNS_JOBS_OK = {
     # recomputes its maintained==fresh-rebuild invariants per call
     "stream_cdf_feed", "tx_column_mapping", "llm_ann_index_maintain",
     "stream_ann_index_maintain", "tx_check_constraint", "src_bloom_skip",
+    "tx_generated_columns",
 }
 
 
