@@ -82,6 +82,7 @@ EXTRA = {
     "multimodal_audio": "llm_multimodal_audio",
     "ivf_train": "llm_ivf_train",
     "ann_recall": "llm_ann_recall",
+    "bm25_search": "llm_bm25_search",
     # join_bloom_pruned is intentionally NOT benched: its builder freezes
     # the armed-plan result via localCheckpoint (registry-memoized), so a
     # repeat timing would measure the checkpoint read, not the join.

@@ -105,6 +105,7 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: r3 rows — after this pass no id's latest driver check predates r6.
 #: Verification status of every entry, stated precisely (ADVICE r3 item 2):
 #: all 254 registered pairs pass the local oracle gate at sf0.01
+#: and the round-end full-registry sims (driver_sim_r8_final.log 254/254)
 #: (tests/test_oracle.py, exact value compare); linear-oracle ops are also
 #: swept at sf0.1 (pytest with SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1,
 #: logs at tools/sweep_sf01_r4.log / _r5.log); the quadratic/recursive-oracle
