@@ -1007,10 +1007,22 @@ class MiniLogTable:
             f"drop_column({name})", [action], expect_schema=snap.schema
         )
 
-    def overwrite(self, df: DataFrame, target_files: Optional[int] = 1) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        target_files: Optional[int] = 1,
+        txn: Optional[dict] = None,
+    ) -> int:
         """Replace the whole table in one atomic commit (data AND schema:
         an overwrite may change the schema freely — the metaData action
-        records ``df``'s schema as the table's)."""
+        records ``df``'s schema as the table's). ``txn={'app':…,
+        'version':…}`` makes the overwrite exactly-once, the streaming
+        foreachBatch keyed-state pattern: a replayed micro-batch's
+        overwrite commits nothing and its staged files are reclaimed."""
+        if txn is not None and self.version >= 0:
+            snap = self.snapshot()
+            if snap.txns.get(txn["app"], -1) >= txn["version"]:
+                return snap.version  # replay: skip staging entirely
         if self.version >= 0:
             df = self._apply_generated(df, self.snapshot().generated)
         actions = [{"type": "metaData", "schema": self._df_schema(df)}]
@@ -1020,7 +1032,9 @@ class MiniLogTable:
         # an overwrite losing a commit race still removes a concurrently
         # appended file — "overwrite" means the latest state, not the
         # state when the overwrite started
-        return self._try_commit("overwrite", actions, remove_all_live=True)
+        return self._try_commit(
+            "overwrite", actions, txn=txn, remove_all_live=True
+        )
 
     def delete_where(self, col: str, lo: Any, hi: Any) -> dict:
         """Delete rows with ``col`` in [lo, hi], rewriting ONLY the files

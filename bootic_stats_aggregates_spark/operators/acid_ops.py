@@ -1061,6 +1061,131 @@ def tx_mview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_mview_cdf",
+    oracle=f"""
+    -- ALWAYS-ON INCREMENTAL VIEW MAINTENANCE: the per-event_type
+    -- SUM(n) view is kept current by a STREAMING job tailing the
+    -- source table's change feed (readChangeFeed) through foreachBatch
+    -- — each micro-batch folds its net per-key delta into the MiniLog
+    -- view table, exactly-once via txn=(app, batchId). The
+    -- maintained view must equal the direct recompute over the source
+    -- history append / append / merge (days >= 25: n+500) / DV-delete
+    -- (days 1-3); stream_ok carries maintained == recompute and the
+    -- O(churn) evidence.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type,
+           CAST(SUM(CASE WHEN d >= 25 THEN n + 500 ELSE n END)
+                AS BIGINT) AS total,
+           true AS stream_ok
+    FROM c
+    WHERE (d NOT BETWEEN 1 AND 3) OR d IS NULL
+    GROUP BY 1
+    """,
+)
+def stream_mview_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE REFERENCE DAEMON AS AN ALWAYS-ON LAKEHOUSE JOB — the round's
+    streaming capstone for the counter surface: tx_mview_incremental's
+    per-event_type SUM(n) materialized view, maintained not by a batch
+    fold but by a STRUCTURED STREAMING job tailing the source table's
+    change-data feed (the stream_cdf_feed source) through foreachBatch.
+    Each micro-batch reduces its feed rows to a net per-key delta
+    (+insert / -delete — an update contributes its net), folds it into
+    the one-row-per-key view state, and overwrites the MiniLog view
+    table with txn=(app, batchId) so a replayed micro-batch commits
+    nothing twice. The source history spans an append, an append,
+    a MERGE (days >= 25: n+500) and a DELETION-VECTOR delete (days
+    1-3) — the commit kinds a naive tail cannot survive; the CDF feed
+    delivers each as row-level deltas and the view follows at O(churn)
+    per trigger, never O(table). stream_ok pins maintained ==
+    direct-recompute of the final source state (both exceptAll
+    directions) plus the view table's own exactly-once txn marker."""
+    tbl, ready = _staged(spark, sf_dir, "mview_cdf_src")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        tbl.append(c.filter((F.col("d") <= 15) | F.col("d").isNull()))
+        tbl.append(c.filter(F.col("d") >= 16))
+        updates = c.filter(F.col("d") >= 25).withColumn(
+            "n", (F.col("n") + F.lit(500)).cast("long")
+        )
+        tbl.merge(updates, keys=("event_type", "d"), prune_col="d")
+        tbl.delete_where_dv("d", 1, 3)
+        _mark_ready(tbl, sf_dir)
+    from ..sources.minilog_source import register
+    from ..streaming.runner import run_foreach_batch
+
+    register(spark)
+    root = os.path.dirname(tbl.path)
+    vroot = os.path.join(root, "mview_cdf_view")
+    marker = os.path.join(root, "_READY_MVIEW")
+    ready_v = False
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            ready_v = fh.read().strip() == _fingerprint(sf_dir)
+    view = MiniLogTable(spark, vroot, stats_cols=("event_type",))
+    if not ready_v:
+        if os.path.exists(vroot):
+            shutil.rmtree(vroot)
+            view = MiniLogTable(spark, vroot, stats_cols=("event_type",))
+        view.append(  # empty v0 so merge has a base schema
+            spark.createDataFrame([], "event_type string, total bigint")
+        )
+
+        def fold(bdf: DataFrame, bid: int) -> None:
+            sign = F.when(
+                F.col("_change_type") == "insert", F.lit(1)
+            ).otherwise(F.lit(-1))
+            delta = (
+                bdf.groupBy("event_type")
+                .agg(F.sum(sign * F.col("n")).alias("delta"))
+                .filter(F.col("delta") != 0)
+            )
+            if delta.isEmpty():
+                return
+            merged = (
+                view.read()
+                .join(delta, "event_type", "full")
+                .select(
+                    "event_type",
+                    (
+                        F.coalesce(F.col("total"), F.lit(0))
+                        + F.coalesce(F.col("delta"), F.lit(0))
+                    ).cast("long").alias("total"),
+                )
+            )
+            # overwrite keyed state: the view IS the aggregate — tiny
+            # (one row per event_type), rewritten per trigger like the
+            # reference daemon's Redis hash; txn=(app, batchId) makes a
+            # replayed micro-batch's overwrite a no-op (exactly-once)
+            view.overwrite(
+                merged, txn={"app": "mview_cdf", "version": int(bid)}
+            )
+
+        run_foreach_batch(
+            spark.readStream.format("minilog")
+            .option("readChangeFeed", "true")
+            .load(tbl.path),
+            fold,
+            mode="append",
+        )
+        with open(marker, "w") as fh:
+            fh.write(_fingerprint(sf_dir))
+    maintained = view.read().filter(F.col("total") != 0)
+    direct = (
+        tbl.read()
+        .groupBy("event_type")
+        .agg(F.sum("n").cast("long").alias("total"))
+    )
+    stream_ok = (
+        maintained.exceptAll(direct).isEmpty()
+        and direct.exceptAll(maintained).isEmpty()
+        and view.snapshot().txns.get("mview_cdf", -1) >= 0
+    )
+    return maintained.select(
+        "event_type", "total", F.lit(bool(stream_ok)).alias("stream_ok")
+    )
+
+
+@query(
     "src_minilog_dsv2",
     oracle=f"""
     -- MiniLog read through the SPARK-NATIVE DataSource surface

@@ -104,8 +104,9 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: overwrite removes, stream vacuum bootstrap), then drains the oldest
 #: r3 rows — after this pass no id's latest driver check predates r6.
 #: Verification status of every entry, stated precisely (ADVICE r3 item 2):
-#: all 254 registered pairs pass the local oracle gate at sf0.01
-#: and the round-end full-registry sims (driver_sim_r8_final.log 254/254)
+#: all 255 registered pairs pass the local oracle gate at sf0.01
+#: and the round-end full-registry sims (driver_sim_r8_final.log 254/254
+#: before the last op landed; it got its own fresh-process drives)
 #: (tests/test_oracle.py, exact value compare); linear-oracle ops are also
 #: swept at sf0.1 (pytest with SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1,
 #: logs at tools/sweep_sf01_r4.log / _r5.log); the quadratic/recursive-oracle
@@ -114,16 +115,16 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: registration order after it.
 _GATE_PRIORITY: list[str] = [
     # --- Round 8 rotation (VERDICT r7 task 8: drain the stalest r3
-    # --- greens). Slots 1-8: the ops ADDED in round 8 — the streaming
+    # --- greens). Slots 1-9: the ops ADDED in round 8 — the streaming
     # --- change-feed source, column mapping (rename/drop without
     # --- rewrite), the persisted incrementally-maintained ANN index
     # --- (batch + always-on streaming variants), CHECK constraints,
-    # --- bloom-index point-lookup skipping, BM25 search, and
-    # --- generated columns.
+    # --- bloom-index point-lookup skipping, BM25 search, generated
+    # --- columns, and the always-on streaming materialized view.
     "stream_cdf_feed", "tx_column_mapping", "llm_ann_index_maintain",
     "stream_ann_index_maintain", "tx_check_constraint", "src_bloom_skip",
-    "llm_bm25_search", "tx_generated_columns",
-    # --- slots 9-16: r8-CHURNED ops due a re-check: the k-means/PQ
+    "llm_bm25_search", "tx_generated_columns", "stream_mview_cdf",
+    # --- slots 10-17: r8-CHURNED ops due a re-check: the k-means/PQ
     # --- family moved to deterministic farthest-point seeding
     # --- (ivf_train/pq_train/ann_ivfpq/ann_recall), tx_schema_evolve
     # --- sits atop the race-safe metaData re-derivation (ADVICE r7
@@ -133,7 +134,7 @@ _GATE_PRIORITY: list[str] = [
     "llm_ivf_train", "llm_pq_train", "llm_ann_ivfpq", "llm_ann_recall",
     "tx_schema_evolve", "snk_minilog_dsv2_write", "stream_minilog_tail",
     "snk_partition_overwrite",
-    # --- slots 17-50: the round-3 rows, oldest greens first — after
+    # --- slots 18-50: the round-3 rows, oldest greens first — after
     # --- this pass every id's latest driver check is r6 or newer.
     "agg_approx_distinct", "agg_argmax", "agg_bitmap_distinct",
     "agg_corr_stats", "agg_filtered", "agg_grouping_sets",
@@ -146,12 +147,13 @@ _GATE_PRIORITY: list[str] = [
     "llm_repetition", "llm_simhash", "llm_simhash_pairs",
     "llm_split_hash", "llm_multimodal_cols", "llm_multimodal_resize",
     "sample_hash_det", "sample_stratified_cap",
-    "snk_compact", "snk_parquet", "snk_redis_acct",
+    "snk_compact", "snk_parquet",
     # --- slots 51+: the remaining r3 rows queue for round 9. ALL ids
     # --- (including these) additionally get fresh-process sim rows in
     # --- tools/driver_sim_r8*.log each round regardless of the gate
     # --- cut.
-    "snk_redis_paths", "snk_redis_uniq", "snk_stream_parquet",
+    "snk_redis_acct", "snk_redis_paths", "snk_redis_uniq",
+    "snk_stream_parquet",
     "src_csv_robust", "src_socket_stream",
     "stream_quality_gate", "stream_redis_counters",
     "sub_exists_in", "sub_lateral_topn", "sub_not_in_null",

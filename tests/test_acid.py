@@ -1388,3 +1388,18 @@ def test_generated_columns_survive_clone(spark, tbl, tmp_path):
         (1, "a", 2),
         (4, "d", 8),
     ]
+
+
+def test_overwrite_txn_exactly_once(spark, tbl):
+    """overwrite(txn=...) is exactly-once like append(txn=...): a
+    replayed (app, version) commits nothing — the streaming
+    foreachBatch keyed-state pattern — and a newer version lands."""
+    tbl.append(_df(spark, [(1, "a")]))
+    v = tbl.overwrite(_df(spark, [(2, "b")]), txn={"app": "w", "version": 7})
+    v2 = tbl.overwrite(
+        _df(spark, [(9, "replayed")]), txn={"app": "w", "version": 7}
+    )
+    assert v2 == v
+    assert [tuple(r) for r in tbl.read().collect()] == [(2, "b")]
+    tbl.overwrite(_df(spark, [(3, "c")]), txn={"app": "w", "version": 8})
+    assert [tuple(r) for r in tbl.read().collect()] == [(3, "c")]

@@ -337,7 +337,7 @@ BUILD_RUNS_JOBS_OK = {
     # recomputes its maintained==fresh-rebuild invariants per call
     "stream_cdf_feed", "tx_column_mapping", "llm_ann_index_maintain",
     "stream_ann_index_maintain", "tx_check_constraint", "src_bloom_skip",
-    "tx_generated_columns",
+    "tx_generated_columns", "stream_mview_cdf",
 }
 
 
