@@ -462,6 +462,7 @@ class MiniLogTable:
         expect_schema: Optional[list] = None,
         expect_constraints: Optional[dict] = None,
         expect_generated: Optional[dict] = None,
+        expect_files: Optional[frozenset] = None,
     ) -> int:
         """Atomically claim the next version via ``os.link``; on loss,
         rebase (appends always; removals only if their files stay live).
@@ -486,6 +487,22 @@ class MiniLogTable:
         attempt = 0
         while True:
             snap = self.snapshot() if self.version >= 0 else Snapshot(-1, [], {})
+            if txn is not None and snap.txns.get(txn["app"], -1) >= txn["version"]:
+                # Replay of an already-applied txn — checked FIRST,
+                # before any expectation pin: a replay commits NOTHING,
+                # so concurrently-changed constraints/schema must not
+                # wedge a restarted exactly-once stream on a batch the
+                # table already holds. The staged files were already
+                # renamed into the table root but will never be
+                # referenced by any log entry — delete them here or
+                # they orphan until a vacuum (ADVICE r6).
+                for act in actions:
+                    if act["type"] == "add":
+                        try:
+                            os.unlink(os.path.join(self.path, act["file"]))
+                        except FileNotFoundError:
+                            pass
+                return snap.version  # replay of an already-applied txn
             if expect_schema is not None and snap.schema != expect_schema:
                 # schema-editing commits (rename/drop) are lost-update
                 # hazards: two concurrent renames would otherwise both
@@ -513,6 +530,21 @@ class MiniLogTable:
                     f"{operation}: generated-column metadata changed "
                     "concurrently — re-read and retry"
                 )
+            if expect_files is not None and (
+                frozenset((f.file, f.dv) for f in snap.files)
+                != expect_files
+            ):
+                # invariant-DECLARING commits (ADD CONSTRAINT /
+                # generated declaration) validated the table's rows at
+                # a snapshot; rows appended since were validated only
+                # against the OLD invariant set, so committing the
+                # declaration over them could mint a version where the
+                # live constraint is violated (ADVICE r8 medium,
+                # symmetric side) — the caller re-validates and retries
+                raise ConcurrentModification(
+                    f"{operation}: table data changed concurrently — "
+                    "re-validate and retry"
+                )
             if schema_ctx is not None:
                 incoming, evolve, *rest = schema_ctx
                 actions = [
@@ -532,20 +564,6 @@ class MiniLogTable:
                 removed = {
                     a["file"] for a in actions if a["type"] == "remove"
                 }
-            if txn is not None and snap.txns.get(txn["app"], -1) >= txn["version"]:
-                # Replay of an already-applied txn detected AFTER staging
-                # (a concurrent writer applied it between our _stage and
-                # this commit attempt): the staged files were already
-                # renamed into the table root but will never be referenced
-                # by any log entry. Delete them here or they orphan until
-                # a vacuum (ADVICE r6).
-                for act in actions:
-                    if act["type"] == "add":
-                        try:
-                            os.unlink(os.path.join(self.path, act["file"]))
-                        except FileNotFoundError:
-                            pass
-                return snap.version  # replay of an already-applied txn
             if removed:
                 live = {f.file: f for f in snap.files}
                 gone = removed - set(live)
@@ -690,24 +708,117 @@ class MiniLogTable:
                 )
         return df
 
+    def _unlink_adds(self, actions: list[dict]) -> None:
+        """Reclaim staged add files when their commit is abandoned —
+        the log never referenced them, so deleting them is invisible."""
+        for a in actions:
+            if a["type"] == "add":
+                try:
+                    os.unlink(os.path.join(self.path, a["file"]))
+                except FileNotFoundError:
+                    pass
+
+    def _commit_validated(
+        self,
+        operation: str,
+        actions: list[dict],
+        cons: dict,
+        gens: dict,
+        live_schema: bool = True,
+        **kw,
+    ) -> int:
+        """Commit a staged write whose NEW rows were validated against
+        constraint set ``cons`` / generated set ``gens`` — closing the
+        validate->commit TOCTOU window (ADVICE r8 medium): _try_commit
+        pins both sets (expect_constraints/expect_generated) and raises
+        :class:`ConcurrentModification` if a racing ADD/DROP CONSTRAINT
+        or generated-column edit landed since. On constraint churn the
+        STAGED files are re-validated against the new set (one
+        aggregate over only this write's files) and the commit retried
+        — so the committed version satisfies the constraints live at
+        commit time, never just at staging time (the mirror of Delta's
+        metadata-change conflict detection). Generated-column churn is
+        terminal: already-staged parquet cannot retroactively
+        materialize a concurrently declared expression, so the write
+        reclaims its files and surfaces — the caller re-runs.
+        ``live_schema``: project the staged files through the LIVE
+        snapshot schema (physical->logical; rename-proof) — False for
+        overwrite, whose staged files carry the incoming logical names
+        directly."""
+        for _ in range(5):
+            try:
+                return self._try_commit(
+                    operation,
+                    actions,
+                    expect_constraints=cons,
+                    expect_generated=gens,
+                    **kw,
+                )
+            except ConcurrentModification:
+                live = self.snapshot()
+                if live.generated != gens:
+                    self._unlink_adds(actions)
+                    raise
+                if live.constraints == cons:
+                    raise  # a different conflict — not invariant churn
+                cons = live.constraints
+                adds = [
+                    os.path.join(self.path, a["file"])
+                    for a in actions
+                    if a["type"] == "add"
+                ]
+                if adds and cons:
+                    try:
+                        staged = self._read_files(
+                            adds, live.schema if live_schema else None
+                        )
+                        self._validate_constraints(staged, cons)
+                    except ConstraintViolation:
+                        self._unlink_adds(actions)
+                        raise
+        self._unlink_adds(actions)
+        raise ConcurrentModification(
+            f"{operation}: constraint set kept changing concurrently — "
+            "gave up after 5 revalidation rounds"
+        )
+
     def set_generated_column(self, name: str, expr: str) -> int:
         """Declare ``name`` as GENERATED ALWAYS AS (expr): existing data
         (if the column already exists) must agree with the expression;
         subsequent writes either omit the column (materialized) or must
         match it. Concurrent generated-column edits abort (the same
         lost-update rule as constraints/schema edits)."""
-        snap = self.snapshot() if self.version >= 0 else None
-        current = dict(snap.generated) if snap else {}
-        if name in current:
-            raise ValueError(f"generated column {name!r} already declared")
-        if snap and snap.files:
-            live = self.read()
-            if name in live.columns:
-                self._apply_generated(live, {name: expr})
-        return self._try_commit(
-            "set generated column",
-            [{"type": "generated", "set": {**current, name: expr}}],
-            expect_generated=current,
+        for _ in range(5):
+            snap = self.snapshot() if self.version >= 0 else None
+            current = dict(snap.generated) if snap else {}
+            if name in current:
+                raise ValueError(
+                    f"generated column {name!r} already declared"
+                )
+            files = frozenset(
+                (f.file, f.dv) for f in (snap.files if snap else [])
+            )
+            if snap and snap.files:
+                live = self.read()
+                if name in live.columns:
+                    self._apply_generated(live, {name: expr})
+            try:
+                # expect_files pins the data this declaration verified:
+                # rows appended between the validation above and this
+                # commit never agreed to the expression (ADVICE r8
+                # medium) — on churn, loop: re-snapshot, re-validate
+                return self._try_commit(
+                    "set generated column",
+                    [{"type": "generated", "set": {**current, name: expr}}],
+                    expect_generated=current,
+                    expect_files=files,
+                )
+            except ConcurrentModification:
+                if self.snapshot().generated != current:
+                    raise  # racing generated-column edit: lost update
+        raise ConcurrentModification(
+            "set generated column: table data kept changing "
+            "concurrently — gave up after 5 validation rounds"
         )
 
     def add_check_constraint(self, name: str, expr: str) -> int:
@@ -717,16 +828,35 @@ class MiniLogTable:
         ``constraints`` action. Concurrent constraint edits abort with
         :class:`ConcurrentModification` (lost-update protection); the
         caller re-reads and retries."""
-        snap = self.snapshot() if self.version >= 0 else None
-        current = dict(snap.constraints) if snap else {}
-        if name in current:
-            raise ValueError(f"constraint {name!r} already exists")
-        if snap and snap.files:
-            self._validate_constraints(self.read(), {name: expr})
-        return self._try_commit(
-            "add constraint",
-            [{"type": "constraints", "set": {**current, name: expr}}],
-            expect_constraints=current,
+        for _ in range(5):
+            snap = self.snapshot() if self.version >= 0 else None
+            current = dict(snap.constraints) if snap else {}
+            if name in current:
+                raise ValueError(f"constraint {name!r} already exists")
+            files = frozenset(
+                (f.file, f.dv) for f in (snap.files if snap else [])
+            )
+            if snap and snap.files:
+                self._validate_constraints(self.read(), {name: expr})
+            try:
+                # expect_files pins the rows this validation covered:
+                # an append racing in between would have been validated
+                # only against the OLD constraint set, so committing
+                # over it could mint a version violating the live
+                # constraint (ADVICE r8 medium) — on churn, loop:
+                # re-snapshot, re-validate the grown table, retry
+                return self._try_commit(
+                    "add constraint",
+                    [{"type": "constraints", "set": {**current, name: expr}}],
+                    expect_constraints=current,
+                    expect_files=files,
+                )
+            except ConcurrentModification:
+                if self.snapshot().constraints != current:
+                    raise  # racing constraint edit: genuine lost update
+        raise ConcurrentModification(
+            "add constraint: table data kept changing concurrently — "
+            "gave up after 5 validation rounds"
         )
 
     def drop_check_constraint(self, name: str) -> int:
@@ -748,6 +878,7 @@ class MiniLogTable:
         df: DataFrame,
         target_files: Optional[int],
         mapping: Optional[dict] = None,
+        constraints: Optional[dict] = None,
     ) -> list[dict]:
         """Write ``df`` into the table dir under fresh UUID names and
         return the ``add`` actions (rows + min/max stats per file,
@@ -765,8 +896,15 @@ class MiniLogTable:
         # here, so no write path can land violating rows. Rewrites of
         # existing data always pass because ADD CONSTRAINT validated
         # the whole table (the table is valid at every version).
-        if self.version >= 0:
-            self._validate_constraints(df, self.snapshot().constraints)
+        # ``constraints`` pins the SET the caller snapshotted (the
+        # caller then passes the same dict to _try_commit as
+        # expect_constraints, closing the stage->commit TOCTOU window —
+        # ADVICE r8 medium); None derives from the live snapshot (the
+        # rewrite paths, whose rows are already table-valid).
+        if constraints is None and self.version >= 0:
+            constraints = self.snapshot().constraints
+        if constraints:
+            self._validate_constraints(df, constraints)
         if any(mapping.get(c, c) != c for c in df.columns):
             df = df.select(
                 *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
@@ -907,12 +1045,16 @@ class MiniLogTable:
         snap0 = self.snapshot() if self.version >= 0 else None
         current = snap0.schema if snap0 else None
         retired = snap0.retired if snap0 else []
-        if snap0 and snap0.generated:
-            before = set(df.columns)
-            df = self._apply_generated(df, snap0.generated)
+        cons = dict(snap0.constraints) if snap0 else {}
+        gens = dict(snap0.generated) if snap0 else {}
+        if gens:
+            df = self._apply_generated(df, gens)
             # the generated-column DECLARATION already sanctioned this
-            # schema change: its first materializing write self-evolves
-            if set(df.columns) - before:
+            # schema change: the first write carrying the column —
+            # whether materialized here or PROVIDED by the caller —
+            # self-evolves without demanding evolve_schema=True
+            current_names = {c["name"] for c in (current or [])}
+            if any(n not in current_names for n in gens):
                 evolve_schema = True
         incoming = self._df_schema(df)
         mapping, fresh = plan_write_mapping(incoming, current, retired)
@@ -921,15 +1063,22 @@ class MiniLogTable:
             incoming, current, evolve_schema,
             retired=retired, preassigned=fresh,
         )
-        actions = self._stage(df, target_files, mapping=mapping)
+        actions = self._stage(
+            df, target_files, mapping=mapping, constraints=cons
+        )
         # schema_ctx: the metaData action is re-derived from the LIVE
         # snapshot inside the commit loop, so a concurrent evolve-append
         # cannot drop this write's (or the other writer's) new columns;
         # the pre-assigned fresh physicals ride along so the committed
-        # metaData names exactly the parquet columns staged above
-        return self._try_commit(
+        # metaData names exactly the parquet columns staged above.
+        # _commit_validated pins (cons, gens) — the sets this append
+        # validated/materialized against — and re-validates the staged
+        # files if a constraint edit raced in (ADVICE r8 medium).
+        return self._commit_validated(
             "append",
             actions,
+            cons,
+            gens,
             txn=txn,
             schema_ctx=(incoming, evolve_schema, fresh),
         )
@@ -1023,17 +1172,28 @@ class MiniLogTable:
             snap = self.snapshot()
             if snap.txns.get(txn["app"], -1) >= txn["version"]:
                 return snap.version  # replay: skip staging entirely
-        if self.version >= 0:
-            df = self._apply_generated(df, self.snapshot().generated)
+        snap0 = self.snapshot() if self.version >= 0 else None
+        cons = dict(snap0.constraints) if snap0 else {}
+        gens = dict(snap0.generated) if snap0 else {}
+        if gens:
+            df = self._apply_generated(df, gens)
         actions = [{"type": "metaData", "schema": self._df_schema(df)}]
-        actions += self._stage(df, target_files)
+        actions += self._stage(df, target_files, constraints=cons)
         # remove_all_live: the remove set is rebuilt from the LIVE
         # snapshot inside the commit loop (base_dv pinned per entry), so
         # an overwrite losing a commit race still removes a concurrently
         # appended file — "overwrite" means the latest state, not the
-        # state when the overwrite started
-        return self._try_commit(
-            "overwrite", actions, txn=txn, remove_all_live=True
+        # state when the overwrite started. _commit_validated pins the
+        # invariant sets (live_schema=False: overwrite stages the
+        # incoming LOGICAL names — its metaData replaces the schema).
+        return self._commit_validated(
+            "overwrite",
+            actions,
+            cons,
+            gens,
+            live_schema=False,
+            txn=txn,
+            remove_all_live=True,
         )
 
     def delete_where(self, col: str, lo: Any, hi: Any) -> dict:
@@ -1204,12 +1364,13 @@ class MiniLogTable:
         """
         prune_col = prune_col or keys[0]
         assert prune_col in keys, "prune_col must be a merge key"
-        if self.version >= 0:
+        snap0 = self.snapshot() if self.version >= 0 else None
+        cons = dict(snap0.constraints) if snap0 else {}
+        gens = dict(snap0.generated) if snap0 else {}
+        if gens:
             # the update side honors generated columns like any write:
             # omitted -> materialized, provided-but-wrong -> rejected
-            updates = self._apply_generated(
-                updates, self.snapshot().generated
-            )
+            updates = self._apply_generated(updates, gens)
         # fail fast on duplicate update keys (NULL-safe: groupBy buckets
         # NULL keys into one group, matching eqNullSafe below)
         n_dup = (
@@ -1274,11 +1435,14 @@ class MiniLogTable:
             ]
         )
         actions = self._stage(
-            merged, 1, mapping=_mapping_of(snap.schema)
+            merged, 1, mapping=_mapping_of(snap.schema), constraints=cons
         ) + [
             {"type": "remove", "file": f.file, "base_dv": f.dv} for f in touched
         ]
-        v = self._try_commit("merge", actions)
+        # pins (cons, gens): a MERGE introduces NEW rows (the inserts +
+        # update images), so it carries the same validate->commit
+        # TOCTOU hazard as append (ADVICE r8 medium)
+        v = self._commit_validated("merge", actions, cons, gens)
         return {"version": v, "rewritten": len(touched), "kept": untouched}
 
     # --------------------------------------------------------------- read
@@ -1374,19 +1538,30 @@ class MiniLogTable:
         kept = self._tagged_read(entries).drop("__dv_file", "__dv_pos")
         return self._project(kept, schema)
 
-    def _bloom_positions(self, snap: Snapshot, col: str, value: Any) -> list[int]:
+    def _bloom_positions(
+        self, snap: Snapshot, col: str, value: Any
+    ) -> Optional[list[int]]:
         """Probe bit positions for a point value — computed by SPARK
         (one 1-row job) so the probe hash is bitwise the hash the write
         path stamped into the index (same xxhash64, same column type
         from the log schema); a Python reimplementation would be a
-        silent divergence bug waiting for an engine upgrade."""
+        silent divergence bug waiting for an engine upgrade.
+
+        Returns ``None`` — NO bloom pruning, every file may-contain —
+        when the column's type cannot be resolved from the log schema
+        (pre-schema table, or a name that isn't a schema column):
+        xxhash64 hashes by Spark TYPE, so probing with an uncast
+        literal (e.g. int vs the bigint the writer stamped) lands on
+        different bit positions and would wrongly SKIP a file that
+        contains the value — the one failure mode a bloom index must
+        never have (ADVICE r8 low)."""
         ctype = next(
             (c["type"] for c in snap.schema or [] if c["name"] == col),
             None,
         )
-        lit = F.lit(value)
-        if ctype:
-            lit = lit.cast(ctype)
+        if ctype is None:
+            return None
+        lit = F.lit(value).cast(ctype)
         row = self.spark.range(1).select(
             *[
                 F.pmod(F.xxhash64(lit, F.lit(seed)), F.lit(BLOOM_BITS))
@@ -1421,8 +1596,11 @@ class MiniLogTable:
         files = self._select_entries(snap, preds)
         if point is not None:
             pos = self._bloom_positions(snap, pcol, pval)
-            phys = snap.physical_of(pcol)
-            files = [f for f in files if f.may_contain_value(phys, pos)]
+            if pos is not None:
+                phys = snap.physical_of(pcol)
+                files = [
+                    f for f in files if f.may_contain_value(phys, pos)
+                ]
         if not files:
             if snap.schema:  # empty result, schema from the log
                 ddl = ", ".join(
@@ -1466,8 +1644,11 @@ class MiniLogTable:
         files = self._select_entries(snap, preds)
         if point is not None:
             pos = self._bloom_positions(snap, point[0], point[1])
-            phys = snap.physical_of(point[0])
-            files = [f for f in files if f.may_contain_value(phys, pos)]
+            if pos is not None:
+                phys = snap.physical_of(point[0])
+                files = [
+                    f for f in files if f.may_contain_value(phys, pos)
+                ]
         return [os.path.join(self.path, f.file) for f in files]
 
     # -------------------------------------------------------- change feed

@@ -1041,7 +1041,20 @@ def _seed_centroids(e: DataFrame, k: int) -> DataFrame:
     sample (the production recipe for any k-means), so the single
     partition is by construction small. Contract: needs >= k distinct
     vectors (re-selection of an already-chosen point requires max dmin
-    = 0, i.e. fewer distinct points than seeds)."""
+    = 0, i.e. fewer distinct points than seeds) — CHECKED up front: an
+    undersized/degenerate training set raises :class:`ValueError`
+    instead of silently overwriting an already-chosen seed and training
+    Lloyd's with fewer cells than asked (ADVICE r8 low). The check is
+    one bounded job (distinct-limit-k on the training sample), cheaper
+    than re-executing the k-step seeding chain to count its output."""
+    n_distinct = e.select("emb").distinct().limit(k).count()
+    if n_distinct < k:
+        raise ValueError(
+            f"k-means seeding needs >= k={k} distinct training "
+            f"vectors, found {n_distinct} — shrink k or widen the "
+            "training sample (farthest-point re-selects a chosen row "
+            "once max dmin hits 0, silently degrading to fewer cells)"
+        )
     full0 = Window.orderBy("vec_id").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

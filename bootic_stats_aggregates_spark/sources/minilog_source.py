@@ -85,6 +85,7 @@ from pyspark.sql.datasource import (
 )
 
 from ..acid import (
+    ConstraintViolation,
     MiniLogTable,
     NoSuchVersion,
     _json_safe,
@@ -279,6 +280,15 @@ class _MiniLogStreamReader(DataSourceStreamReader):
         self._ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
+        # Delta's streaming-source contract: a RESUMED offset that fell
+        # inside a vacuumed window is DATA LOSS and fails loudly unless
+        # the consumer explicitly opted into at-least-once via
+        # failOnDataLoss=false (ADVICE r8 medium — silently re-emitting
+        # the whole retained snapshot would corrupt downstream
+        # aggregates with no signal)
+        self._fail_on_data_loss = (
+            str(options.get("failondataloss", "true")).lower() != "false"
+        )
 
     def initialOffset(self) -> dict:
         # tail from the table's beginning: a bootstrap consumer sees
@@ -331,13 +341,23 @@ class _MiniLogStreamReader(DataSourceStreamReader):
             first = boot + 1
         elif first < oldest:
             # the log no longer holds [first, oldest): a vacuum ran
-            # since this offset was recorded (or the stream starts on a
-            # truncated table). Serve the earliest retained SNAPSHOT as
-            # the bootstrap — every row live at `oldest` exactly once —
-            # then tail normally from oldest+1. A resumed stream whose
-            # offset fell inside the vacuumed window gets the snapshot
-            # re-emission rather than a crash (the ignoreChanges-style
-            # at-least-once caveat, documented).
+            # since this offset was recorded. The commits this consumer
+            # was owed are UNRECOVERABLE, so the default is the CDF
+            # reader's behavior — fail loudly (Delta's failOnDataLoss
+            # contract). Only with failOnDataLoss=false does the stream
+            # degrade to at-least-once: serve the earliest retained
+            # SNAPSHOT (every row live at `oldest`, INCLUDING rows the
+            # consumer already received) and tail from oldest+1.
+            if self._fail_on_data_loss:
+                raise RuntimeError(
+                    f"minilog stream: offsets [{first}, {oldest}) were "
+                    "vacuumed away since this checkpoint was recorded — "
+                    "the missed commits are unrecoverable. Set "
+                    "failOnDataLoss=false to restart from the earliest "
+                    "retained snapshot (at-least-once: rows already "
+                    "delivered will be re-emitted), or start a fresh "
+                    "stream with a new checkpoint."
+                )
             for f in tbl.snapshot(oldest).files:
                 parts.append(
                     _FilePartition(
@@ -607,7 +627,11 @@ class _MiniLogCommitMessage(WriterCommitMessage):
 
 
 def _write_task_file(
-    path: str, stats_cols: tuple, iterator, mapping: Optional[dict] = None
+    path: str,
+    stats_cols: tuple,
+    iterator,
+    mapping: Optional[dict] = None,
+    checks: Optional[tuple] = None,
 ):
     """Executor-side write task: land this partition's Arrow batches as
     ONE immutable parquet file under a fresh UUID name and return its
@@ -616,7 +640,11 @@ def _write_task_file(
     table (no Spark job needed). ``mapping`` (logical -> physical,
     captured driver-side at writer construction) renames the columns to
     their physical parquet names and keys the stats by physical — the
-    native-writer leg of column mapping."""
+    native-writer leg of column mapping. ``checks`` = (constraints,
+    generated) captured at writer construction: validated on the Arrow
+    table BEFORE the file lands (logical names, so before the rename) —
+    a violating task fails the job and abort() reclaims every landed
+    file, so the log never references a violating row."""
     import uuid as _uuid
 
     import pyarrow as pa
@@ -627,6 +655,8 @@ def _write_task_file(
     if not batches:
         return _MiniLogCommitMessage(actions=[])
     table = pa.Table.from_batches(batches)
+    if checks is not None:
+        _validate_arrow_batch(table, checks[0], checks[1])
     if mapping:
         table = table.rename_columns(
             [mapping.get(c, c) for c in table.column_names]
@@ -666,6 +696,132 @@ def _abort_task_files(path: str, messages) -> None:
                 pass
 
 
+def _validate_arrow_batch(
+    table, constraints: dict, gen_checks: dict
+) -> None:
+    """Task-side invariant enforcement for the NATIVE write path
+    (ADVICE r8 high): every CHECK constraint and every provided
+    generated column is validated on the task's Arrow table BEFORE its
+    file lands, with DuckDB as the expression engine (executor Python
+    workers have no SparkSession; DuckDB evaluates the same ANSI
+    predicate on the Arrow batch zero-copy). Violation semantics match
+    acid._validate_constraints exactly: a row violates a CHECK when the
+    predicate is not TRUE (NULL violates), and a provided generated
+    column must be null-safely equal to its expression on every row.
+    Runs on LOGICAL column names (before the physical rename)."""
+    if not (constraints or gen_checks):
+        return
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.register("__w", table)
+        for name, expr in sorted(constraints.items()):
+            bad = con.execute(
+                f"SELECT count(*) FROM __w "
+                f"WHERE ({expr}) IS DISTINCT FROM TRUE"
+            ).fetchone()[0]
+            if bad:
+                raise ConstraintViolation(
+                    f"CHECK constraint violated by {name} "
+                    f"({bad} rows): {expr} [native write path]"
+                )
+        for name, expr in sorted(gen_checks.items()):
+            bad = con.execute(
+                f'SELECT count(*) FROM __w WHERE NOT ("{name}" '
+                f"IS NOT DISTINCT FROM ({expr}))"
+            ).fetchone()[0]
+            if bad:
+                raise ConstraintViolation(
+                    "generated column values disagree with their "
+                    f"expression: {name} ({bad} rows): {expr} "
+                    "[native write path]"
+                )
+    finally:
+        con.close()
+
+
+def _plan_native_validation(
+    path: str, schema: list
+) -> tuple[dict, dict]:
+    """Driver-side (writer construction): capture the table's CHECK
+    constraints and generated-column expressions and PROVE this writer
+    can enforce them per-task — or refuse the whole write up front
+    (ADVICE r8 high: 'all writers enforce invariants, or reject').
+
+    Refusals: (a) the incoming schema OMITS a declared generated column
+    — the native writer cannot self-evolve the fixed plan schema to
+    materialize it mid-flight, so the caller must provide the column
+    (values are then validated per task) or use MiniLogTable.append;
+    (b) a predicate DuckDB cannot bind against an empty batch of the
+    incoming schema — enforcement would be impossible task-side, and a
+    write that lands unvalidated rows is the one outcome the format's
+    'valid at every version' invariant forbids."""
+    tbl = _handle(path, create=True)
+    if tbl.version < 0:
+        return {}, {}
+    snap = tbl.snapshot()
+    constraints = dict(snap.constraints)
+    generated = dict(snap.generated)
+    if not (constraints or generated):
+        return {}, {}
+    names = [c["name"] for c in schema]
+    missing = sorted(n for n in generated if n not in names)
+    if missing:
+        raise ConstraintViolation(
+            f"native minilog write omits generated column(s) "
+            f"{missing}: the native writer cannot materialize them "
+            "mid-plan — include the column(s) in the DataFrame "
+            "(values are validated against the expression) or write "
+            "via MiniLogTable.append, which materializes them"
+        )
+    import duckdb
+    import pyarrow as pa
+
+    probe = pa.table(
+        {
+            c["name"]: pa.array([], type=_arrow_type(c["type"]))
+            for c in schema
+        }
+    )
+    con = duckdb.connect()
+    try:
+        con.register("__w", probe)
+        probes = [
+            (
+                "CHECK constraint",
+                name,
+                expr,
+                f"SELECT count(*) FROM __w WHERE ({expr}) "
+                "IS DISTINCT FROM TRUE",
+            )
+            for name, expr in sorted(constraints.items())
+        ] + [
+            (
+                "generated column",
+                name,
+                expr,
+                f'SELECT count(*) FROM __w WHERE NOT ("{name}" '
+                f"IS NOT DISTINCT FROM ({expr}))",
+            )
+            for name, expr in sorted(generated.items())
+        ]
+        for kind, name, expr, sql in probes:
+            try:
+                con.execute(sql).fetchone()
+            except Exception as exc:
+                raise ConstraintViolation(
+                    f"native minilog writer cannot enforce "
+                    f"{kind} {name}: {expr!r} does not bind "
+                    f"against the incoming schema ({exc}) — "
+                    "write via MiniLogTable.append (Spark-side "
+                    "validation) instead"
+                ) from exc
+    finally:
+        con.close()
+    return constraints, generated
+
+
 class _MiniLogArrowWriter(DataSourceArrowWriter):
     """df.write.format("minilog"): Spark's two-phase writer protocol
     mapped 1:1 onto the format's commit — tasks land immutable files
@@ -700,10 +856,33 @@ class _MiniLogArrowWriter(DataSourceArrowWriter):
                 self._mapping, self._fresh = plan_write_mapping(
                     schema, snap.schema, snap.retired
                 )
+        # invariant enforcement (ADVICE r8 high): capture constraints +
+        # generated exprs now, prove task-side enforceability or refuse;
+        # commit() pins these against the live snapshot so a concurrent
+        # ADD CONSTRAINT can never slip unvalidated rows in. Overwrite
+        # validates too — constraints/generated are latest-wins actions
+        # that SURVIVE an overwrite (the Python path's semantics).
+        self._constraints, self._generated = _plan_native_validation(
+            path, schema
+        )
+        # a DECLARED generated column not yet in the log schema is
+        # schema evolution the declaration already sanctioned — the
+        # first write providing it must not demand mergeSchema
+        if self._generated and not overwrite:
+            snap_names = {
+                c["name"]
+                for c in (_handle(path).snapshot().schema or [])
+            }
+            if any(n not in snap_names for n in self._generated):
+                self._merge_schema = True
 
     def write(self, iterator):
         return _write_task_file(
-            self._path, self._stats_cols, iterator, self._mapping
+            self._path,
+            self._stats_cols,
+            iterator,
+            self._mapping,
+            checks=(self._constraints, self._generated),
         )
 
     def commit(self, messages):
@@ -721,15 +900,26 @@ class _MiniLogArrowWriter(DataSourceArrowWriter):
             actions = [
                 {"type": "metaData", "schema": self._schema}
             ] + actions
-            tbl._try_commit("overwrite", actions, remove_all_live=True)
+            tbl._try_commit(
+                "overwrite",
+                actions,
+                remove_all_live=True,
+                expect_constraints=self._constraints,
+                expect_generated=self._generated,
+            )
         else:
             # schema_ctx re-derives the metaData action from the live
             # snapshot inside the commit loop (concurrent evolve-append
-            # race, ADVICE r7 medium)
+            # race, ADVICE r7 medium); expect_constraints/generated pin
+            # the invariant set the tasks validated against — churn
+            # since construction fails the job (abort reclaims files)
+            # instead of landing rows no writer checked (ADVICE r8)
             tbl._try_commit(
                 "append",
                 actions,
                 schema_ctx=(self._schema, self._merge_schema, self._fresh),
+                expect_constraints=self._constraints,
+                expect_generated=self._generated,
             )
 
     def abort(self, messages):
@@ -759,10 +949,29 @@ class _MiniLogStreamArrowWriter(DataSourceStreamArrowWriter):
             self._mapping, _ = plan_write_mapping(
                 schema, tbl.snapshot().schema, tbl.snapshot().retired
             )
+        # same invariant contract as the batch writer (ADVICE r8 high):
+        # the stream sink validates per micro-batch task, or refuses at
+        # start when it cannot enforce what the table declares
+        self._constraints, self._generated = _plan_native_validation(
+            path, schema
+        )
+        # declaration-sanctioned evolution (see the batch writer)
+        self._evolve = False
+        if self._generated and tbl.version >= 0:
+            snap_names = {
+                c["name"] for c in (tbl.snapshot().schema or [])
+            }
+            self._evolve = any(
+                n not in snap_names for n in self._generated
+            )
 
     def write(self, iterator):
         return _write_task_file(
-            self._path, self._stats_cols, iterator, self._mapping
+            self._path,
+            self._stats_cols,
+            iterator,
+            self._mapping,
+            checks=(self._constraints, self._generated),
         )
 
     def commit(self, messages, batchId: int):
@@ -774,7 +983,9 @@ class _MiniLogStreamArrowWriter(DataSourceStreamArrowWriter):
             "append",
             actions,
             txn={"app": self._txn_app, "version": int(batchId)},
-            schema_ctx=(self._schema, False),
+            schema_ctx=(self._schema, self._evolve),
+            expect_constraints=self._constraints,
+            expect_generated=self._generated,
         )
 
     def abort(self, messages, batchId: int):

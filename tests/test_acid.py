@@ -1403,3 +1403,185 @@ def test_overwrite_txn_exactly_once(spark, tbl):
     assert [tuple(r) for r in tbl.read().collect()] == [(2, "b")]
     tbl.overwrite(_df(spark, [(3, "c")]), txn={"app": "w", "version": 8})
     assert [tuple(r) for r in tbl.read().collect()] == [(3, "c")]
+
+
+# --------------------------------------------------------------- ADVICE r8
+
+
+def test_native_writer_enforces_check_constraints(spark, tbl):
+    """ADVICE r8 high: the NATIVE DSv2 write path (df.write.format
+    ('minilog')) enforces CHECK constraints like the Python path — a
+    violating batch append fails the job, commits nothing, and leaves
+    no orphan rows; a valid native append still lands."""
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        register,
+    )
+
+    register(spark)
+    tbl.append(_df(spark, [(1, "a")]))
+    tbl.add_check_constraint("k_pos", "k > 0")
+    v = tbl.version
+    with pytest.raises(Exception, match="k_pos"):
+        _df(spark, [(2, "ok"), (-7, "bad")]).write.format(
+            "minilog"
+        ).mode("append").save(tbl.path)
+    assert tbl.version == v  # nothing committed
+    assert sorted(r["k"] for r in tbl.read().collect()) == [1]
+    # NULL predicate result is a violation (matches the Python path)
+    with pytest.raises(Exception, match="k_pos"):
+        _df(spark, [(None, "nullk")]).write.format("minilog").mode(
+            "append"
+        ).save(tbl.path)
+    # the valid write passes through the same gate
+    _df(spark, [(5, "good")]).write.format("minilog").mode(
+        "append"
+    ).save(tbl.path)
+    assert sorted(r["k"] for r in tbl.read().collect()) == [1, 5]
+    # overwrite validates too: constraints SURVIVE an overwrite
+    with pytest.raises(Exception, match="k_pos"):
+        _df(spark, [(-1, "bad")]).write.format("minilog").mode(
+            "overwrite"
+        ).save(tbl.path)
+    assert sorted(r["k"] for r in tbl.read().collect()) == [1, 5]
+
+
+def test_native_writer_enforces_generated_columns(spark, tbl):
+    """ADVICE r8 high, generated-column leg: a native write that OMITS
+    a generated column is refused up front (the writer cannot
+    materialize mid-plan); one that PROVIDES it is validated per task
+    against the expression — wrong values fail the job, agreeing
+    values land and stay trustworthy for stats skipping."""
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        register,
+    )
+
+    register(spark)
+    tbl.append(_df(spark, [(1, "a")]))
+    tbl.set_generated_column("k2", "k * 2")
+    v = tbl.version
+    # omitted -> refused with a pointer to the Python path
+    with pytest.raises(Exception, match="generated"):
+        _df(spark, [(2, "b")]).write.format("minilog").mode(
+            "append"
+        ).save(tbl.path)
+    # provided-but-wrong -> rejected, nothing committed
+    with pytest.raises(Exception, match="k2"):
+        spark.createDataFrame(
+            [(3, "c", 99)], "k INT, v STRING, k2 INT"
+        ).write.format("minilog").mode("append").save(tbl.path)
+    assert tbl.version == v
+    # provided-and-agreeing -> lands (pre-declaration rows null-fill:
+    # the declaration rewrites nothing, matching the Python path)
+    spark.createDataFrame(
+        [(4, "d", 8)], "k INT, v STRING, k2 INT"
+    ).write.format("minilog").mode("append").save(tbl.path)
+    assert sorted(
+        tuple(r) for r in tbl.read().select("k", "k2").collect()
+    ) == [(1, None), (4, 8)]
+
+
+def test_stream_tail_resumed_offset_in_vacuumed_window_fails(
+    spark, tbl
+):
+    """ADVICE r8 medium: a RESUMED tail offset that fell inside a
+    vacuumed window is DATA LOSS — the default is the CDF reader's
+    loud failure; failOnDataLoss=false opts into the at-least-once
+    snapshot re-emission. (The fresh-stream bootstrap-marker path is
+    untouched — covered by test_stream_tail_bootstraps_after_vacuum.)"""
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        _MiniLogStreamReader,
+    )
+
+    for i in range(5):
+        tbl.append(_df(spark, [(i, f"r{i}")]))
+    tbl.vacuum(retain_last=2, min_age_seconds=0)
+    oldest = tbl._versions()[0]
+    assert oldest > 0
+    end = {"version": tbl.version}
+    # a checkpointed offset pointing BEFORE the oldest retained version
+    resumed = {"version": oldest - 2}
+    with pytest.raises(RuntimeError, match="vacuumed away"):
+        _MiniLogStreamReader(tbl.path, {}).partitions(resumed, end)
+    # explicit opt-in: earliest retained snapshot + tail, no crash
+    parts = _MiniLogStreamReader(
+        tbl.path, {"failondataloss": "false"}
+    ).partitions(resumed, end)
+    assert parts  # snapshot bootstrap files are served
+
+
+def test_bloom_unresolvable_column_type_never_skips(spark, tbl):
+    """ADVICE r8 low: when the probe column's type cannot be resolved
+    from the log schema, bloom pruning must disengage entirely (every
+    file may-contain) — probing with an uncast literal could hash to
+    different positions than the writer stamped and wrongly SKIP a
+    file that holds the value."""
+    tbl.append(_df(spark, [(1, "a")]))
+    tbl.append(_df(spark, [(2, "b")]))
+    snap = tbl.snapshot()
+    assert tbl._bloom_positions(snap, "no_such_col", 1) is None
+    # resolvable column still probes (the normal path is unaffected)
+    assert tbl._bloom_positions(snap, "k", 1) is not None
+
+
+def test_append_revalidates_staged_rows_on_constraint_race(spark, tbl):
+    """ADVICE r8 medium (TOCTOU): an append whose staged rows were
+    validated against a stale constraint set re-validates them against
+    the set live at COMMIT time. Valid rows commit; violating rows
+    abort with their staged files reclaimed — no version can exist
+    where the live constraint is violated."""
+    tbl.append(_df(spark, [(1, "a")]))
+    # stage against the CURRENT (empty) constraint set, pin it
+    ok_actions = tbl._stage(_df(spark, [(5, "ok")]), 1, constraints={})
+    bad_actions = tbl._stage(
+        _df(spark, [(-3, "bad")]), 1, constraints={}
+    )
+    # a constraint lands AFTER staging, BEFORE commit (the race)
+    tbl.add_check_constraint("k_pos", "k > 0")
+    # valid staged rows: re-validated against the new set, committed
+    tbl._commit_validated("append", ok_actions, {}, {})
+    assert sorted(r["k"] for r in tbl.read().collect()) == [1, 5]
+    # violating staged rows: rejected, files reclaimed
+    v = tbl.version
+    with pytest.raises(ConstraintViolation, match="k_pos"):
+        tbl._commit_validated("append", bad_actions, {}, {})
+    assert tbl.version == v
+    staged = [a["file"] for a in bad_actions if a["type"] == "add"]
+    assert not any(
+        os.path.exists(os.path.join(tbl.path, f)) for f in staged
+    )
+
+
+def test_add_constraint_detects_concurrent_append(spark, tbl):
+    """ADVICE r8 medium, symmetric side: ADD CONSTRAINT pins the file
+    set it validated — a commit attempt over a table that grew since
+    raises instead of minting a version whose live constraint never
+    saw the appended rows."""
+    tbl.append(_df(spark, [(1, "a")]))
+    stale_files = frozenset()  # validated an older (empty) table
+    with pytest.raises(ConcurrentModification, match="data changed"):
+        tbl._try_commit(
+            "add constraint",
+            [{"type": "constraints", "set": {"k_pos": "k > 0"}}],
+            expect_constraints={},
+            expect_files=stale_files,
+        )
+    assert tbl.snapshot().constraints == {}
+    # the public API retries internally: validate -> pin -> commit
+    tbl.add_check_constraint("k_pos", "k > 0")
+    assert tbl.snapshot().constraints == {"k_pos": "k > 0"}
+
+
+def test_seed_centroids_undersized_training_set_raises(spark):
+    """ADVICE r8 low: k-means seeding with fewer than k distinct
+    vectors raises instead of silently training fewer cells."""
+    from bootic_stats_aggregates_spark.llm.similarity import (
+        _seed_centroids,
+    )
+
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id BIGINT, emb ARRAY<DOUBLE>",
+    )
+    with pytest.raises(ValueError, match="distinct training"):
+        _seed_centroids(e, 3)  # only 2 distinct vectors
+    assert _seed_centroids(e, 2).count() == 2  # the contract holds
