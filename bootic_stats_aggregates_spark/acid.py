@@ -79,6 +79,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any, Optional
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -95,6 +96,10 @@ CHECKPOINT_EVERY = 10
 #: index; files written under other constants simply don't skip.
 BLOOM_BITS = 8192
 BLOOM_K = 4
+
+#: physical column a REWRITE materializes row ids into (hidden: never
+#: part of the log schema, so normal reads project it away)
+ROW_ID_COL = "__row_id"
 _LOG_DIR = "_minilog"
 
 #: vacuum() refuses to delete unreferenced data files younger than this.
@@ -143,6 +148,20 @@ class FileEntry:
     stats: dict[str, dict[str, Any]] = field(default_factory=dict)
     dv: Optional[str] = None
     dv_rows: int = 0
+    #: ROW TRACKING (r9, the public Delta row-tracking design): first
+    #: row id of this file's reserved id range [base_row_id,
+    #: base_row_id + rows). A row's DEFAULT id is base_row_id + its
+    #: parquet row position; files written by a REWRITE additionally
+    #: carry a materialized ``__row_id`` physical column that overrides
+    #: the default for preserved rows — that is what keeps ids stable
+    #: across OPTIMIZE/merge/delete rewrites. None = file written
+    #: before row tracking (its rows have no ids).
+    base_row_id: Optional[int] = None
+    #: HIVE-STYLE PARTITION VALUES (r9): physical column -> this file's
+    #: single value (None = the null partition). AUTHORITATIVE pruning
+    #: metadata — checked ahead of min/max stats, and EXACT (a file in
+    #: d=5/ contains only d=5 rows). Empty for unpartitioned files.
+    partition: dict = field(default_factory=dict)
 
     def may_contain(self, col: str, lo: Any, hi: Any) -> bool:
         """Conservative range-overlap test: True unless the file's stats
@@ -219,6 +238,15 @@ class Snapshot:
     #: dedicated latest-wins ``generated`` action, same rationale as
     #: ``constraints``.
     generated: dict = field(default_factory=dict)
+    #: ROW-ID HIGH WATERMARK: the next unassigned row id. Commits
+    #: assign each new file's ``base_row_id`` from here (rebased on
+    #: every commit-race retry, so ranges never collide) and record
+    #: the advanced watermark in the log entry; checkpoints persist it.
+    row_watermark: int = 0
+    #: HIVE-STYLE PARTITION COLUMNS (logical names; fixed at table
+    #: creation, carried by a latest-wins ``partitions`` action).
+    #: Empty = unpartitioned table.
+    partition_cols: list = field(default_factory=list)
 
     def physical_of(self, col: str) -> str:
         """Logical -> physical column name (identity without mapping)."""
@@ -283,6 +311,7 @@ class MiniLogTable:
         path: str,
         stats_cols: tuple[str, ...] = (),
         bloom_cols: tuple[str, ...] = (),
+        partition_by: tuple[str, ...] = (),
     ) -> None:
         self.spark = spark
         self.path = path
@@ -293,6 +322,18 @@ class MiniLogTable:
         #: a per-WRITER choice: files written by a handle without it
         #: simply carry no bloom and never skip.
         self.bloom_cols = tuple(bloom_cols)
+        #: HIVE-STYLE PARTITIONING (r9, the Delta partition-column
+        #: design): fixed at TABLE CREATION — the first data commit
+        #: records the columns in a latest-wins ``partitions`` action
+        #: and every data file thereafter lives under ``col=value/``
+        #: directories, carries its partition values in its add action
+        #: (the authoritative pruning metadata, ahead of min/max
+        #: stats), and does NOT store the column's bytes (Spark's
+        #: basePath partition discovery re-attaches it on read). An
+        #: existing table's log wins over this argument; declaring
+        #: partitioning on a table that already has unpartitioned data
+        #: raises (repartitioning is a rewrite, not a flag).
+        self.partition_by = tuple(partition_by)
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
 
     @classmethod
@@ -313,6 +354,7 @@ class MiniLogTable:
         self.path = path
         self.stats_cols = ()
         self.bloom_cols = ()
+        self.partition_by = ()
         log_dir = os.path.join(path, _LOG_DIR)
         if create:
             os.makedirs(log_dir, exist_ok=True)
@@ -369,6 +411,8 @@ class MiniLogTable:
         retired: list = []
         constraints: dict = {}
         generated: dict = {}
+        row_watermark = 0
+        partition_cols: list = []
         start = 0
         # newest checkpoint <= v, scanned from the top and stopping at
         # the first hit: checkpoints land every CHECKPOINT_EVERY
@@ -387,6 +431,7 @@ class MiniLogTable:
                 f["file"]: FileEntry(
                     f["file"], f["rows"], f.get("stats", {}),
                     f.get("dv"), f.get("dv_rows", 0),
+                    f.get("base_row_id"), f.get("partition", {}),
                 )
                 for f in state["files"]
             }
@@ -395,6 +440,8 @@ class MiniLogTable:
             retired = list(state.get("retired", []))
             constraints = dict(state.get("constraints", {}))
             generated = dict(state.get("generated", {}))
+            row_watermark = int(state.get("row_watermark", 0))
+            partition_cols = list(state.get("partition_cols", []))
             start = ckpt_v + 1
         # versions is sorted: slice the fold tail instead of scanning
         # the whole list per fold
@@ -405,11 +452,17 @@ class MiniLogTable:
             txn = entry.get("txn")
             if txn:
                 txns[txn["app"]] = max(txns.get(txn["app"], -1), txn["version"])
+            if "row_watermark" in entry:
+                row_watermark = max(
+                    row_watermark, int(entry["row_watermark"])
+                )
             for act in entry["actions"]:
                 if act["type"] == "add":
                     live[act["file"]] = FileEntry(
                         act["file"], act["rows"], act.get("stats", {}),
                         act.get("dv"), act.get("dv_rows", 0),
+                        act.get("base_row_id"),
+                        act.get("partition", {}),
                     )
                 elif act["type"] == "remove":
                     live.pop(act["file"], None)
@@ -420,6 +473,8 @@ class MiniLogTable:
                     constraints = dict(act["set"])  # latest wins
                 elif act["type"] == "generated":
                     generated = dict(act["set"])  # latest wins
+                elif act["type"] == "partitions":
+                    partition_cols = list(act["cols"])  # latest wins
         return Snapshot(
             v,
             sorted(live.values(), key=lambda f: f.file),
@@ -428,6 +483,8 @@ class MiniLogTable:
             retired,
             constraints,
             generated,
+            row_watermark,
+            partition_cols,
         )
 
     def history(self) -> list[dict]:
@@ -484,6 +541,16 @@ class MiniLogTable:
         silently erased (ADVICE r7: the native writer previously carried
         an entry-time remove list with no base_dv pins)."""
         removed = {a["file"] for a in actions if a["type"] == "remove"}
+        # ROW TRACKING: adds not yet carrying a base_row_id (every new
+        # file; DV re-adds and restore/clone adds keep their original)
+        # get their id range assigned INSIDE the commit loop from the
+        # live watermark — a lost race rebases onto the new watermark,
+        # so ranges never collide across concurrent writers.
+        assignable = [
+            a
+            for a in actions
+            if a["type"] == "add" and "base_row_id" not in a
+        ]
         attempt = 0
         while True:
             snap = self.snapshot() if self.version >= 0 else Snapshot(-1, [], {})
@@ -587,6 +654,21 @@ class MiniLogTable:
                                 f"{a['file']} changed concurrently "
                                 f"({a['base_dv']!r} -> {cur!r})"
                             )
+            # watermark: start from the live one, account for adds that
+            # BRING a base (restore re-adds, clone's v0 — their ranges
+            # may sit above a fresh log's 0), then reserve fresh ranges
+            wm = snap.row_watermark
+            fresh_ids = {id(a) for a in assignable}
+            for a in actions:
+                if (
+                    a["type"] == "add"
+                    and id(a) not in fresh_ids  # retry: skip own assigns
+                    and a.get("base_row_id") is not None
+                ):
+                    wm = max(wm, a["base_row_id"] + a["rows"])
+            for a in assignable:
+                a["base_row_id"] = wm
+                wm += a["rows"]
             target = snap.version + 1
             entry = {
                 "format": FORMAT_VERSION,
@@ -594,6 +676,7 @@ class MiniLogTable:
                 "operation": operation,
                 "txn": txn,
                 "actions": actions,
+                "row_watermark": wm,
             }
             tmp = os.path.join(
                 self.path, _LOG_DIR, f"_tmp.{uuid.uuid4().hex}.json"
@@ -624,7 +707,8 @@ class MiniLogTable:
             "version": version,
             "files": [
                 {"file": f.file, "rows": f.rows, "stats": f.stats,
-                 "dv": f.dv, "dv_rows": f.dv_rows}
+                 "dv": f.dv, "dv_rows": f.dv_rows,
+                 "base_row_id": f.base_row_id, "partition": f.partition}
                 for f in snap.files
             ],
             "txns": snap.txns,
@@ -632,6 +716,8 @@ class MiniLogTable:
             "retired": snap.retired,
             "constraints": snap.constraints,
             "generated": snap.generated,
+            "row_watermark": snap.row_watermark,
+            "partition_cols": snap.partition_cols,
         }
         tmp = os.path.join(
             self.path, _LOG_DIR, f"_tmp.{uuid.uuid4().hex}.ckpt"
@@ -873,12 +959,43 @@ class MiniLogTable:
         )
 
     # -------------------------------------------------------------- write
+    def _partition_ctx(self) -> tuple[list, list]:
+        """(partition columns this write must stage with, extra actions
+        to commit). The LOG is authoritative once declared; the
+        constructor's ``partition_by`` only takes effect on a table
+        with no unpartitioned data, via a one-time latest-wins
+        ``partitions`` action the first data commit carries. Declaring
+        partitioning over existing flat data raises — repartitioning is
+        a rewrite into a new table, never a flag flip (the Delta
+        contract: partition columns are fixed at creation)."""
+        snap = self.snapshot() if self.version >= 0 else None
+        logged = list(snap.partition_cols) if snap else []
+        if logged:
+            if self.partition_by and list(self.partition_by) != logged:
+                raise ValueError(
+                    f"table is partitioned by {logged}; this handle "
+                    f"declared partition_by={list(self.partition_by)} — "
+                    "partition columns are fixed at table creation"
+                )
+            return logged, []
+        if not self.partition_by:
+            return [], []
+        if snap and snap.files:
+            raise ValueError(
+                "cannot declare partition_by on a table that already "
+                "holds unpartitioned data — rewrite into a new "
+                "partitioned table (or clone + backfill)"
+            )
+        cols = list(self.partition_by)
+        return cols, [{"type": "partitions", "cols": cols}]
+
     def _stage(
         self,
         df: DataFrame,
         target_files: Optional[int],
         mapping: Optional[dict] = None,
         constraints: Optional[dict] = None,
+        partition_cols: tuple = (),
     ) -> list[dict]:
         """Write ``df`` into the table dir under fresh UUID names and
         return the ``add`` actions (rows + min/max stats per file,
@@ -888,7 +1005,15 @@ class MiniLogTable:
         PHYSICAL parquet names before writing, and keys the collected
         stats by physical name — the write side of column mapping.
         Stats are ALWAYS keyed by physical name (identity when mapping
-        is absent), so pruning survives any number of later renames."""
+        is absent), so pruning survives any number of later renames.
+
+        ``partition_cols`` (logical names) switches to the HIVE-STYLE
+        layout: one ``write.partitionBy`` job splits the data, each
+        staged file lands under its ``col=value/`` directory in the
+        table root, its add action records the exact partition values
+        (keyed by physical name, like stats), and the column's bytes
+        stay OUT of the file — Spark's basePath partition discovery
+        re-attaches them on read, exactly the Delta/hive contract."""
         mapping = mapping or {}
         # CHECK constraints gate every staged write, BEFORE the
         # logical->physical rename (predicates name logical columns):
@@ -910,12 +1035,21 @@ class MiniLogTable:
                 *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
             )
         phys_stats = tuple(mapping.get(c, c) for c in self.stats_cols)
+        pcols = tuple(mapping.get(c, c) for c in partition_cols)
         staging = os.path.join(self.path, _LOG_DIR, f"_tmp.{uuid.uuid4().hex}")
         out = df.coalesce(target_files) if target_files else df
-        out.write.mode("overwrite").parquet(staging)
-        parts = sorted(
-            n for n in os.listdir(staging) if n.endswith(".parquet")
-        )
+        writer = out.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(staging)
+        parts = []  # staging-relative paths ("d=5/part-....parquet")
+        for dirpath, _dirs, names in os.walk(staging):
+            for n in names:
+                if n.endswith(".parquet"):
+                    parts.append(
+                        os.path.relpath(os.path.join(dirpath, n), staging)
+                    )
+        parts.sort()
         if not parts:
             shutil.rmtree(staging)
             return []
@@ -930,8 +1064,19 @@ class MiniLogTable:
                         f"__nulls_{c}"
                     ),
                 ]
+        for p in pcols:
+            # constant per file (partitionBy guarantees it): min == the
+            # file's single partition value, NULL for the null partition
+            aggs.append(F.min(p).alias(f"__pv_{p}"))
+        def _rel(uri: str) -> str:
+            # input_file_name() is a URI; key by STAGING-RELATIVE path —
+            # partitionBy reuses part-file basenames across partition
+            # directories, so basenames alone collide
+            p = unquote(uri[5:] if uri.startswith("file:") else uri)
+            return os.path.relpath(p, staging)
+
         stat_rows = {
-            os.path.basename(r["__file"]): r
+            _rel(r["__file"]): r
             for r in staged.groupBy(
                 F.input_file_name().alias("__file")
             )
@@ -973,7 +1118,7 @@ class MiniLogTable:
                 bits = bytearray(BLOOM_BITS // 8)
                 for p in r["ps"]:
                     bits[p >> 3] |= 1 << (p & 7)
-                blooms.setdefault(os.path.basename(r["__f"]), {})[c] = {
+                blooms.setdefault(_rel(r["__f"]), {})[c] = {
                     "k": BLOOM_K,
                     "m": BLOOM_BITS,
                     "hex": bits.hex(),
@@ -983,7 +1128,12 @@ class MiniLogTable:
             r = stat_rows.get(part)
             if r is None or r["__rows"] == 0:
                 continue  # empty part file: nothing to add
-            name = f"{uuid.uuid4().hex}.parquet"
+            subdir = os.path.dirname(part)  # "d=5" chain, "" when flat
+            name = os.path.join(subdir, f"{uuid.uuid4().hex}.parquet")
+            if subdir:
+                os.makedirs(
+                    os.path.join(self.path, subdir), exist_ok=True
+                )
             os.rename(
                 os.path.join(staging, part), os.path.join(self.path, name)
             )
@@ -996,14 +1146,17 @@ class MiniLogTable:
             }
             for c, b in blooms.get(part, {}).items():
                 stats.setdefault(c, {})["bloom"] = b
-            actions.append(
-                {
-                    "type": "add",
-                    "file": name,
-                    "rows": r["__rows"],
-                    "stats": stats,
+            action = {
+                "type": "add",
+                "file": name,
+                "rows": r["__rows"],
+                "stats": stats,
+            }
+            if pcols:
+                action["partition"] = {
+                    p: _json_safe(r[f"__pv_{p}"]) for p in pcols
                 }
-            )
+            actions.append(action)
         shutil.rmtree(staging)
         return actions
 
@@ -1063,8 +1216,13 @@ class MiniLogTable:
             incoming, current, evolve_schema,
             retired=retired, preassigned=fresh,
         )
-        actions = self._stage(
-            df, target_files, mapping=mapping, constraints=cons
+        pcols, pactions = self._partition_ctx()
+        actions = pactions + self._stage(
+            df,
+            target_files,
+            mapping=mapping,
+            constraints=cons,
+            partition_cols=tuple(pcols),
         )
         # schema_ctx: the metaData action is re-derived from the LIVE
         # snapshot inside the commit loop, so a concurrent evolve-append
@@ -1177,8 +1335,13 @@ class MiniLogTable:
         gens = dict(snap0.generated) if snap0 else {}
         if gens:
             df = self._apply_generated(df, gens)
-        actions = [{"type": "metaData", "schema": self._df_schema(df)}]
-        actions += self._stage(df, target_files, constraints=cons)
+        pcols, pactions = self._partition_ctx()
+        actions = pactions + [
+            {"type": "metaData", "schema": self._df_schema(df)}
+        ]
+        actions += self._stage(
+            df, target_files, constraints=cons, partition_cols=tuple(pcols)
+        )
         # remove_all_live: the remove set is rebuilt from the LIVE
         # snapshot inside the commit loop (base_dv pinned per entry), so
         # an overwrite losing a commit race still removes a concurrently
@@ -1207,11 +1370,14 @@ class MiniLogTable:
         # NULL contract: a NULL key is never "in [lo, hi]" — it must
         # SURVIVE the rewrite, not vanish into the filter's NULL result
         # (the hostile-corpus bug class from round 5's sweep).
-        kept_df = self._read_entries(touched, snap.schema).filter(
+        kept_df = self._read_entries_with_ids(touched, snap.schema).filter(
             F.col(col).isNull() | ~F.col(col).between(F.lit(lo), F.lit(hi))
         )
         actions = self._stage(
-            kept_df, 1, mapping=_mapping_of(snap.schema)
+            kept_df,
+            1,
+            mapping=_mapping_of(snap.schema),
+            partition_cols=tuple(snap.partition_cols),
         ) + [
             {"type": "remove", "file": f.file, "base_dv": f.dv} for f in touched
         ]
@@ -1264,14 +1430,18 @@ class MiniLogTable:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        swap = [e for e in touched if new_counts.get(e.file)]
+        swap = [
+            e for e in touched if new_counts.get(os.path.basename(e.file))
+        ]
         if not swap:
             return {"version": snap.version, "dv_files": 0, "dv_rows": 0}
-        mask = matched.filter(F.col("file").isin([e.file for e in swap]))
+        mask = matched.filter(
+            F.col("file").isin([os.path.basename(e.file) for e in swap])
+        )
         # carry the prior vectors of the swapped entries forward: one
         # sidecar per commit holds each file's FULL deletion set
         for dv in sorted({e.dv for e in swap if e.dv}):
-            holders = [e.file for e in swap if e.dv == dv]
+            holders = [os.path.basename(e.file) for e in swap if e.dv == dv]
             mask = mask.unionByName(
                 self.spark.read.parquet(os.path.join(self.path, dv))
                 .filter(F.col("file").isin(holders))
@@ -1299,7 +1469,11 @@ class MiniLogTable:
                     "rows": e.rows,
                     "stats": e.stats,
                     "dv": sidecar,
-                    "dv_rows": int(totals.get(e.file, 0)),
+                    "dv_rows": int(totals.get(os.path.basename(e.file), 0)),
+                    # row tracking: a DV swap re-adds the SAME file —
+                    # its id range (and positions) are unchanged
+                    "base_row_id": e.base_row_id,
+                    "partition": e.partition,
                 }
             )
         v = self._try_commit("delete_dv", actions)
@@ -1412,10 +1586,18 @@ class MiniLogTable:
             or (upd_nulls and f.may_have_null(pprune))
         ]
         untouched = len(snap.files) - len(touched)
+        updates = updates.drop(ROW_ID_COL)  # ids are never caller-supplied
         if touched:
-            base = self._read_entries(touched, snap.schema)
+            # row tracking: read the base WITH ids — an UPDATED row
+            # keeps the id of the base row it replaced (that identity
+            # is what links its CDF pre/post images), untouched base
+            # rows keep theirs, and inserts carry NULL (they draw fresh
+            # ids from the new file's reserved range on read)
+            base = self._read_entries_with_ids(touched, snap.schema)
         else:
-            base = self.spark.createDataFrame([], updates.schema)
+            base = self.spark.createDataFrame(
+                [], updates.schema
+            ).withColumn(ROW_ID_COL, F.lit(None).cast("long"))
         # the marker column makes "update row wins" row-wise, not
         # column-wise: __upd is non-NULL exactly when an update row
         # matched, so an intentional NULL in a non-key update column is
@@ -1428,14 +1610,22 @@ class MiniLogTable:
             cond = eq if cond is None else (cond & eq)
         merged = b.join(u, cond, "full_outer").select(
             *[
-                F.when(F.col("u.__upd"), F.col(f"u.{c}"))
-                .otherwise(F.col(f"b.{c}"))
-                .alias(c)
+                (
+                    F.col(f"b.{c}").alias(c)  # id follows the BASE row
+                    if c == ROW_ID_COL
+                    else F.when(F.col("u.__upd"), F.col(f"u.{c}"))
+                    .otherwise(F.col(f"b.{c}"))
+                    .alias(c)
+                )
                 for c in base.columns
             ]
         )
         actions = self._stage(
-            merged, 1, mapping=_mapping_of(snap.schema), constraints=cons
+            merged,
+            1,
+            mapping=_mapping_of(snap.schema),
+            constraints=cons,
+            partition_cols=tuple(snap.partition_cols),
         ) + [
             {"type": "remove", "file": f.file, "base_dv": f.dv} for f in touched
         ]
@@ -1466,12 +1656,18 @@ class MiniLogTable:
         column is simply not selected), null-fill columns a
         pre-evolution file lacks, in log column order."""
         if not schema:
-            return df
+            # pre-schema table: raw file columns, minus the hidden
+            # materialized row-id column a rewrite may have added
+            return df.drop(ROW_ID_COL)
         cols = []
         for c in schema:
             p = _phys(c)
             if p in df.columns:
-                cols.append(F.col(p).alias(c["name"]))
+                # cast to the LOG's declared type: partition columns
+                # come back through directory-name discovery (int where
+                # the log says bigint) — the snapshot schema, not the
+                # inference, is the contract
+                cols.append(F.col(p).cast(c["type"]).alias(c["name"]))
             else:
                 cols.append(F.lit(None).cast(c["type"]).alias(c["name"]))
         return df.select(*cols)
@@ -1483,7 +1679,11 @@ class MiniLogTable:
         parquet schemas across generations, then the log schema projects
         (order + null-fill). All internal rewrite paths (delete, merge,
         optimize) read through this so they preserve evolved columns."""
-        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", self.path)
+            .parquet(*files)
+        )
         return self._project(df, schema)
 
     def _tagged_read(self, entries: list[FileEntry]) -> DataFrame:
@@ -1494,7 +1694,11 @@ class MiniLogTable:
         and the next DV delete (which must address only still-live
         rows) build on this."""
         paths = [os.path.join(self.path, e.file) for e in entries]
-        raw = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        raw = (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", self.path)
+            .parquet(*paths)
+        )
         tagged = raw.select(
             *[F.col(c) for c in raw.columns],
             F.col("_metadata.file_name").alias("__dv_file"),
@@ -1506,7 +1710,14 @@ class MiniLogTable:
         dv_entries = [e for e in entries if e.dv]
         masks = None
         for dv in sorted({e.dv for e in dv_entries}):
-            holders = [e.file for e in dv_entries if e.dv == dv]
+            # sidecars key rows by _metadata.file_name — the BASENAME
+            # (unique: fresh UUIDs) — while entry paths may carry a
+            # partition subdir
+            holders = [
+                os.path.basename(e.file)
+                for e in dv_entries
+                if e.dv == dv
+            ]
             m = (
                 self.spark.read.parquet(os.path.join(self.path, dv))
                 .filter(F.col("file").isin(holders))
@@ -1537,6 +1748,62 @@ class MiniLogTable:
             )
         kept = self._tagged_read(entries).drop("__dv_file", "__dv_pos")
         return self._project(kept, schema)
+
+    def _read_entries_with_ids(
+        self, entries: list[FileEntry], schema: Optional[list[dict]]
+    ) -> DataFrame:
+        """Entry read carrying each row's STABLE id as ``__row_id``:
+        ``coalesce(materialized __row_id column, base_row_id + parquet
+        row position)`` — the materialized column (written by rewrites)
+        overrides the positional default, which is what keeps an id
+        attached to its row through OPTIMIZE/merge/delete rewrites (the
+        public Delta row-tracking design). DV-masked rows are excluded
+        (surviving rows keep their positions, so positional defaults
+        stay correct). Rows of pre-tracking files get NULL.
+
+        Plan shape: the per-file base lookup is ONE broadcast of an
+        O(#files) two-column frame joined on the scan's
+        ``_metadata.file_name`` — no shuffle, no row-scaled driver
+        state; everything else is the normal vectorized scan."""
+        tagged = self._tagged_read(entries)
+        bases = self.spark.createDataFrame(
+            [(os.path.basename(e.file), e.base_row_id) for e in entries],
+            "__dv_file STRING, __base BIGINT",
+        )
+        tagged = tagged.join(F.broadcast(bases), "__dv_file", "left")
+        default = F.col("__base") + F.col("__dv_pos")
+        rid = (
+            F.coalesce(F.col(ROW_ID_COL), default)
+            if ROW_ID_COL in tagged.columns
+            else default
+        )
+        tagged = tagged.withColumn(ROW_ID_COL, rid.cast("long")).drop(
+            "__dv_file", "__dv_pos", "__base"
+        )
+        if not schema:
+            return tagged
+        cols = []
+        for c in schema:
+            p = _phys(c)
+            if p in tagged.columns:
+                cols.append(F.col(p).cast(c["type"]).alias(c["name"]))
+            else:
+                cols.append(F.lit(None).cast(c["type"]).alias(c["name"]))
+        return tagged.select(*cols, F.col(ROW_ID_COL))
+
+    def read_with_row_ids(self, version: Optional[int] = None) -> DataFrame:
+        """Snapshot read with each row's stable id exposed as
+        ``_row_id`` (bigint; NULL for rows of pre-tracking files). Ids
+        survive OPTIMIZE/Z-ORDER/merge rewrites and DV deletes — the
+        contract :meth:`changes_with_ids` builds update linkage on."""
+        snap = self.snapshot(version)
+        if not snap.files:
+            return self.read(version).withColumn(
+                "_row_id", F.lit(None).cast("long")
+            )
+        return self._read_entries_with_ids(
+            snap.files, snap.schema
+        ).withColumnRenamed(ROW_ID_COL, "_row_id")
 
     def _bloom_positions(
         self, snap: Snapshot, col: str, value: Any
@@ -1619,13 +1886,35 @@ class MiniLogTable:
             df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
         return df
 
+    @staticmethod
+    def _partition_matches(f: FileEntry, p: str, lo: Any, hi: Any) -> bool:
+        """DIRECTORY-LEVEL pruning, ahead of stats: partition values
+        are EXACT (a d=5 file holds only d=5 rows), so a mismatch is a
+        proof, not a heuristic. NULL-partition files never match a
+        range (NULL is never in [lo, hi]); a JSON-typing surprise keeps
+        the file (conservative, like stats)."""
+        if p not in f.partition:
+            return True  # unpartitioned on this column: can't prune here
+        v = f.partition[p]
+        if v is None:
+            return False
+        try:
+            return lo <= v <= hi
+        except TypeError:
+            return True
+
     def _select_entries(
         self, snap: Snapshot, preds: list[tuple[str, Any, Any]]
     ) -> list[FileEntry]:
         files = snap.files
         for col, lo, hi in preds:
             p = snap.physical_of(col)  # stats are keyed by physical name
-            files = [f for f in files if f.may_contain(p, lo, hi)]
+            files = [
+                f
+                for f in files
+                if self._partition_matches(f, p, lo, hi)
+                and f.may_contain(p, lo, hi)
+            ]
         return files
 
     def select_files(
@@ -1717,8 +2006,101 @@ class MiniLogTable:
             )
         )
 
+    def changes_with_ids(
+        self, from_version: int, to_version: Optional[int] = None
+    ) -> DataFrame:
+        """ROW-TRACKED change data feed (r9): like :meth:`changes`, but
+        keyed by each row's stable id, so an UPDATE surfaces as a
+        LINKED ``update_preimage``/``update_postimage`` pair sharing
+        one ``_row_id`` instead of an anonymous delete+insert — the
+        linkage a keyed (non-additive) incremental consumer needs to
+        maintain joins/SCD state without guessing which delete belongs
+        to which insert (VERDICT r8 task 1; the public Delta
+        row-tracking + CDF design).
+
+        Output: table schema + ``_row_id`` + ``_change_type`` in
+        {insert, delete, update_preimage, update_postimage}. Rows a
+        rewrite copied UNCHANGED cancel (same id, same values) — an
+        OPTIMIZE feeds nothing, exactly like the bag-difference feed.
+
+        Scale: reads only the two snapshots' differing files — O(commit
+        churn) — and the id-keyed full-outer join shuffles only those
+        rows; ids are unique per snapshot so the join never fans out.
+
+        Raises :class:`ValueError` when a differing file predates row
+        tracking (no id range): the caller falls back to
+        :meth:`changes`' delete+insert feed."""
+        snap_a = (
+            Snapshot(-1, [], {})
+            if from_version < 0
+            else self.snapshot(from_version)
+        )
+        snap_b = self.snapshot(to_version)
+        a_ids = {(f.file, f.dv): f for f in snap_a.files}
+        b_ids = {(f.file, f.dv): f for f in snap_b.files}
+        _k = lambda k: (k[0], k[1] or "")  # noqa: E731
+        added = [b_ids[k] for k in sorted(set(b_ids) - set(a_ids), key=_k)]
+        removed = [a_ids[k] for k in sorted(set(a_ids) - set(b_ids), key=_k)]
+        untracked = [
+            e.file for e in added + removed if e.base_row_id is None
+        ]
+        if untracked:
+            raise ValueError(
+                "changes_with_ids: files predate row tracking (no id "
+                f"range): {sorted(untracked)} — use changes() for the "
+                "unlinked delete+insert feed"
+            )
+        schema = snap_b.schema
+        if not schema:
+            raise ValueError(
+                "changes_with_ids needs a log-tracked table schema"
+            )
+        names = [c["name"] for c in schema]
+
+        def rd(entries: list[FileEntry]) -> DataFrame:
+            if entries:
+                return self._read_entries_with_ids(
+                    entries, schema
+                ).withColumnRenamed(ROW_ID_COL, "_row_id")
+            ddl = ", ".join(
+                f"`{c['name']}` {c['type']}" for c in schema
+            )
+            return self.spark.createDataFrame(
+                [], ddl + ", `_row_id` bigint"
+            )
+
+        old = rd(removed).withColumn("__o", F.lit(True))
+        new = rd(added).withColumn("__n", F.lit(True))
+        j = old.alias("o").join(new.alias("n"), ["_row_id"], "full_outer")
+        same = F.struct(
+            *[F.col(f"o.{c}") for c in names]
+        ).eqNullSafe(F.struct(*[F.col(f"n.{c}") for c in names]))
+        o_cols = [F.col(f"o.{c}").alias(c) for c in names]
+        n_cols = [F.col(f"n.{c}").alias(c) for c in names]
+        both = F.col("o.__o").isNotNull() & F.col("n.__n").isNotNull()
+        inserts = j.filter(F.col("o.__o").isNull()).select(
+            *n_cols, "_row_id", F.lit("insert").alias("_change_type")
+        )
+        deletes = j.filter(F.col("n.__n").isNull()).select(
+            *o_cols, "_row_id", F.lit("delete").alias("_change_type")
+        )
+        upd = j.filter(both & ~same)
+        pre = upd.select(
+            *o_cols,
+            "_row_id",
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        post = upd.select(
+            *n_cols,
+            "_row_id",
+            F.lit("update_postimage").alias("_change_type"),
+        )
+        return inserts.unionAll(deletes).unionAll(pre).unionAll(post)
+
     # ----------------------------------------------------------- optimize
-    def optimize(self, target_rows: int = 1_000_000) -> dict:
+    def optimize(
+        self, target_rows: int = 1_000_000, where: Optional[object] = None
+    ) -> dict:
         """OPTIMIZE (compaction): bin-pack files smaller than
         ``target_rows`` into rewrites of up to ``target_rows`` rows each,
         committed as one atomic remove+add ("optimize") entry. Data is
@@ -1741,23 +2123,36 @@ class MiniLogTable:
         compaction never wins over a data-changing commit.
 
         First-fit-decreasing over the log's per-file row counts: pure
-        metadata, no data read until the rewrite itself."""
+        metadata, no data read until the rewrite itself.
+
+        Partitioned tables (r9): bins NEVER mix partitions — each
+        rewrite stays inside its ``col=value/`` directory, so OPTIMIZE
+        on a 100 TB table parallelizes per partition and a compaction
+        racing writes to OTHER partitions touches disjoint files.
+        ``where=(col, lo, hi)`` (or a list of triples) scopes the pass
+        to the partitions/files matching the predicate — the
+        ``OPTIMIZE table WHERE day >= X`` shape: pure metadata
+        selection, nothing outside the scope is read or rewritten."""
         snap = self.snapshot()
+        cand = self._select_entries(snap, self._normalize_prune(where))
         small = sorted(
-            (f for f in snap.files if f.rows < target_rows or f.dv),
+            (f for f in cand if f.rows < target_rows or f.dv),
             key=lambda f: -f.rows,
         )
         bins: list[list[FileEntry]] = []
         sizes: list[int] = []
+        keys: list[tuple] = []  # partition identity per bin
         for f in small:
+            pkey = tuple(sorted(f.partition.items()))
             for i, s in enumerate(sizes):
-                if s + f.rows <= target_rows:
+                if keys[i] == pkey and s + f.rows <= target_rows:
                     bins[i].append(f)
                     sizes[i] += f.rows
                     break
             else:
                 bins.append([f])
                 sizes.append(f.rows)
+                keys.append(pkey)
         # singletons: no gain — UNLESS the file carries a deletion
         # vector, in which case the rewrite is what purges the masked
         # rows and retires the sidecar (Delta's OPTIMIZE does the same)
@@ -1771,8 +2166,17 @@ class MiniLogTable:
             }
         actions: list[dict] = []
         for b in bins:
-            df = self._read_entries(list(b), snap.schema)
-            actions += self._stage(df, 1, mapping=_mapping_of(snap.schema))
+            # row tracking: the rewrite MATERIALIZES each surviving
+            # row's id into the compacted file's __row_id column, so
+            # compaction never mints new ids (the rewrite-stability
+            # contract tests pin)
+            df = self._read_entries_with_ids(list(b), snap.schema)
+            actions += self._stage(
+                df,
+                1,
+                mapping=_mapping_of(snap.schema),
+                partition_cols=tuple(snap.partition_cols),
+            )
         compacted = [f for b in bins for f in b]
         actions += [{"type": "remove", "file": f.file, "base_dv": f.dv} for f in compacted]
         v = self._try_commit("optimize", actions)
@@ -1817,7 +2221,10 @@ class MiniLogTable:
         snap = self.snapshot()
         if not snap.files:
             return {"version": snap.version, "rewritten": 0}
-        df = self._read_entries(snap.files, snap.schema)
+        # row tracking: ids ride the re-clustering as a materialized
+        # column — a Z-ORDER rewrite moves rows between files freely
+        # while every row keeps its id
+        df = self._read_entries_with_ids(snap.files, snap.schema)
 
         def bounds(col: str) -> tuple[Any, Any]:
             p = snap.physical_of(col)
@@ -1851,7 +2258,10 @@ class MiniLogTable:
             .drop("__bx", "__by", "__z")
         )
         actions = self._stage(
-            ordered, None, mapping=_mapping_of(snap.schema)
+            ordered,
+            None,
+            mapping=_mapping_of(snap.schema),
+            partition_cols=tuple(snap.partition_cols),
         ) + [
             {"type": "remove", "file": f.file, "base_dv": f.dv} for f in snap.files
         ]
@@ -1886,8 +2296,19 @@ class MiniLogTable:
             reachable |= {f.dv for f in snap_v.files if f.dv}
         removed = []
         now = time.time()
-        for name in os.listdir(self.path):
-            if name.endswith(".parquet") and name not in reachable:
+        data_files = []
+        for dirpath, dirs, names in os.walk(self.path):
+            if os.path.basename(dirpath) == _LOG_DIR:
+                dirs[:] = []  # never descend into the log
+                continue
+            dirs[:] = [d for d in dirs if d != _LOG_DIR]
+            for n in names:
+                if n.endswith(".parquet"):
+                    data_files.append(
+                        os.path.relpath(os.path.join(dirpath, n), self.path)
+                    )
+        for name in data_files:
+            if name not in reachable:
                 full = os.path.join(self.path, name)
                 try:
                     if now - os.path.getmtime(full) < min_age_seconds:
@@ -1896,6 +2317,14 @@ class MiniLogTable:
                 except FileNotFoundError:
                     continue  # a racing vacuum/replay already removed it
                 removed.append(name)
+                # reap now-empty partition directories (best effort)
+                d = os.path.dirname(full)
+                while d != self.path:
+                    try:
+                        os.rmdir(d)
+                    except OSError:
+                        break
+                    d = os.path.dirname(d)
         # keep the newest checkpoint at-or-before the window start so the
         # surviving tail still folds from a complete base state
         base = keep_versions[0]
@@ -1958,7 +2387,8 @@ class MiniLogTable:
             if key not in tgt
         ] + [
             {"type": "add", "file": fe.file, "rows": fe.rows,
-             "stats": fe.stats, "dv": fe.dv, "dv_rows": fe.dv_rows}
+             "stats": fe.stats, "dv": fe.dv, "dv_rows": fe.dv_rows,
+             "base_row_id": fe.base_row_id, "partition": fe.partition}
             for key, fe in sorted(
                 tgt.items(), key=lambda kv: (kv[0][0], kv[0][1] or "")
             )
@@ -2010,10 +2440,9 @@ class MiniLogTable:
         actions: list[dict] = []
         linked_dvs: set[str] = set()
         for fe in snap.files:
-            os.link(
-                os.path.join(self.path, fe.file),
-                os.path.join(dest_path, fe.file),
-            )
+            dst_file = os.path.join(dest_path, fe.file)
+            os.makedirs(os.path.dirname(dst_file), exist_ok=True)
+            os.link(os.path.join(self.path, fe.file), dst_file)
             if fe.dv and fe.dv not in linked_dvs:
                 # deletion-vector sidecars are part of the snapshot:
                 # the clone must own its own link or its masked reads
@@ -2025,7 +2454,12 @@ class MiniLogTable:
                 linked_dvs.add(fe.dv)
             actions.append(
                 {"type": "add", "file": fe.file, "rows": fe.rows,
-                 "stats": fe.stats, "dv": fe.dv, "dv_rows": fe.dv_rows}
+                 "stats": fe.stats, "dv": fe.dv, "dv_rows": fe.dv_rows,
+                 "base_row_id": fe.base_row_id, "partition": fe.partition}
+            )
+        if snap.partition_cols:
+            actions.append(
+                {"type": "partitions", "cols": list(snap.partition_cols)}
             )
         if snap.schema is not None:
             action: dict = {"type": "metaData", "schema": snap.schema}

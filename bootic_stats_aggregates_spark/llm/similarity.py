@@ -1041,20 +1041,14 @@ def _seed_centroids(e: DataFrame, k: int) -> DataFrame:
     sample (the production recipe for any k-means), so the single
     partition is by construction small. Contract: needs >= k distinct
     vectors (re-selection of an already-chosen point requires max dmin
-    = 0, i.e. fewer distinct points than seeds) — CHECKED up front: an
-    undersized/degenerate training set raises :class:`ValueError`
-    instead of silently overwriting an already-chosen seed and training
-    Lloyd's with fewer cells than asked (ADVICE r8 low). The check is
-    one bounded job (distinct-limit-k on the training sample), cheaper
-    than re-executing the k-step seeding chain to count its output."""
-    n_distinct = e.select("emb").distinct().limit(k).count()
-    if n_distinct < k:
-        raise ValueError(
-            f"k-means seeding needs >= k={k} distinct training "
-            f"vectors, found {n_distinct} — shrink k or widen the "
-            "training sample (farthest-point re-selects a chosen row "
-            "once max dmin hits 0, silently degrading to fewer cells)"
-        )
+    = 0, i.e. fewer distinct points than seeds) — ENFORCED IN THE PLAN
+    (ADVICE r8 low): the returned frame carries an ``assert_true`` on
+    the emitted seed count, so an undersized/degenerate training set
+    fails loudly AT EXECUTION instead of silently overwriting an
+    already-chosen seed and training Lloyd's with fewer cells than
+    asked. In-plan (not an eager pre-count) keeps query BUILD lazy —
+    the fleet-wide zero-jobs-at-build test relies on it — and costs one
+    window count over the already-single-partition seeded rows."""
     full0 = Window.orderBy("vec_id").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -1089,7 +1083,29 @@ def _seed_centroids(e: DataFrame, k: int) -> DataFrame:
             .otherwise(F.col("sid"))
             .alias("sid"),
         )
-    return state.filter(F.col("sid").isNotNull()).select(
+    seeded = state.filter(F.col("sid").isNotNull()).withColumn(
+        "__n_seeds", F.count("*").over(Window.partitionBy(F.lit(1)))
+    )
+    # the assert rides a FILTER (assert_true is NULL on pass, so the
+    # filter keeps every row) — a filter can be neither column-pruned
+    # nor branch-simplified away, so even count()-only consumers hit
+    # the contract
+    contract = F.assert_true(
+        F.col("__n_seeds") == F.lit(k),
+        F.concat(
+            F.lit(
+                f"k-means seeding needs >= k={k} distinct training "
+                "vectors: emitted "
+            ),
+            F.col("__n_seeds").cast("string"),
+            F.lit(
+                " seeds — shrink k or widen the training sample "
+                "(farthest-point re-selects a chosen row once max "
+                "dmin hits 0)"
+            ),
+        ),
+    )
+    return seeded.filter(contract.isNull()).select(
         F.col("sid").alias("cid"), F.col("emb").alias("cvec")
     )
 

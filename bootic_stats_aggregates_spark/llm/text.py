@@ -1432,13 +1432,17 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = contrib.groupBy("doc_id").agg(F.sum("c").alias("s"))
+    # GLOBAL top-k via orderBy().limit() -> TakeOrderedAndProject (each
+    # map task keeps its local top-20, the driver merges k*partitions
+    # rows — never a full sort). A row_number window CANNOT get this
+    # pruning: InferWindowGroupLimit requires a non-empty partition
+    # spec (VERDICT r8 follow-up, verified on 4.1: the global-window
+    # variant plans Window + Filter over the whole scored corpus). The
+    # rank window below runs over the 20 surviving rows only.
+    top = scored.orderBy(F.desc("s"), "doc_id").limit(20)
     w = Window.orderBy(F.desc("s"), "doc_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 20)
-        .select(
-            "doc_id",
-            F.round(F.col("s").cast("double"), 6).alias("score"),
-            "rk",
-        )
+    return top.select(
+        "doc_id",
+        F.round(F.col("s").cast("double"), 6).alias("score"),
+        F.row_number().over(w).cast("long").alias("rk"),
     )

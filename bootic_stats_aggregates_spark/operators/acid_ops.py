@@ -71,6 +71,7 @@ def _staged(
     name: str,
     stats_cols: tuple[str, ...] = ("d",),
     bloom_cols: tuple[str, ...] = (),
+    partition_by: tuple[str, ...] = (),
 ) -> tuple[MiniLogTable, bool]:
     """A MiniLog handle under /tmp keyed by (sf tag, op name). Returns
     (table, already_built): a marker file carrying the recipe + fixture
@@ -88,7 +89,8 @@ def _staged(
         shutil.rmtree(root)
     return (
         MiniLogTable(
-            spark, root, stats_cols=stats_cols, bloom_cols=bloom_cols
+            spark, root, stats_cols=stats_cols, bloom_cols=bloom_cols,
+            partition_by=partition_by,
         ),
         ready,
     )
@@ -830,6 +832,176 @@ def tx_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mark_ready(tbl, sf_dir)
     return tbl.changes(1, 3).select(
         "event_type", "d", "n", F.col("_change_type").alias("change")
+    )
+
+
+@query(
+    "tx_row_tracking",
+    oracle=f"""
+    -- ROW TRACKING (the public Delta row-tracking design): the feed
+    -- across the MERGE commit, keyed by STABLE row ids. Updates (days
+    -- 10-15, n += 1000) arrive as LINKED update_preimage/postimage
+    -- pairs sharing one row id — not anonymous delete+insert — the
+    -- new key arrives as an insert, and rows the merge rewrite copied
+    -- unchanged cancel (same id, same values). link_ok pins the
+    -- pre<->post id bijection; stable_ok pins that every postimage/
+    -- insert id is STILL that row's id after a later OPTIMIZE
+    -- compacted the table (rewrites materialize ids, never mint).
+    WITH c AS ({_COUNTERS_SQL}),
+    upd AS (SELECT event_type, d, n FROM c WHERE d BETWEEN 10 AND 15)
+    SELECT event_type, d, n, 'update_preimage' AS change,
+           true AS link_ok, true AS stable_ok FROM upd
+    UNION ALL
+    SELECT event_type, d, CAST(n + 1000 AS BIGINT) AS n,
+           'update_postimage' AS change, true, true FROM upd
+    UNION ALL
+    SELECT 'synthetic', CAST(101 AS BIGINT), CAST(4242 AS BIGINT),
+           'insert', true, true
+    """,
+)
+def tx_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW TRACKING on MiniLog (VERDICT r8 task 1; the public Delta
+    row-tracking design): every add action reserves an id range
+    [base_row_id, base+rows) assigned race-safely at COMMIT time, a
+    row's default id is base + its parquet position, and REWRITES
+    (optimize / zorder / merge / delete) materialize surviving ids
+    into a hidden ``__row_id`` column — so an id follows its row for
+    the table's whole life. ``changes_with_ids`` turns that identity
+    into an UPDATE-LINKED change feed: a keyed (non-additive)
+    incremental consumer — SCD maintenance, a downstream join state —
+    distinguishes "row 17 changed" from "a row died and another was
+    born" without guessing by business key.
+
+    Staged history: two appends (days <=7; 8-15 + NULL-day), one MERGE
+    (days 10-15 bumped by 1000 + one brand-new key), one OPTIMIZE
+    (compacts both files — and must NOT mint ids). The returned rows
+    are the id-keyed feed across the merge commit; link_ok asserts the
+    pre/post pairing is a bijection on (key, row id), stable_ok
+    asserts the post-merge ids survived the compaction bit-for-bit.
+
+    100 TB story: id assignment is O(1) metadata per file at commit;
+    the id read is the normal vectorized scan plus one broadcast of an
+    O(#files) (file, base) frame; the feed reads only the two
+    snapshots' differing files and joins O(churn) rows on a unique
+    key. Nothing row-scaled ever touches the driver."""
+    tbl, ready = _staged(spark, sf_dir, "row_tracking")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        tbl.append(c.filter(F.col("d") <= 7))                      # v0
+        tbl.append(
+            c.filter(F.col("d").between(8, 15) | F.col("d").isNull())
+        )                                                          # v1
+        updates = (
+            c.filter(F.col("d").between(10, 15))
+            .withColumn("n", (F.col("n") + F.lit(1000)).cast("long"))
+            .unionByName(
+                spark.createDataFrame(
+                    [("synthetic", 101, 4242)],
+                    "event_type string, d bigint, n bigint",
+                )
+            )
+        )
+        tbl.merge(updates, keys=("event_type", "d"), prune_col="d")  # v2
+        tbl.optimize(target_rows=10_000_000)                         # v3
+        _mark_ready(tbl, sf_dir)
+    feed = tbl.changes_with_ids(1, 2)
+    key = ["event_type", "d", "_row_id"]
+    pre = feed.filter(F.col("_change_type") == "update_preimage").select(*key)
+    post = feed.filter(F.col("_change_type") == "update_postimage").select(*key)
+    n_pre, n_post = pre.count(), post.count()
+    link_ok = (
+        n_pre > 0
+        and n_pre == n_post
+        and pre.join(post, key).count() == n_pre
+    )
+    # ids of the feed's surviving images must still be live after the
+    # OPTIMIZE — the rewrite-stability contract
+    survivors = feed.filter(
+        F.col("_change_type").isin("update_postimage", "insert")
+    ).select(*key)
+    cur = tbl.read_with_row_ids().select(*key)
+    stable_ok = survivors.join(cur, key).count() == survivors.count()
+    return feed.select(
+        "event_type",
+        "d",
+        "n",
+        F.col("_change_type").alias("change"),
+        F.lit(bool(link_ok)).alias("link_ok"),
+        F.lit(bool(stable_ok)).alias("stable_ok"),
+    )
+
+
+@query(
+    "tx_partitioned_table",
+    oracle=f"""
+    -- HIVE-PARTITIONED MiniLog table (the Delta partition-column
+    -- design): counters partitioned by event_type, two files per
+    -- partition (d<=15 / d>15 appends). The Spark side reads ONE
+    -- partition's 5..10 day slice and proves, on the selected-file
+    -- list, that directory-level pruning kept exactly the predicate's
+    -- partition (2 of 10 files) and the min/max stats pruned the
+    -- non-overlapping half within it (1 of 2) — the composed
+    -- partition+stats skip a 100 TB scan lives on.
+    WITH c AS ({_COUNTERS_SQL}),
+    e AS (SELECT min(event_type) AS et FROM events)
+    SELECT c.event_type, c.d, c.n,
+           true AS part_pruned_ok, true AS stats_pruned_ok
+    FROM c, e WHERE c.event_type = e.et AND c.d BETWEEN 5 AND 10
+    """,
+)
+def tx_partitioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED LAYOUT in the table format (VERDICT r8 task 2):
+    partition columns are fixed at table creation via a latest-wins
+    ``partitions`` log action; every data file lives under hive-style
+    ``col=value/`` directories, carries its exact partition values in
+    its add action (authoritative pruning metadata, checked AHEAD of
+    min/max stats), and does not store the column's bytes — reads
+    re-attach it from the log. OPTIMIZE bins never mix partitions and
+    a ``where`` predicate scopes maintenance to matching partitions.
+
+    This query stages event_type-partitioned day counters (two appends
+    split at d=15, one file per partition each) and returns one
+    partition's d 5..10 slice with two proven-on-the-file-list flags:
+    ``part_pruned_ok`` (the event_type predicate selected exactly that
+    partition's 2 files out of 10) and ``stats_pruned_ok`` (the d
+    range then dropped the d>15 file, leaving 1).
+
+    100 TB story: partition pruning is O(#files) driver-side metadata
+    — no data IO at all for non-matching partitions — and composes
+    with stats/bloom skipping for the residual; per-partition OPTIMIZE
+    scope means maintenance parallelizes and never contends with
+    writes to other partitions."""
+    tbl, ready = _staged(
+        spark, sf_dir, "partitioned_table",
+        partition_by=("event_type",),
+    )
+    if not ready:
+        c = _day_counters(spark, sf_dir).coalesce(1)
+        tbl.append(c.filter(F.col("d") <= 15))                       # v0
+        tbl.append(c.filter((F.col("d") > 15) | F.col("d").isNull()))  # v1
+        _mark_ready(tbl, sf_dir)
+    et = _day_counters(spark, sf_dir).agg(
+        F.min("event_type")
+    ).collect()[0][0]
+    snap = tbl.snapshot()
+    part = tbl._select_entries(snap, [("event_type", et, et)])
+    part_ok = (
+        len(part) == 2
+        and len(snap.files) == 2 * 5  # 5 event types, 2 files each
+        and all(e.partition.get("event_type") == et for e in part)
+    )
+    resid = tbl._select_entries(
+        snap, [("event_type", et, et), ("d", 5, 10)]
+    )
+    stats_ok = len(resid) == 1 and resid[0] in part
+    return tbl.read(
+        prune=[("event_type", et, et), ("d", 5, 10)]
+    ).select(
+        "event_type",
+        "d",
+        "n",
+        F.lit(bool(part_ok)).alias("part_pruned_ok"),
+        F.lit(bool(stats_ok)).alias("stats_pruned_ok"),
     )
 
 

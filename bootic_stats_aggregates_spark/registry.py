@@ -114,44 +114,15 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: tools/sweep_sf01.py. Queries absent from this list keep their
 #: registration order after it.
 _GATE_PRIORITY: list[str] = [
-    # --- Round 8 rotation (VERDICT r7 task 8: drain the stalest r3
-    # --- greens). Slots 1-9: the ops ADDED in round 8 — the streaming
-    # --- change-feed source, column mapping (rename/drop without
-    # --- rewrite), the persisted incrementally-maintained ANN index
-    # --- (batch + always-on streaming variants), CHECK constraints,
-    # --- bloom-index point-lookup skipping, BM25 search, generated
-    # --- columns, and the always-on streaming materialized view.
-    "stream_cdf_feed", "tx_column_mapping", "llm_ann_index_maintain",
-    "stream_ann_index_maintain", "tx_check_constraint", "src_bloom_skip",
-    "llm_bm25_search", "tx_generated_columns", "stream_mview_cdf",
-    # --- slots 10-17: r8-CHURNED ops due a re-check: the k-means/PQ
-    # --- family moved to deterministic farthest-point seeding
-    # --- (ivf_train/pq_train/ann_ivfpq/ann_recall), tx_schema_evolve
-    # --- sits atop the race-safe metaData re-derivation (ADVICE r7
-    # --- medium), the native-writer overwrite gained live remove sets
-    # --- + base_dv pins, and the minilog stream tail gained the
-    # --- vacuum bootstrap.
-    "llm_ivf_train", "llm_pq_train", "llm_ann_ivfpq", "llm_ann_recall",
-    "tx_schema_evolve", "snk_minilog_dsv2_write", "stream_minilog_tail",
-    "snk_partition_overwrite",
-    # --- slots 18-50: the round-3 rows, oldest greens first — after
-    # --- this pass every id's latest driver check is r6 or newer.
-    "agg_approx_distinct", "agg_argmax", "agg_bitmap_distinct",
-    "agg_corr_stats", "agg_filtered", "agg_grouping_sets",
-    "agg_heavy_hitters_cms", "agg_hll_mergeable",
-    "fn_regex", "fn_struct", "fn_tz_bucket",
-    "join_null_safe", "join_range_bucketed", "join_shuffle_hash",
-    "llm_ann_ivf", "llm_cc_star", "llm_contamination",
-    "llm_dedup_cascade", "llm_entropy", "llm_embed_neardup_lsh",
-    "llm_mix_weights", "llm_pack_sequences", "llm_pii_redact",
-    "llm_repetition", "llm_simhash", "llm_simhash_pairs",
-    "llm_split_hash", "llm_multimodal_cols", "llm_multimodal_resize",
-    "sample_hash_det", "sample_stratified_cap",
-    "snk_compact", "snk_parquet",
-    # --- slots 51+: the remaining r3 rows queue for round 9. ALL ids
-    # --- (including these) additionally get fresh-process sim rows in
-    # --- tools/driver_sim_r8*.log each round regardless of the gate
-    # --- cut.
+    # --- Round 9 rotation (VERDICT r8 task 4: drain the r3/r4-stale
+    # --- rows). Leading slots: the ops ADDED in round 9 — row
+    # --- tracking (stable row ids + update-linked change feed) and
+    # --- the hive-partitioned table layout.
+    "tx_row_tracking", "tx_partitioned_table",
+    # --- next: the 16 ids whose latest DRIVER row still dates to r3
+    # --- (re-simmed green by the r8 judge, but the external gate
+    # --- should own them again).
+    "llm_quality_filter",
     "snk_redis_acct", "snk_redis_paths", "snk_redis_uniq",
     "snk_stream_parquet",
     "src_csv_robust", "src_socket_stream",
@@ -159,6 +130,30 @@ _GATE_PRIORITY: list[str] = [
     "sub_exists_in", "sub_lateral_topn", "sub_not_in_null",
     "win_cohort_retention", "win_gap_islands", "win_time_range",
     "win_trailing_uniques",
+    # --- then: the oldest r4 rows, alphabetical, filling the 50-row
+    # --- gate. The rest of the r4 cohort + the r5 cohort queue for
+    # --- round 10; every id additionally gets a fresh-process sim row
+    # --- in tools/driver_sim_r9*.log regardless of the gate cut.
+    "agg_calendar_fill", "agg_collect_sorted", "agg_mad_outliers",
+    "agg_mode", "agg_skew_kurtosis", "agg_string_agg", "agg_unpivot",
+    "filt_in_large_list", "fn_binary_codec", "fn_collation",
+    "fn_levenshtein", "fn_try_arith", "fn_variant", "fn_xml",
+    "join_asof_forward", "join_asof_nearest", "join_asof_tolerance",
+    "join_bloom_pruned", "join_interval_overlap", "layout_zorder",
+    "llm_bigram_logprob", "llm_boilerplate_chunks",
+    "llm_cooccurrence_pmi", "llm_corpus_shuffle", "llm_embed_quantize",
+    "llm_embedding_audit", "llm_inverted_index", "llm_ngram_containment",
+    "llm_ngram_novelty", "llm_quality_sample", "llm_semdedup",
+    "llm_unigram_logprob", "llm_url_dedup", "llm_zipf_slope",
+    # --- queued r4 remainder (slots 51+): set_union_evolved,
+    # --- snk_jsonl_export, snk_merge_upsert, snk_multi_fanout,
+    # --- snk_observe_audit, src_binary_files, src_orc, and the rest.
+    "set_union_evolved", "snk_jsonl_export", "snk_merge_upsert",
+    "snk_multi_fanout", "snk_observe_audit", "src_binary_files",
+    "src_orc", "src_schema_evolution", "src_synthetic_events",
+    "stream_backpressure", "stream_chained_stateful",
+    "stream_incr_dedup", "win_decile_report", "win_mom_growth",
+    "win_percentile_band", "win_share_of_total",
 ]
 
 

@@ -104,6 +104,10 @@ class _FilePartition(InputPartition):
     #: listed there for this file are dropped executor-side before the
     #: batches leave the reader — merge-on-read through the native source
     dv: Optional[str] = None
+    #: hive-partition values (PHYSICAL column -> value) for this file:
+    #: partitioned files do not store the column's bytes, so the reader
+    #: re-attaches it as a constant column (r9)
+    partition: Optional[dict] = None
 
 
 def _ddl(schema: list[dict]) -> str:
@@ -167,6 +171,7 @@ def _read_file_arrow(part: _FilePartition):
             ]
             table = table.take(pa.array(keep, type=pa.int64()))
     if part.schema is not None:
+        pvals = part.partition or {}
         fields = [
             pa.field(name, _arrow_type(ddl))
             for name, ddl, _ in part.schema
@@ -175,10 +180,44 @@ def _read_file_arrow(part: _FilePartition):
         for field, (_, _, phys) in zip(fields, part.schema):
             if phys in table.column_names:  # resolve via PHYSICAL name
                 cols.append(table.column(phys).cast(field.type))
+            elif phys in pvals:
+                # hive-partitioned file: the column's bytes live in the
+                # directory name — re-attach as a constant (r9)
+                v = pvals[phys]
+                if v is None:
+                    cols.append(pa.nulls(table.num_rows, type=field.type))
+                else:
+                    cols.append(
+                        pa.repeat(
+                            pa.scalar(v, type=field.type),
+                            table.num_rows,
+                        )
+                    )
             else:  # pre-evolution file: null-fill
                 cols.append(pa.nulls(table.num_rows, type=field.type))
         table = pa.table(cols, schema=pa.schema(fields))
     yield from table.to_batches(max_chunksize=8192)
+
+
+def _partition_may_match(f, col: str, lo, hi) -> bool:
+    """DIRECTORY-LEVEL pruning ahead of stats (r9): a partitioned
+    file's value on its partition column is EXACT, so a range mismatch
+    is a proof. Open bounds (None = unbounded); the NULL partition
+    never satisfies a range constraint."""
+    part = getattr(f, "partition", None) or {}
+    if col not in part:
+        return True
+    v = part[col]
+    if v is None:
+        return False
+    try:
+        if lo is not None and v < lo:
+            return False
+        if hi is not None and v > hi:
+            return False
+    except TypeError:
+        return True
+    return True
 
 
 def _file_may_match(f, col: str, lo, hi) -> bool:
@@ -228,12 +267,18 @@ class _MiniLogBatchReaderBase(DataSourceReader):
             # pushed filters name LOGICAL columns; the log stats are
             # keyed by PHYSICAL name (column mapping)
             p = snap.physical_of(col)
-            files = [f for f in files if _file_may_match(f, p, lo, hi)]
+            files = [
+                f
+                for f in files
+                if _partition_may_match(f, p, lo, hi)
+                and _file_may_match(f, p, lo, hi)
+            ]
         return [
             _FilePartition(
                 os.path.join(self._path, f.file),
                 schema,
                 os.path.join(self._path, f.dv) if f.dv else None,
+                f.partition or None,
             )
             for f in files
         ] or [_FilePartition("", schema)]
@@ -336,6 +381,7 @@ class _MiniLogStreamReader(DataSourceStreamReader):
                         os.path.join(self._path, f.file),
                         schema,
                         os.path.join(self._path, f.dv) if f.dv else None,
+                        f.partition or None,
                     )
                 )
             first = boot + 1
@@ -364,6 +410,7 @@ class _MiniLogStreamReader(DataSourceStreamReader):
                         os.path.join(self._path, f.file),
                         schema,
                         os.path.join(self._path, f.dv) if f.dv else None,
+                        f.partition or None,
                     )
                 )
             first = oldest + 1
@@ -390,6 +437,7 @@ class _MiniLogStreamReader(DataSourceStreamReader):
                             os.path.join(self._path, a["dv"])
                             if a.get("dv")
                             else None,
+                            a.get("partition") or None,
                         )
                     )
         return parts or [_FilePartition("", schema)]
@@ -468,10 +516,14 @@ def _read_cdf_version(part: _CDFPartition):
     def load(entries):
         tables = [
             pa.Table.from_batches(
-                list(_read_file_arrow(_FilePartition(p, part.schema, dv))),
+                list(
+                    _read_file_arrow(
+                        _FilePartition(p, part.schema, dv, pvals)
+                    )
+                ),
                 schema=base,
             )
-            for p, dv in entries
+            for p, dv, pvals in entries
         ]
         return pa.concat_tables(tables) if tables else base.empty_table()
 
@@ -549,6 +601,7 @@ class _MiniLogCDFStreamReader(DataSourceStreamReader):
                 (
                     os.path.join(self._path, f.file),
                     os.path.join(self._path, f.dv) if f.dv else None,
+                    f.partition or None,
                 )
                 for f in files
             )
@@ -626,16 +679,67 @@ class _MiniLogCommitMessage(WriterCommitMessage):
     actions: list
 
 
+def _hive_dir(col: str, val) -> str:
+    """One ``col=value`` path segment, hive-escaped the way Spark's own
+    partitionBy writes it (so the Python path's basePath partition
+    discovery reads both layouts identically)."""
+    from urllib.parse import quote
+
+    if val is None:
+        return f"{col}=__HIVE_DEFAULT_PARTITION__"
+    return f"{col}={quote(str(val), safe='')}"
+
+
+def _land_arrow_file(
+    path: str, table, stats_cols: tuple, mapping: dict, subdir: str = "",
+    partition: Optional[dict] = None,
+):
+    """Write one Arrow table as one immutable UUID-named parquet file
+    (optionally under a ``col=value/`` partition subdir) and return its
+    add action with per-file min/max/null stats."""
+    import uuid as _uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    name = os.path.join(subdir, f"{_uuid.uuid4().hex}.parquet")
+    if subdir:
+        os.makedirs(os.path.join(path, subdir), exist_ok=True)
+    pq.write_table(table, os.path.join(path, name))
+    stats = {}
+    for c in stats_cols:
+        p = mapping.get(c, c)
+        if p in table.column_names:
+            col = table.column(p)
+            nulls = col.null_count
+            has_values = table.num_rows > nulls
+            stats[p] = {
+                "min": _json_safe(pc.min(col).as_py()) if has_values else None,
+                "max": _json_safe(pc.max(col).as_py()) if has_values else None,
+                "nulls": nulls,
+            }
+    action = {
+        "type": "add",
+        "file": name,
+        "rows": table.num_rows,
+        "stats": stats,
+    }
+    if partition is not None:
+        action["partition"] = partition
+    return action
+
+
 def _write_task_file(
     path: str,
     stats_cols: tuple,
     iterator,
     mapping: Optional[dict] = None,
     checks: Optional[tuple] = None,
+    partition_cols: tuple = (),
 ):
     """Executor-side write task: land this partition's Arrow batches as
-    ONE immutable parquet file under a fresh UUID name and return its
-    add action with per-file min/max/null stats — the same stats the
+    immutable parquet files under fresh UUID names and return their
+    add actions with per-file min/max/null stats — the same stats the
     Python write path collects, computed here directly from the Arrow
     table (no Spark job needed). ``mapping`` (logical -> physical,
     captured driver-side at writer construction) renames the columns to
@@ -644,12 +748,15 @@ def _write_task_file(
     generated) captured at writer construction: validated on the Arrow
     table BEFORE the file lands (logical names, so before the rename) —
     a violating task fails the job and abort() reclaims every landed
-    file, so the log never references a violating row."""
-    import uuid as _uuid
+    file, so the log never references a violating row.
 
+    ``partition_cols`` (LOGICAL names) switches to the hive layout: the
+    task splits its batch by distinct partition tuples, drops the
+    columns\' bytes, and lands one file per value under ``col=value/``
+    — the task-side equivalent of ``write.partitionBy`` (r9), with the
+    values recorded in each add action for directory-level pruning."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     batches = [b for b in iterator if b.num_rows]
     if not batches:
@@ -661,30 +768,43 @@ def _write_task_file(
         table = table.rename_columns(
             [mapping.get(c, c) for c in table.column_names]
         )
-    name = f"{_uuid.uuid4().hex}.parquet"
-    pq.write_table(table, os.path.join(path, name))
-    stats = {}
-    for c in stats_cols:
-        p = (mapping or {}).get(c, c)
-        if p in table.column_names:
-            col = table.column(p)
-            nulls = col.null_count
-            has_values = table.num_rows > nulls
-            stats[p] = {
-                "min": _json_safe(pc.min(col).as_py()) if has_values else None,
-                "max": _json_safe(pc.max(col).as_py()) if has_values else None,
-                "nulls": nulls,
-            }
-    return _MiniLogCommitMessage(
-        actions=[
-            {
-                "type": "add",
-                "file": name,
-                "rows": table.num_rows,
-                "stats": stats,
-            }
-        ]
+    mapping = mapping or {}
+    if not partition_cols:
+        return _MiniLogCommitMessage(
+            actions=[_land_arrow_file(path, table, stats_cols, mapping)]
+        )
+    pcols = [mapping.get(c, c) for c in partition_cols]
+    combos = (
+        table.select(pcols)
+        .group_by(pcols)
+        .aggregate([])
+        .to_pylist()
     )
+    combos.sort(key=lambda c: tuple(str(c[p]) for p in pcols))
+    actions = []
+    for combo in combos:
+        m = None
+        for p in pcols:
+            v = combo[p]
+            cond = (
+                pc.is_null(table.column(p))
+                if v is None
+                else pc.equal(table.column(p), v)
+            )
+            m = cond if m is None else pc.and_(m, cond)
+        sub = table.filter(m).drop_columns(pcols)
+        subdir = os.path.join(*[_hive_dir(p, combo[p]) for p in pcols])
+        actions.append(
+            _land_arrow_file(
+                path,
+                sub,
+                stats_cols,
+                mapping,
+                subdir=subdir,
+                partition={p: _json_safe(combo[p]) for p in pcols},
+            )
+        )
+    return _MiniLogCommitMessage(actions=actions)
 
 
 def _abort_task_files(path: str, messages) -> None:
@@ -739,6 +859,45 @@ def _validate_arrow_batch(
                 )
     finally:
         con.close()
+
+
+def _plan_native_partitioning(
+    path: str, declared: tuple
+) -> tuple[tuple, list]:
+    """Driver-side: resolve the partition columns this native write
+    must honor. The LOG is authoritative once declared (a mismatching
+    partitionBy option refuses — partition columns are fixed at table
+    creation, the Delta contract); on a fresh/empty table the option
+    declares them via a one-time ``partitions`` action the first
+    commit carries. Partitioned tables REQUIRE the hive write path:
+    a flat native write would put the column's bytes back into files
+    and collide with partition discovery on read."""
+    tbl = _handle(path, create=True)
+    logged: list = []
+    has_files = False
+    if tbl.version >= 0:
+        snap = tbl.snapshot()
+        logged = list(snap.partition_cols)
+        has_files = bool(snap.files)
+    if logged:
+        if declared and list(declared) != logged:
+            raise ValueError(
+                f"minilog: table is partitioned by {logged}; "
+                f"option('partitionBy') gave {list(declared)} — "
+                "partition columns are fixed at table creation"
+            )
+        return tuple(logged), []
+    if not declared:
+        return (), []
+    if has_files:
+        raise ValueError(
+            "minilog: cannot declare partitionBy on a table that "
+            "already holds unpartitioned data — rewrite into a new "
+            "partitioned table"
+        )
+    return tuple(declared), [
+        {"type": "partitions", "cols": list(declared)}
+    ]
 
 
 def _plan_native_validation(
@@ -837,6 +996,7 @@ class _MiniLogArrowWriter(DataSourceArrowWriter):
         stats_cols: tuple,
         overwrite: bool,
         merge_schema: bool,
+        partition_by: tuple = (),
     ) -> None:
         self._path = path
         self._schema = schema
@@ -844,6 +1004,9 @@ class _MiniLogArrowWriter(DataSourceArrowWriter):
         self._overwrite = overwrite
         self._merge_schema = merge_schema
         os.makedirs(path, exist_ok=True)
+        self._pcols, self._pactions = _plan_native_partitioning(
+            path, partition_by
+        )
         # column mapping: capture logical->physical at construction
         # (driver-side); overwrite resets the schema, so its mapping is
         # identity. The fresh-column pre-assignment rides into commit's
@@ -883,11 +1046,12 @@ class _MiniLogArrowWriter(DataSourceArrowWriter):
             iterator,
             self._mapping,
             checks=(self._constraints, self._generated),
+            partition_cols=self._pcols,
         )
 
     def commit(self, messages):
         tbl = _handle(self._path, create=True)
-        actions = []
+        actions = list(self._pactions)
         for m in messages:
             actions += getattr(m, "actions", None) or []
         if self._overwrite:
@@ -897,9 +1061,9 @@ class _MiniLogArrowWriter(DataSourceArrowWriter):
             # Python path — a concurrent append cannot survive the
             # overwrite and a concurrent DV swap cannot be silently
             # erased (ADVICE r7)
-            actions = [
+            actions = list(self._pactions) + [
                 {"type": "metaData", "schema": self._schema}
-            ] + actions
+            ] + [a for a in actions if a["type"] != "partitions"]
             tbl._try_commit(
                 "overwrite",
                 actions,
@@ -936,13 +1100,21 @@ class _MiniLogStreamArrowWriter(DataSourceStreamArrowWriter):
     recipe promoted into the native writer protocol."""
 
     def __init__(
-        self, path: str, schema: list, stats_cols: tuple, txn_app: str
+        self,
+        path: str,
+        schema: list,
+        stats_cols: tuple,
+        txn_app: str,
+        partition_by: tuple = (),
     ) -> None:
         self._path = path
         self._schema = schema
         self._stats_cols = stats_cols
         self._txn_app = txn_app
         os.makedirs(path, exist_ok=True)
+        self._pcols, self._pactions = _plan_native_partitioning(
+            path, partition_by
+        )
         self._mapping = {}
         tbl = _handle(path, create=True)
         if tbl.version >= 0:
@@ -972,11 +1144,13 @@ class _MiniLogStreamArrowWriter(DataSourceStreamArrowWriter):
             iterator,
             self._mapping,
             checks=(self._constraints, self._generated),
+            partition_cols=self._pcols,
         )
 
     def commit(self, messages, batchId: int):
         tbl = _handle(self._path, create=True)
-        actions = []
+        actions = list(self._pactions)
+        self._pactions = []  # declare once, not per micro-batch
         for m in messages:
             actions += getattr(m, "actions", None) or []
         tbl._try_commit(
@@ -1076,6 +1250,13 @@ class MiniLogDataSource(DataSource):
         raw = self.options.get("statscols", "")
         return tuple(c.strip() for c in raw.split(",") if c.strip())
 
+    def _partition_by(self) -> tuple:
+        # the DataFrameWriter's .partitionBy() does not reach Python
+        # data sources, so the hive layout is declared as an option:
+        # .option("partitionBy", "col1,col2") (r9)
+        raw = self.options.get("partitionby", "")
+        return tuple(c.strip() for c in raw.split(",") if c.strip())
+
     def writer(self, schema, overwrite: bool) -> _MiniLogArrowWriter:
         merge = (
             str(self.options.get("mergeschema", "false")).lower() == "true"
@@ -1086,6 +1267,7 @@ class MiniLogDataSource(DataSource):
             self._stats_cols(),
             overwrite,
             merge,
+            partition_by=self._partition_by(),
         )
 
     def streamWriter(
@@ -1096,6 +1278,7 @@ class MiniLogDataSource(DataSource):
             self._schema_list(schema),
             self._stats_cols(),
             self.options.get("txnapp", "minilog-stream-writer"),
+            partition_by=self._partition_by(),
         )
 
 

@@ -1189,7 +1189,10 @@ def test_optimize_after_drop_sheds_column(spark, tbl):
     info = tbl.optimize(target_rows=1000)
     assert info["compacted"] == 2
     for f in tbl.select_files():
-        assert pq.read_schema(f).names == ["k"]  # 'v' bytes gone
+        names = pq.read_schema(f).names
+        assert "v" not in names  # 'v' bytes gone
+        # only the data column + the materialized row-id column remain
+        assert set(names) == {"k", "__row_id"}
     assert sorted(r["k"] for r in tbl.read().collect()) == [1, 2]
 
 
@@ -1573,7 +1576,10 @@ def test_add_constraint_detects_concurrent_append(spark, tbl):
 
 def test_seed_centroids_undersized_training_set_raises(spark):
     """ADVICE r8 low: k-means seeding with fewer than k distinct
-    vectors raises instead of silently training fewer cells."""
+    vectors fails loudly instead of silently training fewer cells.
+    The contract is enforced IN THE PLAN (assert_true riding the cid
+    column) so building the seeding stays lazy — it raises when the
+    undersized seeding is actually executed."""
     from bootic_stats_aggregates_spark.llm.similarity import (
         _seed_centroids,
     )
@@ -1582,6 +1588,341 @@ def test_seed_centroids_undersized_training_set_raises(spark):
         [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
         "vec_id BIGINT, emb ARRAY<DOUBLE>",
     )
-    with pytest.raises(ValueError, match="distinct training"):
-        _seed_centroids(e, 3)  # only 2 distinct vectors
+    undersized = _seed_centroids(e, 3)  # builds lazily, no job
+    with pytest.raises(Exception, match="distinct training"):
+        undersized.count()  # only 2 distinct vectors: execution raises
     assert _seed_centroids(e, 2).count() == 2  # the contract holds
+
+
+# ------------------------------------------------------- row tracking (r9)
+
+
+def test_row_ids_assigned_and_stable_across_rewrites(spark, tbl):
+    """VERDICT r8 task 1: row ids are assigned at commit, and NO
+    rewrite may mint new ids — OPTIMIZE, Z-ORDER, delete_where and DV
+    deletes all preserve every surviving row's id."""
+    tbl.append(_df(spark, [(i, f"r{i}") for i in range(6)]))
+    tbl.append(_df(spark, [(i, f"r{i}") for i in range(6, 10)]))
+    ids0 = {r["k"]: r["_row_id"] for r in tbl.read_with_row_ids().collect()}
+    assert sorted(ids0.values()) == list(range(10))  # dense ranges
+    tbl.optimize(target_rows=1000)  # compacts both files
+    assert {
+        r["k"]: r["_row_id"] for r in tbl.read_with_row_ids().collect()
+    } == ids0
+    tbl.delete_where("k", 8, 9)  # rewrite path
+    ids1 = {r["k"]: r["_row_id"] for r in tbl.read_with_row_ids().collect()}
+    assert ids1 == {k: v for k, v in ids0.items() if k < 8}
+    tbl.delete_where_dv("k", 7, 7)  # merge-on-read path: no rewrite
+    ids2 = {r["k"]: r["_row_id"] for r in tbl.read_with_row_ids().collect()}
+    assert ids2 == {k: v for k, v in ids1.items() if k != 7}
+    tbl.optimize_zorder(("k", "k"), target_files=2)
+    assert {
+        r["k"]: r["_row_id"] for r in tbl.read_with_row_ids().collect()
+    } == ids2
+    # normal reads never see the hidden machinery
+    assert "_row_id" not in tbl.read().columns
+    assert "__row_id" not in tbl.read().columns
+
+
+def test_merge_updates_keep_row_ids_and_feed_links(spark, tbl):
+    """A MERGE update KEEPS the matched base row's id (the identity
+    that links its CDF pre/post images); inserts draw fresh ids; the
+    id-keyed feed pairs pre/post on one _row_id and cancels copied
+    rows."""
+    tbl.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    ids0 = {r["k"]: r["_row_id"] for r in tbl.read_with_row_ids().collect()}
+    v = tbl.version
+    tbl.merge(_df(spark, [(2, "B"), (9, "new")]), keys=("k",))
+    ids1 = {r["k"]: r["_row_id"] for r in tbl.read_with_row_ids().collect()}
+    assert ids1[2] == ids0[2] and ids1[1] == ids0[1]
+    assert ids1[9] not in ids0.values()
+    feed = tbl.changes_with_ids(v, tbl.version).collect()
+    by_type = {}
+    for r in feed:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert {t: len(rs) for t, rs in by_type.items()} == {
+        "insert": 1,
+        "update_preimage": 1,
+        "update_postimage": 1,
+    }  # copied rows (1, 3) cancelled
+    assert (
+        by_type["update_preimage"][0]["_row_id"]
+        == by_type["update_postimage"][0]["_row_id"]
+        == ids0[2]
+    )
+    assert by_type["update_preimage"][0]["v"] == "b"
+    assert by_type["update_postimage"][0]["v"] == "B"
+    # an OPTIMIZE-only span feeds NOTHING in the id-keyed feed
+    v2 = tbl.version
+    tbl.optimize(target_rows=1000)
+    assert tbl.changes_with_ids(v2, tbl.version).count() == 0
+
+
+def test_row_id_watermark_survives_restore_clone_checkpoint(
+    spark, tbl, tmp_path
+):
+    """The id watermark is monotone through RESTORE (re-added old
+    ranges never reset it), persists through checkpoints, and a CLONE
+    inherits it — so no path can ever hand out a colliding range."""
+    tbl.append(_df(spark, [(1, "a"), (2, "b")]))   # ids 0, 1
+    v0 = tbl.version
+    tbl.append(_df(spark, [(3, "c")]))             # id 2
+    tbl.restore(v0)
+    tbl.append(_df(spark, [(4, "d")]))             # must NOT reuse id 2
+    ids = {r["k"]: r["_row_id"] for r in tbl.read_with_row_ids().collect()}
+    assert ids[4] >= 3, ids
+    assert len(set(ids.values())) == len(ids)
+    dst = tbl.clone(str(tmp_path / "rt_clone"))
+    dst.append(_df(spark, [(9, "z")]))
+    cids = {r["k"]: r["_row_id"] for r in dst.read_with_row_ids().collect()}
+    assert len(set(cids.values())) == len(cids), cids
+    # checkpoint fold keeps the watermark: force one, then keep going
+    for i in range(CHECKPOINT_EVERY + 1):
+        tbl.append(_df(spark, [(100 + i, "x")]))
+    fresh = MiniLogTable(spark, tbl.path, stats_cols=("k",))
+    allids = [r["_row_id"] for r in fresh.read_with_row_ids().collect()]
+    assert len(set(allids)) == len(allids)
+
+
+# -------------------------------------------- hive-partitioned layout (r9)
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "k INT, day INT, v STRING")
+
+
+@pytest.fixture
+def ptbl(spark, tmp_path):
+    return MiniLogTable(
+        spark,
+        str(tmp_path / "pt"),
+        stats_cols=("k",),
+        partition_by=("day",),
+    )
+
+
+def test_partitioned_layout_dirs_pruning_and_read(spark, ptbl):
+    """VERDICT r8 task 2: partitioned writes land under col=value/
+    directories, add actions carry the values, directory-level pruning
+    is EXACT (proven on the selected-file list), and reads re-attach
+    the column — bytes the files themselves never store."""
+    ptbl.append(_pdf(spark, [(i, i % 3, f"v{i}") for i in range(9)]))
+    ptbl.append(_pdf(spark, [(100, None, "nullday")]))
+    snap = ptbl.snapshot()
+    assert snap.partition_cols == ["day"]
+    assert all(f.partition for f in snap.files)
+    dirs = {os.path.dirname(f.file) for f in snap.files}
+    assert dirs == {
+        "day=0", "day=1", "day=2", "day=__HIVE_DEFAULT_PARTITION__"
+    }
+    # partition bytes stay OUT of the parquet files
+    import pyarrow.parquet as pq
+
+    for f in ptbl.select_files():
+        assert "day" not in pq.read_schema(f).names
+    # directory-level pruning: exact, one file per matching partition
+    assert len(ptbl.select_files(prune=("day", 1, 1))) == 1
+    assert len(ptbl.select_files(prune=("day", 1, 2))) == 2
+    assert len(ptbl.select_files(prune=("day", 5, 9))) == 0
+    # the NULL partition never satisfies a range predicate
+    assert len(ptbl.select_files(prune=("day", 0, 99))) == 3
+    # read re-attaches the column with the LOG's declared type
+    got = sorted(
+        (r["k"], r["day"], r["v"]) for r in ptbl.read().collect()
+    )
+    assert got == sorted(
+        [(i, i % 3, f"v{i}") for i in range(9)] + [(100, None, "nullday")]
+    )
+    assert [f.name for f in ptbl.read().schema.fields] == ["k", "day", "v"]
+    # pruned read composes the partition skip with the row filter
+    assert sorted(r["k"] for r in ptbl.read(prune=("day", 1, 1)).collect()) \
+        == [1, 4, 7]
+
+
+def test_partitioned_optimize_never_mixes_partitions(spark, ptbl):
+    ptbl.append(_pdf(spark, [(i, i % 2, "a") for i in range(6)]))
+    ptbl.append(_pdf(spark, [(10 + i, i % 2, "b") for i in range(6)]))
+    info = ptbl.optimize(target_rows=1000)
+    assert info["compacted"] == 4 and info["files_after"] == 2
+    snap = ptbl.snapshot()
+    assert {os.path.dirname(f.file) for f in snap.files} == {
+        "day=0", "day=1"
+    }
+    assert all(f.partition for f in snap.files)
+    assert ptbl.read().count() == 12
+    # scoped OPTIMIZE: a where-predicate limits the pass to matching
+    # partitions (pure metadata selection)
+    ptbl.append(_pdf(spark, [(50, 0, "c")]))
+    ptbl.append(_pdf(spark, [(51, 0, "d"), (52, 1, "e")]))
+    before = {f.file for f in ptbl.snapshot().files if f.partition["day"] == 1}
+    ptbl.optimize(target_rows=1000, where=("day", 0, 0))
+    after = {f.file for f in ptbl.snapshot().files if f.partition["day"] == 1}
+    assert before == after  # day=1 untouched by the scoped pass
+
+
+def test_partition_declaration_rules(spark, tmp_path, ptbl):
+    # declaring over existing FLAT data refuses
+    flat = MiniLogTable(spark, str(tmp_path / "flat"), stats_cols=("k",))
+    flat.append(_pdf(spark, [(1, 1, "a")]))
+    redeclared = MiniLogTable(
+        spark, flat.path, stats_cols=("k",), partition_by=("day",)
+    )
+    with pytest.raises(ValueError, match="unpartitioned"):
+        redeclared.append(_pdf(spark, [(2, 2, "b")]))
+    # a handle WITHOUT the declaration inherits the log's partitioning
+    ptbl.append(_pdf(spark, [(1, 1, "a")]))
+    plain = MiniLogTable(spark, ptbl.path, stats_cols=("k",))
+    plain.append(_pdf(spark, [(2, 2, "b")]))
+    assert all(f.partition for f in plain.snapshot().files)
+    # a handle with a DIFFERENT declaration refuses
+    wrong = MiniLogTable(
+        spark, ptbl.path, stats_cols=("k",), partition_by=("k",)
+    )
+    with pytest.raises(ValueError, match="partition"):
+        wrong.append(_pdf(spark, [(3, 3, "c")]))
+
+
+def test_partitioned_merge_delete_dv_cdf_and_row_ids(spark, ptbl):
+    """The whole mutation surface composes with partitioning: MERGE,
+    delete rewrites, DV deletes, the change feed and row-id stability
+    all operate on hive-partitioned files."""
+    ptbl.append(_pdf(spark, [(i, i % 2, f"v{i}") for i in range(6)]))
+    ids0 = {
+        r["k"]: r["_row_id"] for r in ptbl.read_with_row_ids().collect()
+    }
+    v0 = ptbl.version
+    ptbl.merge(
+        _pdf(spark, [(1, 1, "UPD"), (9, 0, "new")]), keys=("k",)
+    )
+    got = {(r["k"], r["day"], r["v"]) for r in ptbl.read().collect()}
+    assert (1, 1, "UPD") in got and (9, 0, "new") in got
+    ids1 = {
+        r["k"]: r["_row_id"] for r in ptbl.read_with_row_ids().collect()
+    }
+    assert ids1[1] == ids0[1]  # merge kept the matched row's id
+    feed = ptbl.changes(v0, ptbl.version)
+    types = {r["_change_type"] for r in feed.collect()}
+    assert "insert" in types and "delete" in types
+    ptbl.delete_where("k", 9, 9)
+    ptbl.delete_where_dv("k", 0, 0)
+    left = sorted(r["k"] for r in ptbl.read().collect())
+    assert left == [1, 2, 3, 4, 5]
+    snap = ptbl.snapshot()
+    assert all(f.partition for f in snap.files)
+    # restore + clone keep the partition spec
+    dst = ptbl.clone(str(ptbl.path) + "_clone")
+    assert dst.snapshot().partition_cols == ["day"]
+    dst.append(_pdf(spark, [(77, 7, "z")]))
+    assert len(dst.select_files(prune=("day", 7, 7))) == 1
+    vr = ptbl.version
+    ptbl.restore(v0)
+    assert ptbl.snapshot().partition_cols == ["day"]
+    assert ptbl.read().count() == 6
+
+
+def test_partition_values_hive_escaped_strings(spark, tmp_path):
+    """String partition values round-trip through hive escaping
+    (slashes, spaces, equals — the characters that would corrupt the
+    directory layout)."""
+    t = MiniLogTable(
+        spark,
+        str(tmp_path / "esc"),
+        stats_cols=("k",),
+        partition_by=("tag",),
+    )
+    rows = [(1, "a/b"), (2, "c d"), (3, "e=f"), (4, "plain")]
+    t.append(spark.createDataFrame(rows, "k INT, tag STRING"))
+    got = sorted((r["k"], r["tag"]) for r in t.read().collect())
+    assert got == sorted(rows)
+    assert len(t.select_files(prune=("tag", "a/b", "a/b"))) == 1
+
+
+def test_minilog_datasource_partitioned_write_read(spark, tmp_path):
+    """Native DSv2 partitionBy (r9): the write tasks split their Arrow
+    batches per partition value, land files under col=value/, record
+    the values in add actions; the native reader prunes on them and
+    re-attaches the column; mismatched declarations refuse and plain
+    appends inherit the log's spec."""
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        register,
+    )
+
+    register(spark)
+    path = str(tmp_path / "npt")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(12)], "k INT, day INT, v STRING"
+    )
+    df.coalesce(1).write.format("minilog").mode("append").option(
+        "statsCols", "k"
+    ).option("partitionBy", "day").save(path)
+    tbl = MiniLogTable(spark, path, stats_cols=("k",))
+    snap = tbl.snapshot()
+    assert snap.partition_cols == ["day"]
+    assert {os.path.dirname(f.file) for f in snap.files} == {
+        "day=0", "day=1", "day=2"
+    }
+    # native read re-attaches the partition column
+    back = spark.read.format("minilog").load(path)
+    assert sorted(back.columns) == ["day", "k", "v"]
+    got = sorted((r["k"], r["day"], r["v"]) for r in back.collect())
+    assert got == [(i, i % 3, f"v{i}") for i in range(12)]
+    # pushed filter on the partition column prunes directories (the
+    # reader plans one input partition per surviving file)
+    assert back.filter("day = 1").count() == 4
+    assert sorted(r["k"] for r in back.filter("day = 1").collect()) \
+        == [1, 4, 7, 10]
+    # python-path pruning sees the same exact partition metadata
+    assert len(tbl.select_files(prune=("day", 1, 1))) == 1
+    # a mismatched declaration refuses
+    with pytest.raises(Exception, match="fixed at table creation"):
+        df.write.format("minilog").mode("append").option(
+            "partitionBy", "k"
+        ).save(path)
+    # a plain append (no option) inherits the log's partitioning
+    df.coalesce(1).write.format("minilog").mode("append").save(path)
+    snap2 = tbl.snapshot()
+    assert all(f.partition for f in snap2.files)
+    assert spark.read.format("minilog").load(path).count() == 24
+    # declaring partitionBy over existing FLAT data refuses
+    flat = str(tmp_path / "nflat")
+    df.coalesce(1).write.format("minilog").mode("append").save(flat)
+    with pytest.raises(Exception, match="unpartitioned"):
+        df.write.format("minilog").mode("append").option(
+            "partitionBy", "day"
+        ).save(flat)
+
+
+def test_minilog_stream_writer_partitioned(spark, tmp_path):
+    """The streaming native writer honors partitionBy: every
+    micro-batch lands hive-split files, the spec is declared once, and
+    exactly-once txn replay still holds."""
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        register,
+    )
+
+    register(spark)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, i % 2, f"v{i}") for i in range(8)], "k INT, day INT, v STRING"
+    ).write.parquet(src)
+    out = str(tmp_path / "spt")
+    q = (
+        spark.readStream.schema("k INT, day INT, v STRING")
+        .parquet(src)
+        .writeStream.format("minilog")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option("partitionBy", "day")
+        .option("statsCols", "k")
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination(120)
+    tbl = MiniLogTable(spark, out)
+    snap = tbl.snapshot()
+    assert snap.partition_cols == ["day"]
+    assert all(f.partition for f in snap.files)
+    assert tbl.read().count() == 8
+    assert len(tbl.select_files(prune=("day", 0, 0))) >= 1
+    assert all(
+        os.path.dirname(f.file) in ("day=0", "day=1") for f in snap.files
+    )

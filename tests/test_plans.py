@@ -243,6 +243,17 @@ def test_stratified_cap_prepruned(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_bm25_topk_prepruned(spark):
+    """VERDICT r8 minor: llm_bm25_search's global top-k must never sort
+    the whole scored corpus. WindowGroupLimit is UNREACHABLE here —
+    InferWindowGroupLimit requires a non-empty window partition spec
+    (verified on 4.1) — so the op uses orderBy().limit() and the plan
+    must show TakeOrderedAndProject (per-task local top-k, driver
+    merge); the rank window then runs over <= 20 rows."""
+    plan = formatted_plan(fresh(spark, "llm_bm25_search"))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_pack_sequences_reuses_partitioning(spark):
     """Packing is one window + one aggregation on the same lang key: the
     plan must contain exactly one exchange (the agg reuses the window's
@@ -338,6 +349,13 @@ BUILD_RUNS_JOBS_OK = {
     "stream_cdf_feed", "tx_column_mapping", "llm_ann_index_maintain",
     "stream_ann_index_maintain", "tx_check_constraint", "src_bloom_skip",
     "tx_generated_columns", "stream_mview_cdf",
+    # r9: row tracking stages append/merge/optimize history and
+    # recomputes its linkage/stability invariants (bounded counts) per
+    # call
+    "tx_row_tracking",
+    # r9: partitioned-table staging + file-list pruning proofs
+    # (bounded metadata counts) per call
+    "tx_partitioned_table",
 }
 
 
