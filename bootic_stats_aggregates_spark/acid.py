@@ -96,6 +96,17 @@ CHECKPOINT_EVERY = 10
 #: index; files written under other constants simply don't skip.
 BLOOM_BITS = 8192
 BLOOM_K = 4
+#: SIDECAR BLOOMS (r9, the Delta bloom-filter-index shape): past this
+#: per-file NDV the fixed 1 KiB in-log bitmap saturates (every bit set,
+#: no skip — measured in tools/bloom_scale_r8.log), so the write path
+#: sizes the bloom at ~BLOOM_BITS_PER_KEY bits per distinct key
+#: (next power of two) and lands it in a sidecar parquet under
+#: _blooms/ referenced from the add action — the log stays kilobytes
+#: while a 500k-NDV file gets the ~5M-bit index it needs (~1% FP at
+#: k=4). In-log hex bitmaps remain the format for small-NDV files.
+BLOOM_SIDECAR_NDV = 2048
+BLOOM_BITS_PER_KEY = 10
+BLOOM_DIR = "_blooms"
 
 #: physical column a REWRITE materializes row ids into (hidden: never
 #: part of the log schema, so normal reads project it away)
@@ -183,20 +194,39 @@ class FileEntry:
             return True
         return s["nulls"] > 0
 
-    def may_contain_value(self, col: str, positions: list[int]) -> bool:
+    def may_contain_value(
+        self, col: str, hashes: list[int], load_sidecar=None
+    ) -> bool:
         """BLOOM-FILTER point probe: True unless this file's bloom for
         ``col`` PROVES no row equals the probe value (some probed bit
-        unset). ``positions`` are the probe's bit positions under the
-        CURRENT (k, m) constants; a file without a bloom, or one written
-        under different constants, can never be skipped — missing index
-        = no skip, never a wrong skip."""
+        unset). ``hashes`` are the probe's RAW xxhash64 values under
+        the BLOOM_K seeds; each file folds them into bit positions
+        with ITS OWN recorded ``m`` (in-log 8192-bit bitmaps and
+        adaptively-sized sidecar blooms probe identically —
+        ``h % m == pmod(xxhash64, m)``, the write-side math). A file
+        without a bloom, written under a different k, or whose sidecar
+        cannot be loaded can never be skipped — missing index = no
+        skip, never a wrong skip."""
         b = (self.stats.get(col) or {}).get("bloom")
-        if not b or b.get("k") != BLOOM_K or b.get("m") != BLOOM_BITS:
+        if not b or b.get("k") != BLOOM_K:
+            return True
+        m = b.get("m")
+        if not isinstance(m, int) or m <= 0 or m % 8:
             return True
         try:
-            bits = bytes.fromhex(b["hex"])
-            return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
-        except (ValueError, IndexError):  # corrupt index: stay safe
+            if "hex" in b:
+                bits = bytes.fromhex(b["hex"])
+            elif "sidecar" in b and load_sidecar is not None:
+                bits = load_sidecar(b["sidecar"], self.file, col)
+            else:
+                return True
+            if bits is None or len(bits) * 8 != m:
+                return True  # unreadable / corrupt index: stay safe
+            return all(
+                bits[(h % m) >> 3] & (1 << ((h % m) & 7))
+                for h in hashes
+            )
+        except (ValueError, IndexError, OSError):
             return True
 
 
@@ -1083,53 +1113,95 @@ class MiniLogTable:
             .agg(*aggs)
             .collect()
         }
-        # file-level BLOOM indexes: per (file, col), the distinct bit
-        # positions of every non-NULL value under BLOOM_K xxhash64
-        # seeds — one extra job per staged write, bounded driver-side
-        # by BLOOM_BITS positions per (file, col). Packed to a 1 KiB
-        # bitmap and carried INSIDE the column's stats dict, so it
-        # rides the existing plumbing (checkpoints, CDF, restore,
-        # clone, physical-name keying under column mapping) for free.
+        # file-level BLOOM indexes: per (file, col), a bitmap of every
+        # non-NULL value's BLOOM_K xxhash64 bit positions, built
+        # EXECUTOR-SIDE (one Arrow-batched applyInPandas per indexed
+        # column, grouped by file) and ADAPTIVELY SIZED: files at or
+        # under BLOOM_SIDECAR_NDV distinct keys get the 1 KiB in-log
+        # hex bitmap (riding checkpoints/CDF/restore/clone/column-
+        # mapping for free); past that — where the fixed bitmap
+        # saturates to all-ones and skips nothing — the bloom grows to
+        # ~BLOOM_BITS_PER_KEY bits/key (next power of two) and lands
+        # in ONE sidecar parquet per staged write under _blooms/,
+        # referenced from the add action (the Delta bloom-index
+        # shape). Only (#files) small rows ever reach the driver.
         blooms: dict[str, dict[str, dict]] = {}
+        side_rows: list[tuple] = []  # (staged part, col, m, bits)
+
+        def _build_bloom(pdf):
+            import numpy as np
+            import pandas as pd
+
+            h0 = pdf["h0"].to_numpy(dtype=np.int64)
+            ndv = len(np.unique(h0))  # xxhash64 collisions: negligible
+            if ndv <= BLOOM_SIDECAR_NDV:
+                m = BLOOM_BITS
+            else:
+                m = 1 << int(
+                    np.ceil(np.log2(ndv * BLOOM_BITS_PER_KEY))
+                )
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            for seed in range(BLOOM_K):
+                # numpy % == Spark pmod for positive m (floor mod)
+                p = np.unique(
+                    pdf[f"h{seed}"].to_numpy(dtype=np.int64) % m
+                )
+                np.bitwise_or.at(
+                    bits, p >> 3, (1 << (p & 7)).astype(np.uint8)
+                )
+            return pd.DataFrame(
+                {
+                    "f": [pdf["__f"].iloc[0]],
+                    "m": [int(m)],
+                    "bits": [bits.tobytes()],
+                }
+            )
+
         for c in (mapping.get(b, b) for b in self.bloom_cols):
             if c not in staged.columns:
                 continue
-            hashes = F.array(
+            hdf = staged.filter(F.col(c).isNotNull()).select(
+                F.input_file_name().alias("__f"),
                 *[
-                    F.pmod(
-                        F.xxhash64(F.col(c), F.lit(seed)),
-                        F.lit(BLOOM_BITS),
-                    ).cast("int")
+                    F.xxhash64(F.col(c), F.lit(seed)).alias(f"h{seed}")
                     for seed in range(BLOOM_K)
-                ]
+                ],
             )
             rows = (
-                staged.filter(F.col(c).isNotNull())
-                .select(
-                    F.input_file_name().alias("__f"),
-                    F.explode(hashes).alias("p"),
-                )
-                .distinct()
-                .groupBy("__f")
-                .agg(F.collect_list("p").alias("ps"))
+                hdf.groupBy("__f")
+                .applyInPandas(_build_bloom, "f string, m long, bits binary")
                 .collect()
             )
             for r in rows:
-                bits = bytearray(BLOOM_BITS // 8)
-                for p in r["ps"]:
-                    bits[p >> 3] |= 1 << (p & 7)
-                blooms.setdefault(_rel(r["__f"]), {})[c] = {
-                    "k": BLOOM_K,
-                    "m": BLOOM_BITS,
-                    "hex": bits.hex(),
-                }
+                part, m = _rel(r["f"]), int(r["m"])
+                if m == BLOOM_BITS:
+                    blooms.setdefault(part, {})[c] = {
+                        "k": BLOOM_K,
+                        "m": m,
+                        "hex": bytes(r["bits"]).hex(),
+                    }
+                else:
+                    side_rows.append((part, c, m, bytes(r["bits"])))
+        side_name = (
+            os.path.join(BLOOM_DIR, f"{uuid.uuid4().hex}.parquet")
+            if side_rows
+            else None
+        )
+        for part, c, m, _bits in side_rows:
+            blooms.setdefault(part, {})[c] = {
+                "k": BLOOM_K,
+                "m": m,
+                "sidecar": side_name,
+            }
         actions = []
+        final_name: dict[str, str] = {}
         for part in parts:
             r = stat_rows.get(part)
             if r is None or r["__rows"] == 0:
                 continue  # empty part file: nothing to add
             subdir = os.path.dirname(part)  # "d=5" chain, "" when flat
             name = os.path.join(subdir, f"{uuid.uuid4().hex}.parquet")
+            final_name[part] = name
             if subdir:
                 os.makedirs(
                     os.path.join(self.path, subdir), exist_ok=True
@@ -1157,6 +1229,33 @@ class MiniLogTable:
                     p: _json_safe(r[f"__pv_{p}"]) for p in pcols
                 }
             actions.append(action)
+        if side_name is not None:
+            # one sidecar parquet for the whole staged write, keyed by
+            # the FINAL data-file names; written before the commit —
+            # a failed commit leaves it unreferenced and vacuum reaps
+            # it like any orphaned data file
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            keep = [
+                (final_name[part], c, m, bits)
+                for part, c, m, bits in side_rows
+                if part in final_name
+            ]
+            os.makedirs(
+                os.path.join(self.path, BLOOM_DIR), exist_ok=True
+            )
+            pq.write_table(
+                pa.table(
+                    {
+                        "file": [k[0] for k in keep],
+                        "col": [k[1] for k in keep],
+                        "m": [k[2] for k in keep],
+                        "bits": [k[3] for k in keep],
+                    }
+                ),
+                os.path.join(self.path, side_name),
+            )
         shutil.rmtree(staging)
         return actions
 
@@ -1805,14 +1904,17 @@ class MiniLogTable:
             snap.files, snap.schema
         ).withColumnRenamed(ROW_ID_COL, "_row_id")
 
-    def _bloom_positions(
+    def _bloom_hashes(
         self, snap: Snapshot, col: str, value: Any
     ) -> Optional[list[int]]:
-        """Probe bit positions for a point value — computed by SPARK
-        (one 1-row job) so the probe hash is bitwise the hash the write
-        path stamped into the index (same xxhash64, same column type
-        from the log schema); a Python reimplementation would be a
-        silent divergence bug waiting for an engine upgrade.
+        """Probe hashes for a point value — the RAW xxhash64 under each
+        seed, computed by SPARK (one 1-row job) so the probe hash is
+        bitwise the hash the write path folded into the index (same
+        xxhash64, same column type from the log schema); a Python
+        reimplementation would be a silent divergence bug waiting for
+        an engine upgrade. Raw (unmodded) hashes let each FILE fold to
+        positions under its own bloom size ``m`` (in-log 8192-bit vs
+        adaptively-sized sidecar blooms).
 
         Returns ``None`` — NO bloom pruning, every file may-contain —
         when the column's type cannot be resolved from the log schema
@@ -1831,13 +1933,37 @@ class MiniLogTable:
         lit = F.lit(value).cast(ctype)
         row = self.spark.range(1).select(
             *[
-                F.pmod(F.xxhash64(lit, F.lit(seed)), F.lit(BLOOM_BITS))
-                .cast("int")
-                .alias(f"p{seed}")
+                F.xxhash64(lit, F.lit(seed)).alias(f"h{seed}")
                 for seed in range(BLOOM_K)
             ]
         ).collect()[0]
-        return [row[f"p{seed}"] for seed in range(BLOOM_K)]
+        return [row[f"h{seed}"] for seed in range(BLOOM_K)]
+
+    def _sidecar_bits(self, sidecar: str, file: str, col: str):
+        """Load one (file, col) bitmap from a bloom sidecar parquet —
+        driver-side pyarrow read (no Spark job), memoized per sidecar
+        on this handle (sidecars are immutable once written). Returns
+        None when the sidecar is missing/unreadable — the probe then
+        conservatively keeps the file."""
+        cache = getattr(self, "_bloom_cache", None)
+        if cache is None:
+            cache = self._bloom_cache = {}
+        if sidecar not in cache:
+            try:
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(os.path.join(self.path, sidecar))
+                cache[sidecar] = {
+                    (f, c): bytes(b)
+                    for f, c, b in zip(
+                        t.column("file").to_pylist(),
+                        t.column("col").to_pylist(),
+                        t.column("bits").to_pylist(),
+                    )
+                }
+            except Exception:  # noqa: BLE001 - missing index = no skip
+                cache[sidecar] = {}
+        return cache[sidecar].get((file, col))
 
     def read(
         self,
@@ -1862,11 +1988,13 @@ class MiniLogTable:
             preds = preds + [(pcol, pval, pval)]
         files = self._select_entries(snap, preds)
         if point is not None:
-            pos = self._bloom_positions(snap, pcol, pval)
-            if pos is not None:
+            hs = self._bloom_hashes(snap, pcol, pval)
+            if hs is not None:
                 phys = snap.physical_of(pcol)
                 files = [
-                    f for f in files if f.may_contain_value(phys, pos)
+                    f
+                    for f in files
+                    if f.may_contain_value(phys, hs, self._sidecar_bits)
                 ]
         if not files:
             if snap.schema:  # empty result, schema from the log
@@ -1932,11 +2060,13 @@ class MiniLogTable:
             preds = preds + [(point[0], point[1], point[1])]
         files = self._select_entries(snap, preds)
         if point is not None:
-            pos = self._bloom_positions(snap, point[0], point[1])
-            if pos is not None:
+            hs = self._bloom_hashes(snap, point[0], point[1])
+            if hs is not None:
                 phys = snap.physical_of(point[0])
                 files = [
-                    f for f in files if f.may_contain_value(phys, pos)
+                    f
+                    for f in files
+                    if f.may_contain_value(phys, hs, self._sidecar_bits)
                 ]
         return [os.path.join(self.path, f.file) for f in files]
 
@@ -2294,6 +2424,13 @@ class MiniLogTable:
             snap_v = self.snapshot(v)
             reachable |= {f.file for f in snap_v.files}
             reachable |= {f.dv for f in snap_v.files if f.dv}
+            # bloom sidecars referenced by retained snapshots are part
+            # of the snapshot; orphaned ones reap like data files
+            for fe in snap_v.files:
+                for s in fe.stats.values():
+                    sc = (s.get("bloom") or {}).get("sidecar")
+                    if sc:
+                        reachable.add(sc)
         removed = []
         now = time.time()
         data_files = []
@@ -2452,6 +2589,20 @@ class MiniLogTable:
                     os.path.join(dest_path, fe.dv),
                 )
                 linked_dvs.add(fe.dv)
+            for s in fe.stats.values():
+                sc = (s.get("bloom") or {}).get("sidecar")
+                if sc and sc not in linked_dvs:
+                    # bloom sidecars too: the stats ride verbatim, so
+                    # the clone's point lookups need their own links
+                    os.makedirs(
+                        os.path.dirname(os.path.join(dest_path, sc)),
+                        exist_ok=True,
+                    )
+                    os.link(
+                        os.path.join(self.path, sc),
+                        os.path.join(dest_path, sc),
+                    )
+                    linked_dvs.add(sc)
             actions.append(
                 {"type": "add", "file": fe.file, "rows": fe.rows,
                  "stats": fe.stats, "dv": fe.dv, "dv_rows": fe.dv_rows,

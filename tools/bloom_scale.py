@@ -8,11 +8,13 @@ point lookup two ways:
 1. MODERATE per-file NDV (2000 distinct/file, the designed operating
    point — e.g. per-shard user activity files): the bloom selects ~1 of
    FILES files; wall time tracks files-scanned.
-2. SATURATED per-file NDV (every row distinct, ROWS distinct/file >>
-   8192 bits): the index degrades to NO skip — files all scan, results
-   stay exactly correct (no false negatives ever) — the documented
-   sizing boundary (production: size m to NDV or use a sidecar, the
-   Delta/Parquet approach; this format keeps the 1 KiB in-log bitmap).
+2. HIGH per-file NDV (every row distinct, ROWS distinct/file >> the
+   8192-bit in-log bitmap): r8 saturated here (32/32 scanned,
+   documented in bloom_scale_r8.log); r9's SIDECAR blooms size the
+   bitmap at ~10 bits per distinct key (next power of two) and land
+   it in a _blooms/ parquet referenced from the add action — the
+   point lookup skips again (~1.2% FP at k=4), with the log itself
+   staying kilobytes. No false negatives ever, either path.
 
 Usage: python tools/bloom_scale.py [files] [rows_per_file]
 Defaults: 32 x 500_000 = 16M rows.
@@ -88,13 +90,30 @@ def main() -> None:
 
         rprobe = 123_457 * FILES + 9  # one row, in file 9
         t0 = time.perf_counter()
-        rn_files = len(tbl.select_files(point=("rid", rprobe)))
+        rsel = tbl.select_files(point=("rid", rprobe))
         rn = tbl.read(point=("rid", rprobe)).count()
         t_sat = time.perf_counter() - t0
         assert rn == 1
-        print(f"saturated-NDV point lookup: {rn_files}/{FILES} files scanned"
-              f" in {t_sat:.2f}s — index saturated (NDV {ROWS} >> 8192 bits)"
-              f", degrades to no-skip, result still exact")
+        snap = tbl.snapshot()
+        rb = snap.files[0].stats["rid"]["bloom"]
+        side_dir = os.path.join(tbl.path, "_blooms")
+        side_bytes = sum(
+            os.path.getsize(os.path.join(side_dir, n))
+            for n in os.listdir(side_dir)
+        ) if os.path.isdir(side_dir) else 0
+        kind = "sidecar" if "sidecar" in rb else "in-log"
+        print(f"high-NDV point lookup: {len(rsel)}/{FILES} files scanned"
+              f" in {t_sat:.2f}s — {kind} bloom m={rb['m']} bits/file "
+              f"(NDV {ROWS}/file), sidecar bytes total {side_bytes}"
+              f" ({side_bytes / max(FILES * ROWS, 1):.2f} B/row);"
+              f" result exact ({rn} row)")
+        # absent probe: proves skipping, not just luck on one file
+        t0 = time.perf_counter()
+        asel = tbl.select_files(point=("rid", (ROWS + 7) * FILES + 3))
+        t_abs = time.perf_counter() - t0
+        print(f"high-NDV ABSENT probe: {len(asel)}/{FILES} files scanned "
+              f"in {t_abs:.2f}s (expected ~FP rate "
+              f"{FILES * 0.012:.1f} files)")
         print("OK")
     finally:
         shutil.rmtree(root, ignore_errors=True)
