@@ -309,6 +309,200 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# stream_stateful_v2: Spark 4's transformWithStateInPandas (VERDICT r8
+# task 5). The successor stateful API: a StatefulProcessor class with
+# TYPED state variables (value state for counters, list state for the
+# seen-event-type set) instead of one opaque GroupState tuple. Its
+# Python worker speaks a protobuf-framed state-server protocol, so the
+# API needs a working google.protobuf — probed at RUNTIME; where the
+# dependency is broken (this container ships a stub without
+# `descriptor`), the op computes the identical funnel-stage result via
+# applyInPandasWithState with bitmask state (the fully-supported v1
+# API), so the registered query is green in either environment and
+# flips to the new API the day the dependency works (the
+# test_transform_with_state_probe gate documents this).
+
+#: funnel stages, order-free SET semantics so the result is exact under
+#: ANY micro-batching / any within-batch row order
+_V2_OUT = "user_id long, stage long, n_events long, emit_seq long"
+_V2_STATE = "n long, seq long, mask long"
+_V2_STAGES = ("view", "click", "purchase")
+
+
+def _stage_of(mask: int) -> int:
+    stage = 0
+    for i in range(len(_V2_STAGES)):
+        if mask & (1 << i):
+            stage = i + 1
+        else:
+            break
+    return stage
+
+
+def _funnel_stage_v1(key, pdfs, state):
+    """applyInPandasWithState twin of :class:`_FunnelStageProcessor`:
+    same (count, seen-set) semantics packed into a bitmask long."""
+    n, seq, mask = state.get if state.exists else (0, 0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        for i, et in enumerate(_V2_STAGES):
+            if (pdf["event_type"] == et).any():
+                mask |= 1 << i
+    seq += 1
+    state.update((n, seq, mask))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "stage": [_stage_of(mask)],
+            "n_events": [n],
+            "emit_seq": [seq],
+        }
+    )
+
+
+def twsip_available() -> bool:
+    """Is transformWithStateInPandas usable here? Its state-server
+    protocol needs a REAL google.protobuf in the Python worker."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except Exception:  # pragma: no cover - env-dependent
+        return False
+
+
+def _make_funnel_processor():
+    """Build the StatefulProcessor subclass lazily (import-safe on
+    builds without the stateful_processor module)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _FunnelStageProcessor(StatefulProcessor):
+        """Per-user funnel stage with TYPED state variables:
+        - value state (n, seq): event count + emission ordinal
+        - list state seen(et): the distinct event types observed —
+          the set-shaped state the v1 API would force into a bitmask
+        Stage = longest prefix of view -> click -> purchase present in
+        the seen SET (order-free, so exact under any batching)."""
+
+        def init(self, handle) -> None:
+            self.counts = handle.getValueState("counts", "n long, seq long")
+            self.seen = handle.getListState("seen", "et string")
+
+        def handleInputRows(self, key, rows, timerValues):
+            v = self.counts.get()
+            n, seq = v if v else (0, 0)
+            seen = {t[0] for t in self.seen.get()}
+            fresh: set = set()
+            for pdf in rows:
+                n += len(pdf)
+                fresh |= set(pdf["event_type"].dropna().unique()) - seen
+            if fresh:
+                self.seen.appendList([(t,) for t in sorted(fresh)])
+                seen |= fresh
+            seq += 1
+            self.counts.update((n, seq))
+            mask = sum(
+                1 << i for i, et in enumerate(_V2_STAGES) if et in seen
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "stage": [_stage_of(mask)],
+                    "n_events": [n],
+                    "emit_seq": [seq],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _FunnelStageProcessor()
+
+
+def _funnel_stage_result(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """Run the funnel-stage stateful computation over ``ev`` on the best
+    available API and reduce update-mode emissions to final state."""
+    if twsip_available():
+        # transformWithState requires the RocksDB state store; scope the
+        # provider to this query's run and restore the session default
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider",
+        )
+        try:
+            result = ev.groupBy("user_id").transformWithStateInPandas(
+                statefulProcessor=_make_funnel_processor(),
+                outputStructType=_V2_OUT,
+                outputMode="Update",
+                timeMode="None",
+            )
+            out = run_to_memory(result, mode="update")
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+    else:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        result = ev.groupBy("user_id").applyInPandasWithState(
+            _funnel_stage_v1,
+            outputStructType=_V2_OUT,
+            stateStructType=_V2_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        out = run_to_memory(result, mode="update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("emit_seq"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "stage", "n_events")
+    )
+
+
+@query(
+    "stream_stateful_v2",
+    oracle="""
+    SELECT
+      user_id,
+      CAST(CASE WHEN bool_or(event_type = 'view') THEN
+             CASE WHEN bool_or(event_type = 'click') THEN
+               CASE WHEN bool_or(event_type = 'purchase')
+                    THEN 3 ELSE 2 END
+             ELSE 1 END
+           ELSE 0 END AS BIGINT) AS stage,
+      CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel stage via Spark 4's transformWithStateInPandas
+    (typed value + list state), with a semantics-identical
+    applyInPandasWithState fallback where the API's protobuf dependency
+    is broken (probed at runtime — see the module comment above).
+
+    Stage semantics are a SET prefix (view -> click -> purchase seen,
+    any order), so the result is exact under any micro-batching and the
+    DuckDB oracle replays it with three bool_or aggregates.
+
+    100 TB story: state is O(users) across the cluster's state store
+    (RocksDB under the v2 API), each trigger touches O(batch) rows, and
+    the list state holds at most len(_V2_STAGES)+ distinct event types
+    per user — bounded by the domain, not the stream."""
+    ev = stream_table(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    )
+    return _funnel_stage_result(spark, ev)
+
+
 @query(
     "join_stream_static",
     oracle="""

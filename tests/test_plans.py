@@ -315,7 +315,8 @@ BUILD_RUNS_JOBS_OK = {
     "src_orc", "snk_csv_export",
     # streaming: building runs the micro-batch(es) to a sink
     "stream_tumbling", "stream_sliding", "stream_session", "stream_dedup",
-    "stream_stateful", "stream_watermark", "stream_output_modes",
+    "stream_stateful", "stream_stateful_v2", "stream_watermark",
+    "stream_output_modes",
     "stream_quality_gate", "stream_incr_dedup", "stream_chained_stateful",
     "stream_backpressure", "src_event_stream", "src_socket_stream",
     "stream_topk_rank", "stream_approx_uniques",

@@ -604,13 +604,80 @@ def test_transform_with_state_probe(spark):
     """Spark 4's transformWithStateInPandas (the successor stateful API:
     typed state variables + timers) needs a working google.protobuf in
     the Python worker; this container ships a broken stub ('cannot import
-    name descriptor'), so stream_stateful stays on applyInPandasWithState
-    (fully driver-verified). This probe documents the gate: the day the
-    dependency works, the skip lifts and the API can be adopted."""
+    name descriptor'), so stream_stateful_v2 falls back to its
+    applyInPandasWithState twin (fully driver-verified). Where the
+    dependency works, this test runs the REAL v2 path — the
+    StatefulProcessor with typed value + list state over RocksDB — and
+    pins it against the fallback's result."""
     pytest.importorskip("google.protobuf.descriptor")
-    # dependency present: the new API is usable; nothing more to assert
-    # here — adopting it is an implementation choice, not a correctness
-    # gate (applyInPandasWithState remains valid).
+    from bootic_stats_aggregates_spark.streaming.stream_queries import (
+        _funnel_stage_result,
+        twsip_available,
+    )
+    from bootic_stats_aggregates_spark.streaming.runner import stream_table
+
+    assert twsip_available()
+    ev = stream_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type"
+    )
+    got = {
+        r["user_id"]: (r["stage"], r["n_events"])
+        for r in _funnel_stage_result(spark, ev).collect()
+    }
+    want = {
+        r["user_id"]: (r["stage"], r["n_events"])
+        for r in QUERIES["stream_stateful_v2"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_stream_stateful_v2_chained_with_dedup(spark):
+    """VERDICT r8 task 5 variant: streaming dropDuplicates on event_id
+    chained UPSTREAM of the funnel-stage stateful processor — two
+    stateful operators in one query — must equal the batch twin
+    (distinct events, then the same set-prefix stage + count)."""
+    import pyspark.sql.functions as F
+
+    from bootic_stats_aggregates_spark.streaming.runner import (
+        batch_table,
+        stream_table,
+    )
+    from bootic_stats_aggregates_spark.streaming.stream_queries import (
+        _funnel_stage_result,
+    )
+
+    ev = (
+        stream_table(spark, SF_DIR, "events")
+        .select("event_id", "user_id", "event_type")
+        .dropDuplicates(["event_id"])
+        .drop("event_id")
+    )
+    got = {
+        r["user_id"]: (r["stage"], r["n_events"])
+        for r in _funnel_stage_result(spark, ev).collect()
+    }
+    base = (
+        batch_table(spark, SF_DIR, "events")
+        .dropDuplicates(["event_id"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            *[
+                F.max((F.col("event_type") == et).cast("int")).alias(et)
+                for et in ("view", "click", "purchase")
+            ],
+        )
+    )
+    want = {}
+    for r in base.collect():
+        stage = 0
+        for i, et in enumerate(("view", "click", "purchase")):
+            if r[et]:
+                stage = i + 1
+            else:
+                break
+        want[r["user_id"]] = (stage, r["n_events"])
+    assert got == want
 
 
 def test_semdedup_manifest_matches_bruteforce(spark):
