@@ -85,6 +85,7 @@ from pyspark.sql.datasource import (
 )
 
 from ..acid import (
+    ROW_ID_COL,
     ConstraintViolation,
     MiniLogTable,
     NoSuchVersion,
@@ -108,6 +109,12 @@ class _FilePartition(InputPartition):
     #: partitioned files do not store the column's bytes, so the reader
     #: re-attaches it as a constant column (r9)
     partition: Optional[dict] = None
+    #: ROW TRACKING through the native surface (r9): when with_row_ids
+    #: is set, the reader appends a ``_row_id`` bigint column —
+    #: coalesce(materialized __row_id, base_row_id + parquet position),
+    #: computed BEFORE the DV mask so surviving rows keep their ids
+    base_row_id: Optional[int] = None
+    with_row_ids: bool = False
 
 
 def _ddl(schema: list[dict]) -> str:
@@ -156,6 +163,27 @@ def _read_file_arrow(part: _FilePartition):
     import pyarrow.parquet as pq
 
     table = pq.read_table(part.path)
+    rid_tmp = "__minilog_rid"
+    if part.with_row_ids:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        n = table.num_rows
+        if part.base_row_id is not None:
+            default = pa.array(
+                part.base_row_id + np.arange(n, dtype=np.int64),
+                type=pa.int64(),
+            )
+        else:  # pre-tracking file: rows have no ids
+            default = pa.nulls(n, type=pa.int64())
+        if ROW_ID_COL in table.column_names:
+            rid = pc.coalesce(
+                table.column(ROW_ID_COL).cast(pa.int64()), default
+            )
+        else:
+            rid = default
+        # appended BEFORE the DV take so ids follow their rows
+        table = table.append_column(rid_tmp, rid)
     if part.dv:
         import pyarrow.compute as pc
 
@@ -195,8 +223,29 @@ def _read_file_arrow(part: _FilePartition):
                     )
             else:  # pre-evolution file: null-fill
                 cols.append(pa.nulls(table.num_rows, type=field.type))
+        if part.with_row_ids:
+            fields.append(pa.field("_row_id", pa.int64()))
+            cols.append(table.column(rid_tmp))
         table = pa.table(cols, schema=pa.schema(fields))
+    elif part.with_row_ids:  # pre-schema table: rename the temp column
+        table = table.drop_columns(
+            [c for c in (ROW_ID_COL,) if c in table.column_names]
+        ).rename_columns(
+            [
+                "_row_id" if c == rid_tmp else c
+                for c in table.column_names
+                if c != ROW_ID_COL
+            ]
+        )
+    elif ROW_ID_COL in table.column_names:
+        # normal pre-schema read: the hidden materialized id column a
+        # rewrite added must never leak
+        table = table.drop_columns([ROW_ID_COL])
     yield from table.to_batches(max_chunksize=8192)
+
+
+def _with_row_ids(options: dict) -> bool:
+    return str(options.get("withrowids", "false")).lower() == "true"
 
 
 def _partition_may_match(f, col: str, lo, hi) -> bool:
@@ -262,6 +311,7 @@ class _MiniLogBatchReaderBase(DataSourceReader):
             if snap.schema
             else None
         )
+        rids = _with_row_ids(self._options)
         files = snap.files
         for col, (lo, hi) in self._ranges.items():
             # pushed filters name LOGICAL columns; the log stats are
@@ -279,9 +329,11 @@ class _MiniLogBatchReaderBase(DataSourceReader):
                 schema,
                 os.path.join(self._path, f.dv) if f.dv else None,
                 f.partition or None,
+                f.base_row_id,
+                rids,
             )
             for f in files
-        ] or [_FilePartition("", schema)]
+        ] or [_FilePartition("", schema, with_row_ids=rids)]
 
     def read(self, partition: _FilePartition):
         if not partition.path:  # empty table: schema-only
@@ -1198,7 +1250,14 @@ class MiniLogDataSource(DataSource):
             )
         except NoSuchVersion:
             raise
+        rids = _with_row_ids(self.options)
         if self._cdf():
+            if rids:
+                raise ValueError(
+                    "withRowIds is a BATCH read option; the change "
+                    "feed's id-keyed form is "
+                    "MiniLogTable.changes_with_ids(from, to)"
+                )
             if not snap.schema:
                 raise ValueError(
                     "readChangeFeed needs a log-tracked table schema"
@@ -1208,15 +1267,24 @@ class MiniLogDataSource(DataSource):
                 + ", `_change_type` string, `_commit_version` bigint"
             )
         if snap.schema:
-            return _ddl(snap.schema)
+            ddl = _ddl(snap.schema)
+            return ddl + ", `_row_id` bigint" if rids else ddl
         if snap.files:  # pre-schema-tracking table: ask parquet
+            import pyarrow as pa
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import from_arrow_schema
 
             sch = pq.read_schema(
                 os.path.join(self._path(), snap.files[0].file)
             )
-            return from_arrow_schema(sch)
+            # the hidden materialized id column never leaks as data
+            sch = pa.schema([f for f in sch if f.name != ROW_ID_COL])
+            st = from_arrow_schema(sch)
+            if rids:
+                from pyspark.sql.types import LongType
+
+                st = st.add("_row_id", LongType())
+            return st
         raise NoSuchVersion("empty minilog table has no schema")
 
     def reader(self, schema) -> _MiniLogBatchReaderBase:

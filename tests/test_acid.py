@@ -1990,3 +1990,51 @@ def test_sidecar_bloom_high_ndv_skips_and_survives_lifecycle(
     b3 = t3.snapshot().files[0].stats["u"]["bloom"]
     assert "hex" in b3 and b3["m"] == BLOOM_BITS
     assert not os.path.isdir(os.path.join(t3.path, "_blooms"))
+
+
+def test_minilog_datasource_with_row_ids(spark, tmp_path):
+    """ROW TRACKING through the native surface (r9): the batch reader's
+    withRowIds option appends _row_id = coalesce(materialized __row_id,
+    base_row_id + parquet position), computed BEFORE the DV mask — so
+    native ids equal the Python path's read_with_row_ids() across
+    appends, OPTIMIZE (materialized override) and DV deletes; a plain
+    native read never shows any id machinery."""
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        register,
+    )
+
+    register(spark)
+    path = str(tmp_path / "rid")
+    tbl = MiniLogTable(spark, path, stats_cols=("k",))
+    tbl.append(_df(spark, [(i, f"v{i}") for i in range(6)]))
+    tbl.append(_df(spark, [(i, f"v{i}") for i in range(6, 10)]))
+    tbl.optimize(target_rows=1000)   # materializes ids
+    tbl.delete_where_dv("k", 3, 4)   # survivors keep positions
+    want = {
+        r["k"]: r["_row_id"] for r in tbl.read_with_row_ids().collect()
+    }
+    back = spark.read.format("minilog").option("withRowIds", "true").load(
+        path
+    )
+    assert back.columns == ["k", "v", "_row_id"]
+    got = {r["k"]: r["_row_id"] for r in back.collect()}
+    assert got == want and len(got) == 8
+    # ids keep working under filter pushdown
+    got2 = {
+        r["k"]: r["_row_id"]
+        for r in back.filter("k >= 6").collect()
+    }
+    assert got2 == {k: v for k, v in want.items() if k >= 6}
+    # plain native read: no id columns
+    plain = spark.read.format("minilog").load(path)
+    assert plain.columns == ["k", "v"] and plain.count() == 8
+    # withRowIds composes with readChangeFeed: refused (batch-only)
+    with pytest.raises(Exception, match="withRowIds"):
+        (
+            spark.readStream.format("minilog")
+            .option("readChangeFeed", "true")
+            .option("withRowIds", "true")
+            .load(path)
+            .writeStream.format("noop")
+            .start()
+        )
