@@ -2038,3 +2038,31 @@ def test_minilog_datasource_with_row_ids(spark, tmp_path):
             .writeStream.format("noop")
             .start()
         )
+
+
+def test_generated_partition_column_composition(spark, tmp_path):
+    """The Delta generated-partition pattern: a GENERATED column as the
+    table's partition column. Writers omit it, the writer materializes
+    it, files land under its hive directories, and directory pruning
+    works — derived partitioning the planner can trust."""
+    t = MiniLogTable(
+        spark,
+        str(tmp_path / "gp"),
+        stats_cols=("k",),
+        partition_by=("day",),
+    )
+    t.set_generated_column("day", "k % 7")
+    t.append(_df(spark, [(i, f"v{i}") for i in range(20)]))
+    snap = t.snapshot()
+    assert snap.partition_cols == ["day"]
+    assert "day" in snap.generated
+    assert {os.path.dirname(f.file) for f in snap.files} == {
+        f"day={i}" for i in range(7)
+    }
+    assert len(t.select_files(prune=("day", 3, 3))) == 1
+    got = sorted(r["k"] for r in t.read(prune=("day", 3, 3)).collect())
+    assert got == [3, 10, 17]
+    # a provided-but-wrong generated value still rejects atomically
+    bad = spark.createDataFrame([(1, "x", 5)], "k INT, v STRING, day INT")
+    with pytest.raises(ConstraintViolation):
+        t.append(bad)
