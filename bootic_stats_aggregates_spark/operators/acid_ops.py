@@ -1508,6 +1508,91 @@ def src_minilog_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "src_minilog_partitioned",
+    oracle=f"""
+    -- the r9 NATIVE partitioned surface end-to-end: counters written
+    -- through df.write.format('minilog').option('partitionBy',
+    -- 'event_type') (task-side hive split, values in add actions),
+    -- read back through the native reader with an event_type filter
+    -- (directory-level pruning via pushFilters — pruned_ok asserts 2
+    -- of 10 files at the reader) and withRowIds (ids_ok pins one
+    -- distinct non-NULL stable id per row through the native scan).
+    WITH c AS ({_COUNTERS_SQL}),
+    e AS (SELECT min(event_type) AS et FROM events)
+    SELECT c.event_type, c.d, c.n, true AS pruned_ok, true AS ids_ok
+    FROM c, e WHERE c.event_type = e.et
+    """,
+)
+def src_minilog_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIVE-PARTITIONED NATIVE SURFACE (r9): the whole round-trip a
+    Spark-only consumer gets — ``df.write.format("minilog")`` with the
+    ``partitionBy`` option (write tasks split their Arrow batches per
+    value, land files under ``col=value/``, record the values in add
+    actions), then ``spark.read.format("minilog")`` where an
+    ``event_type`` predicate reaches the reader through Spark 4.1's
+    pushFilters hook and prunes DIRECTORIES before any file is
+    scheduled, composed with ``withRowIds`` (the reader re-derives each
+    row's stable id executor-side: base_row_id + parquet position,
+    materialized ``__row_id`` override).
+
+    pruned_ok is asserted at the READER level (partitions() under the
+    pushed equality keeps exactly the predicate's partition: 2 of 10
+    files); ids_ok pins that the native scan hands every row a
+    distinct non-NULL id. 100 TB story: both the write split and the
+    id computation are per-task Arrow work; the pruning is O(#files)
+    driver metadata with zero data IO for non-matching partitions."""
+    from pyspark.sql.datasource import EqualTo
+
+    from ..sources.minilog_source import _MiniLogBatchReader, register
+
+    register(spark)
+    tbl, ready = _staged(spark, sf_dir, "minilog_partitioned")
+    if not ready:
+        c = _day_counters(spark, sf_dir).coalesce(1)
+        for half in (
+            c.filter(F.col("d") <= 15),
+            c.filter((F.col("d") > 15) | F.col("d").isNull()),
+        ):
+            (
+                half.write.format("minilog")
+                .mode("append")
+                .option("partitionBy", "event_type")
+                .option("statsCols", "d")
+                .save(tbl.path)
+            )
+        _mark_ready(tbl, sf_dir)
+    et = _day_counters(spark, sf_dir).agg(
+        F.min("event_type")
+    ).collect()[0][0]
+    rdr = _MiniLogBatchReader(tbl.path, {})
+    rdr.pushFilters([EqualTo(("event_type",), et)])
+    scanned = len([p for p in rdr.partitions() if p.path])
+    total = len(tbl.select_files())
+    pruned_ok = total == 10 and scanned == 2
+    back = (
+        spark.read.format("minilog")
+        .option("withRowIds", "true")
+        .load(tbl.path)
+        .filter(F.col("event_type") == et)
+    )
+    n_rows = back.count()
+    ids_ok = (
+        back.filter(F.col("_row_id").isNotNull())
+        .select("_row_id")
+        .distinct()
+        .count()
+        == n_rows
+    )
+    return back.select(
+        "event_type",
+        "d",
+        "n",
+        F.lit(bool(pruned_ok)).alias("pruned_ok"),
+        F.lit(bool(ids_ok)).alias("ids_ok"),
+    )
+
+
+@query(
     "snk_minilog_dsv2_write",
     oracle=f"""
     -- the NATIVE WRITE path (df.write.format("minilog")): two appends

@@ -118,7 +118,8 @@ _GATE_PRIORITY: list[str] = [
     # --- rows). Leading slots: the ops ADDED in round 9 — row
     # --- tracking (stable row ids + update-linked change feed) and
     # --- the hive-partitioned table layout.
-    "tx_row_tracking", "tx_partitioned_table",
+    "tx_row_tracking", "tx_partitioned_table", "src_minilog_partitioned",
+    "stream_stateful_v2",
     # --- next: the 16 ids whose latest DRIVER row still dates to r3
     # --- (re-simmed green by the r8 judge, but the external gate
     # --- should own them again).

@@ -357,6 +357,9 @@ BUILD_RUNS_JOBS_OK = {
     # r9: partitioned-table staging + file-list pruning proofs
     # (bounded metadata counts) per call
     "tx_partitioned_table",
+    # r9: native partitioned round-trip stages via the DSv2 writer and
+    # recomputes reader-level pruning/id proofs (bounded counts)
+    "src_minilog_partitioned",
 }
 
 
