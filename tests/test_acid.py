@@ -2066,3 +2066,37 @@ def test_generated_partition_column_composition(spark, tmp_path):
     bad = spark.createDataFrame([(1, "x", 5)], "k INT, v STRING, day INT")
     with pytest.raises(ConstraintViolation):
         t.append(bad)
+
+
+def test_native_partitioned_write_enforces_constraints(spark, tmp_path):
+    """Composition of the r9 pieces: a CHECK-constrained, hive-
+    partitioned table written through the NATIVE writer — valid rows
+    land split under their partition dirs, a violating native append
+    refuses atomically (no version consumed, no orphan rows)."""
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        register,
+    )
+
+    register(spark)
+    path = str(tmp_path / "cpn")
+    t = MiniLogTable(
+        spark, path, stats_cols=("k",), partition_by=("day",)
+    )
+    t.append(
+        spark.createDataFrame([(1, 0, 5.0)], "k INT, day INT, v DOUBLE")
+    )
+    t.add_check_constraint("v_pos", "v > 0")
+    ok = spark.createDataFrame(
+        [(2, 1, 1.5), (3, 0, 2.0)], "k INT, day INT, v DOUBLE"
+    )
+    ok.coalesce(1).write.format("minilog").mode("append").save(path)
+    snap = t.snapshot()
+    assert {os.path.dirname(f.file) for f in snap.files} == {
+        "day=0", "day=1"
+    }
+    v_before = t.version
+    bad = spark.createDataFrame([(4, 1, -9.0)], "k INT, day INT, v DOUBLE")
+    with pytest.raises(Exception, match="v_pos|constraint"):
+        bad.coalesce(1).write.format("minilog").mode("append").save(path)
+    assert t.version == v_before
+    assert t.read().count() == 3
