@@ -327,6 +327,124 @@ def plan_write_mapping(
     return mapping, fresh
 
 
+def _bloom_build_pandas(pdf):
+    """Per-file bloom bitmap from the k raw-xxhash64 columns — runs
+    EXECUTOR-SIDE under applyInPandas, adaptively sized: <=
+    BLOOM_SIDECAR_NDV distinct keys get the 1 KiB in-log bitmap; past
+    that (where the fixed bitmap saturates to all-ones and skips
+    nothing) the bloom grows to ~BLOOM_BITS_PER_KEY bits per key,
+    rounded up to a power of two."""
+    import numpy as np
+    import pandas as pd
+
+    h0 = pdf["h0"].to_numpy(dtype=np.int64)
+    ndv = len(np.unique(h0))  # xxhash64 collisions: negligible
+    if ndv <= BLOOM_SIDECAR_NDV:
+        m = BLOOM_BITS
+    else:
+        m = 1 << int(np.ceil(np.log2(ndv * BLOOM_BITS_PER_KEY)))
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    for seed in range(BLOOM_K):
+        # numpy % == Spark pmod for positive m (floor mod)
+        p = np.unique(pdf[f"h{seed}"].to_numpy(dtype=np.int64) % m)
+        np.bitwise_or.at(bits, p >> 3, (1 << (p & 7)).astype(np.uint8))
+    return pd.DataFrame(
+        {
+            "f": [pdf["__f"].iloc[0]],
+            "m": [int(m)],
+            "bits": [bits.tobytes()],
+        }
+    )
+
+
+def build_bloom_stats(
+    spark: SparkSession,
+    root: str,
+    rel_files: list[str],
+    phys_cols: list[str],
+) -> dict[str, dict[str, dict]]:
+    """File-level BLOOM indexes for freshly-landed (not-yet-committed)
+    data files, shared by EVERY write path — the Python staging path
+    and the native DSv2 batch/stream writers (r9 parity: any writer
+    can maintain the point-lookup index). Per (file, col): one
+    Arrow-batched applyInPandas builds the adaptively-sized bitmap
+    executor-side (:func:`_bloom_build_pandas`); in-log hex for small
+    files, ONE sidecar parquet under ``_blooms/`` for the large ones
+    (written before the commit — a failed commit leaves it
+    unreferenced for vacuum). Returns {rel_file: {col: bloom-dict}}.
+
+    The hashes are computed BY Spark (F.xxhash64) on the landed files
+    themselves, so writer and reader can never diverge; files are read
+    WITHOUT partition discovery, so a partition column (whose bytes
+    live in directory names) simply gets no bloom — directory pruning
+    already beats it there."""
+    by_base = {os.path.basename(f): f for f in rel_files}
+    df = spark.read.parquet(
+        *[os.path.join(root, f) for f in rel_files]
+    )
+    blooms: dict[str, dict[str, dict]] = {}
+    side_rows: list[tuple] = []  # (rel_file, col, m, bits)
+    for c in phys_cols:
+        if c not in df.columns:
+            continue
+        hdf = df.filter(F.col(c).isNotNull()).select(
+            F.input_file_name().alias("__f"),
+            *[
+                F.xxhash64(F.col(c), F.lit(seed)).alias(f"h{seed}")
+                for seed in range(BLOOM_K)
+            ],
+        )
+        rows = (
+            hdf.groupBy("__f")
+            .applyInPandas(
+                _bloom_build_pandas, "f string, m long, bits binary"
+            )
+            .collect()
+        )
+        for r in rows:
+            base = os.path.basename(
+                unquote(r["f"][5:] if r["f"].startswith("file:") else r["f"])
+            )
+            rel = by_base.get(base)
+            if rel is None:  # pragma: no cover - defensive
+                continue
+            m = int(r["m"])
+            if m == BLOOM_BITS:
+                blooms.setdefault(rel, {})[c] = {
+                    "k": BLOOM_K,
+                    "m": m,
+                    "hex": bytes(r["bits"]).hex(),
+                }
+            else:
+                side_rows.append((rel, c, m, bytes(r["bits"])))
+    if side_rows:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        side_name = os.path.join(
+            BLOOM_DIR, f"{uuid.uuid4().hex}.parquet"
+        )
+        os.makedirs(os.path.join(root, BLOOM_DIR), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "file": [k[0] for k in side_rows],
+                    "col": [k[1] for k in side_rows],
+                    "m": [k[2] for k in side_rows],
+                    "bits": [k[3] for k in side_rows],
+                }
+            ),
+            os.path.join(root, side_name),
+        )
+        for rel, c, m, _bits in side_rows:
+            blooms.setdefault(rel, {})[c] = {
+                "k": BLOOM_K,
+                "m": m,
+                "sidecar": side_name,
+            }
+    return blooms
+
+
 class MiniLogTable:
     """Handle on one MiniLog table rooted at ``path``.
 
@@ -1113,86 +1231,11 @@ class MiniLogTable:
             .agg(*aggs)
             .collect()
         }
-        # file-level BLOOM indexes: per (file, col), a bitmap of every
-        # non-NULL value's BLOOM_K xxhash64 bit positions, built
-        # EXECUTOR-SIDE (one Arrow-batched applyInPandas per indexed
-        # column, grouped by file) and ADAPTIVELY SIZED: files at or
-        # under BLOOM_SIDECAR_NDV distinct keys get the 1 KiB in-log
-        # hex bitmap (riding checkpoints/CDF/restore/clone/column-
-        # mapping for free); past that — where the fixed bitmap
-        # saturates to all-ones and skips nothing — the bloom grows to
-        # ~BLOOM_BITS_PER_KEY bits/key (next power of two) and lands
-        # in ONE sidecar parquet per staged write under _blooms/,
-        # referenced from the add action (the Delta bloom-index
-        # shape). Only (#files) small rows ever reach the driver.
-        blooms: dict[str, dict[str, dict]] = {}
-        side_rows: list[tuple] = []  # (staged part, col, m, bits)
-
-        def _build_bloom(pdf):
-            import numpy as np
-            import pandas as pd
-
-            h0 = pdf["h0"].to_numpy(dtype=np.int64)
-            ndv = len(np.unique(h0))  # xxhash64 collisions: negligible
-            if ndv <= BLOOM_SIDECAR_NDV:
-                m = BLOOM_BITS
-            else:
-                m = 1 << int(
-                    np.ceil(np.log2(ndv * BLOOM_BITS_PER_KEY))
-                )
-            bits = np.zeros(m // 8, dtype=np.uint8)
-            for seed in range(BLOOM_K):
-                # numpy % == Spark pmod for positive m (floor mod)
-                p = np.unique(
-                    pdf[f"h{seed}"].to_numpy(dtype=np.int64) % m
-                )
-                np.bitwise_or.at(
-                    bits, p >> 3, (1 << (p & 7)).astype(np.uint8)
-                )
-            return pd.DataFrame(
-                {
-                    "f": [pdf["__f"].iloc[0]],
-                    "m": [int(m)],
-                    "bits": [bits.tobytes()],
-                }
-            )
-
-        for c in (mapping.get(b, b) for b in self.bloom_cols):
-            if c not in staged.columns:
-                continue
-            hdf = staged.filter(F.col(c).isNotNull()).select(
-                F.input_file_name().alias("__f"),
-                *[
-                    F.xxhash64(F.col(c), F.lit(seed)).alias(f"h{seed}")
-                    for seed in range(BLOOM_K)
-                ],
-            )
-            rows = (
-                hdf.groupBy("__f")
-                .applyInPandas(_build_bloom, "f string, m long, bits binary")
-                .collect()
-            )
-            for r in rows:
-                part, m = _rel(r["f"]), int(r["m"])
-                if m == BLOOM_BITS:
-                    blooms.setdefault(part, {})[c] = {
-                        "k": BLOOM_K,
-                        "m": m,
-                        "hex": bytes(r["bits"]).hex(),
-                    }
-                else:
-                    side_rows.append((part, c, m, bytes(r["bits"])))
-        side_name = (
-            os.path.join(BLOOM_DIR, f"{uuid.uuid4().hex}.parquet")
-            if side_rows
-            else None
-        )
-        for part, c, m, _bits in side_rows:
-            blooms.setdefault(part, {})[c] = {
-                "k": BLOOM_K,
-                "m": m,
-                "sidecar": side_name,
-            }
+        bloom_phys = [
+            mapping.get(b, b)
+            for b in self.bloom_cols
+            if mapping.get(b, b) in staged.columns
+        ]
         actions = []
         final_name: dict[str, str] = {}
         for part in parts:
@@ -1216,8 +1259,6 @@ class MiniLogTable:
                 for c in phys_stats
                 if f"__min_{c}" in r.asDict()
             }
-            for c, b in blooms.get(part, {}).items():
-                stats.setdefault(c, {})["bloom"] = b
             action = {
                 "type": "add",
                 "file": name,
@@ -1229,34 +1270,17 @@ class MiniLogTable:
                     p: _json_safe(r[f"__pv_{p}"]) for p in pcols
                 }
             actions.append(action)
-        if side_name is not None:
-            # one sidecar parquet for the whole staged write, keyed by
-            # the FINAL data-file names; written before the commit —
-            # a failed commit leaves it unreferenced and vacuum reaps
-            # it like any orphaned data file
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            keep = [
-                (final_name[part], c, m, bits)
-                for part, c, m, bits in side_rows
-                if part in final_name
-            ]
-            os.makedirs(
-                os.path.join(self.path, BLOOM_DIR), exist_ok=True
-            )
-            pq.write_table(
-                pa.table(
-                    {
-                        "file": [k[0] for k in keep],
-                        "col": [k[1] for k in keep],
-                        "m": [k[2] for k in keep],
-                        "bits": [k[3] for k in keep],
-                    }
-                ),
-                os.path.join(self.path, side_name),
-            )
         shutil.rmtree(staging)
+        if bloom_phys and actions:
+            blooms = build_bloom_stats(
+                self.spark,
+                self.path,
+                [a["file"] for a in actions],
+                bloom_phys,
+            )
+            for a in actions:
+                for c, b in blooms.get(a["file"], {}).items():
+                    a["stats"].setdefault(c, {})["bloom"] = b
         return actions
 
     @staticmethod
@@ -2228,6 +2252,69 @@ class MiniLogTable:
         return inserts.unionAll(deletes).unionAll(pre).unionAll(post)
 
     # ----------------------------------------------------------- optimize
+    def build_bloom_index(self, cols: tuple = ()) -> dict:
+        """BACKFILL bloom indexes for live files missing them (r9):
+        the maintenance leg that gives NATIVE-written tables the same
+        point-lookup skipping the Python staging path stamps at write
+        time. The DSv2 writer's commit hook runs in a session-less
+        Python worker, so it cannot run the Spark hash job the bloom
+        contract requires (probe hashes MUST be Spark's own xxhash64 —
+        a reimplementation would silently diverge); instead, this call
+        (which has a full session) scans only the files LACKING a
+        bloom on the requested columns and commits one stats-refresh
+        entry: remove+add of the same file names with bloom-enriched
+        stats. Same file + same DV on both sides means the change feed
+        nets NOTHING (CDF-invisible, like Delta's stats recompute);
+        base_row_id/partition ride unchanged, so row ids are stable;
+        and the commit is conflict-checked like any rewrite — racing
+        data changes win.
+
+        ``cols`` defaults to this handle's ``bloom_cols``. Returns
+        {"indexed": n_files, "version": v}. Incremental by
+        construction: already-indexed files are never rescanned."""
+        want = tuple(cols or self.bloom_cols)
+        if not want:
+            return {"indexed": 0, "version": self.version}
+        snap = self.snapshot()
+        phys = [snap.physical_of(c) for c in want]
+        todo = [
+            f
+            for f in snap.files
+            if any(
+                "bloom" not in (f.stats.get(p) or {}) for p in phys
+            )
+        ]
+        if not todo:
+            return {"indexed": 0, "version": snap.version}
+        blooms = build_bloom_stats(
+            self.spark, self.path, [f.file for f in todo], phys
+        )
+        actions: list[dict] = []
+        for f in todo:
+            stats = {c: dict(s) for c, s in f.stats.items()}
+            for c, b in blooms.get(f.file, {}).items():
+                stats.setdefault(c, {})["bloom"] = b
+            actions.append(
+                {"type": "remove", "file": f.file, "base_dv": f.dv}
+            )
+            actions.append(
+                {
+                    "type": "add",
+                    "file": f.file,
+                    "rows": f.rows,
+                    "stats": stats,
+                    "dv": f.dv,
+                    "dv_rows": f.dv_rows,
+                    # explicit: an add WITHOUT base_row_id would be
+                    # assigned a FRESH id range at commit — this is a
+                    # stats refresh, ids must not move
+                    "base_row_id": f.base_row_id,
+                    "partition": f.partition,
+                }
+            )
+        v = self._try_commit("bloom_index", actions)
+        return {"indexed": len(todo), "version": v}
+
     def optimize(
         self, target_rows: int = 1_000_000, where: Optional[object] = None
     ) -> dict:

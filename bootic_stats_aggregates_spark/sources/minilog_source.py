@@ -1325,6 +1325,7 @@ class MiniLogDataSource(DataSource):
         raw = self.options.get("partitionby", "")
         return tuple(c.strip() for c in raw.split(",") if c.strip())
 
+
     def writer(self, schema, overwrite: bool) -> _MiniLogArrowWriter:
         merge = (
             str(self.options.get("mergeschema", "false")).lower() == "true"

@@ -2100,3 +2100,67 @@ def test_native_partitioned_write_enforces_constraints(spark, tmp_path):
         bad.coalesce(1).write.format("minilog").mode("append").save(path)
     assert t.version == v_before
     assert t.read().count() == 3
+
+
+def test_build_bloom_index_backfills_native_written_tables(
+    spark, tmp_path
+):
+    """r9: the DSv2 writers cannot run the Spark hash job the bloom
+    contract requires (session-less commit worker), so natively-written
+    tables get their point-lookup index from the build_bloom_index
+    maintenance call: only files LACKING a bloom are scanned, the
+    stats-refresh commit is CDF-invisible (same files, same DVs), row
+    ids never move, and the call is idempotent."""
+    from bootic_stats_aggregates_spark.acid import BLOOM_BITS
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        register,
+    )
+
+    register(spark)
+    path = str(tmp_path / "bb")
+    import pyspark.sql.functions as F
+
+    small = spark.range(100).select(
+        (F.col("id") * 2 + 1).alias("u"), F.lit("x").alias("v")
+    )
+    small.coalesce(1).write.format("minilog").mode("append").save(path)
+    big = spark.range(20_000).select(
+        (F.col("id") * 2 + 201).alias("u"), F.lit("y").alias("v")
+    )
+    big.coalesce(1).write.format("minilog").mode("append").save(path)
+    tbl = MiniLogTable(spark, path, bloom_cols=("u",))
+    tbl.delete_where_dv("u", 1, 1)  # a DV must survive the backfill
+    assert all(
+        "bloom" not in f.stats.get("u", {})
+        for f in tbl.snapshot().files
+    )
+    ids0 = {
+        r["u"]: r["_row_id"] for r in tbl.read_with_row_ids().collect()
+    }
+    v0 = tbl.version
+    info = tbl.build_bloom_index()
+    assert info["indexed"] == 2
+    snap = tbl.snapshot()
+    kinds = {
+        ("sidecar" if "sidecar" in f.stats["u"]["bloom"] else "hex")
+        for f in snap.files
+    }
+    assert kinds == {"hex", "sidecar"}  # adaptive sizing per file
+    assert any(
+        f.stats["u"]["bloom"].get("m", 0) > BLOOM_BITS
+        for f in snap.files
+    )
+    # skipping works; DV still masks u=1
+    assert len(tbl.select_files(point=("u", 2))) == 0
+    assert tbl.read(point=("u", 3)).count() == 1
+    assert tbl.read(point=("u", 1)).count() == 0
+    # stats refresh is CDF-invisible and id-stable
+    assert tbl.changes(v0, tbl.version).count() == 0
+    ids1 = {
+        r["u"]: r["_row_id"] for r in tbl.read_with_row_ids().collect()
+    }
+    assert ids1 == ids0
+    # idempotent: nothing left to index
+    assert tbl.build_bloom_index() == {
+        "indexed": 0, "version": tbl.version,
+    }
