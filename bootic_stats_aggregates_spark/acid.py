@@ -2409,6 +2409,7 @@ class MiniLogTable:
         cols: tuple[str, str],
         target_files: int = 16,
         bits: int = 8,
+        where: Optional[object] = None,
     ) -> dict:
         """OPTIMIZE ZORDER BY: rewrite the WHOLE table clustered on the
         Morton interleave of two columns, as one atomic remove+add
@@ -2432,21 +2433,31 @@ class MiniLogTable:
         it rides the standard conflict matrix — a z-order racing ANY
         data-changing commit aborts with ConcurrentModification rather
         than resurrecting rows. Delta's OPTIMIZE ZORDER has the same
-        "maintenance loses to data" policy."""
+        "maintenance loses to data" policy.
+
+        ``where=(col, lo, hi)`` (or a list of triples) SCOPES the
+        rewrite to the matching files — on a partitioned table,
+        ``where=(partition_col, v, v)`` re-clusters ONE partition while
+        every other partition's files stay untouched (the
+        ``OPTIMIZE ... WHERE ... ZORDER BY`` shape: at 100 TB nobody
+        re-clusters the whole table, they z-order the partitions the
+        hot queries hit). Bucket bounds come from the SCOPED files, so
+        the z-resolution adapts to the scope's own value range."""
         from .layout import _interleave_sql
 
         snap = self.snapshot()
-        if not snap.files:
+        scope = self._select_entries(snap, self._normalize_prune(where))
+        if not scope:
             return {"version": snap.version, "rewritten": 0}
         # row tracking: ids ride the re-clustering as a materialized
         # column — a Z-ORDER rewrite moves rows between files freely
         # while every row keeps its id
-        df = self._read_entries_with_ids(snap.files, snap.schema)
+        df = self._read_entries_with_ids(scope, snap.schema)
 
         def bounds(col: str) -> tuple[Any, Any]:
             p = snap.physical_of(col)
-            mins = [f.stats.get(p, {}).get("min") for f in snap.files]
-            maxs = [f.stats.get(p, {}).get("max") for f in snap.files]
+            mins = [f.stats.get(p, {}).get("min") for f in scope]
+            maxs = [f.stats.get(p, {}).get("max") for f in scope]
             if all(v is not None for v in mins + maxs):
                 return min(mins), max(maxs)  # pure metadata
             row = df.agg(
@@ -2480,10 +2491,11 @@ class MiniLogTable:
             mapping=_mapping_of(snap.schema),
             partition_cols=tuple(snap.partition_cols),
         ) + [
-            {"type": "remove", "file": f.file, "base_dv": f.dv} for f in snap.files
+            {"type": "remove", "file": f.file, "base_dv": f.dv}
+            for f in scope
         ]
         v = self._try_commit("zorder", actions)
-        return {"version": v, "rewritten": len(snap.files)}
+        return {"version": v, "rewritten": len(scope)}
 
     # ------------------------------------------------------------- vacuum
     def vacuum(

@@ -2164,3 +2164,43 @@ def test_build_bloom_index_backfills_native_written_tables(
     assert tbl.build_bloom_index() == {
         "indexed": 0, "version": tbl.version,
     }
+
+
+def test_zorder_scoped_to_partition(spark, ptbl):
+    """optimize_zorder(where=...) re-clusters ONLY the matching
+    partition: other partitions' files are bit-identical afterwards,
+    the scoped rewrite stays inside its hive directory, row ids
+    survive, and pruning on the scoped partition's stats works."""
+    rows = [
+        (i, d, f"v{i}-{d}") for d in (0, 1) for i in range(8)
+    ]
+    ptbl.append(_pdf(spark, rows), target_files=4)
+    ptbl.append(
+        _pdf(spark, [(100 + i, 0, "w") for i in range(8)]),
+        target_files=4,
+    )
+    snap0 = ptbl.snapshot()
+    day1_before = {
+        f.file for f in snap0.files if f.partition["day"] == 1
+    }
+    ids0 = {
+        r["k"]: r["_row_id"] for r in ptbl.read_with_row_ids().collect()
+    }
+    info = ptbl.optimize_zorder(("k", "k"), target_files=2,
+                                where=("day", 0, 0))
+    assert info["rewritten"] > 0
+    snap1 = ptbl.snapshot()
+    day1_after = {
+        f.file for f in snap1.files if f.partition["day"] == 1
+    }
+    assert day1_before == day1_after  # untouched
+    assert all(
+        os.path.dirname(f.file) == "day=0"
+        for f in snap1.files
+        if f.partition["day"] == 0
+    )
+    assert {
+        r["k"]: r["_row_id"] for r in ptbl.read_with_row_ids().collect()
+    } == ids0
+    got = sorted(r["k"] for r in ptbl.read(prune=("day", 0, 0)).collect())
+    assert got == sorted([i for i in range(8)] + [100 + i for i in range(8)])
