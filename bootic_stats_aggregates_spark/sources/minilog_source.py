@@ -386,6 +386,10 @@ class _MiniLogStreamReader(DataSourceStreamReader):
         self._fail_on_data_loss = (
             str(options.get("failondataloss", "true")).lower() != "false"
         )
+        #: ROW TRACKING on the tail (r9): emit each row's stable id —
+        #: a keyed downstream consumer (SCD state, incremental join)
+        #: links rows across batches without guessing by business key
+        self._with_row_ids = _with_row_ids(options)
 
     def initialOffset(self) -> dict:
         # tail from the table's beginning: a bootstrap consumer sees
@@ -423,6 +427,7 @@ class _MiniLogStreamReader(DataSourceStreamReader):
         versions = tbl._versions()
         oldest = versions[0] if versions else 0
         first = start["version"] + 1
+        rids = self._with_row_ids
         boot = start.get("bootstrap")
         if boot is not None and first <= boot <= end["version"]:
             # fresh stream on a vacuum-truncated table: the first batch
@@ -434,6 +439,8 @@ class _MiniLogStreamReader(DataSourceStreamReader):
                         schema,
                         os.path.join(self._path, f.dv) if f.dv else None,
                         f.partition or None,
+                        f.base_row_id,
+                        rids,
                     )
                 )
             first = boot + 1
@@ -463,6 +470,8 @@ class _MiniLogStreamReader(DataSourceStreamReader):
                         schema,
                         os.path.join(self._path, f.dv) if f.dv else None,
                         f.partition or None,
+                        f.base_row_id,
+                        rids,
                     )
                 )
             first = oldest + 1
@@ -490,9 +499,11 @@ class _MiniLogStreamReader(DataSourceStreamReader):
                             if a.get("dv")
                             else None,
                             a.get("partition") or None,
+                            a.get("base_row_id"),
+                            rids,
                         )
                     )
-        return parts or [_FilePartition("", schema)]
+        return parts or [_FilePartition("", schema, with_row_ids=rids)]
 
     def read(self, partition: _FilePartition):
         if not partition.path:

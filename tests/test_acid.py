@@ -2204,3 +2204,37 @@ def test_zorder_scoped_to_partition(spark, ptbl):
     } == ids0
     got = sorted(r["k"] for r in ptbl.read(prune=("day", 0, 0)).collect())
     assert got == sorted([i for i in range(8)] + [100 + i for i in range(8)])
+
+
+def test_minilog_stream_with_row_ids(spark, tmp_path):
+    """The tail STREAM can emit stable row ids too: readStream with
+    withRowIds appends _row_id per emitted row, matching the batch
+    path — the keyed incremental consumer's tail."""
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        register,
+    )
+
+    register(spark)
+    path = str(tmp_path / "strid")
+    tbl = MiniLogTable(spark, path, stats_cols=("k",))
+    tbl.append(_df(spark, [(1, "a"), (2, "b")]))
+    tbl.append(_df(spark, [(3, "c")]))
+    q = (
+        spark.readStream.format("minilog")
+        .option("withRowIds", "true")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName("t_rid_tail")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["k"]: r["_row_id"] for r in spark.table("t_rid_tail").collect()
+    }
+    want = {
+        r["k"]: r["_row_id"] for r in tbl.read_with_row_ids().collect()
+    }
+    assert got == want and len(got) == 3
