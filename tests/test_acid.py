@@ -2171,8 +2171,8 @@ def test_zorder_scoped_to_partition(spark, ptbl):
     partition: other partitions' files are bit-identical afterwards,
     the scoped rewrite stays inside its hive directory, row ids
     survive, and pruning on the scoped partition's stats works."""
-    rows = [
-        (i, d, f"v{i}-{d}") for d in (0, 1) for i in range(8)
+    rows = [  # k unique across partitions (the {k: id} maps below)
+        (i + 10 * d, d, f"v{i}-{d}") for d in (0, 1) for i in range(8)
     ]
     ptbl.append(_pdf(spark, rows), target_files=4)
     ptbl.append(
