@@ -2252,6 +2252,83 @@ class MiniLogTable:
         return inserts.unionAll(deletes).unionAll(pre).unionAll(post)
 
     # ----------------------------------------------------------- optimize
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL: the table's operational summary as one
+        driver-side metadata fold — version, file/row/byte counts,
+        partition columns, constraints, generated columns, row-id
+        watermark, deletion-vector and bloom-sidecar presence. The
+        first thing an operator looks at before maintenance; O(#files)
+        stat calls, zero data IO."""
+        snap = self.snapshot()
+        n_bytes = 0
+        for f in snap.files:
+            try:
+                n_bytes += os.path.getsize(os.path.join(self.path, f.file))
+            except OSError:
+                pass
+        sidecars = {
+            (s.get("bloom") or {}).get("sidecar")
+            for f in snap.files
+            for s in f.stats.values()
+        } - {None}
+        return {
+            "version": snap.version,
+            "num_files": len(snap.files),
+            "num_rows": sum(f.rows - f.dv_rows for f in snap.files),
+            "size_bytes": n_bytes,
+            "partition_columns": list(snap.partition_cols),
+            "constraints": dict(snap.constraints),
+            "generated_columns": dict(snap.generated),
+            "row_watermark": snap.row_watermark,
+            "num_files_with_dv": sum(1 for f in snap.files if f.dv),
+            "num_bloom_sidecars": len(sidecars),
+            "schema": [c["name"] for c in (snap.schema or [])],
+        }
+
+    def show_partitions(self) -> DataFrame:
+        """SHOW PARTITIONS: one row per live partition value with its
+        file/row/byte footprint — pure log metadata turned into a
+        DataFrame (createDataFrame over O(#partitions) rows, no data
+        files opened). Raises on an unpartitioned table, like Spark's
+        own SHOW PARTITIONS."""
+        snap = self.snapshot()
+        if not snap.partition_cols:
+            raise ValueError(
+                "show_partitions: table is not partitioned"
+            )
+        agg: dict[tuple, list] = {}
+        for f in snap.files:
+            key = tuple(
+                f.partition.get(snap.physical_of(c))
+                for c in snap.partition_cols
+            )
+            row = agg.setdefault(key, [0, 0, 0])
+            row[0] += 1
+            row[1] += f.rows - f.dv_rows
+            try:
+                row[2] += os.path.getsize(
+                    os.path.join(self.path, f.file)
+                )
+            except OSError:
+                pass
+        cols = ", ".join(
+            f"`{c}` STRING" for c in snap.partition_cols
+        )
+        data = [
+            tuple(
+                [None if v is None else str(v) for v in key]
+                + [n, r, b]
+            )
+            for key, (n, r, b) in sorted(
+                agg.items(), key=lambda kv: tuple(map(str, kv[0]))
+            )
+        ]
+        return self.spark.createDataFrame(
+            data,
+            f"{cols}, num_files BIGINT, num_rows BIGINT, "
+            "size_bytes BIGINT",
+        )
+
     def build_bloom_index(self, cols: tuple = ()) -> dict:
         """BACKFILL bloom indexes for live files missing them (r9):
         the maintenance leg that gives NATIVE-written tables the same

@@ -2238,3 +2238,26 @@ def test_minilog_stream_with_row_ids(spark, tmp_path):
         r["k"]: r["_row_id"] for r in tbl.read_with_row_ids().collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_detail_and_show_partitions(spark, ptbl, tbl):
+    """DESCRIBE DETAIL / SHOW PARTITIONS: the operational metadata
+    surface — pure log folds, one row per partition, DV-masked rows
+    excluded from counts, zero data files opened."""
+    ptbl.append(_pdf(spark, [(i, i % 2, "a") for i in range(10)]))
+    ptbl.delete_where_dv("k", 0, 0)  # masks one day=0 row
+    d = ptbl.detail()
+    assert d["partition_columns"] == ["day"]
+    assert d["num_rows"] == 9 and d["num_files_with_dv"] == 1
+    assert d["schema"] == ["k", "day", "v"]
+    assert d["row_watermark"] == 10
+    parts = {
+        r["day"]: (r["num_files"], r["num_rows"])
+        for r in ptbl.show_partitions().collect()
+    }
+    assert parts == {"0": (1, 4), "1": (1, 5)}
+    # unpartitioned: detail works, show_partitions refuses
+    tbl.append(_df(spark, [(1, "a")]))
+    assert tbl.detail()["partition_columns"] == []
+    with pytest.raises(ValueError, match="not partitioned"):
+        tbl.show_partitions()
