@@ -1237,14 +1237,12 @@ class MiniLogTable:
             if mapping.get(b, b) in staged.columns
         ]
         actions = []
-        final_name: dict[str, str] = {}
         for part in parts:
             r = stat_rows.get(part)
             if r is None or r["__rows"] == 0:
                 continue  # empty part file: nothing to add
             subdir = os.path.dirname(part)  # "d=5" chain, "" when flat
             name = os.path.join(subdir, f"{uuid.uuid4().hex}.parquet")
-            final_name[part] = name
             if subdir:
                 os.makedirs(
                     os.path.join(self.path, subdir), exist_ok=True
@@ -2353,7 +2351,18 @@ class MiniLogTable:
         if not want:
             return {"indexed": 0, "version": self.version}
         snap = self.snapshot()
-        phys = [snap.physical_of(c) for c in want]
+        # partition columns can NEVER receive a bloom — their bytes
+        # live in directory names, not in the files (and directory
+        # pruning already beats a bloom there). Excluding them up
+        # front (ADVICE r9 low) keeps the call convergent: without
+        # this, such files stayed in `todo` forever and every call
+        # committed another no-op stats-refresh version.
+        pset = {snap.physical_of(c) for c in snap.partition_cols}
+        phys = [
+            p
+            for p in (snap.physical_of(c) for c in want)
+            if p not in pset
+        ]
         todo = [
             f
             for f in snap.files
@@ -2361,13 +2370,21 @@ class MiniLogTable:
                 "bloom" not in (f.stats.get(p) or {}) for p in phys
             )
         ]
-        if not todo:
+        if not todo or not phys:
             return {"indexed": 0, "version": snap.version}
         blooms = build_bloom_stats(
             self.spark, self.path, [f.file for f in todo], phys
         )
+        # a file may still come back bloom-less (column absent from
+        # its parquet schema — pre-evolution files — or all-NULL):
+        # committing a remove+add for it would refresh nothing and
+        # recur on every call, so only files that actually GAINED a
+        # bloom enter the commit; zero gains = zero commits.
+        gained = [f for f in todo if blooms.get(f.file)]
+        if not gained:
+            return {"indexed": 0, "version": snap.version}
         actions: list[dict] = []
-        for f in todo:
+        for f in gained:
             stats = {c: dict(s) for c, s in f.stats.items()}
             for c, b in blooms.get(f.file, {}).items():
                 stats.setdefault(c, {})["bloom"] = b
@@ -2390,7 +2407,7 @@ class MiniLogTable:
                 }
             )
         v = self._try_commit("bloom_index", actions)
-        return {"indexed": len(todo), "version": v}
+        return {"indexed": len(gained), "version": v}
 
     def optimize(
         self, target_rows: int = 1_000_000, where: Optional[object] = None

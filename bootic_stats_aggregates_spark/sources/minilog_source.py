@@ -742,15 +742,34 @@ class _MiniLogCommitMessage(WriterCommitMessage):
     actions: list
 
 
+#: the exact character set Spark's escapePathName escapes (catalyst
+#: ExternalCatalogUtils, cloned from Hive FileUtils): ASCII control
+#: chars, the hive/path metacharacters, and DEL. Everything ELSE —
+#: including non-ASCII — is written literally, because Spark's
+#: unescapePathName decodes each %xx pair as ONE character: quoting
+#: 'é' as UTF-8 byte pairs ('%C3%A9') would read back as 'Ã©' and
+#: disagree with the add-action partition metadata (ADVICE r9 medium).
+_HIVE_ESCAPE = frozenset(
+    [chr(c) for c in range(0x01, 0x20)]
+    + ['"', "#", "%", "'", "*", "/", ":", "=", "?", "\\", "\x7f",
+       "{", "[", "]", "^"]
+)
+
+
 def _hive_dir(col: str, val) -> str:
     """One ``col=value`` path segment, hive-escaped the way Spark's own
     partitionBy writes it (so the Python path's basePath partition
-    discovery reads both layouts identically)."""
-    from urllib.parse import quote
-
+    discovery reads both layouts identically): each character of
+    Spark's escape set becomes ``%XX`` (uppercase hex of its code
+    point), all other characters — non-ASCII included — stay literal,
+    matching escapePathName/unescapePathName byte for byte."""
     if val is None:
         return f"{col}=__HIVE_DEFAULT_PARTITION__"
-    return f"{col}={quote(str(val), safe='')}"
+    escaped = "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch
+        for ch in str(val)
+    )
+    return f"{col}={escaped}"
 
 
 def _land_arrow_file(
@@ -891,7 +910,22 @@ def _validate_arrow_batch(
     acid._validate_constraints exactly: a row violates a CHECK when the
     predicate is not TRUE (NULL violates), and a provided generated
     column must be null-safely equal to its expression on every row.
-    Runs on LOGICAL column names (before the physical rename)."""
+    Runs on LOGICAL column names (before the physical rename).
+
+    SUPPORTED EXPRESSION SUBSET (ADVICE r9 low): DuckDB standing in
+    for Spark is sound only where the two engines' ANSI semantics
+    coincide, so constraint/generated expressions on natively-written
+    tables must stay inside the subset both evaluate identically —
+    comparisons (=, <, >, <=, >=, <>, IS [NOT] NULL, BETWEEN, IN),
+    boolean connectives with three-valued logic, +,-,* on
+    integers/decimals, string concatenation via ``concat``/``||``,
+    ``length``, ``upper``/``lower``, ``substring``, ``coalesce``,
+    ``abs``, and CASE WHEN. tests/test_acid.py's
+    divergence-probe test pins agreement on this subset (plus the
+    divergence-PRONE shapes: int `/` is FLOAT division in both
+    engines; ``//``/``div`` and engine-specific casts are OUTSIDE the
+    subset). Expressions outside the subset belong on the Python
+    write path (MiniLogTable.append), whose validation IS Spark."""
     if not (constraints or gen_checks):
         return
     import duckdb

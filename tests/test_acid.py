@@ -1892,6 +1892,146 @@ def test_minilog_datasource_partitioned_write_read(spark, tmp_path):
         ).save(flat)
 
 
+def test_native_partition_values_non_ascii_roundtrip(spark, tmp_path):
+    """ADVICE r9 medium: _hive_dir must escape exactly Spark's
+    escapePathName set — percent-encoding non-ASCII as UTF-8 byte
+    pairs ('é' -> '%C3%A9') reads back corrupted ('Ã©') through
+    Spark's per-char unescape. Pin: native DSv2 partitioned writes of
+    non-ASCII/special-char partition values land byte-identically to
+    Spark's own partitionBy layout, round-trip through BOTH read
+    paths, and agree with the add-action partition metadata."""
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        _hive_dir,
+        register,
+    )
+
+    register(spark)
+    vals = ["é", "naïve café", "日本語", "a/b", "e=f", "q'r", "pct%20"]
+    # byte-parity with Spark's own partitionBy directory names
+    ref = str(tmp_path / "ref")
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k INT, tag STRING"
+    )
+    df.coalesce(1).write.partitionBy("tag").parquet(ref)
+    spark_dirs = sorted(n for n in os.listdir(ref) if n.startswith("tag="))
+    assert spark_dirs == sorted(_hive_dir("tag", v) for v in vals)
+    # native write -> both read paths -> original values
+    path = str(tmp_path / "npue")
+    df.coalesce(1).write.format("minilog").mode("append").option(
+        "partitionBy", "tag"
+    ).save(path)
+    native = sorted(
+        (r["k"], r["tag"])
+        for r in spark.read.format("minilog").load(path).collect()
+    )
+    assert native == sorted((i, v) for i, v in enumerate(vals))
+    tbl = MiniLogTable(spark, path)
+    python = sorted((r["k"], r["tag"]) for r in tbl.read().collect())
+    assert python == native
+    # directory-derived values == add-action partition metadata
+    snap = tbl.snapshot()
+    assert sorted(f.partition["tag"] for f in snap.files) == sorted(vals)
+    for v in vals:
+        assert len(tbl.select_files(prune=("tag", v, v))) == 1
+
+
+def test_native_validation_expression_subset_agrees_with_spark(
+    spark, tmp_path
+):
+    """ADVICE r9 low: the native writer validates CHECK/generated
+    expressions with DuckDB while the Python path validates with
+    Spark — sound only where the engines agree. Probe the documented
+    subset (and the divergence-prone shapes: int division, implicit
+    string->int comparison, overflow-adjacent arithmetic) on a batch
+    engineered to disagree if either engine strays: both sides must
+    accept/reject identically."""
+    import duckdb
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 7, "7", 2.5, None),
+        (2, -3, "-3", -0.5, "x"),
+        (3, 0, "0", 0.0, ""),
+        # NOT 2**31-1: at the int boundary ANSI Spark RAISES on
+        # abs(i)+1 (as does DuckDB) — overflow-raising inputs are part
+        # of why boundary arithmetic sits OUTSIDE the documented subset
+        (4, 123456789, "123456789", 1e15, "yy"),
+        (5, None, None, None, None),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "id INT, i INT, s STRING, d DOUBLE, t STRING"
+    )
+    batch = pa.table(
+        {
+            "id": [r[0] for r in rows],
+            "i": pa.array([r[1] for r in rows], type=pa.int32()),
+            "s": [r[2] for r in rows],
+            "d": [r[3] for r in rows],
+            "t": [r[4] for r in rows],
+        }
+    )
+    exprs = [
+        "i > 0",
+        "i BETWEEN -5 AND 100",
+        "i IN (0, 7, -3)",
+        "s IS NOT NULL AND length(s) >= 1",
+        "coalesce(t, '') <> 'x'",
+        "abs(i) + 1 > 0",
+        "CASE WHEN i > 0 THEN d >= 0 ELSE d <= 0 END",
+        "i / 2 > 1",          # float division in BOTH engines
+        "upper(coalesce(t, 'z')) <> 'Q'",
+        "i * 2 < 9999999999",
+    ]
+    con = duckdb.connect()
+    con.register("__w", batch)
+    for expr in exprs:
+        spark_bad = sdf.filter(
+            ~F.expr(expr).eqNullSafe(F.lit(True))
+        ).count()
+        duck_bad = con.execute(
+            f"SELECT count(*) FROM __w WHERE ({expr}) IS DISTINCT FROM TRUE"
+        ).fetchone()[0]
+        assert spark_bad == duck_bad, (
+            f"engine divergence on {expr!r}: spark rejects {spark_bad}, "
+            f"duckdb rejects {duck_bad} — expression must leave the "
+            "documented native-validation subset"
+        )
+    con.close()
+
+
+def test_bloom_backfill_converges_on_partition_and_missing_columns(
+    spark, tmp_path
+):
+    """ADVICE r9 low: build_bloom_index over a partition column (bytes
+    live in directory names) or a column absent from a file's parquet
+    schema must converge — not commit a no-op stats refresh per call
+    forever. Pin: second call is a zero-commit no-op."""
+    t = MiniLogTable(
+        spark,
+        str(tmp_path / "bbc"),
+        stats_cols=("k",),
+        partition_by=("day",),
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, i % 2, f"v{i}") for i in range(6)],
+            "k INT, day INT, v STRING",
+        )
+    )
+    # "day" is a partition column; "ghost" exists in no file
+    r1 = t.build_bloom_index(cols=("day", "ghost", "k"))
+    v1 = t.version
+    assert r1["indexed"] > 0  # k gained blooms
+    r2 = t.build_bloom_index(cols=("day", "ghost", "k"))
+    assert r2["indexed"] == 0
+    assert t.version == v1  # NO new commit — converged
+    # and pure partition/missing requests commit nothing at all
+    r3 = t.build_bloom_index(cols=("day",))
+    assert r3["indexed"] == 0 and t.version == v1
+
+
 def test_minilog_stream_writer_partitioned(spark, tmp_path):
     """The streaming native writer honors partitionBy: every
     micro-batch lands hive-split files, the spec is declared once, and
