@@ -123,6 +123,30 @@ _LOG_DIR = "_minilog"
 VACUUM_MIN_AGE_SECONDS = 3600.0
 
 
+def parse_ts_micros(ts: Any) -> int:
+    """Normalize a user-supplied timestamp to epoch MICROSECONDS (the
+    log's in-commit timestamp unit): int = micros verbatim, datetime =
+    its epoch (naive values are taken as UTC — the log is written in
+    UTC, never the session zone), str = ISO-8601 via
+    ``datetime.fromisoformat`` with the same naive-is-UTC rule."""
+    import datetime as _dt
+
+    if isinstance(ts, bool):
+        raise TypeError("timestamp must be int micros, datetime, or ISO str")
+    if isinstance(ts, int):
+        return ts
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return int(ts.timestamp() * 1_000_000)
+    raise TypeError(
+        f"timestamp must be int micros, datetime, or ISO str — got "
+        f"{type(ts).__name__}"
+    )
+
+
 class ConcurrentModification(RuntimeError):
     """A concurrent commit removed a file this transaction rewrites."""
 
@@ -173,6 +197,13 @@ class FileEntry:
     #: metadata — checked ahead of min/max stats, and EXACT (a file in
     #: d=5/ contains only d=5 rows). Empty for unpartitioned files.
     partition: dict = field(default_factory=dict)
+    #: INCREMENTAL CLUSTERING (r10, the Delta liquid-clustering
+    #: contract): the clustering-key EPOCH this file was written
+    #: under by optimize_cluster. None = never clustered (fresh
+    #: appends, pre-clustering files) — exactly the files the next
+    #: OPTIMIZE pass picks up; a key change bumps the table epoch and
+    #: thereby re-qualifies every file without touching any of them.
+    cluster_epoch: Optional[int] = None
 
     def may_contain(self, col: str, lo: Any, hi: Any) -> bool:
         """Conservative range-overlap test: True unless the file's stats
@@ -277,6 +308,13 @@ class Snapshot:
     #: creation, carried by a latest-wins ``partitions`` action).
     #: Empty = unpartitioned table.
     partition_cols: list = field(default_factory=list)
+    #: CLUSTERING KEYS as metadata (r10): logical column names +
+    #: monotone epoch, carried by a latest-wins ``cluster`` action.
+    #: Unlike partition columns these are NOT fixed — changing them is
+    #: one metadata commit that bumps the epoch; data moves only when
+    #: the next optimize_cluster pass runs (Delta liquid clustering).
+    cluster_cols: list = field(default_factory=list)
+    cluster_epoch: int = 0
 
     def physical_of(self, col: str) -> str:
         """Logical -> physical column name (identity without mapping)."""
@@ -561,6 +599,8 @@ class MiniLogTable:
         generated: dict = {}
         row_watermark = 0
         partition_cols: list = []
+        cluster_cols: list = []
+        cluster_epoch = 0
         start = 0
         # newest checkpoint <= v, scanned from the top and stopping at
         # the first hit: checkpoints land every CHECKPOINT_EVERY
@@ -580,6 +620,7 @@ class MiniLogTable:
                     f["file"], f["rows"], f.get("stats", {}),
                     f.get("dv"), f.get("dv_rows", 0),
                     f.get("base_row_id"), f.get("partition", {}),
+                    f.get("cluster_epoch"),
                 )
                 for f in state["files"]
             }
@@ -590,6 +631,8 @@ class MiniLogTable:
             generated = dict(state.get("generated", {}))
             row_watermark = int(state.get("row_watermark", 0))
             partition_cols = list(state.get("partition_cols", []))
+            cluster_cols = list(state.get("cluster_cols", []))
+            cluster_epoch = int(state.get("cluster_epoch", 0))
             start = ckpt_v + 1
         # versions is sorted: slice the fold tail instead of scanning
         # the whole list per fold
@@ -611,6 +654,7 @@ class MiniLogTable:
                         act.get("dv"), act.get("dv_rows", 0),
                         act.get("base_row_id"),
                         act.get("partition", {}),
+                        act.get("cluster_epoch"),
                     )
                 elif act["type"] == "remove":
                     live.pop(act["file"], None)
@@ -623,6 +667,9 @@ class MiniLogTable:
                     generated = dict(act["set"])  # latest wins
                 elif act["type"] == "partitions":
                     partition_cols = list(act["cols"])  # latest wins
+                elif act["type"] == "cluster":
+                    cluster_cols = list(act["cols"])  # latest wins
+                    cluster_epoch = int(act["epoch"])
         return Snapshot(
             v,
             sorted(live.values(), key=lambda f: f.file),
@@ -633,16 +680,20 @@ class MiniLogTable:
             generated,
             row_watermark,
             partition_cols,
+            cluster_cols,
+            cluster_epoch,
         )
 
     def history(self) -> list[dict]:
-        """Commit metadata, oldest first (version, operation, txn, #actions)."""
+        """Commit metadata, oldest first (version, timestamp [epoch
+        µs; None for pre-r10 entries], operation, txn, #actions)."""
         out = []
         for v in self._versions():
             e = self._read_entry(v)
             out.append(
                 {
                     "version": v,
+                    "timestamp": e.get("ts"),
                     "operation": e["operation"],
                     "txn": e.get("txn"),
                     "n_add": sum(
@@ -654,6 +705,65 @@ class MiniLogTable:
                 }
             )
         return out
+
+    def version_at(self, timestamp: Any) -> int:
+        """TIMESTAMP-BASED time travel resolution (Delta's
+        ``timestampAsOf`` contract): the LATEST retained version whose
+        in-commit timestamp is <= ``timestamp`` (int epoch-µs,
+        datetime, or ISO string — :func:`parse_ts_micros`). Raises
+        :class:`NoSuchVersion` when the timestamp predates the oldest
+        retained commit (vacuum shortens the window, same as
+        version-based travel) or the log carries no timestamps.
+        O(log n) entry reads: in-commit timestamps are strictly
+        monotone in version, so this binary-searches the version list
+        instead of scanning the log."""
+        want = parse_ts_micros(timestamp)
+        versions = self._versions()
+        lo, hi = 0, len(versions) - 1
+        best = None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            ts = self._read_entry(versions[mid]).get("ts")
+            if ts is None:
+                # unstamped entries (pre-r10) form a PREFIX of the log
+                # (every new commit stamps): resolve within the
+                # stamped suffix
+                lo = mid + 1
+            elif ts <= want:
+                best = versions[mid]
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        if best is None:
+            raise NoSuchVersion(
+                f"no commit at-or-before timestamp {want} µs — it "
+                "predates the oldest retained (stamped) commit; "
+                "earlier versions may have been vacuumed or written "
+                "before timestamp tracking"
+            )
+        return best
+
+    def first_version_at_or_after(self, timestamp: Any) -> Optional[int]:
+        """The SMALLEST retained version whose in-commit timestamp is
+        >= ``timestamp`` — the ``startingTimestamp`` stream-option
+        resolution (Delta's contract: start tailing from the first
+        commit at-or-after the timestamp). ``None`` when every
+        retained commit is older (the stream then tails only future
+        commits). Unstamped (pre-r10) entries count as older than any
+        timestamp. O(log n) entry reads."""
+        want = parse_ts_micros(timestamp)
+        versions = self._versions()
+        lo, hi = 0, len(versions) - 1
+        best = None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            ts = self._read_entry(versions[mid]).get("ts")
+            if ts is None or ts < want:
+                lo = mid + 1
+            else:
+                best = versions[mid]
+                hi = mid - 1
+        return best
 
     # ------------------------------------------------------------- commit
     def _try_commit(
@@ -818,9 +928,25 @@ class MiniLogTable:
                 a["base_row_id"] = wm
                 wm += a["rows"]
             target = snap.version + 1
+            # IN-COMMIT TIMESTAMP (r10, Delta's in-commit-timestamp
+            # design): every entry carries max(prev_ts + 1µs, now) —
+            # stamped INSIDE the commit loop, so a lost race rebases
+            # onto the winner's timestamp and the log's timestamps are
+            # strictly monotone regardless of clock skew between
+            # writers; timestamp-based time travel (version_at) can
+            # therefore binary-search them.
+            prev_ts = None
+            if snap.version >= 0:
+                try:
+                    prev_ts = self._read_entry(snap.version).get("ts")
+                except (OSError, ValueError):
+                    prev_ts = None
+            now_us = int(time.time() * 1_000_000)
+            ts = now_us if prev_ts is None else max(prev_ts + 1, now_us)
             entry = {
                 "format": FORMAT_VERSION,
                 "version": target,
+                "ts": ts,
                 "operation": operation,
                 "txn": txn,
                 "actions": actions,
@@ -856,7 +982,8 @@ class MiniLogTable:
             "files": [
                 {"file": f.file, "rows": f.rows, "stats": f.stats,
                  "dv": f.dv, "dv_rows": f.dv_rows,
-                 "base_row_id": f.base_row_id, "partition": f.partition}
+                 "base_row_id": f.base_row_id, "partition": f.partition,
+                 "cluster_epoch": f.cluster_epoch}
                 for f in snap.files
             ],
             "txns": snap.txns,
@@ -866,6 +993,8 @@ class MiniLogTable:
             "generated": snap.generated,
             "row_watermark": snap.row_watermark,
             "partition_cols": snap.partition_cols,
+            "cluster_cols": snap.cluster_cols,
+            "cluster_epoch": snap.cluster_epoch,
         }
         tmp = os.path.join(
             self.path, _LOG_DIR, f"_tmp.{uuid.uuid4().hex}.ckpt"
@@ -1595,6 +1724,7 @@ class MiniLogTable:
                     # its id range (and positions) are unchanged
                     "base_row_id": e.base_row_id,
                     "partition": e.partition,
+                    "cluster_epoch": e.cluster_epoch,
                 }
             )
         v = self._try_commit("delete_dv", actions)
@@ -1755,6 +1885,291 @@ class MiniLogTable:
         # TOCTOU hazard as append (ADVICE r8 medium)
         v = self._commit_validated("merge", actions, cons, gens)
         return {"version": v, "rewritten": len(touched), "kept": untouched}
+
+    def merge_clauses(
+        self,
+        source: DataFrame,
+        keys: tuple[str, ...],
+        matched: tuple = (),
+        not_matched: tuple = (),
+        not_matched_by_source: tuple = (),
+        prune_col: Optional[str] = None,
+        evolve_schema: bool = False,
+    ) -> dict:
+        """Full MERGE clause surface (Delta's public clause model,
+        VERDICT r9 task 1) — the CDC apply-changes shape: upserts,
+        conditional/subset-column updates, tombstones, and
+        not-matched-by-source cleanup, all in ONE atomic commit.
+
+        Clause lists, evaluated IN ORDER, first satisfied condition
+        fires (the Delta contract); each clause is a dict:
+
+        - ``matched``  (base row has a source match):
+          ``{"action": "update", "set": {col: sql} | None, "condition": sql | None}``
+          (``set=None`` = take every source column — whole-row upsert)
+          or ``{"action": "delete", "condition": sql | None}``.
+        - ``not_matched`` (source row with no base match):
+          ``{"action": "insert", "values": {col: sql} | None,
+          "condition": sql | None}`` (``values=None`` = the source row;
+          unnamed table columns insert NULL). A source row no insert
+          clause accepts is dropped.
+        - ``not_matched_by_source`` (base row with no source match):
+          ``{"action": "update", "set": {col: sql}, "condition": ...}``
+          or ``{"action": "delete", "condition": ...}``. A base row no
+          clause accepts survives unchanged.
+
+        SQL fragments (conditions and set/values expressions) reference
+        the two sides as ``target.<col>`` and ``source.<col>``
+        (unqualified names raise Spark's ambiguity error when present
+        on both sides — qualify them).
+
+        Semantics shared with :meth:`merge`: key equality is NULL-SAFE;
+        source must be unique on ``keys`` (multiple matches per base
+        row would be nondeterministic — Delta raises the same error);
+        updated/kept rows keep their stable row ids, inserts draw fresh
+        ones, so :meth:`changes_with_ids` across the commit emits
+        update-linked pre/post images for every fired update clause.
+
+        ``evolve_schema=True`` (VERDICT r9 task 2, Delta's
+        autoMerge-on-MERGE): source columns absent from the table are
+        ADDED to the schema in the same commit — unmatched base rows
+        read NULL for them, type conflicts on existing columns raise
+        :class:`SchemaMismatch` exactly like append's evolution.
+
+        File scope (the write-side skipping): matched/insert effects
+        touch only files whose ``prune_col`` stats overlap the source
+        key range, but a ``not_matched_by_source`` clause must examine
+        EVERY base row, so its presence widens the rewrite to all live
+        files — the same cost Delta documents for that clause.
+        """
+        assert matched or not_matched or not_matched_by_source, (
+            "merge_clauses: at least one clause required"
+        )
+        for cl in tuple(matched) + tuple(not_matched_by_source):
+            assert cl.get("action") in ("update", "delete"), cl
+        for cl in tuple(not_matched):
+            assert cl.get("action") == "insert", cl
+        prune_col = prune_col or keys[0]
+        assert prune_col in keys, "prune_col must be a merge key"
+        snap = self.snapshot() if self.version >= 0 else None
+        if snap is None or not snap.files:
+            raise ValueError(
+                "merge_clauses: target table is empty — append instead"
+            )
+        if not snap.schema:
+            raise SchemaMismatch(
+                "merge_clauses needs a log-tracked table schema "
+                "(pre-schema tables: use merge())"
+            )
+        cons = dict(snap.constraints)
+        gens = dict(snap.generated)
+        # fail fast on duplicate source keys (NULL-safe grouping)
+        n_dup = (
+            source.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > 1)
+            .limit(1)
+            .count()
+        )
+        if n_dup:
+            raise ValueError(
+                f"merge_clauses: source has duplicate keys on {keys} — "
+                "a base row would match multiple source rows"
+            )
+        # ---- schema evolution: source-only columns widen the table
+        current = snap.schema
+        names = [c["name"] for c in (current or [])]
+        src_schema = self._df_schema(source)
+        fresh_cols = [c for c in src_schema if c["name"] not in names]
+        if fresh_cols and not evolve_schema:
+            # without evolution, implicit whole-row update/insert
+            # (set/values = None) projects the source onto TABLE
+            # columns only — extra source columns (a CDC op marker)
+            # are payload, not data. Only an EXPLICIT set/values entry
+            # naming a new column demands evolution.
+            written: set = set()
+            for cl in tuple(matched) + tuple(not_matched_by_source):
+                written |= set((cl.get("set") or {}))
+            for cl in tuple(not_matched):
+                written |= set((cl.get("values") or {}))
+            conflict = [c["name"] for c in fresh_cols if c["name"] in written]
+            if conflict:
+                raise SchemaMismatch(
+                    f"merge_clauses writes new columns {conflict} — pass "
+                    "evolve_schema=True to evolve the table schema"
+                )
+            fresh_cols = []
+        incoming = [
+            {"name": c["name"], "type": c["type"]} for c in current
+        ] + [{"name": c["name"], "type": c["type"]} for c in fresh_cols]
+        mapping, fresh = plan_write_mapping(
+            incoming, current, snap.retired
+        )
+        schema_merge_actions(  # fail fast on type conflicts
+            incoming, current, bool(fresh_cols),
+            retired=snap.retired, preassigned=fresh,
+        )
+        out_cols = names + [c["name"] for c in fresh_cols]
+        # ---- file scope
+        nmbs = tuple(not_matched_by_source)
+        bounds = source.agg(
+            F.min(prune_col).alias("lo"),
+            F.max(prune_col).alias("hi"),
+            F.sum(F.col(prune_col).isNull().cast("long")).alias("nulls"),
+        ).collect()[0]
+        upd_nulls = bool(bounds["nulls"])
+        pprune = snap.physical_of(prune_col)
+        if nmbs:
+            touched = list(snap.files)  # every base row is examined
+        else:
+            touched = [
+                f
+                for f in snap.files
+                if (
+                    bounds["lo"] is not None
+                    and f.may_contain(pprune, bounds["lo"], bounds["hi"])
+                )
+                or (upd_nulls and f.may_have_null(pprune))
+            ]
+        untouched = len(snap.files) - len(touched)
+        source = source.drop(ROW_ID_COL)
+        if touched:
+            base = self._read_entries_with_ids(touched, snap.schema)
+        else:
+            ddl = ", ".join(
+                f"`{c['name']}` {c['type']}" for c in (current or [])
+            )
+            base = self.spark.createDataFrame([], ddl).withColumn(
+                ROW_ID_COL, F.lit(None).cast("long")
+            )
+        # evolution: base gains NULL-typed fresh columns pre-join
+        for c in fresh_cols:
+            base = base.withColumn(
+                c["name"], F.lit(None).cast(c["type"])
+            )
+        t = base.withColumn("__t", F.lit(True)).alias("target")
+        s = source.withColumn("__s", F.lit(True)).alias("source")
+        cond = None
+        for k in keys:
+            eq = F.col(f"target.{k}").eqNullSafe(F.col(f"source.{k}"))
+            cond = eq if cond is None else (cond & eq)
+        j = t.join(s, cond, "full_outer")
+        both = F.col("target.__t").isNotNull() & F.col("source.__s").isNotNull()
+        t_only = F.col("target.__t").isNotNull() & F.col("source.__s").isNull()
+        s_only = F.col("target.__t").isNull() & F.col("source.__s").isNotNull()
+
+        def _chain(clauses, prefix, guard, default):
+            """First-match-wins clause fold: a verdict label per row."""
+            expr = None
+            for i, cl in enumerate(clauses):
+                c = (
+                    F.expr(cl["condition"])
+                    if cl.get("condition")
+                    else F.lit(True)
+                )
+                lab = F.lit(f"{prefix}{i}")
+                expr = (
+                    F.when(guard & c, lab)
+                    if expr is None
+                    else expr.when(guard & c, lab)
+                )
+            if expr is None:
+                return F.when(guard, F.lit(default))
+            return expr.when(guard, F.lit(default))
+
+        verdict = F.coalesce(
+            _chain(tuple(matched), "m", both, "keep"),
+            _chain(tuple(not_matched), "i", s_only, "drop"),
+            _chain(nmbs, "x", t_only, "keep"),
+        )
+        j = j.withColumn("__verdict", verdict)
+        # deletes/drops leave the rewrite here; everything else projects
+        dead = {
+            f"m{i}"
+            for i, cl in enumerate(matched)
+            if cl["action"] == "delete"
+        } | {
+            f"x{i}"
+            for i, cl in enumerate(nmbs)
+            if cl["action"] == "delete"
+        } | {"drop"}
+        j = j.filter(~F.col("__verdict").isin(sorted(dead)))
+        src_names = set(source.columns)
+
+        def _proj(col: str) -> F.Column:
+            keep_val = F.col(f"target.{col}")
+            e = F.when(F.col("__verdict") == "keep", keep_val)
+            for i, cl in enumerate(matched):
+                if cl["action"] != "update":
+                    continue
+                st = cl.get("set")
+                if st is None:  # whole-row: source wins where it has the col
+                    val = (
+                        F.col(f"source.{col}")
+                        if col in src_names
+                        else keep_val
+                    )
+                else:
+                    val = F.expr(st[col]) if col in st else keep_val
+                e = e.when(F.col("__verdict") == f"m{i}", val)
+            for i, cl in enumerate(not_matched):
+                vals = cl.get("values")
+                if vals is None:
+                    val = (
+                        F.col(f"source.{col}")
+                        if col in src_names
+                        else F.lit(None)
+                    )
+                else:
+                    val = (
+                        F.expr(vals[col]) if col in vals else F.lit(None)
+                    )
+                e = e.when(F.col("__verdict") == f"i{i}", val)
+            for i, cl in enumerate(nmbs):
+                if cl["action"] != "update":
+                    continue
+                st = cl.get("set") or {}
+                val = F.expr(st[col]) if col in st else keep_val
+                e = e.when(F.col("__verdict") == f"x{i}", val)
+            ctype = next(
+                (c["type"] for c in incoming if c["name"] == col), None
+            )
+            return (e.cast(ctype) if ctype else e).alias(col)
+
+        merged = j.select(
+            *[_proj(c) for c in out_cols],
+            # identity follows the BASE row: updates keep their id,
+            # inserts (target side NULL) draw fresh ids on read
+            F.col(f"target.{ROW_ID_COL}").alias(ROW_ID_COL),
+        )
+        if gens:
+            # all table columns are present post-projection, so this
+            # only VALIDATES: an update clause writing a generated
+            # column inconsistently rejects the whole merge
+            merged = self._apply_generated(merged, gens)
+        actions = self._stage(
+            merged,
+            1,
+            mapping=mapping,
+            constraints=cons,
+            partition_cols=tuple(snap.partition_cols),
+        ) + [
+            {"type": "remove", "file": f.file, "base_dv": f.dv}
+            for f in touched
+        ]
+        v = self._commit_validated(
+            "merge",
+            actions,
+            cons,
+            gens,
+            schema_ctx=(incoming, bool(fresh_cols), fresh),
+        )
+        return {
+            "version": v,
+            "rewritten": len(touched),
+            "kept": untouched,
+            "evolved": [c["name"] for c in fresh_cols],
+        }
 
     # --------------------------------------------------------------- read
     @staticmethod
@@ -1992,6 +2407,7 @@ class MiniLogTable:
         version: Optional[int] = None,
         prune: Optional[object] = None,
         point: Optional[tuple] = None,
+        timestamp: Optional[Any] = None,
     ) -> DataFrame:
         """Snapshot read. ``prune=(col, lo, hi)`` (or a list of triples,
         ANDed) applies file-level data skipping via the log stats AND the
@@ -2000,7 +2416,15 @@ class MiniLogTable:
         file skipping (files whose index proves the value absent are
         never scanned) composed with the min/max skip and the equality
         row filter; a NULL probe value is rejected (blooms index values,
-        and ``col = NULL`` matches nothing anyway)."""
+        and ``col = NULL`` matches nothing anyway).
+        ``timestamp`` (exclusive with ``version``) is timestampAsOf:
+        the snapshot resolves through :meth:`version_at`."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError(
+                    "read: pass version OR timestamp, not both"
+                )
+            version = self.version_at(timestamp)
         preds = self._normalize_prune(prune)
         snap = self.snapshot(version)
         if point is not None:
@@ -2281,6 +2705,14 @@ class MiniLogTable:
             "num_files_with_dv": sum(1 for f in snap.files if f.dv),
             "num_bloom_sidecars": len(sidecars),
             "schema": [c["name"] for c in (snap.schema or [])],
+            "cluster_columns": list(snap.cluster_cols),
+            "cluster_epoch": snap.cluster_epoch,
+            "num_files_clustered": sum(
+                1
+                for f in snap.files
+                if snap.cluster_cols
+                and f.cluster_epoch == snap.cluster_epoch
+            ),
         }
 
     def show_partitions(self) -> DataFrame:
@@ -2404,6 +2836,7 @@ class MiniLogTable:
                     # stats refresh, ids must not move
                     "base_row_id": f.base_row_id,
                     "partition": f.partition,
+                    "cluster_epoch": f.cluster_epoch,
                 }
             )
         v = self._try_commit("bloom_index", actions)
@@ -2591,6 +3024,149 @@ class MiniLogTable:
         v = self._try_commit("zorder", actions)
         return {"version": v, "rewritten": len(scope)}
 
+    # --------------------------------------- incremental clustering (r10)
+    def set_cluster_keys(self, cols: tuple[str, ...]) -> int:
+        """ALTER TABLE CLUSTER BY (the Delta liquid-clustering public
+        contract, VERDICT r9 task 4): declare 1 or 2 clustering keys
+        as LATEST-WINS METADATA — one O(metadata) commit that bumps
+        the cluster EPOCH. No data moves here; every live file's
+        recorded ``cluster_epoch`` now differs from the table's, which
+        is precisely what re-qualifies it for the next
+        :meth:`optimize_cluster` pass. Changing keys later is the same
+        metadata-only bump — the difference from partitioning (fixed
+        at creation) and from Z-ORDER (a full-scope rewrite per run).
+        Two keys cluster on their Morton interleave; partition columns
+        are rejected (constant within a file — clustering them is a
+        no-op directory pruning already wins)."""
+        if not 1 <= len(cols) <= 2:
+            raise ValueError(
+                "set_cluster_keys: 1 or 2 clustering columns"
+            )
+        snap = self.snapshot()
+        if snap.schema:
+            names = {c["name"] for c in snap.schema}
+            missing = [c for c in cols if c not in names]
+            if missing:
+                raise ValueError(
+                    f"set_cluster_keys: no such column(s) {missing}"
+                )
+        bad = [c for c in cols if c in snap.partition_cols]
+        if bad:
+            raise ValueError(
+                f"set_cluster_keys: {bad} are partition columns — "
+                "constant per file, nothing to cluster"
+            )
+        return self._try_commit(
+            f"cluster by({','.join(cols)})",
+            [
+                {
+                    "type": "cluster",
+                    "cols": list(cols),
+                    "epoch": snap.cluster_epoch + 1,
+                }
+            ],
+        )
+
+    def optimize_cluster(
+        self, target_files: int = 4, bits: int = 8
+    ) -> dict:
+        """INCREMENTAL clustering pass: rewrite ONLY the files not yet
+        clustered under the CURRENT key epoch — fresh appends (no
+        epoch) and files from before the latest key change — ordered
+        by the clustering keys (range-sort for one key, Morton
+        interleave for two) and committed with the epoch stamped into
+        their add actions. Files already at the current epoch are
+        NEVER touched: keeping a hot 100 TB table clustered costs
+        O(new data) per pass, not O(table) — the exact contract Delta
+        liquid clustering publishes, vs. Z-ORDER's full-scope rewrite.
+        A key change (epoch bump) naturally re-qualifies everything,
+        so convergence to the new layout happens through the same
+        incremental passes. Row ids ride as a materialized column;
+        conflict semantics are OPTIMIZE's (maintenance loses to any
+        racing data change)."""
+        from .layout import _interleave_sql
+
+        snap = self.snapshot()
+        if not snap.cluster_cols:
+            raise ValueError(
+                "optimize_cluster: no clustering keys declared — call "
+                "set_cluster_keys first"
+            )
+        todo = [
+            f
+            for f in snap.files
+            if f.cluster_epoch != snap.cluster_epoch
+        ]
+        if not todo:
+            return {
+                "version": snap.version,
+                "reclustered": 0,
+                "epoch": snap.cluster_epoch,
+            }
+        df = self._read_entries_with_ids(todo, snap.schema)
+        cols = snap.cluster_cols
+        if len(cols) == 1:
+            ordered = df.repartitionByRange(
+                target_files, cols[0]
+            ).sortWithinPartitions(cols[0])
+        else:
+
+            def bounds(col: str) -> tuple[Any, Any]:
+                p = snap.physical_of(col)
+                mins = [f.stats.get(p, {}).get("min") for f in todo]
+                maxs = [f.stats.get(p, {}).get("max") for f in todo]
+                if all(v is not None for v in mins + maxs):
+                    return min(mins), max(maxs)  # pure metadata
+                row = df.agg(
+                    F.min(col).alias("lo"), F.max(col).alias("hi")
+                ).collect()[0]
+                return row["lo"], row["hi"]
+
+            n_buckets = 1 << bits
+            tmp = df
+            for suffix, col in zip(("__bx", "__by"), cols):
+                lo, hi = bounds(col)
+                span = (
+                    (hi - lo + 1)
+                    if (hi is not None and lo is not None)
+                    else 1
+                )
+                b = F.floor(
+                    (F.col(col) - F.lit(lo)).cast("double")
+                    * n_buckets
+                    / F.lit(span)
+                ).cast("long")
+                b = F.least(
+                    F.greatest(b, F.lit(0)), F.lit(n_buckets - 1)
+                )
+                tmp = tmp.withColumn(suffix, F.coalesce(b, F.lit(0)))
+            ordered = (
+                tmp.withColumn(
+                    "__z", F.expr(_interleave_sql("__bx", "__by", bits))
+                )
+                .repartitionByRange(target_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__bx", "__by", "__z")
+            )
+        adds = self._stage(
+            ordered,
+            None,
+            mapping=_mapping_of(snap.schema),
+            partition_cols=tuple(snap.partition_cols),
+        )
+        for a in adds:
+            a["cluster_epoch"] = snap.cluster_epoch
+        actions = adds + [
+            {"type": "remove", "file": f.file, "base_dv": f.dv}
+            for f in todo
+        ]
+        v = self._try_commit("optimize_cluster", actions)
+        return {
+            "version": v,
+            "reclustered": len(todo),
+            "epoch": snap.cluster_epoch,
+        }
+
     # ------------------------------------------------------------- vacuum
     def vacuum(
         self,
@@ -2718,7 +3294,8 @@ class MiniLogTable:
         ] + [
             {"type": "add", "file": fe.file, "rows": fe.rows,
              "stats": fe.stats, "dv": fe.dv, "dv_rows": fe.dv_rows,
-             "base_row_id": fe.base_row_id, "partition": fe.partition}
+             "base_row_id": fe.base_row_id, "partition": fe.partition,
+             "cluster_epoch": fe.cluster_epoch}
             for key, fe in sorted(
                 tgt.items(), key=lambda kv: (kv[0][0], kv[0][1] or "")
             )
@@ -2743,6 +3320,17 @@ class MiniLogTable:
             )
         if target.generated != current.generated:
             actions.append({"type": "generated", "set": target.generated})
+        if (target.cluster_cols, target.cluster_epoch) != (
+            current.cluster_cols,
+            current.cluster_epoch,
+        ):
+            actions.append(
+                {
+                    "type": "cluster",
+                    "cols": list(target.cluster_cols),
+                    "epoch": target.cluster_epoch,
+                }
+            )
         return self._try_commit(f"restore(v{version})", actions)
 
     def clone(
@@ -2799,11 +3387,20 @@ class MiniLogTable:
             actions.append(
                 {"type": "add", "file": fe.file, "rows": fe.rows,
                  "stats": fe.stats, "dv": fe.dv, "dv_rows": fe.dv_rows,
-                 "base_row_id": fe.base_row_id, "partition": fe.partition}
+                 "base_row_id": fe.base_row_id, "partition": fe.partition,
+                 "cluster_epoch": fe.cluster_epoch}
             )
         if snap.partition_cols:
             actions.append(
                 {"type": "partitions", "cols": list(snap.partition_cols)}
+            )
+        if snap.cluster_cols:
+            actions.append(
+                {
+                    "type": "cluster",
+                    "cols": list(snap.cluster_cols),
+                    "epoch": snap.cluster_epoch,
+                }
             )
         if snap.schema is not None:
             action: dict = {"type": "metaData", "schema": snap.schema}
@@ -2901,6 +3498,43 @@ def schema_merge_actions(
     if retired:
         action["retired"] = list(retired)
     return [action]
+
+
+def apply_changes(state: DataFrame, feed: DataFrame) -> DataFrame:
+    """Fold one row-tracked change feed (:meth:`MiniLogTable.
+    changes_with_ids` output) into a KEYED downstream state — the
+    consumer row tracking exists for (VERDICT r9 task 6): maintain a
+    non-additive derived table (per-entity latest state, an SCD
+    snapshot, a materialized join side) purely from the feed, without
+    guessing which delete pairs with which insert by business key.
+
+    ``state`` carries the table columns + ``_row_id`` (bootstrap it
+    from :meth:`MiniLogTable.read_with_row_ids` at the starting
+    version). The fold is two id-keyed set operations, O(churn) each:
+
+    - rows whose id appears as ``delete``/``update_preimage`` leave,
+    - ``insert``/``update_postimage`` rows enter (an update is thereby
+      REPLACED under its stable id, never duplicated).
+
+    Folding feeds v0→v1→…→vN commit by commit (or one feed spanning
+    v0→vN — the file-diff semantics make them equal) reproduces
+    ``read_with_row_ids(vN)`` exactly; tx_apply_changes_keyed pins
+    that across MERGE + DV-delete + OPTIMIZE commits."""
+    gone = feed.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select("_row_id")
+    arriving = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).drop("_change_type")
+    # no forced broadcast: churn is usually tiny (AQE broadcasts it),
+    # but a bulk delete's feed can be arbitrarily large — let the
+    # optimizer pick from runtime stats. The final select restores the
+    # caller's column order (the join hoists its key to the front).
+    return (
+        state.join(gone, "_row_id", "left_anti")
+        .unionByName(arriving)
+        .select(*state.columns)
+    )
 
 
 def _json_safe(v: Any) -> Any:

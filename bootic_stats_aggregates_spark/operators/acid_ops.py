@@ -2141,3 +2141,438 @@ def tx_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "version long, operation string, n_add long, n_remove long",
     )
+
+
+# ----------------------------------------------------------- round 10
+
+
+@query(
+    "tx_merge_clauses",
+    oracle=f"""
+    -- FULL MERGE CLAUSE SURFACE (the Delta clause model) replayed in
+    -- SQL: one CDC apply-changes batch carries upserts (d 6-10 get
+    -- n+1000), tombstones (d 1-2 deleted via WHEN MATCHED AND op='D'
+    -- THEN DELETE), brand-new keys (d 111-112 inserted), while WHEN
+    -- NOT MATCHED BY SOURCE zeroes d 25-27 and deletes d >= 28 — all
+    -- in ONE atomic commit. NULL-day rows (clock-less events) match
+    -- no clause and survive unchanged.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d,
+           CAST(CASE WHEN d BETWEEN 6 AND 10 THEN n + 1000
+                     WHEN d BETWEEN 25 AND 27 THEN 0
+                     ELSE n END AS BIGINT) AS n,
+           true AS clauses_ok
+    FROM c
+    WHERE d IS NULL OR (NOT (d BETWEEN 1 AND 2) AND d < 28)
+    UNION ALL
+    SELECT event_type, CAST(d + 100 AS BIGINT) AS d, n,
+           true AS clauses_ok
+    FROM c WHERE d BETWEEN 11 AND 12
+    """,
+)
+def tx_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with the full public clause model (acid.merge_clauses,
+    VERDICT r9 task 1): WHEN MATCHED [AND cond] THEN UPDATE subset /
+    DELETE, WHEN NOT MATCHED [AND cond] THEN INSERT, WHEN NOT MATCHED
+    BY SOURCE THEN UPDATE / DELETE — evaluated first-match-wins in
+    clause order, committed atomically. This is the CDC apply-changes
+    shape: one batch mixing upserts and tombstones (op marker column —
+    source-side payload, never written) lands in one commit instead of
+    a delete pass plus an upsert pass with a visible in-between state.
+
+    ``clauses_ok`` carries the protocol assertions into the checked
+    result: the row-tracked change feed across the merge commit emits
+    UPDATE-LINKED pre/post images (equal _row_id sets) for exactly the
+    rows the update clauses touched, deletes for the tombstoned /
+    not-matched-by-source rows, inserts for the new keys."""
+    tbl, ready = _staged(spark, sf_dir, "merge_clauses")
+    tag = os.path.join(tbl.path, "_MC_INFO")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        tbl.append(c.filter((F.col("d") <= 15) | F.col("d").isNull()))
+        tbl.append(c.filter(F.col("d") >= 16))
+        upd = c.filter(F.col("d").between(6, 10)).withColumn(
+            "n", (F.col("n") + F.lit(1000)).cast("long")
+        ).withColumn("op", F.lit("U"))
+        dele = c.filter(F.col("d").between(1, 2)).withColumn(
+            "op", F.lit("D")
+        )
+        new = c.filter(F.col("d").between(11, 12)).withColumn(
+            "d", (F.col("d") + F.lit(100)).cast("long")
+        ).withColumn("op", F.lit("U"))
+        src = upd.unionByName(dele).unionByName(new)
+        pre_v = tbl.version
+        info = tbl.merge_clauses(
+            src,
+            keys=("event_type", "d"),
+            prune_col="d",
+            matched=(
+                {"action": "delete", "condition": "source.op = 'D'"},
+                {"action": "update", "set": {"n": "source.n"}},
+            ),
+            not_matched=(
+                {"action": "insert", "condition": "source.op = 'U'"},
+            ),
+            not_matched_by_source=(
+                {"action": "delete", "condition": "target.d >= 28"},
+                {
+                    "action": "update",
+                    "set": {"n": "CAST(0 AS BIGINT)"},
+                    "condition": "target.d BETWEEN 25 AND 27",
+                },
+            ),
+        )
+        # row-id-linked CDF across the clause merge: updates surface
+        # as pre/post pairs sharing one id; tombstones + NMBS deletes
+        # as deletes; new keys as inserts
+        feed = tbl.changes_with_ids(pre_v, info["version"])
+        by_type = {
+            r["_change_type"]: r["cnt"]
+            for r in feed.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        pre_ids = feed.filter(
+            F.col("_change_type") == "update_preimage"
+        ).select("_row_id")
+        post_ids = feed.filter(
+            F.col("_change_type") == "update_postimage"
+        ).select("_row_id")
+        linked = (
+            pre_ids.exceptAll(post_ids).count() == 0
+            and post_ids.exceptAll(pre_ids).count() == 0
+        )
+        n_upd = c.filter(
+            F.col("d").between(6, 10) | F.col("d").between(25, 27)
+        ).count()
+        n_del = c.filter(
+            F.col("d").between(1, 2) | (F.col("d") >= 28)
+        ).count()
+        n_ins = c.filter(F.col("d").between(11, 12)).count()
+        payload = {
+            "ok": bool(
+                linked
+                and by_type.get("update_preimage", 0) == n_upd
+                and by_type.get("update_postimage", 0) == n_upd
+                and by_type.get("delete", 0) == n_del
+                and by_type.get("insert", 0) == n_ins
+            ),
+            "info": info,
+        }
+        with open(tag, "w") as fh:
+            json.dump(payload, fh)
+        _mark_ready(tbl, sf_dir)
+    with open(tag) as fh:
+        payload = json.load(fh)
+    return tbl.read().select(
+        "event_type",
+        "d",
+        "n",
+        F.lit(bool(payload["ok"])).alias("clauses_ok"),
+    )
+
+
+@query(
+    "tx_merge_evolve",
+    oracle=f"""
+    -- MERGE SCHEMA EVOLUTION (Delta autoMerge-on-MERGE): the update
+    -- side carries a column the table lacks ('src'); the merge commit
+    -- widens the schema, writes it for matched/inserted rows, and
+    -- every untouched base row reads back NULL for it.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d,
+           CAST(CASE WHEN d BETWEEN 6 AND 10 THEN n + 1000
+                     ELSE n END AS BIGINT) AS n,
+           CASE WHEN d BETWEEN 6 AND 10 THEN 'upd' END AS src,
+           true AS evolve_ok
+    FROM c
+    UNION ALL
+    SELECT event_type, CAST(d + 200 AS BIGINT) AS d, n,
+           'new' AS src, true AS evolve_ok
+    FROM c WHERE d BETWEEN 1 AND 2
+    """,
+)
+def tx_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with schema evolution (acid.merge_clauses
+    evolve_schema=True, VERDICT r9 task 2): the source's new column
+    widens the table IN the merge commit — reusing append's
+    schema_merge_actions machinery, so type conflicts on existing
+    columns raise exactly like an evolve-append and the metaData
+    action is re-derived race-safely inside the commit loop.
+    ``evolve_ok`` asserts the contract: the pre-merge version still
+    reads WITHOUT the column (time travel is schema-accurate), the
+    post-merge schema has it, and unmatched base rows carry NULL."""
+    tbl, ready = _staged(spark, sf_dir, "merge_evolve")
+    tag = os.path.join(tbl.path, "_ME_INFO")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        tbl.append(c)  # v0: one file, all counters
+        upd = c.filter(F.col("d").between(6, 10)).withColumn(
+            "n", (F.col("n") + F.lit(1000)).cast("long")
+        ).withColumn("src", F.lit("upd"))
+        new = c.filter(F.col("d").between(1, 2)).withColumn(
+            "d", (F.col("d") + F.lit(200)).cast("long")
+        ).withColumn("src", F.lit("new"))
+        pre_v = tbl.version
+        info = tbl.merge_clauses(
+            upd.unionByName(new),
+            keys=("event_type", "d"),
+            prune_col="d",
+            matched=(
+                {
+                    "action": "update",
+                    "set": {"n": "source.n", "src": "source.src"},
+                },
+            ),
+            not_matched=({"action": "insert"},),
+            evolve_schema=True,
+        )
+        pre_cols = tbl.read(version=pre_v).columns
+        post = tbl.snapshot()
+        payload = {
+            "ok": bool(
+                info["evolved"] == ["src"]
+                and "src" not in pre_cols
+                and [s["name"] for s in post.schema]
+                == ["event_type", "d", "n", "src"]
+            ),
+        }
+        with open(tag, "w") as fh:
+            json.dump(payload, fh)
+        _mark_ready(tbl, sf_dir)
+    with open(tag) as fh:
+        payload = json.load(fh)
+    return tbl.read().select(
+        "event_type",
+        "d",
+        "n",
+        "src",
+        F.lit(bool(payload["ok"])).alias("evolve_ok"),
+    )
+
+
+@query(
+    "tx_time_travel_ts",
+    oracle=f"""
+    -- TIMESTAMP-based time travel: the same three-commit table read
+    -- AS OF the in-commit timestamp of v1 (days 1-20) and of v2
+    -- (all days) — "as of yesterday 09:00" instead of a version
+    -- ordinal. The timestamps themselves are runtime values, so the
+    -- checked columns are the resolved DATA plus the monotonicity /
+    -- resolution assertions folded into ts_ok.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT 'at_v1' AS as_of, event_type, d, n, true AS ts_ok
+    FROM c WHERE d <= 20
+    UNION ALL
+    SELECT 'latest' AS as_of, event_type, d, n, true AS ts_ok
+    FROM c WHERE d IS NOT NULL
+    """,
+)
+def tx_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-COMMIT TIMESTAMPS + timestampAsOf (VERDICT r9 task 3, the
+    public Delta in-commit-timestamp design): every commit entry is
+    stamped max(prev_ts + 1µs, now) INSIDE the commit loop, so the
+    log's timestamps are strictly monotone across OCC races and clock
+    skew; history() surfaces them; version_at(ts) binary-searches the
+    log (O(log n) entry reads); read(timestamp=...) and the native
+    reader option timestampAsOf resolve through it. ``ts_ok`` carries
+    the contract assertions: strict monotonicity over the whole
+    history, exact resolution at each commit's own timestamp, floor
+    resolution between commits, and a pre-table timestamp raising."""
+    tbl, ready = _staged(spark, sf_dir, "time_travel_ts")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        # NULL-day rows (clock-less events) stay out on BOTH sides:
+        # every append filters them and the oracle's arms exclude them
+        tbl.append(c.filter(F.col("d") <= 10))            # v0
+        tbl.append(c.filter(F.col("d").between(11, 20)))  # v1
+        tbl.append(c.filter(F.col("d") >= 21))            # v2
+        _mark_ready(tbl, sf_dir)
+    hist = tbl.history()
+    ts = [h["timestamp"] for h in hist]
+    try:
+        tbl.version_at(ts[0] - 1)
+        pre_table_raises = False
+    except NoSuchVersion:
+        pre_table_raises = True
+    ts_ok = (
+        all(isinstance(x, int) for x in ts)
+        and all(a < b for a, b in zip(ts, ts[1:]))
+        and [tbl.version_at(x) for x in ts] == [0, 1, 2]
+        and tbl.version_at((ts[1] + ts[2]) // 2) == 1  # floor
+        and tbl.version_at(ts[2] + 10_000_000) == 2    # beyond latest
+        and pre_table_raises
+    )
+    at_v1 = tbl.read(timestamp=ts[1]).select(
+        F.lit("at_v1").alias("as_of"), "event_type", "d", "n",
+        F.lit(bool(ts_ok)).alias("ts_ok"),
+    )
+    latest = tbl.read(timestamp=ts[2]).select(
+        F.lit("latest").alias("as_of"),
+        "event_type",
+        "d",
+        "n",
+        F.lit(bool(ts_ok)).alias("ts_ok"),
+    )
+    return at_v1.unionByName(latest)
+
+
+@query(
+    "tx_cluster_incremental",
+    oracle=f"""
+    -- INCREMENTAL (liquid-style) CLUSTERING: the data is unchanged by
+    -- clustering passes — the checked result is the table content
+    -- (original counters + the second-batch appends) with the
+    -- incremental contract folded into cluster_ok: pass 1 clusters
+    -- every pre-existing file, pass 2 touches ONLY the file appended
+    -- in between (pass-1 output files survive untouched).
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d, n, true AS cluster_ok FROM c
+    UNION ALL
+    SELECT event_type, d, CAST(n + 5000 AS BIGINT) AS n,
+           true AS cluster_ok
+    FROM c WHERE d <= 5
+    """,
+)
+def tx_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL CLUSTERING (acid.set_cluster_keys /
+    optimize_cluster, VERDICT r9 task 4 — the Delta liquid-clustering
+    public contract): clustering keys are latest-wins METADATA with a
+    monotone epoch; each OPTIMIZE pass rewrites ONLY files not yet
+    clustered under the current epoch (fresh appends, pre-key-change
+    files) ordered by the keys, stamping the epoch into their add
+    actions. Keeping a 100 TB table clustered therefore costs O(new
+    data) per pass — vs tx_optimize_zorder's full-scope rewrite —
+    while a key CHANGE is one epoch bump that re-qualifies everything
+    for the same incremental loop. ``cluster_ok`` pins: pass 1
+    reclusters exactly the pre-existing files, pass 2 exactly the one
+    file appended since, pass-1 outputs untouched by pass 2, zero
+    reclustered on an already-converged table, and key-range pruning
+    tightened by the clustered layout."""
+    tbl, ready = _staged(spark, sf_dir, "cluster_incr")
+    tag = os.path.join(tbl.path, "_CL_INFO")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        tbl.append(c, target_files=3)      # v0: ~3 unclustered files
+        n_before = len(tbl.snapshot().files)
+        tbl.set_cluster_keys(("d",))       # v1: metadata only
+        i1 = tbl.optimize_cluster(target_files=2)
+        files_1 = sorted(f.file for f in tbl.snapshot().files)
+        tbl.append(
+            c.filter(F.col("d") <= 5).withColumn(
+                "n", (F.col("n") + F.lit(5000)).cast("long")
+            ),
+            target_files=1,
+        )
+        i2 = tbl.optimize_cluster(target_files=1)
+        snap = tbl.snapshot()
+        files_2 = sorted(f.file for f in snap.files)
+        i3 = tbl.optimize_cluster()        # converged: no-op
+        sel = len(tbl.select_files(prune=("d", 1, 5)))
+        payload = {
+            "ok": bool(
+                i1["reclustered"] == n_before
+                and i2["reclustered"] == 1
+                and set(files_1) <= set(files_2)
+                and i3["reclustered"] == 0
+                and i3["version"] == snap.version  # truly no commit
+                and all(
+                    f.cluster_epoch == 1 for f in snap.files
+                )
+                and sel < len(files_2)  # clustered layout prunes
+            ),
+            "i1": i1,
+            "i2": i2,
+        }
+        with open(tag, "w") as fh:
+            json.dump(payload, fh)
+        _mark_ready(tbl, sf_dir)
+    with open(tag) as fh:
+        payload = json.load(fh)
+    return tbl.read().select(
+        "event_type",
+        "d",
+        "n",
+        F.lit(bool(payload["ok"])).alias("cluster_ok"),
+    )
+
+
+@query(
+    "tx_apply_changes_keyed",
+    oracle=f"""
+    -- KEYED INCREMENTAL VIEW from the row-tracked change feed: a
+    -- downstream copy maintained purely by folding
+    -- changes_with_ids() update-linked deltas (delete/preimage ids
+    -- leave, insert/postimage rows enter) across a MERGE (updates d
+    -- 6-8, inserts d 301-302, NMBS-deletes d >= 30), a DV delete
+    -- (d 3-4) and an OPTIMIZE (feeds nothing). The checked rows are
+    -- the maintained state; sync_ok asserts it equals the direct
+    -- recompute bag-exactly, row ids included.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d,
+           CAST(CASE WHEN d BETWEEN 6 AND 8 THEN n + 1000
+                     ELSE n END AS BIGINT) AS n,
+           true AS sync_ok
+    FROM c
+    WHERE d IS NULL OR (d < 30 AND NOT (d BETWEEN 3 AND 4))
+    UNION ALL
+    SELECT event_type, CAST(d + 300 AS BIGINT) AS d, n, true AS sync_ok
+    FROM c WHERE d BETWEEN 1 AND 2
+    """,
+)
+def tx_apply_changes_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYED INCREMENTAL VIEW (acid.apply_changes, VERDICT r9 task 6)
+    — what row tracking was built for: a non-additive downstream table
+    (per-entity latest state) maintained from changes_with_ids()
+    feeds alone. Each fold is two id-keyed set operations over
+    O(commit churn) rows — delete/update_preimage ids leave,
+    insert/update_postimage rows enter — so an update REPLACES its row
+    under the stable id instead of the guess-which-delete-pairs-with-
+    which-insert reconstruction an unlinked feed forces. The fold is
+    verified against the direct recompute (read_with_row_ids) after
+    every commit: MERGE clause mix, deletion-vector delete, and an
+    OPTIMIZE whose feed must net nothing. At 100 TB the consumer pays
+    O(churn) per sync, never O(table)."""
+    tbl, ready = _staged(spark, sf_dir, "apply_keyed")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        tbl.append(c.filter((F.col("d") <= 15) | F.col("d").isNull()))
+        tbl.append(c.filter(F.col("d") >= 16))
+        upd = c.filter(F.col("d").between(6, 8)).withColumn(
+            "n", (F.col("n") + F.lit(1000)).cast("long")
+        )
+        new = c.filter(F.col("d").between(1, 2)).withColumn(
+            "d", (F.col("d") + F.lit(300)).cast("long")
+        )
+        tbl.merge_clauses(
+            upd.unionByName(new),
+            keys=("event_type", "d"),
+            prune_col="d",
+            matched=({"action": "update", "set": {"n": "source.n"}},),
+            not_matched=({"action": "insert"},),
+            not_matched_by_source=(
+                {"action": "delete", "condition": "target.d >= 30"},
+            ),
+        )
+        tbl.delete_where_dv("d", 3, 4)
+        tbl.optimize(target_rows=1_000_000)
+        _mark_ready(tbl, sf_dir)
+    from ..acid import apply_changes
+
+    # bootstrap at the first append, then fold every later commit's
+    # update-linked feed — the maintained state never rereads the
+    # table (feeds 2.. include the second append's inserts)
+    state = tbl.read_with_row_ids(version=0)
+    for v in range(1, tbl.version + 1):
+        state = apply_changes(state, tbl.changes_with_ids(v - 1, v))
+    direct = tbl.read_with_row_ids()
+    sync_ok = (
+        state.exceptAll(direct).count() == 0
+        and direct.exceptAll(state).count() == 0
+    )
+    return state.select(
+        "event_type",
+        "d",
+        "n",
+        F.lit(bool(sync_ok)).alias("sync_ok"),
+    )

@@ -116,47 +116,47 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: (tools/sweep_sf01_r9.log, 33/33). Queries absent from this list keep
 #: their registration order after it.
 _GATE_PRIORITY: list[str] = [
-    # --- Round 9 rotation (VERDICT r8 task 4: drain the r3/r4-stale
-    # --- rows). Leading slots: the ops ADDED in round 9 — row
-    # --- tracking (stable row ids + update-linked change feed) and
-    # --- the hive-partitioned table layout.
-    "tx_row_tracking", "tx_partitioned_table", "src_minilog_partitioned",
-    "stream_stateful_v2",
-    # --- next: the 16 ids whose latest DRIVER row still dates to r3
-    # --- (re-simmed green by the r8 judge, but the external gate
-    # --- should own them again).
-    "llm_quality_filter",
-    "snk_redis_acct", "snk_redis_paths", "snk_redis_uniq",
-    "snk_stream_parquet",
-    "src_csv_robust", "src_socket_stream",
-    "stream_quality_gate", "stream_redis_counters",
-    "sub_exists_in", "sub_lateral_topn", "sub_not_in_null",
-    "win_cohort_retention", "win_gap_islands", "win_time_range",
-    "win_trailing_uniques",
-    # --- then: the oldest r4 rows, alphabetical, filling the 50-row
-    # --- gate. The rest of the r4 cohort + the r5 cohort queue for
-    # --- round 10; every id additionally gets a fresh-process sim row
-    # --- in tools/driver_sim_r9*.log regardless of the gate cut.
-    "agg_calendar_fill", "agg_collect_sorted", "agg_mad_outliers",
-    "agg_mode", "agg_skew_kurtosis", "agg_string_agg", "agg_unpivot",
-    "filt_in_large_list", "fn_binary_codec", "fn_collation",
-    "fn_levenshtein", "fn_try_arith", "fn_variant", "fn_xml",
-    "join_asof_forward", "join_asof_nearest", "join_asof_tolerance",
-    "join_bloom_pruned", "join_interval_overlap", "layout_zorder",
-    "llm_bigram_logprob", "llm_boilerplate_chunks",
-    "llm_cooccurrence_pmi", "llm_corpus_shuffle", "llm_embed_quantize",
-    "llm_embedding_audit", "llm_inverted_index", "llm_ngram_containment",
-    "llm_ngram_novelty", "llm_quality_sample", "llm_semdedup",
-    "llm_unigram_logprob", "llm_url_dedup", "llm_zipf_slope",
-    # --- queued r4 remainder (slots 51+): set_union_evolved,
-    # --- snk_jsonl_export, snk_merge_upsert, snk_multi_fanout,
-    # --- snk_observe_audit, src_binary_files, src_orc, and the rest.
-    "set_union_evolved", "snk_jsonl_export", "snk_merge_upsert",
-    "snk_multi_fanout", "snk_observe_audit", "src_binary_files",
-    "src_orc", "src_schema_evolution", "src_synthetic_events",
-    "stream_backpressure", "stream_chained_stateful",
-    "stream_incr_dedup", "win_decile_report", "win_mom_growth",
-    "win_percentile_band", "win_share_of_total",
+    # --- Round 10 rotation (VERDICT r9 task 5: drain the 20 r4-stale
+    # --- rows + the oldest r5 cohort). Leading slots: the six ops
+    # --- ADDED in round 10 — the MERGE clause surface, MERGE schema
+    # --- evolution, in-commit timestamps, incremental clustering,
+    # --- the keyed incremental view, and native-write blooms.
+    "tx_merge_clauses", "tx_merge_evolve", "tx_time_travel_ts",
+    "tx_cluster_incremental", "tx_apply_changes_keyed",
+    "src_bloom_native",
+    # --- next: the 20 ids whose latest DRIVER row still dates to r4
+    # --- (re-simmed 20/20 green by the r9 judge; the external gate
+    # --- owns them again this round).
+    "llm_semdedup", "llm_unigram_logprob", "llm_url_dedup",
+    "llm_zipf_slope", "set_union_evolved", "snk_jsonl_export",
+    "snk_merge_upsert", "snk_multi_fanout", "snk_observe_audit",
+    "src_binary_files", "src_orc", "src_schema_evolution",
+    "src_synthetic_events", "stream_backpressure",
+    "stream_chained_stateful", "stream_incr_dedup",
+    "win_decile_report", "win_mom_growth", "win_percentile_band",
+    "win_share_of_total",
+    # --- then: the oldest r5 rows, alphabetical, filling the 50-row
+    # --- gate. The r5 remainder (llm_lang_id .. win_nth_value, 24
+    # --- ids) queues for round 11; every id additionally gets a
+    # --- fresh-process sim row in tools/driver_sim_r10*.log
+    # --- regardless of the gate cut.
+    "agg_approx_top_k", "agg_count_by_bucket", "agg_distinct_rows",
+    "agg_distinct_users", "agg_having", "agg_product",
+    "fn_aes_gcm", "fn_aes_roundtrip", "fn_date_arith",
+    "join_bucketed_colocated", "join_dpp_pruned", "llm_ann_lsh",
+    "llm_bigrams", "llm_chunk_native", "llm_chunk_overlap",
+    "llm_corpus_manifest", "llm_cosine_topk", "llm_dedup_clusters",
+    "llm_dedup_stats", "llm_embed_neardup", "llm_exact_dedup",
+    "llm_fingerprint", "llm_knn_classify", "llm_lang_filter",
+    # --- queued r5 remainder (slots 51+), drained next round:
+    "llm_lang_id", "llm_multimodal_audio", "llm_multimodal_decode",
+    "llm_multimodal_frames", "llm_near_dedup", "llm_ngram_jaccard",
+    "llm_quality_score", "llm_semdedup_arrow", "llm_text_stats",
+    "llm_tfidf_topterms", "llm_token_count", "llm_tokenize_ngrams",
+    "snk_csv_export", "src_corrupt_tolerant", "src_partition_pruned",
+    "src_recursive_glob", "stream_approx_uniques", "stream_topk_rank",
+    "udf_arrow_scalar", "udf_grouped_agg", "udf_plain",
+    "udf_scalar_pandas", "udf_table", "win_nth_value",
 ]
 
 

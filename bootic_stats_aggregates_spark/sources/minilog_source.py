@@ -248,6 +248,26 @@ def _with_row_ids(options: dict) -> bool:
     return str(options.get("withrowids", "false")).lower() == "true"
 
 
+def _resolve_version(path: str, options: dict):
+    """Batch time-travel resolution shared by schema() and the
+    readers: ``version`` (an int ordinal) or ``timestampAsOf`` (int
+    epoch-µs or ISO string, resolved through the log's in-commit
+    timestamps — acid.version_at), never both. None = latest."""
+    version = options.get("version")
+    ts = options.get("timestampasof")
+    if version is not None and ts is not None:
+        raise ValueError(
+            "minilog: pass option 'version' OR 'timestampAsOf', not both"
+        )
+    if ts is not None:
+        try:
+            ts = int(ts)  # DSv2 options arrive as strings
+        except (TypeError, ValueError):
+            pass
+        return _handle(path).version_at(ts)
+    return int(version) if version is not None else None
+
+
 def _partition_may_match(f, col: str, lo, hi) -> bool:
     """DIRECTORY-LEVEL pruning ahead of stats (r9): a partitioned
     file's value on its partition column is EXACT, so a range mismatch
@@ -304,8 +324,7 @@ class _MiniLogBatchReaderBase(DataSourceReader):
 
     def partitions(self):
         tbl = _handle(self._path)
-        version = self._options.get("version")
-        snap = tbl.snapshot(int(version) if version is not None else None)
+        snap = tbl.snapshot(_resolve_version(self._path, self._options))
         schema = (
             tuple((c["name"], c["type"], _phys(c)) for c in snap.schema)
             if snap.schema
@@ -390,8 +409,30 @@ class _MiniLogStreamReader(DataSourceStreamReader):
         #: a keyed downstream consumer (SCD state, incremental join)
         #: links rows across batches without guessing by business key
         self._with_row_ids = _with_row_ids(options)
+        #: startingTimestamp (r10): tail from the first commit whose
+        #: in-commit timestamp is at-or-after this (int epoch-µs or
+        #: ISO string) — Delta's startingTimestamp contract. Commits
+        #: before it are intentionally SKIPPED (no snapshot bootstrap,
+        #: no data-loss alarm: the consumer asked to start there).
+        st = options.get("startingtimestamp")
+        if st is not None:
+            try:
+                st = int(st)
+            except (TypeError, ValueError):
+                pass
+        self._starting_ts = st
 
     def initialOffset(self) -> dict:
+        if self._starting_ts is not None:
+            tbl = _handle(self._path)
+            start = tbl.first_version_at_or_after(self._starting_ts)
+            if start is None:
+                # every retained commit is older: only future commits
+                return {"version": tbl.version}
+            return {"version": start - 1}
+        return self._initial_offset_from_start()
+
+    def _initial_offset_from_start(self) -> dict:
         # tail from the table's beginning: a bootstrap consumer sees
         # every commit exactly once. On a VACUUM-TRUNCATED log the
         # early entries are gone, so clamp to just before the oldest
@@ -638,9 +679,25 @@ class _MiniLogCDFStreamReader(DataSourceStreamReader):
         #: (a feed spanning a later evolution presents old rows
         #: null-filled — the acid.changes() contract)
         self._schema = tuple((c["name"], c["type"], _phys(c)) for c in snap.schema)
+        st = options.get("startingtimestamp")
+        if st is not None:
+            try:
+                st = int(st)
+            except (TypeError, ValueError):
+                pass
+        self._starting_ts = st
 
     def initialOffset(self) -> dict:
-        versions = _handle(self._path)._versions()
+        tbl = _handle(self._path)
+        if self._starting_ts is not None:
+            # startingTimestamp (r10): feed changes from the first
+            # commit at-or-after the timestamp; earlier commits are
+            # intentionally skipped (no snapshot bootstrap)
+            start = tbl.first_version_at_or_after(self._starting_ts)
+            if start is None:
+                return {"version": tbl.version}
+            return {"version": start - 1}
+        versions = tbl._versions()
         if versions and versions[0] > 0:
             # vacuum-truncated log: the first batch is changes(-1, oldest)
             # = every row live at the earliest retained snapshot, as
@@ -740,6 +797,206 @@ def _handle(path: str, create: bool = False) -> MiniLogTable:
 class _MiniLogCommitMessage(WriterCommitMessage):
     #: add actions (file + rows + stats) for the files this task wrote
     actions: list
+
+
+# -------------------------------------------------- xxhash64 port (r10)
+# The bloom contract requires probe hashes to be BITWISE the hashes the
+# write path folded in — and the DSv2 commit/write workers have no
+# SparkSession to ask Spark for them. This is a pinned pure-Python/
+# numpy port of Spark's XxHash64 (catalyst XXH64.java, itself a
+# faithful XXH64: public algorithm, public constants), covering the
+# legs the writer blooms — int32/date (hashInt), int64/timestamp
+# (hashLong), string/binary (hashUnsafeBytes) — chained exactly like
+# the `F.xxhash64(col, lit(seed))` call the Python path uses: fold
+# seed 42 through the column value, then through the int literal.
+# tests/test_acid.py pins BIT-EQUALITY against F.xxhash64 across all
+# BLOOM_K seeds and hostile values; any engine-upgrade divergence
+# fails there, never as a wrong skip.
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _xx_rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xx_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _xx_long(v: int, seed: int) -> int:
+    v &= _M64
+    h = (seed + _XXP5 + 8) & _M64
+    h ^= (_xx_rotl((v * _XXP2) & _M64, 31) * _XXP1) & _M64
+    h = (_xx_rotl(h, 27) * _XXP1 + _XXP4) & _M64
+    return _xx_fmix(h)
+
+
+def _xx_int(v: int, seed: int) -> int:
+    h = (seed + _XXP5 + 4) & _M64
+    h ^= ((v & 0xFFFFFFFF) * _XXP1) & _M64
+    h = (_xx_rotl(h, 23) * _XXP2 + _XXP3) & _M64
+    return _xx_fmix(h)
+
+
+def _xx_bytes(b: bytes, seed: int) -> int:
+    n = len(b)
+    off = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while off <= n - 32:
+            for i, v in enumerate((v1, v2, v3, v4)):
+                k = int.from_bytes(b[off + 8 * i:off + 8 * i + 8], "little")
+                v = (_xx_rotl((v + k * _XXP2) & _M64, 31) * _XXP1) & _M64
+                if i == 0:
+                    v1 = v
+                elif i == 1:
+                    v2 = v
+                elif i == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            off += 32
+        h = (
+            _xx_rotl(v1, 1) + _xx_rotl(v2, 7)
+            + _xx_rotl(v3, 12) + _xx_rotl(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            v = (_xx_rotl((v * _XXP2) & _M64, 31) * _XXP1) & _M64
+            h = ((h ^ v) * _XXP1 + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while off + 8 <= n:
+        k = int.from_bytes(b[off:off + 8], "little")
+        h ^= (_xx_rotl((k * _XXP2) & _M64, 31) * _XXP1) & _M64
+        h = (_xx_rotl(h, 27) * _XXP1 + _XXP4) & _M64
+        off += 8
+    if off + 4 <= n:
+        h ^= (int.from_bytes(b[off:off + 4], "little") * _XXP1) & _M64
+        h = (_xx_rotl(h, 23) * _XXP2 + _XXP3) & _M64
+        off += 4
+    while off < n:
+        h ^= (b[off] * _XXP5) & _M64
+        h = (_xx_rotl(h, 11) * _XXP1) & _M64
+        off += 1
+    return _xx_fmix(h)
+
+
+def spark_xxhash64_compat(value, spark_kind: str, seed: int) -> int:
+    """``F.xxhash64(col, F.lit(seed))`` replayed in Python: Spark folds
+    the default seed 42 through each child in order — the column value
+    (hashed per its type), then the INT literal (hashInt). Returns the
+    SIGNED 64-bit result, matching what Spark collects.
+    ``spark_kind``: 'int' (byte/short/int/date), 'long'
+    (long/timestamp), or 'bytes' (string utf-8 / binary)."""
+    h = 42
+    if spark_kind == "int":
+        h = _xx_int(int(value), h)
+    elif spark_kind == "long":
+        h = _xx_long(int(value), h)
+    elif spark_kind == "bytes":
+        h = _xx_bytes(value, h)
+    else:  # pragma: no cover - callers gate on supported kinds
+        raise TypeError(f"unsupported xxhash64 kind {spark_kind!r}")
+    h = _xx_int(seed, h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+#: Arrow column type -> (spark hash kind, value adapter). Only types
+#: whose Spark hash layout is pinned by the bit-equality test may
+#: receive a native bloom; anything else gets NO bloom (missing index
+#: = no skip, never a wrong skip).
+def _arrow_bloom_kind(typ):
+    import pyarrow as pa
+
+    if pa.types.is_int8(typ) or pa.types.is_int16(typ) or pa.types.is_int32(typ):
+        return "int", int
+    if pa.types.is_date32(typ):
+        return "int", lambda v: (
+            v if isinstance(v, int) else (v - _EPOCH_DATE).days
+        )
+    if pa.types.is_int64(typ):
+        return "long", int
+    if pa.types.is_timestamp(typ) and typ.unit == "us":
+        return "long", int
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return "bytes", lambda v: v.encode("utf-8")
+    if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        return "bytes", bytes
+    return None
+
+
+_EPOCH_DATE = __import__("datetime").date(1970, 1, 1)
+
+
+def _arrow_bloom_bits(column) -> "Optional[tuple]":
+    """(m, bitmap bytes) for one Arrow column, or None when the type
+    is outside the pinned hash surface. Mirrors acid._bloom_build_
+    pandas sizing: <= BLOOM_SIDECAR_NDV distinct keys -> the in-log
+    BLOOM_BITS bitmap, past that ~BLOOM_BITS_PER_KEY bits/key rounded
+    to a power of two. Hashes only DISTINCT values (the bitmap is
+    set-shaped anyway), so cost is O(ndv), not O(rows)."""
+    import numpy as np
+
+    from ..acid import (
+        BLOOM_BITS,
+        BLOOM_BITS_PER_KEY,
+        BLOOM_K,
+        BLOOM_SIDECAR_NDV,
+    )
+
+    kind = _arrow_bloom_kind(column.type)
+    if kind is None:
+        return None
+    spark_kind, adapt = kind
+    # arrow ints/timestamps: pull raw representation where cheap
+    col = column.drop_null()
+    if len(col) == 0:
+        return None
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if spark_kind in ("int", "long") and not pa.types.is_date32(
+        column.type
+    ):
+        vals = pc.unique(col).cast(pa.int64()).to_pylist()
+    elif pa.types.is_date32(column.type):
+        vals = pc.unique(col.cast(pa.int32())).to_pylist()
+    else:
+        vals = [adapt(v) for v in pc.unique(col).to_pylist()]
+    ndv = len(vals)
+    if ndv <= BLOOM_SIDECAR_NDV:
+        m = BLOOM_BITS
+    else:
+        m = 1 << int(np.ceil(np.log2(ndv * BLOOM_BITS_PER_KEY)))
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    if spark_kind == "bytes":
+        hs = [
+            [spark_xxhash64_compat(v, "bytes", s) for v in vals]
+            for s in range(BLOOM_K)
+        ]
+    else:
+        hs = [
+            [spark_xxhash64_compat(v, spark_kind, s) for v in vals]
+            for s in range(BLOOM_K)
+        ]
+    for s in range(BLOOM_K):
+        p = np.unique(np.array(hs[s], dtype=np.int64) % m)
+        np.bitwise_or.at(bits, p >> 3, (1 << (p & 7)).astype(np.uint8))
+    return int(m), bits.tobytes()
 
 
 #: the exact character set Spark's escapePathName escapes (catalyst
@@ -1288,10 +1545,9 @@ class MiniLogDataSource(DataSource):
 
     def schema(self) -> str:
         tbl = _handle(self._path())
-        version = self.options.get("version")
         try:
             snap = tbl.snapshot(
-                int(version) if version is not None else None
+                _resolve_version(self._path(), dict(self.options))
             )
         except NoSuchVersion:
             raise
