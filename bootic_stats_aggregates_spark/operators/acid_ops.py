@@ -1649,6 +1649,99 @@ def snk_minilog_dsv2_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "src_bloom_native",
+    oracle=f"""
+    -- NATIVE-WRITE BLOOM INDEXES (r10): the table is written ONLY via
+    -- df.write.format("minilog").option("bloomCols", "user_id") — four
+    -- day-band appends (every user in every band, so min/max stats on
+    -- user_id can never prune; the sentinel band offsets ids by
+    -- 10,000,000). The bloom stats are computed TASK-SIDE on the Arrow
+    -- batches by a pinned xxhash64 port (bit-equal to F.xxhash64 —
+    -- tests/test_acid.py), so the point probe skips every non-sentinel
+    -- band WITHOUT any build_bloom_index() backfill. Visible result:
+    -- the probe user's per-day counts; bloom_ok pins strict-subset
+    -- scanning + point==full equality + a backfill-free history.
+    WITH probe AS (SELECT min(user_id) AS u FROM events)
+    SELECT CAST(date_part('day', ts) AS BIGINT) AS d,
+           CAST(count(*) AS BIGINT) AS n,
+           true AS bloom_ok
+    FROM events, probe
+    WHERE user_id = probe.u AND date_part('day', ts) <= 3
+    GROUP BY 1
+    """,
+)
+def src_bloom_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """src_bloom_skip's point-lookup story for tables written ONLY
+    through the NATIVE DSv2 writer: ``option("bloomCols", "user_id")``
+    computes the bloom bitmaps task-side on the Arrow batches — via a
+    pinned pure-Python/numpy port of Spark's XxHash64 (the DSv2 write
+    workers have no SparkSession to ask Spark for hashes) asserted
+    BIT-EQUAL against ``F.xxhash64`` across all seeds and hostile
+    values in tests/test_acid.py — so the table point-skips from its
+    very first commit, closing the r9 gap where native writes gained
+    blooms only via the ``build_bloom_index()`` backfill. Same adaptive
+    in-log-≤2k-NDV / sidecar-past-that shape as the Python write path;
+    columns outside the pinned hash surface get NO bloom (missing
+    index = no skip, never a wrong skip).
+
+    At 100 TB the write path IS the index maintenance: a Spark-only
+    ingest pipeline (readStream → native sink) keeps point lookups
+    O(matching files) with zero out-of-band maintenance jobs."""
+    from ..sources.minilog_source import register
+
+    register(spark)
+    tbl, ready = _staged(spark, sf_dir, "bloom_native")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.dayofmonth("ts").cast("long").alias("d")
+    )
+    if not ready:
+        for pred in [
+            F.col("d") <= 10,
+            F.col("d").between(11, 20),
+            (F.col("d") >= 21) | F.col("d").isNull(),
+        ]:
+            (
+                ev.filter(pred)
+                .coalesce(1)
+                .write.format("minilog")
+                .mode("append")
+                .option("statsCols", "d")
+                .option("bloomCols", "user_id")
+                .save(tbl.path)
+            )
+        (  # the sentinel band: offset ids, days 1-3 only
+            ev.filter(F.col("d") <= 3)
+            .withColumn("user_id", F.col("user_id") + F.lit(10_000_000))
+            .coalesce(1)
+            .write.format("minilog")
+            .mode("append")
+            .option("statsCols", "d")
+            .option("bloomCols", "user_id")
+            .save(tbl.path)
+        )
+        _mark_ready(tbl, sf_dir)
+    probe = 10_000_000 + ev.agg(F.min("user_id")).collect()[0][0]
+    pointed = tbl.read(point=("user_id", probe))
+    result = pointed.groupBy("d").agg(lcount("n"))
+    full = (
+        tbl.read()
+        .filter(F.col("user_id") == F.lit(probe))
+        .groupBy("d")
+        .agg(lcount("n"))
+    )
+    scanned = tbl.select_files(point=("user_id", probe))
+    bloom_ok = (
+        len(scanned) < len(tbl.select_files())
+        and all(h["operation"] == "append" for h in tbl.history())
+        and result.exceptAll(full).isEmpty()
+        and full.exceptAll(result).isEmpty()
+    )
+    return result.select(
+        "d", "n", F.lit(bool(bloom_ok)).alias("bloom_ok")
+    )
+
+
+@query(
     "stream_minilog_dsv2_sink",
     oracle=f"""
     -- the NATIVE STREAMING SINK (df.writeStream.format("minilog")):

@@ -1068,6 +1068,35 @@ def _land_arrow_file(
     return action
 
 
+def _attach_arrow_blooms(table, bloom_cols, action, side_rows) -> None:
+    """Task-side bloom stats for ONE landed file (r10, closing the r9
+    gap where natively-written tables point-skipped only after a
+    ``build_bloom_index()`` backfill): same dict shapes the Python
+    path's ``build_bloom_stats`` commits — in-log ``hex`` at the fixed
+    BLOOM_BITS size, ``sidecar`` reference past BLOOM_SIDECAR_NDV (the
+    oversized bitmaps accumulate in ``side_rows`` and the task writes
+    ONE sidecar parquet for all of them). Columns outside the pinned
+    hash surface get NO bloom: missing index = no skip, never a wrong
+    skip."""
+    from ..acid import BLOOM_BITS, BLOOM_K
+
+    for p in bloom_cols:
+        if p not in table.column_names:
+            continue
+        got = _arrow_bloom_bits(table.column(p))
+        if got is None:
+            continue
+        m, bits = got
+        if m == BLOOM_BITS:
+            action["stats"].setdefault(p, {})["bloom"] = {
+                "k": BLOOM_K,
+                "m": m,
+                "hex": bits.hex(),
+            }
+        else:
+            side_rows.append((action["file"], p, m, bits))
+
+
 def _write_task_file(
     path: str,
     stats_cols: tuple,
@@ -1075,6 +1104,7 @@ def _write_task_file(
     mapping: Optional[dict] = None,
     checks: Optional[tuple] = None,
     partition_cols: tuple = (),
+    bloom_cols: tuple = (),
 ):
     """Executor-side write task: land this partition's Arrow batches as
     immutable parquet files under fresh UUID names and return their
@@ -1108,33 +1138,34 @@ def _write_task_file(
             [mapping.get(c, c) for c in table.column_names]
         )
     mapping = mapping or {}
+    side_rows: list[tuple] = []  # (rel_file, col, m, bits) — oversized
     if not partition_cols:
-        return _MiniLogCommitMessage(
-            actions=[_land_arrow_file(path, table, stats_cols, mapping)]
+        action = _land_arrow_file(path, table, stats_cols, mapping)
+        _attach_arrow_blooms(table, bloom_cols, action, side_rows)
+        actions = [action]
+    else:
+        pcols = [mapping.get(c, c) for c in partition_cols]
+        combos = (
+            table.select(pcols)
+            .group_by(pcols)
+            .aggregate([])
+            .to_pylist()
         )
-    pcols = [mapping.get(c, c) for c in partition_cols]
-    combos = (
-        table.select(pcols)
-        .group_by(pcols)
-        .aggregate([])
-        .to_pylist()
-    )
-    combos.sort(key=lambda c: tuple(str(c[p]) for p in pcols))
-    actions = []
-    for combo in combos:
-        m = None
-        for p in pcols:
-            v = combo[p]
-            cond = (
-                pc.is_null(table.column(p))
-                if v is None
-                else pc.equal(table.column(p), v)
-            )
-            m = cond if m is None else pc.and_(m, cond)
-        sub = table.filter(m).drop_columns(pcols)
-        subdir = os.path.join(*[_hive_dir(p, combo[p]) for p in pcols])
-        actions.append(
-            _land_arrow_file(
+        combos.sort(key=lambda c: tuple(str(c[p]) for p in pcols))
+        actions = []
+        for combo in combos:
+            m = None
+            for p in pcols:
+                v = combo[p]
+                cond = (
+                    pc.is_null(table.column(p))
+                    if v is None
+                    else pc.equal(table.column(p), v)
+                )
+                m = cond if m is None else pc.and_(m, cond)
+            sub = table.filter(m).drop_columns(pcols)
+            subdir = os.path.join(*[_hive_dir(p, combo[p]) for p in pcols])
+            action = _land_arrow_file(
                 path,
                 sub,
                 stats_cols,
@@ -1142,17 +1173,61 @@ def _write_task_file(
                 subdir=subdir,
                 partition={p: _json_safe(combo[p]) for p in pcols},
             )
+            # partition columns' bytes live in directory names (dropped
+            # from sub), so a bloom request naming one is a natural
+            # no-op here — directory pruning already beats it
+            _attach_arrow_blooms(sub, bloom_cols, action, side_rows)
+            actions.append(action)
+    if side_rows:
+        # one sidecar parquet per TASK for all its oversized bitmaps —
+        # written before the driver commit references it, so a failed
+        # job leaves it unreferenced for vacuum (the build_bloom_stats
+        # contract, shared byte-layout)
+        import uuid as _uuid
+
+        import pyarrow.parquet as pq
+
+        from ..acid import BLOOM_DIR, BLOOM_K
+
+        side_name = os.path.join(BLOOM_DIR, f"{_uuid.uuid4().hex}.parquet")
+        os.makedirs(os.path.join(path, BLOOM_DIR), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "file": [r[0] for r in side_rows],
+                    "col": [r[1] for r in side_rows],
+                    "m": [r[2] for r in side_rows],
+                    "bits": [r[3] for r in side_rows],
+                }
+            ),
+            os.path.join(path, side_name),
         )
+        by_file = {a["file"]: a for a in actions}
+        for f, c, m, _bits in side_rows:
+            by_file[f]["stats"].setdefault(c, {})["bloom"] = {
+                "k": BLOOM_K,
+                "m": m,
+                "sidecar": side_name,
+            }
     return _MiniLogCommitMessage(actions=actions)
 
 
 def _abort_task_files(path: str, messages) -> None:
+    seen_sidecars: set = set()
     for m in messages:
         for a in getattr(m, "actions", None) or []:
             try:
                 os.unlink(os.path.join(path, a["file"]))
             except FileNotFoundError:
                 pass
+            for st in (a.get("stats") or {}).values():
+                side = (st.get("bloom") or {}).get("sidecar")
+                if side and side not in seen_sidecars:
+                    seen_sidecars.add(side)
+                    try:
+                        os.unlink(os.path.join(path, side))
+                    except FileNotFoundError:
+                        pass
 
 
 def _validate_arrow_batch(
@@ -1351,6 +1426,7 @@ class _MiniLogArrowWriter(DataSourceArrowWriter):
         overwrite: bool,
         merge_schema: bool,
         partition_by: tuple = (),
+        bloom_by: tuple = (),
     ) -> None:
         self._path = path
         self._schema = schema
@@ -1392,6 +1468,9 @@ class _MiniLogArrowWriter(DataSourceArrowWriter):
             }
             if any(n not in snap_names for n in self._generated):
                 self._merge_schema = True
+        # bloom index at WRITE TIME (r10): physical names, computed
+        # task-side on the Arrow batches via the pinned xxhash64 port
+        self._bloom = tuple(self._mapping.get(c, c) for c in bloom_by)
 
     def write(self, iterator):
         return _write_task_file(
@@ -1401,6 +1480,7 @@ class _MiniLogArrowWriter(DataSourceArrowWriter):
             self._mapping,
             checks=(self._constraints, self._generated),
             partition_cols=self._pcols,
+            bloom_cols=self._bloom,
         )
 
     def commit(self, messages):
@@ -1460,6 +1540,7 @@ class _MiniLogStreamArrowWriter(DataSourceStreamArrowWriter):
         stats_cols: tuple,
         txn_app: str,
         partition_by: tuple = (),
+        bloom_by: tuple = (),
     ) -> None:
         self._path = path
         self._schema = schema
@@ -1490,6 +1571,7 @@ class _MiniLogStreamArrowWriter(DataSourceStreamArrowWriter):
             self._evolve = any(
                 n not in snap_names for n in self._generated
             )
+        self._bloom = tuple(self._mapping.get(c, c) for c in bloom_by)
 
     def write(self, iterator):
         return _write_task_file(
@@ -1499,6 +1581,7 @@ class _MiniLogStreamArrowWriter(DataSourceStreamArrowWriter):
             self._mapping,
             checks=(self._constraints, self._generated),
             partition_cols=self._pcols,
+            bloom_cols=self._bloom,
         )
 
     def commit(self, messages, batchId: int):
@@ -1626,6 +1709,12 @@ class MiniLogDataSource(DataSource):
         raw = self.options.get("partitionby", "")
         return tuple(c.strip() for c in raw.split(",") if c.strip())
 
+    def _bloom_by(self) -> tuple:
+        # .option("bloomCols", "col1,col2"): bloom indexes stamped at
+        # WRITE TIME, task-side on the Arrow batches (r10 — closes the
+        # r9 backfill-only gap for natively-written tables)
+        raw = self.options.get("bloomcols", "")
+        return tuple(c.strip() for c in raw.split(",") if c.strip())
 
     def writer(self, schema, overwrite: bool) -> _MiniLogArrowWriter:
         merge = (
@@ -1638,6 +1727,7 @@ class MiniLogDataSource(DataSource):
             overwrite,
             merge,
             partition_by=self._partition_by(),
+            bloom_by=self._bloom_by(),
         )
 
     def streamWriter(
@@ -1649,6 +1739,7 @@ class MiniLogDataSource(DataSource):
             self._stats_cols(),
             self.options.get("txnapp", "minilog-stream-writer"),
             partition_by=self._partition_by(),
+            bloom_by=self._bloom_by(),
         )
 
 

@@ -2401,3 +2401,176 @@ def test_detail_and_show_partitions(spark, ptbl, tbl):
     assert tbl.detail()["partition_columns"] == []
     with pytest.raises(ValueError, match="not partitioned"):
         tbl.show_partitions()
+
+
+# --------------------------------------------- native-write blooms (r10)
+
+
+def test_xxhash64_port_bit_equality(spark):
+    """The native writer's xxhash64 port must be BITWISE Spark's
+    F.xxhash64 for every type leg the writer blooms, across ALL
+    BLOOM_K seeds and hostile values — block boundaries of the XXH64
+    algorithm (31/32/33-byte strings cross the 32-byte stripe loop),
+    non-ASCII, embedded NULs, signed extremes. Any engine-upgrade
+    divergence must fail HERE, never as a wrong skip in production."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from bootic_stats_aggregates_spark.acid import BLOOM_K
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        spark_xxhash64_compat,
+    )
+
+    cases = [
+        ("int", "int", [0, 1, -1, 2**31 - 1, -(2**31), 42]),
+        ("int", "smallint", [0, -1, 32767, -32768]),
+        ("long", "bigint", [0, 1, -1, 2**63 - 1, -(2**63), 7_000_000_001]),
+        (
+            "bytes",
+            "string",
+            [
+                "",
+                "a",
+                "abc",
+                "é-ünïcode-日本語",
+                "x" * 31,
+                "x" * 32,
+                "x" * 33,
+                "y" * 100,
+                "nul\x00byte",
+            ],
+        ),
+        ("bytes", "binary", [b"", b"\x00", b"\xff" * 40, b"raw\x01\x02"]),
+    ]
+    for kind, stype, vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], f"v {stype}")
+        for seed in range(BLOOM_K):
+            got = [
+                r[0]
+                for r in df.select(
+                    F.xxhash64(F.col("v"), F.lit(seed))
+                ).collect()
+            ]
+            for v, g in zip(vals, got):
+                pv = v.encode("utf-8") if isinstance(v, str) else v
+                assert spark_xxhash64_compat(pv, kind, seed) == g, (
+                    kind,
+                    stype,
+                    seed,
+                    v,
+                )
+    # date hashes its epoch-day int; timestamp its UTC-epoch micros —
+    # compare against Spark's OWN internal values (unix_micros), which
+    # are exactly what the Arrow batches hand the writer
+    d = datetime.date(2021, 5, 17)
+    df = spark.createDataFrame([(d,)], "v date")
+    for seed in range(BLOOM_K):
+        g = df.select(F.xxhash64("v", F.lit(seed))).collect()[0][0]
+        days = (d - datetime.date(1970, 1, 1)).days
+        assert spark_xxhash64_compat(days, "int", seed) == g
+    ts = datetime.datetime(2021, 5, 17, 12, 34, 56, 789123)
+    df = spark.createDataFrame([(ts,)], "v timestamp")
+    row = df.select(
+        F.unix_micros("v").alias("us"),
+        *[
+            F.xxhash64("v", F.lit(seed)).alias(f"h{seed}")
+            for seed in range(BLOOM_K)
+        ],
+    ).collect()[0]
+    for seed in range(BLOOM_K):
+        assert (
+            spark_xxhash64_compat(row["us"], "long", seed)
+            == row[f"h{seed}"]
+        )
+
+
+def test_native_write_bloom_cols_point_skip(spark, tmp_path):
+    """src_bloom_native's contract at test granularity: a table written
+    ONLY via df.write.format('minilog').option('bloomCols', ...) point-
+    skips immediately — adaptive in-log/sidecar sizing per file, no
+    false negatives over every probed present value, absent-value
+    probes scanning nothing, and nothing left for the backfill."""
+    import pyspark.sql.functions as F
+
+    from bootic_stats_aggregates_spark.acid import BLOOM_BITS
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        register,
+    )
+
+    register(spark)
+    path = str(tmp_path / "nb")
+    # file 0: small NDV (in-log bloom); file 1: 20k NDV (sidecar)
+    small = spark.range(100).select(
+        (F.col("id") * 2 + 1).alias("u"), F.lit("s").alias("v")
+    )
+    big = spark.range(20_000).select(
+        (F.col("id") * 2 + 201).alias("u"), F.lit("b").alias("v")
+    )
+    for df in (small, big):
+        (
+            df.coalesce(1)
+            .write.format("minilog")
+            .mode("append")
+            .option("bloomCols", "u")
+            .save(path)
+        )
+    tbl = MiniLogTable(spark, path, bloom_cols=("u",))
+    snap = tbl.snapshot()
+    kinds = {
+        ("sidecar" if "sidecar" in f.stats["u"]["bloom"] else "hex")
+        for f in snap.files
+    }
+    assert kinds == {"hex", "sidecar"}  # adaptive sizing, per file
+    assert any(
+        f.stats["u"]["bloom"]["m"] > BLOOM_BITS for f in snap.files
+    )
+    # point skip: u=1 lives only in the small file, u=40001 only in big
+    assert len(tbl.select_files(point=("u", 1))) == 1
+    assert len(tbl.select_files(point=("u", 40_001))) == 1
+    # absent (even parity, in neither file): nothing scanned
+    assert tbl.select_files(point=("u", 2)) == []
+    # no false negatives across a present-value sweep of both files
+    for u in (1, 199, 201, 4001, 40_199):
+        assert tbl.read(point=("u", u)).count() == 1, u
+    # write-time blooms leave the backfill nothing to do
+    assert tbl.build_bloom_index()["indexed"] == 0
+
+
+def test_native_write_bloom_unsupported_and_partition_cols(
+    spark, tmp_path
+):
+    """bloomCols naming a float column (outside the pinned hash
+    surface) or a partition column (bytes live in directory names)
+    yields NO bloom — missing index = no skip, never a wrong skip —
+    while the supported column on the same write still indexes."""
+    import pyspark.sql.functions as F
+
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        register,
+    )
+
+    register(spark)
+    path = str(tmp_path / "np")
+    df = spark.range(50).select(
+        (F.col("id") % 2).cast("string").alias("part"),
+        F.col("id").alias("u"),
+        (F.col("id") * 1.5).alias("score"),
+    )
+    (
+        df.coalesce(1)
+        .write.format("minilog")
+        .mode("append")
+        .option("partitionBy", "part")
+        .option("bloomCols", "part,u,score")
+        .save(path)
+    )
+    tbl = MiniLogTable(spark, path, bloom_cols=("u",))
+    for f in tbl.snapshot().files:
+        assert "bloom" in f.stats.get("u", {})
+        assert "bloom" not in f.stats.get("score", {})
+        assert "bloom" not in f.stats.get("part", {})
+    # probes on the unbloomed columns scan everything (no wrong skip)
+    assert len(tbl.select_files()) == 2
+    assert len(tbl.select_files(point=("u", 7))) == 1
+    assert tbl.read(point=("u", 7)).count() == 1
