@@ -1980,6 +1980,25 @@ class MiniLogTable:
         current = snap.schema
         names = [c["name"] for c in (current or [])]
         src_schema = self._df_schema(source)
+        # an OVERLAPPING source column must keep the table's type —
+        # append's evolution contract (schema_merge_actions), checked
+        # here explicitly because merge's `incoming` is derived from
+        # the TABLE schema (the source's divergent type would otherwise
+        # surface as a runtime CAST error inside the when-chain, not a
+        # SchemaMismatch)
+        cur_types = {c["name"]: c["type"] for c in (current or [])}
+        clash = [
+            f"{c['name']!r}: table has {cur_types[c['name']]!r}, "
+            f"source has {c['type']!r}"
+            for c in src_schema
+            if c["name"] in cur_types and cur_types[c["name"]] != c["type"]
+        ]
+        if clash:
+            raise SchemaMismatch(
+                "merge_clauses: type conflict on existing column(s) — "
+                + "; ".join(clash)
+                + " (cast the source side; type changes not supported)"
+            )
         fresh_cols = [c for c in src_schema if c["name"] not in names]
         if fresh_cols and not evolve_schema:
             # without evolution, implicit whole-row update/insert

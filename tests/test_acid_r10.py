@@ -1,0 +1,480 @@
+"""Round-10 MiniLog surface: the full MERGE clause model (Delta's
+public WHEN MATCHED / NOT MATCHED / NOT MATCHED BY SOURCE contract),
+MERGE schema evolution, in-commit timestamps + timestamp time travel,
+incremental (liquid-style) clustering, and the keyed incremental view
+folded from row-tracked change feeds.
+
+These are the conflict-matrix / property tests backing the registered
+queries tx_merge_clauses, tx_merge_evolve, tx_time_travel_ts,
+tx_cluster_incremental and tx_apply_changes_keyed — thread
+interleavings and clause matrices aren't SQL-expressible, so they live
+here rather than in the driver gate.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from bootic_stats_aggregates_spark.acid import (
+    MiniLogTable,
+    NoSuchVersion,
+    SchemaMismatch,
+    apply_changes,
+)
+
+
+@pytest.fixture
+def tbl(spark, tmp_path):
+    t = MiniLogTable(spark, str(tmp_path / "t"), stats_cols=("k",))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+            "k INT, v STRING, n INT",
+        )
+    )
+    return t
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ------------------------------------------------- MERGE clause matrix
+
+
+def test_merge_clauses_cdc_batch_atomic(spark, tbl):
+    """The CDC apply-changes shape in ONE commit: upsert + tombstone +
+    conditional insert + not-matched-by-source delete, with the op
+    marker riding as source payload (never written)."""
+    src = spark.createDataFrame(
+        [
+            (2, "B", 200, "u"),   # upsert existing
+            (3, None, 0, "d"),    # tombstone
+            (5, "e", 50, "u"),    # new key -> insert
+            (6, "f", 60, "d"),    # delete of a non-existent key: no-op
+        ],
+        "k INT, v STRING, n INT, op STRING",
+    )
+    v0 = tbl.version
+    info = tbl.merge_clauses(
+        src,
+        keys=("k",),
+        matched=(
+            {"action": "delete", "condition": "source.op = 'd'"},
+            {"action": "update", "set": None},
+        ),
+        not_matched=(
+            {"action": "insert", "values": None,
+             "condition": "source.op = 'u'"},
+        ),
+    )
+    assert info["version"] == v0 + 1  # ONE atomic commit
+    assert _rows(tbl.read()) == [
+        (1, "a", 10),
+        (2, "B", 200),
+        (4, "d", 40),
+        (5, "e", 50),
+    ]
+    # the op marker is source payload, not a table column
+    assert "op" not in [c.name for c in tbl.read().schema.fields]
+
+
+def test_merge_clauses_first_match_wins_and_subset_update(spark, tbl):
+    """Clause order is the tiebreak (Delta's contract): a row matching
+    two clauses fires only the FIRST; subset updates leave unnamed
+    columns untouched."""
+    src = spark.createDataFrame(
+        [(1, "X", 111), (2, "Y", 222)], "k INT, v STRING, n INT"
+    )
+    tbl.merge_clauses(
+        src,
+        keys=("k",),
+        matched=(
+            # k=1 satisfies both conditions -> only the subset-update
+            # of n fires (v stays 'a')
+            {"action": "update", "set": {"n": "source.n"},
+             "condition": "target.k = 1"},
+            {"action": "update", "set": {"v": "source.v"}},
+        ),
+    )
+    assert _rows(tbl.read()) == [
+        (1, "a", 111),   # first clause: n only
+        (2, "Y", 20),    # second clause: v only
+        (3, "c", 30),
+        (4, "d", 40),
+    ]
+
+
+def test_merge_clauses_not_matched_by_source(spark, tbl):
+    """NOT MATCHED BY SOURCE update/delete sweep base rows absent from
+    the source — the retention/cleanup leg; rows no clause accepts
+    survive unchanged."""
+    src = spark.createDataFrame([(1, "a2", 11)], "k INT, v STRING, n INT")
+    tbl.merge_clauses(
+        src,
+        keys=("k",),
+        matched=({"action": "update", "set": None},),
+        not_matched_by_source=(
+            {"action": "delete", "condition": "target.n >= 40"},
+            {"action": "update", "set": {"v": "'stale'"},
+             "condition": "target.k = 2"},
+        ),
+    )
+    assert _rows(tbl.read()) == [
+        (1, "a2", 11),
+        (2, "stale", 20),
+        (3, "c", 30),  # accepted by no NMBS clause: unchanged
+    ]
+
+
+def test_merge_clauses_duplicate_source_keys_fail_fast(spark, tbl):
+    src = spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 2)], "k INT, v STRING, n INT"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        tbl.merge_clauses(
+            src, keys=("k",), matched=({"action": "update", "set": None},)
+        )
+
+
+def test_merge_clauses_null_safe_keys(spark, tmp_path):
+    """NULL keys match NULL keys (eqNullSafe), like merge()."""
+    t = MiniLogTable(spark, str(tmp_path / "nk"), stats_cols=("n",))
+    t.append(
+        spark.createDataFrame(
+            [(None, "null-row", 1), (1, "one", 2)], "k INT, v STRING, n INT"
+        )
+    )
+    src = spark.createDataFrame(
+        [(None, "matched-null", 9)], "k INT, v STRING, n INT"
+    )
+    t.merge_clauses(
+        src, keys=("k",), matched=({"action": "update", "set": None},)
+    )
+    got = {tuple(r) for r in t.read().collect()}
+    assert got == {(1, "one", 2), (None, "matched-null", 9)}
+
+
+def test_merge_clauses_row_id_linked_cdf(spark, tbl):
+    """Across the merge commit the row-tracked change feed emits
+    update-LINKED pre/post images (same stable id), deletes for
+    tombstones/NMBS rows, inserts with FRESH ids for new keys."""
+    ids0 = {r["k"]: r["_row_id"] for r in tbl.read_with_row_ids().collect()}
+    src = spark.createDataFrame(
+        [(2, "B", 200, "u"), (3, "c", 0, "d"), (5, "e", 50, "u")],
+        "k INT, v STRING, n INT, op STRING",
+    )
+    v0 = tbl.version
+    tbl.merge_clauses(
+        src,
+        keys=("k",),
+        matched=(
+            {"action": "delete", "condition": "source.op = 'd'"},
+            {"action": "update", "set": None},
+        ),
+        not_matched=({"action": "insert", "values": None},),
+        not_matched_by_source=(
+            {"action": "delete", "condition": "target.k = 4"},
+        ),
+    )
+    feed = {
+        (r["k"], r["_change_type"]): r["_row_id"]
+        for r in tbl.changes_with_ids(v0, tbl.version).collect()
+    }
+    # update: pre and post share the PRE-EXISTING stable id
+    assert feed[(2, "update_preimage")] == ids0[2]
+    assert feed[(2, "update_postimage")] == ids0[2]
+    # tombstone + NMBS delete: delete images under their old ids
+    assert feed[(3, "delete")] == ids0[3]
+    assert feed[(4, "delete")] == ids0[4]
+    # insert: a fresh id, never a reused one
+    assert feed[(5, "insert")] not in set(ids0.values())
+    # k=1 was untouched: no feed row at all
+    assert not any(k == 1 for k, _ in feed)
+
+
+def test_merge_clauses_file_scope_pruning(spark, tmp_path):
+    """Without a BY SOURCE clause the rewrite touches only files whose
+    prune-key stats overlap the source; with one, every file (the cost
+    Delta documents for that clause)."""
+    t = MiniLogTable(spark, str(tmp_path / "fp"), stats_cols=("k",))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING"))
+    t.append(spark.createDataFrame([(100, "x"), (200, "y")], "k INT, v STRING"))
+    src = spark.createDataFrame([(1, "A")], "k INT, v STRING")
+    info = t.merge_clauses(
+        src, keys=("k",), matched=({"action": "update", "set": None},)
+    )
+    assert (info["rewritten"], info["kept"]) == (1, 1)
+    info = t.merge_clauses(
+        src,
+        keys=("k",),
+        matched=({"action": "update", "set": None},),
+        not_matched_by_source=(
+            {"action": "update", "set": {"v": "target.v"}},
+        ),
+    )
+    assert info["kept"] == 0  # BY SOURCE examines every base row
+
+
+# --------------------------------------------- MERGE schema evolution
+
+
+def test_merge_evolve_new_column(spark, tbl):
+    """evolve_schema=True widens the table with the source's new
+    column in the SAME commit; unmatched base rows read NULL; time
+    travel to the pre-merge version shows the narrow schema."""
+    src = spark.createDataFrame(
+        [(2, "B", 200, "eu")], "k INT, v STRING, n INT, region STRING"
+    )
+    v0 = tbl.version
+    info = tbl.merge_clauses(
+        src,
+        keys=("k",),
+        matched=({"action": "update", "set": None},),
+        evolve_schema=True,
+    )
+    assert info["evolved"] == ["region"]
+    got = {r["k"]: r["region"] for r in tbl.read().collect()}
+    assert got == {1: None, 2: "eu", 3: None, 4: None}
+    # narrow schema before, wide after — in one commit
+    assert "region" not in tbl.read(version=v0).columns
+    assert tbl.version == v0 + 1
+
+
+def test_merge_explicit_new_column_requires_flag(spark, tbl):
+    """An explicit set/values naming a column the table lacks refuses
+    without evolve_schema; implicit whole-row upserts treat extra
+    source columns as payload (no refusal, no write)."""
+    src = spark.createDataFrame(
+        [(2, "B", 200, "eu")], "k INT, v STRING, n INT, region STRING"
+    )
+    with pytest.raises(SchemaMismatch, match="region"):
+        tbl.merge_clauses(
+            src,
+            keys=("k",),
+            matched=(
+                {"action": "update", "set": {"region": "source.region"}},
+            ),
+        )
+    # implicit whole-row: extra column rides as payload, not schema
+    tbl.merge_clauses(
+        src, keys=("k",), matched=({"action": "update", "set": None},)
+    )
+    assert "region" not in tbl.read().columns
+
+
+def test_merge_evolve_type_conflict_raises(spark, tbl):
+    src = spark.createDataFrame(
+        [(2, 999, 200)], "k INT, v INT, n INT"  # v: STRING in the table
+    )
+    with pytest.raises(SchemaMismatch):
+        tbl.merge_clauses(
+            src,
+            keys=("k",),
+            matched=({"action": "update", "set": None},),
+            evolve_schema=True,
+        )
+
+
+# ------------------------------------- in-commit timestamps (r10)
+
+
+def test_commit_timestamps_strictly_monotone_under_races(spark, tmp_path):
+    """The monotonicity PROPERTY that makes version_at's binary search
+    sound: 4 threads racing 3 appends each (OCC retries rebase onto
+    the winner's timestamp), and every entry's ts must still be
+    strictly increasing in version order."""
+    path = str(tmp_path / "mono")
+    MiniLogTable(spark, path).append(
+        spark.createDataFrame([(0, 0)], "k INT, n INT")
+    )
+    errs = []
+
+    def work(i: int) -> None:
+        try:
+            t = MiniLogTable(spark, path)
+            for j in range(3):
+                t.append(
+                    spark.createDataFrame([(i, j)], "k INT, n INT")
+                )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    t = MiniLogTable(spark, path)
+    assert t.version == 12
+    stamps = [h["timestamp"] for h in t.history()]  # oldest-first
+    assert all(ts is not None for ts in stamps)
+    assert all(a < b for a, b in zip(stamps, stamps[1:]))
+
+
+def test_timestamp_time_travel_resolution(spark, tmp_path):
+    """read(timestamp=) resolves between/at commit timestamps; before
+    the first commit raises; beyond the latest floors to latest."""
+    t = MiniLogTable(spark, str(tmp_path / "tt"))
+    t.append(spark.createDataFrame([(1,)], "k INT"))
+    t.append(spark.createDataFrame([(2,)], "k INT"))
+    t.append(spark.createDataFrame([(3,)], "k INT"))
+    hist = {h["version"]: h["timestamp"] for h in t.history()}
+    # exactly at v1's stamp -> v1; between v1 and v2 -> v1
+    assert t.version_at(hist[1]) == 1
+    if hist[2] - hist[1] > 1:
+        assert t.version_at(hist[1] + 1) == 1
+    assert _rows(t.read(timestamp=hist[1])) == [(1,), (2,)]
+    # beyond latest floors to latest
+    assert t.version_at(hist[2] + 10_000_000) == 2
+    # predating the oldest commit raises
+    with pytest.raises(NoSuchVersion):
+        t.version_at(hist[0] - 1)
+    # first_version_at_or_after: the startingTimestamp contract
+    assert t.first_version_at_or_after(hist[1]) == 1
+    assert t.first_version_at_or_after(hist[2] + 10_000_000) is None
+
+
+def test_timestamp_asof_native_reader(spark, tmp_path):
+    """option('timestampAsOf') on the native DSv2 reader resolves
+    through the same in-commit timestamps."""
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        register,
+    )
+
+    register(spark)
+    t = MiniLogTable(spark, str(tmp_path / "nta"))
+    t.append(spark.createDataFrame([(1,)], "k INT"))
+    t.append(spark.createDataFrame([(2,)], "k INT"))
+    ts0 = t.history()[0]["timestamp"]  # v0's stamp (oldest-first)
+    got = (
+        spark.read.format("minilog")
+        .option("timestampAsOf", ts0)
+        .load(t.path)
+    )
+    assert _rows(got) == [(1,)]
+
+
+# ------------------------------------- incremental clustering (r10)
+
+
+def test_optimize_cluster_touches_only_new_files(spark, tmp_path):
+    """The liquid-clustering contract: pass 2 rewrites ONLY files
+    appended since pass 1 — converged files are never touched — and a
+    converged table is a zero-commit no-op."""
+    t = MiniLogTable(spark, str(tmp_path / "lc"), stats_cols=("k",))
+    for lo in (0, 100):
+        t.append(
+            spark.range(lo, lo + 50).select(
+                F.col("id").cast("int").alias("k"),
+                (F.col("id") % 7).cast("int").alias("n"),
+            )
+        )
+    t.set_cluster_keys(("k",))
+    r1 = t.optimize_cluster(target_files=2)
+    assert r1["reclustered"] == 2
+    files_after_p1 = {f.file for f in t.snapshot().files}
+    # fresh appends arrive unclustered
+    t.append(
+        spark.range(200, 230).select(
+            F.col("id").cast("int").alias("k"),
+            F.lit(0).alias("n"),
+        )
+    )
+    new_files = {f.file for f in t.snapshot().files} - files_after_p1
+    r2 = t.optimize_cluster(target_files=1)
+    assert r2["reclustered"] == len(new_files)  # O(new data), not O(table)
+    survivors = {f.file for f in t.snapshot().files}
+    assert files_after_p1 <= survivors | new_files
+    assert files_after_p1 & survivors == files_after_p1  # untouched
+    # converged: no-op, NO commit
+    v = t.version
+    r3 = t.optimize_cluster()
+    assert r3["reclustered"] == 0 and t.version == v
+    # data never changed through any of it
+    assert t.read().count() == 130
+
+
+def test_cluster_key_change_requalifies_everything(spark, tmp_path):
+    """Changing keys is a metadata-only epoch bump: every live file
+    re-qualifies and converges through the same incremental loop."""
+    t = MiniLogTable(spark, str(tmp_path / "kc"), stats_cols=("k",))
+    t.append(
+        spark.range(100).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 3 % 11).cast("int").alias("n"),
+        )
+    )
+    t.set_cluster_keys(("k",))
+    t.optimize_cluster(target_files=2)
+    v_meta = t.version
+    t.set_cluster_keys(("n", "k"))  # 2 keys: Morton interleave
+    assert t.version == v_meta + 1  # O(metadata) commit, no data moved
+    snap = t.snapshot()
+    assert all(f.cluster_epoch != snap.cluster_epoch for f in snap.files)
+    r = t.optimize_cluster(target_files=2)
+    assert r["reclustered"] == 2
+    assert t.optimize_cluster()["reclustered"] == 0
+    assert t.read().count() == 100
+
+
+def test_cluster_keys_validation(spark, tmp_path):
+    t = MiniLogTable(
+        spark, str(tmp_path / "cv"), partition_by=("p",)
+    )
+    t.append(
+        spark.createDataFrame([("a", 1), ("b", 2)], "p STRING, k INT")
+    )
+    with pytest.raises(ValueError, match="partition columns"):
+        t.set_cluster_keys(("p",))
+    with pytest.raises(ValueError, match="no such column"):
+        t.set_cluster_keys(("ghost",))
+    with pytest.raises(ValueError, match="1 or 2"):
+        t.set_cluster_keys(("k", "k", "k"))
+    with pytest.raises(ValueError, match="set_cluster_keys first"):
+        t.optimize_cluster()
+
+
+# --------------------------------------- keyed incremental view (r10)
+
+
+def test_apply_changes_folds_to_direct_read(spark, tbl):
+    """Folding the row-tracked feeds commit-by-commit (and as ONE
+    spanning feed) reproduces read_with_row_ids(vN) exactly across a
+    MERGE clause mix, a DV delete, and an OPTIMIZE that feeds
+    nothing."""
+    v0 = tbl.version
+    state = tbl.read_with_row_ids(version=v0)
+    src = spark.createDataFrame(
+        [(2, "B", 200, "u"), (3, "c", 0, "d"), (9, "i", 90, "u")],
+        "k INT, v STRING, n INT, op STRING",
+    )
+    tbl.merge_clauses(
+        src,
+        keys=("k",),
+        matched=(
+            {"action": "delete", "condition": "source.op = 'd'"},
+            {"action": "update", "set": None},
+        ),
+        not_matched=({"action": "insert", "values": None},),
+    )
+    tbl.delete_where_dv("k", 4, 4)
+    tbl.optimize()
+    vn = tbl.version
+    # per-commit fold
+    for v in range(v0 + 1, vn + 1):
+        state = apply_changes(state, tbl.changes_with_ids(v - 1, v))
+    direct = tbl.read_with_row_ids(version=vn)
+    assert _rows(state) == _rows(direct)
+    # one spanning feed equals the composition
+    spanning = apply_changes(
+        tbl.read_with_row_ids(version=v0),
+        tbl.changes_with_ids(v0, vn),
+    )
+    assert _rows(spanning) == _rows(direct)
+    # OPTIMIZE contributed nothing to the feed
+    assert tbl.changes_with_ids(vn - 1, vn).count() == 0
