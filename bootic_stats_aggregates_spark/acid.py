@@ -1273,6 +1273,7 @@ class MiniLogTable:
         mapping: Optional[dict] = None,
         constraints: Optional[dict] = None,
         partition_cols: tuple = (),
+        split_by_value: bool = False,
     ) -> list[dict]:
         """Write ``df`` into the table dir under fresh UUID names and
         return the ``add`` actions (rows + min/max stats per file,
@@ -1314,7 +1315,19 @@ class MiniLogTable:
         phys_stats = tuple(mapping.get(c, c) for c in self.stats_cols)
         pcols = tuple(mapping.get(c, c) for c in partition_cols)
         staging = os.path.join(self.path, _LOG_DIR, f"_tmp.{uuid.uuid4().hex}")
-        out = df.coalesce(target_files) if target_files else df
+        if split_by_value and pcols:
+            # FILE HYGIENE for wide partitioned writes (r10): partitionBy
+            # from N input tasks lands one file per (task, value) — a
+            # 32-task write into 100 partitions is 3,200 files. A hash
+            # repartition on the partition columns routes each value to
+            # exactly ONE task, so the job stays parallel across values
+            # and the layout lands ONE file per partition value (the
+            # skew tradeoff — one task per hot value — is why it's
+            # opt-in). target_files' coalesce would undo the routing,
+            # so it is ignored on this path.
+            out = df.repartition(*[F.col(c) for c in pcols])
+        else:
+            out = df.coalesce(target_files) if target_files else df
         writer = out.write.mode("overwrite")
         if pcols:
             writer = writer.partitionBy(*pcols)
@@ -1330,7 +1343,13 @@ class MiniLogTable:
         if not parts:
             shutil.rmtree(staging)
             return []
-        staged = self.spark.read.parquet(staging)
+        # explicit schema: partition-directory values take the WRITER's
+        # column types instead of Spark's partition type inference — a
+        # STRING partition value '3' (or '03') must land in the add
+        # action as the string it is, or string-bounds directory
+        # pruning degrades to conservative keeps (and '03' would read
+        # back as '3'). Also skips the footer-inference pass.
+        staged = self.spark.read.schema(out.schema).parquet(staging)
         aggs = [F.count(F.lit(1)).cast("long").alias("__rows")]
         for c in phys_stats:
             if c in staged.columns:
@@ -1434,13 +1453,18 @@ class MiniLogTable:
         txn: Optional[dict] = None,
         target_files: Optional[int] = 1,
         evolve_schema: bool = False,
+        split_by_value: bool = False,
     ) -> int:
         """Blind append: stages files, then commits pure adds (never
         conflicts — auto-rebases through any number of commit races).
         ``txn={'app':…, 'version':…}`` makes the append exactly-once.
         ``evolve_schema=True`` lets the write ADD columns: the commit
         carries a metaData action with the widened schema and readers
-        null-fill the column for pre-evolution files."""
+        null-fill the column for pre-evolution files.
+        ``split_by_value=True`` (partitioned tables) repartitions on
+        the partition columns before the write — parallel across
+        values, ONE file per partition value instead of one per
+        (task, value); ``target_files`` is ignored on that path."""
         if txn is not None and self.version >= 0:
             snap = self.snapshot()
             if snap.txns.get(txn["app"], -1) >= txn["version"]:
@@ -1473,6 +1497,7 @@ class MiniLogTable:
             mapping=mapping,
             constraints=cons,
             partition_cols=tuple(pcols),
+            split_by_value=split_by_value,
         )
         # schema_ctx: the metaData action is re-derived from the LIVE
         # snapshot inside the commit loop, so a concurrent evolve-append
@@ -1569,6 +1594,7 @@ class MiniLogTable:
         df: DataFrame,
         target_files: Optional[int] = 1,
         txn: Optional[dict] = None,
+        split_by_value: bool = False,
     ) -> int:
         """Replace the whole table in one atomic commit (data AND schema:
         an overwrite may change the schema freely — the metaData action
@@ -1590,7 +1616,8 @@ class MiniLogTable:
             {"type": "metaData", "schema": self._df_schema(df)}
         ]
         actions += self._stage(
-            df, target_files, constraints=cons, partition_cols=tuple(pcols)
+            df, target_files, constraints=cons,
+            partition_cols=tuple(pcols), split_by_value=split_by_value,
         )
         # remove_all_live: the remove set is rebuilt from the LIVE
         # snapshot inside the commit loop (base_dv pinned per entry), so
@@ -3538,20 +3565,30 @@ def apply_changes(state: DataFrame, feed: DataFrame) -> DataFrame:
     Folding feeds v0→v1→…→vN commit by commit (or one feed spanning
     v0→vN — the file-diff semantics make them equal) reproduces
     ``read_with_row_ids(vN)`` exactly; tx_apply_changes_keyed pins
-    that across MERGE + DV-delete + OPTIMIZE commits."""
-    gone = feed.filter(
-        F.col("_change_type").isin("delete", "update_preimage")
-    ).select("_row_id")
-    arriving = feed.filter(
-        F.col("_change_type").isin("insert", "update_postimage")
-    ).drop("_change_type")
+    that across MERGE + DV-delete + OPTIMIZE commits.
+
+    The feed may also be a CONCATENATION of per-commit deltas (a
+    streamed ``readChangeFeed`` + ``withRowIds`` micro-batch spanning
+    several commits): identical (row, id) pairs first NET-CANCEL by
+    change sign — a row inserted at vK and deleted at vM contributes
+    nothing, exactly as the two-snapshot bag diff would have cancelled
+    it — so one application of the whole batch equals the per-commit
+    fold (stream_apply_changes pins this)."""
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"),
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    cols = [c for c in feed.columns if c != "_change_type"]
+    net = feed.groupBy(*cols).agg(F.sum(sign).alias("__net"))
+    gone = net.filter(F.col("__net") < 0).select("_row_id")
+    arriving = net.filter(F.col("__net") > 0).drop("__net")
     # no forced broadcast: churn is usually tiny (AQE broadcasts it),
     # but a bulk delete's feed can be arbitrarily large — let the
     # optimizer pick from runtime stats. The final select restores the
     # caller's column order (the join hoists its key to the front).
     return (
         state.join(gone, "_row_id", "left_anti")
-        .unionByName(arriving)
+        .unionByName(arriving.select(*state.columns))
         .select(*state.columns)
     )
 

@@ -2669,3 +2669,109 @@ def tx_apply_changes_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.lit(bool(sync_ok)).alias("sync_ok"),
     )
+
+
+@query(
+    "stream_apply_changes",
+    oracle=f"""
+    -- STREAMING KEYED INCREMENTAL VIEW: the same MERGE + DV-delete +
+    -- OPTIMIZE history as tx_apply_changes_keyed, but the downstream
+    -- state is maintained by a LIVE readChangeFeed + withRowIds stream
+    -- (AvailableNow): each micro-batch folds via acid.apply_changes —
+    -- net-cancel by change sign, then two id-keyed set ops — into a
+    -- parquet state swapped per batch. The checked rows are the final
+    -- streamed state; sync_ok asserts it equals the direct recompute
+    -- bag-exactly (row ids included) with zero table rereads.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d,
+           CAST(CASE WHEN d BETWEEN 6 AND 8 THEN n + 1000
+                     ELSE n END AS BIGINT) AS n,
+           true AS sync_ok
+    FROM c
+    WHERE d IS NULL OR (d < 30 AND NOT (d BETWEEN 3 AND 4))
+    UNION ALL
+    SELECT event_type, CAST(d + 300 AS BIGINT) AS d, n, true AS sync_ok
+    FROM c WHERE d BETWEEN 1 AND 2
+    """,
+)
+def stream_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx_apply_changes_keyed AS A STREAM (r10): ``readStream.format(
+    "minilog").option("readChangeFeed", "true").option("withRowIds",
+    "true")`` — the CDF source now carries each row's STABLE id, so a
+    keyed downstream table follows the source with no business-key
+    reconstruction: every micro-batch folds through
+    ``acid.apply_changes`` (identical (row, id) pairs net-cancel by
+    change sign first, so a batch spanning several commits equals the
+    per-commit fold), landing the state as an atomically swapped
+    parquet generation per batch. The stream bootstraps the state FROM
+    EMPTY via the CDF source's snapshot-bootstrap batch — the consumer
+    never reads the source table directly.
+
+    At 100 TB this is the SCD/current-state consumer loop: each
+    trigger costs O(commit churn) — the CDF partitions read only the
+    churned files, the fold is two id-keyed set operations — while the
+    maintained table stays exactly consistent through MERGE rewrites,
+    DV deletes, and compactions (which feed nothing)."""
+    from ..acid import apply_changes
+    from ..sources.minilog_source import register
+
+    register(spark)
+    tbl, ready = _staged(spark, sf_dir, "apply_stream")
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        tbl.append(c.filter((F.col("d") <= 15) | F.col("d").isNull()))
+        tbl.append(c.filter(F.col("d") >= 16))
+        upd = c.filter(F.col("d").between(6, 8)).withColumn(
+            "n", (F.col("n") + F.lit(1000)).cast("long")
+        )
+        new = c.filter(F.col("d").between(1, 2)).withColumn(
+            "d", (F.col("d") + F.lit(300)).cast("long")
+        )
+        tbl.merge_clauses(
+            upd.unionByName(new),
+            keys=("event_type", "d"),
+            prune_col="d",
+            matched=({"action": "update", "set": {"n": "source.n"}},),
+            not_matched=({"action": "insert"},),
+            not_matched_by_source=(
+                {"action": "delete", "condition": "target.d >= 30"},
+            ),
+        )
+        tbl.delete_where_dv("d", 3, 4)
+        tbl.optimize(target_rows=1_000_000)
+        _mark_ready(tbl, sf_dir)
+    ws = tempfile.mkdtemp(prefix="apply_stream_state_")
+    boot = os.path.join(ws, "state_boot")
+    spark.createDataFrame(
+        [], "event_type string, d bigint, n bigint, _row_id bigint"
+    ).write.parquet(boot)
+    cur = {"path": boot, "batches": 0}
+
+    def fold(batch: DataFrame, bid: int) -> None:
+        state = spark.read.parquet(cur["path"])
+        nxt = apply_changes(state, batch.drop("_commit_version"))
+        out = os.path.join(ws, f"state_{bid}")
+        nxt.write.parquet(out)
+        cur["path"] = out
+        cur["batches"] += 1
+
+    feed = (
+        spark.readStream.format("minilog")
+        .option("readChangeFeed", "true")
+        .option("withRowIds", "true")
+        .load(tbl.path)
+    )
+    run_foreach_batch(feed, fold, mode="append")
+    state = spark.read.parquet(cur["path"])
+    direct = tbl.read_with_row_ids()
+    sync_ok = (
+        cur["batches"] >= 1
+        and state.exceptAll(direct).count() == 0
+        and direct.exceptAll(state).count() == 0
+    )
+    return state.select(
+        "event_type",
+        "d",
+        "n",
+        F.lit(bool(sync_ok)).alias("sync_ok"),
+    )

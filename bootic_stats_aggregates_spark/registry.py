@@ -123,7 +123,7 @@ _GATE_PRIORITY: list[str] = [
     # --- the keyed incremental view, and native-write blooms.
     "tx_merge_clauses", "tx_merge_evolve", "tx_time_travel_ts",
     "tx_cluster_incremental", "tx_apply_changes_keyed",
-    "src_bloom_native",
+    "src_bloom_native", "stream_apply_changes",
     # --- next: the 20 ids whose latest DRIVER row still dates to r4
     # --- (re-simmed 20/20 green by the r9 judge; the external gate
     # --- owns them again this round).

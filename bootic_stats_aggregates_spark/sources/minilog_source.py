@@ -566,12 +566,17 @@ class _CDFPartition(InputPartition):
     emits the multiset difference both ways as insert/delete rows."""
 
     version: int
-    #: ((data path, dv path | None), ...) — entries only in snapshot(v)
+    #: ((data path, dv path | None, pvals, base_row_id), ...) — entries
+    #: only in snapshot(v)
     added: tuple
     #: entries only in snapshot(v-1)
     removed: tuple
     #: (name, ddl_type) pairs — the feed schema (required in CDF mode)
     schema: tuple
+    #: r10: carry each row's stable id through the feed — the diff then
+    #: keys on (values, id), so an update surfaces as delete+insert
+    #: UNDER THE SAME ID (the streamed form of changes_with_ids)
+    with_row_ids: bool = False
 
 
 def _bag_subtract(a, b):
@@ -615,6 +620,8 @@ def _read_cdf_version(part: _CDFPartition):
     import pyarrow as pa
 
     fields = [pa.field(n, _arrow_type(t)) for n, t, _ in part.schema]
+    if part.with_row_ids:
+        fields.append(pa.field("_row_id", pa.int64()))
     base = pa.schema(fields)
 
     def load(entries):
@@ -622,12 +629,19 @@ def _read_cdf_version(part: _CDFPartition):
             pa.Table.from_batches(
                 list(
                     _read_file_arrow(
-                        _FilePartition(p, part.schema, dv, pvals)
+                        _FilePartition(
+                            p,
+                            part.schema,
+                            dv,
+                            pvals,
+                            base_row_id=brid,
+                            with_row_ids=part.with_row_ids,
+                        )
                     )
                 ),
                 schema=base,
             )
-            for p, dv, pvals in entries
+            for p, dv, pvals, brid in entries
         ]
         return pa.concat_tables(tables) if tables else base.empty_table()
 
@@ -679,6 +693,7 @@ class _MiniLogCDFStreamReader(DataSourceStreamReader):
         #: (a feed spanning a later evolution presents old rows
         #: null-filled — the acid.changes() contract)
         self._schema = tuple((c["name"], c["type"], _phys(c)) for c in snap.schema)
+        self._rids = _with_row_ids(options)
         st = options.get("startingtimestamp")
         if st is not None:
             try:
@@ -722,6 +737,7 @@ class _MiniLogCDFStreamReader(DataSourceStreamReader):
                     os.path.join(self._path, f.file),
                     os.path.join(self._path, f.dv) if f.dv else None,
                     f.partition or None,
+                    f.base_row_id,
                 )
                 for f in files
             )
@@ -735,6 +751,7 @@ class _MiniLogCDFStreamReader(DataSourceStreamReader):
                     entry_paths(tbl.snapshot(boot).files),
                     (),
                     self._schema,
+                    with_row_ids=self._rids,
                 )
             )
             first = boot + 1
@@ -769,9 +786,12 @@ class _MiniLogCDFStreamReader(DataSourceStreamReader):
                         entry_paths(added),
                         entry_paths(removed),
                         self._schema,
+                        with_row_ids=self._rids,
                     )
                 )
-        return parts or [_CDFPartition(-1, (), (), self._schema)]
+        return parts or [
+            _CDFPartition(-1, (), (), self._schema, self._rids)
+        ]
 
     def read(self, partition: _CDFPartition):
         if partition.version < 0:  # empty batch: schema-only
@@ -1636,18 +1656,17 @@ class MiniLogDataSource(DataSource):
             raise
         rids = _with_row_ids(self.options)
         if self._cdf():
-            if rids:
-                raise ValueError(
-                    "withRowIds is a BATCH read option; the change "
-                    "feed's id-keyed form is "
-                    "MiniLogTable.changes_with_ids(from, to)"
-                )
             if not snap.schema:
                 raise ValueError(
                     "readChangeFeed needs a log-tracked table schema"
                 )
+            # withRowIds composes (r10): the streamed feed carries each
+            # row's stable id, so a keyed consumer (acid.apply_changes)
+            # can fold updates as replace-under-id — the streaming twin
+            # of MiniLogTable.changes_with_ids
             return (
                 _ddl(snap.schema)
+                + (", `_row_id` bigint" if rids else "")
                 + ", `_change_type` string, `_commit_version` bigint"
             )
         if snap.schema:

@@ -2168,16 +2168,17 @@ def test_minilog_datasource_with_row_ids(spark, tmp_path):
     # plain native read: no id columns
     plain = spark.read.format("minilog").load(path)
     assert plain.columns == ["k", "v"] and plain.count() == 8
-    # withRowIds composes with readChangeFeed: refused (batch-only)
-    with pytest.raises(Exception, match="withRowIds"):
-        (
-            spark.readStream.format("minilog")
-            .option("readChangeFeed", "true")
-            .option("withRowIds", "true")
-            .load(path)
-            .writeStream.format("noop")
-            .start()
-        )
+    # withRowIds composes with readChangeFeed (r10): the streamed feed
+    # declares the id column ahead of the CDF markers
+    feed = (
+        spark.readStream.format("minilog")
+        .option("readChangeFeed", "true")
+        .option("withRowIds", "true")
+        .load(path)
+    )
+    assert feed.columns == [
+        "k", "v", "_row_id", "_change_type", "_commit_version",
+    ]
 
 
 def test_generated_partition_column_composition(spark, tmp_path):

@@ -478,3 +478,98 @@ def test_apply_changes_folds_to_direct_read(spark, tbl):
     assert _rows(spanning) == _rows(direct)
     # OPTIMIZE contributed nothing to the feed
     assert tbl.changes_with_ids(vn - 1, vn).count() == 0
+
+
+# ------------------------------------- partitioned-write hygiene (r10)
+
+
+def test_split_by_value_one_file_per_partition(spark, tmp_path):
+    """File hygiene for wide partitioned writes: the default task-side
+    split lands one file per (input task, value); split_by_value=True
+    repartitions on the partition columns first, so the SAME write
+    lands exactly one file per partition value — parallel across
+    values, #files == #values — with identical data and identical
+    pruning metadata."""
+    vals = 25
+    df = spark.range(0, 10_000, 1, 16).select(  # 16 input tasks
+        (F.col("id") % vals).cast("string").alias("p"),
+        F.col("id").alias("n"),
+    )
+    noisy = MiniLogTable(
+        spark, str(tmp_path / "noisy"), partition_by=("p",)
+    )
+    noisy.append(df, target_files=None)  # one file per (task, value)
+    t = MiniLogTable(spark, str(tmp_path / "clean"), partition_by=("p",))
+    t.append(df, target_files=None, split_by_value=True)
+    assert len(t.select_files()) == vals
+    assert len(noisy.select_files()) > vals  # the problem being fixed
+    # identical data, directory pruning still exact
+    assert t.read().count() == 10_000
+    assert (
+        _rows(t.read()) == _rows(noisy.read())
+    )
+    assert len(t.select_files(prune=("p", "3", "3"))) == 1
+    # overwrite takes the same path
+    t.overwrite(df, split_by_value=True)
+    assert len(t.select_files()) == vals
+
+
+# ------------------------------- streamed keyed view (r10, CDF+rowIds)
+
+
+def test_cdf_stream_with_row_ids_folds_keyed_state(spark, tmp_path):
+    """readChangeFeed + withRowIds: the streamed feed carries stable
+    row ids — an update surfaces as delete+insert UNDER THE SAME id,
+    an OPTIMIZE feeds nothing — and one apply_changes fold of the
+    whole multi-commit feed (net-cancel first) reproduces the direct
+    id-keyed read from an EMPTY bootstrap."""
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        register,
+    )
+
+    register(spark)
+    t = MiniLogTable(spark, str(tmp_path / "cr"), stats_cols=("k",))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k INT, v STRING"
+        )
+    )
+    ids0 = {r["k"]: r["_row_id"] for r in t.read_with_row_ids().collect()}
+    t.merge(
+        spark.createDataFrame([(2, "B"), (9, "i")], "k INT, v STRING"),
+        keys=("k",),
+    )
+    t.delete_where_dv("k", 3, 3)
+    t.optimize()
+    q = (
+        spark.readStream.format("minilog")
+        .option("readChangeFeed", "true")
+        .option("withRowIds", "true")
+        .load(t.path)
+        .writeStream.format("memory")
+        .queryName("cdf_rids_t")
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    assert q.awaitTermination(120)
+    feed = spark.table("cdf_rids_t")
+    tagged = {
+        (r["k"], r["_change_type"], r["_commit_version"]): r["_row_id"]
+        for r in feed.collect()
+    }
+    # update linkage: k=2's delete and insert at v1 share one id
+    assert tagged[(2, "delete", 1)] == ids0[2] == tagged[(2, "insert", 1)]
+    # the DV delete surfaces k=3 under its original id
+    assert tagged[(3, "delete", 2)] == ids0[3]
+    # the OPTIMIZE commit (v3) fed nothing
+    assert not any(ver == 3 for _, _, ver in tagged)
+    state = apply_changes(
+        spark.createDataFrame([], "k INT, v STRING, _row_id BIGINT"),
+        feed.drop("_commit_version"),
+    )
+    direct = t.read_with_row_ids()
+    assert (
+        state.exceptAll(direct).isEmpty()
+        and direct.exceptAll(state).isEmpty()
+    )
