@@ -3218,10 +3218,19 @@ class MiniLogTable:
         self,
         retain_last: int = 1,
         min_age_seconds: float = VACUUM_MIN_AGE_SECONDS,
+        retain_since: Optional[Any] = None,
     ) -> list[str]:
         """Delete data files unreachable from the last ``retain_last``
         versions, and drop the log entries older than that window (time
         travel shortens accordingly — same contract as Delta's VACUUM).
+
+        ``retain_since`` (epoch-µs int, datetime, or ISO string — r10,
+        riding the in-commit timestamps) expresses the window by AGE
+        instead of count, Delta's ``RETAIN n HOURS`` contract: every
+        version whose commit timestamp is >= the cutoff is retained
+        (the latest version always is, whatever its age). When both are
+        given the WIDER window wins — retention bounds are safety
+        bounds, never eviction quotas.
 
         Files younger than ``min_age_seconds`` (mtime) are SKIPPED even
         when unreferenced: an in-flight writer renames staged files into
@@ -3234,6 +3243,15 @@ class MiniLogTable:
         if not versions:
             return []
         keep_versions = versions[-retain_last:]
+        if retain_since is not None:
+            cutoff = parse_ts_micros(retain_since)
+            aged = [
+                v
+                for v in versions
+                if (self._read_entry(v).get("ts") or 0) >= cutoff
+            ] or [versions[-1]]
+            if len(aged) > len(keep_versions):
+                keep_versions = aged
         reachable: set[str] = set()
         for v in keep_versions:
             snap_v = self.snapshot(v)

@@ -573,3 +573,45 @@ def test_cdf_stream_with_row_ids_folds_keyed_state(spark, tmp_path):
         state.exceptAll(direct).isEmpty()
         and direct.exceptAll(state).isEmpty()
     )
+
+
+def test_vacuum_retain_since_timestamp(spark, tmp_path):
+    """vacuum(retain_since=) — Delta's RETAIN-by-age contract over the
+    in-commit timestamps: versions stamped at-or-after the cutoff
+    survive (time travel intact), older entries and their unreachable
+    files are reaped; the latest version survives any cutoff; the
+    wider of (retain_last, retain_since) wins."""
+    t = MiniLogTable(spark, str(tmp_path / "vr"))
+    t.append(spark.createDataFrame([(1,)], "k INT"))
+    t.overwrite(spark.createDataFrame([(2,)], "k INT"))
+    t.overwrite(spark.createDataFrame([(3,)], "k INT"))
+    t.overwrite(spark.createDataFrame([(4,)], "k INT"))
+    ts = {h["version"]: h["timestamp"] for h in t.history()}
+    removed = t.vacuum(
+        retain_last=1, min_age_seconds=0, retain_since=ts[2]
+    )
+    assert removed  # v0/v1's overwritten files reaped
+    assert _rows(t.read(version=2)) == [(3,)]  # window start retained
+    assert _rows(t.read(timestamp=ts[2])) == [(3,)]
+    with pytest.raises(NoSuchVersion):
+        t.read(version=1)
+    # a future cutoff still keeps the latest version
+    t2 = MiniLogTable(spark, str(tmp_path / "vr2"))
+    t2.append(spark.createDataFrame([(1,)], "k INT"))
+    t2.overwrite(spark.createDataFrame([(2,)], "k INT"))
+    latest_ts = t2.history()[-1]["timestamp"]
+    t2.vacuum(
+        retain_last=1, min_age_seconds=0,
+        retain_since=latest_ts + 10_000_000,
+    )
+    assert _rows(t2.read()) == [(2,)]
+    # wider window wins: retain_last=10 keeps everything even with an
+    # aggressive cutoff
+    t3 = MiniLogTable(spark, str(tmp_path / "vr3"))
+    t3.append(spark.createDataFrame([(1,)], "k INT"))
+    t3.overwrite(spark.createDataFrame([(2,)], "k INT"))
+    t3.vacuum(
+        retain_last=10, min_age_seconds=0,
+        retain_since=t3.history()[-1]["timestamp"],
+    )
+    assert _rows(t3.read(version=0)) == [(1,)]

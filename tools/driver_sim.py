@@ -67,6 +67,27 @@ def main() -> None:
     ids = list(osql)
     lo = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     hi = int(sys.argv[2]) if len(sys.argv) > 2 else len(ids)
+    # corpus stamp (ADVICE r9): the log must prove WHICH fixture dir it
+    # ran against — a hostile-corpus sweep is otherwise byte-identical
+    # to the ordinary sim. Fingerprint = per-table (size, mtime_ns).
+    import hashlib
+
+    sig = hashlib.sha256()
+    for t in TABLES:
+        try:
+            st = os.stat(os.path.join(SF, f"{t}.parquet"))
+            sig.update(f"{t}:{st.st_size}:{st.st_mtime_ns};".encode())
+        except OSError:
+            sig.update(f"{t}:missing;".encode())
+    print(
+        json.dumps(
+            {
+                "corpus": SF,
+                "corpus_fingerprint": sig.hexdigest()[:16],
+                "tz": tz,
+            }
+        )
+    )
     con = duckdb.connect()
     # Single-threaded oracle: DuckDB v1.0.0's PARALLEL window operator is
     # nondeterministic when a window partition/order key is NULL (hostile
