@@ -2841,24 +2841,37 @@ class MiniLogTable:
             for p in (snap.physical_of(c) for c in want)
             if p not in pset
         ]
-        todo = [
-            f
+        # PER-FILE pending columns: a file whose only missing column
+        # can never gain a bloom (absent from its parquet schema,
+        # all-NULL) must not drag its ALREADY-INDEXED columns back
+        # into the scan — mixing such a column into the request
+        # otherwise re-commits the satisfied columns' blooms on every
+        # call and the documented idempotence breaks (the ghost+k
+        # case the convergence test pins).
+        pending = {
+            f.file: [
+                p for p in phys if "bloom" not in (f.stats.get(p) or {})
+            ]
             for f in snap.files
-            if any(
-                "bloom" not in (f.stats.get(p) or {}) for p in phys
-            )
-        ]
+        }
+        todo = [f for f in snap.files if pending[f.file]]
         if not todo or not phys:
             return {"indexed": 0, "version": snap.version}
+        scan_cols = sorted({p for f in todo for p in pending[f.file]})
         blooms = build_bloom_stats(
-            self.spark, self.path, [f.file for f in todo], phys
+            self.spark, self.path, [f.file for f in todo], scan_cols
         )
         # a file may still come back bloom-less (column absent from
         # its parquet schema — pre-evolution files — or all-NULL):
         # committing a remove+add for it would refresh nothing and
-        # recur on every call, so only files that actually GAINED a
-        # bloom enter the commit; zero gains = zero commits.
-        gained = [f for f in todo if blooms.get(f.file)]
+        # recur on every call, so only files that actually gained a
+        # bloom FOR A COLUMN THEY WERE MISSING enter the commit; zero
+        # gains = zero commits.
+        gained = [
+            f
+            for f in todo
+            if any(p in blooms.get(f.file, {}) for p in pending[f.file])
+        ]
         if not gained:
             return {"indexed": 0, "version": snap.version}
         actions: list[dict] = []

@@ -360,6 +360,16 @@ BUILD_RUNS_JOBS_OK = {
     # r9: native partitioned round-trip stages via the DSv2 writer and
     # recomputes reader-level pruning/id proofs (bounded counts)
     "src_minilog_partitioned",
+    # r10: the MERGE-clause ops stage the CDC history (duplicate-key
+    # fail-fast + file-scope bounds are one-row jobs each); in-commit
+    # timestamps stage commits and resolve two binary searches;
+    # incremental clustering stages append/optimize epochs; the keyed
+    # view folds feeds and recomputes fold==direct (bounded counts);
+    # its streaming twin runs the AvailableNow CDF feed; native blooms
+    # stage via the DSv2 writer and recompute skipping proofs
+    "tx_merge_clauses", "tx_merge_evolve", "tx_time_travel_ts",
+    "tx_cluster_incremental", "tx_apply_changes_keyed",
+    "stream_apply_changes", "src_bloom_native",
 }
 
 
