@@ -615,3 +615,108 @@ def test_vacuum_retain_since_timestamp(spark, tmp_path):
         retain_since=t3.history()[-1]["timestamp"],
     )
     assert _rows(t3.read(version=0)) == [(1,)]
+
+
+def test_cluster_epoch_survives_lifecycle(spark, tmp_path):
+    """The §2 claim that makes incremental clustering O(new data) in
+    production: a converged file's epoch survives DV swaps, bloom
+    stats refreshes, checkpoint folds, restore and clone — none of
+    those re-qualify it for rewriting."""
+    path = str(tmp_path / "el")
+    t = MiniLogTable(spark, path, stats_cols=("k",))
+    for lo in (0, 100):
+        t.append(
+            spark.range(lo, lo + 100).select(
+                F.col("id").cast("int").alias("k"),
+                (F.col("id") % 9).cast("int").alias("n"),
+            )
+        )
+    t.set_cluster_keys(("k",))
+    assert t.optimize_cluster(target_files=2)["reclustered"] == 2
+    # DV delete: the re-added entry must keep the file's epoch
+    t.delete_where_dv("k", 0, 4)
+    assert t.optimize_cluster()["reclustered"] == 0
+    # bloom backfill stats refresh: same
+    tb = MiniLogTable(spark, path, bloom_cols=("n",))
+    assert tb.build_bloom_index()["indexed"] > 0
+    assert t.optimize_cluster()["reclustered"] == 0
+    # checkpoint fold: cross CHECKPOINT_EVERY and reopen a FRESH handle
+    from bootic_stats_aggregates_spark.acid import CHECKPOINT_EVERY
+
+    while t.version % CHECKPOINT_EVERY != 0:
+        t.append(
+            spark.createDataFrame([(10_000 + t.version, 0)], "k INT, n INT")
+        )
+    t2 = MiniLogTable(spark, path, stats_cols=("k",))
+    snap = t2.snapshot()
+    assert any(f.cluster_epoch == snap.cluster_epoch for f in snap.files)
+    # only the filler appends (not the converged files) re-qualify
+    converged = {
+        f.file for f in snap.files if f.cluster_epoch == snap.cluster_epoch
+    }
+    r = t2.optimize_cluster()
+    assert r["reclustered"] == len(snap.files) - len(converged)
+    assert converged <= {f.file for f in t2.snapshot().files}
+    # restore to the converged state: epochs ride the re-add actions
+    v_good = t2.version
+    t2.append(spark.createDataFrame([(99_999, 0)], "k INT, n INT"))
+    t2.restore(v_good)
+    assert t2.optimize_cluster()["reclustered"] == 0
+    # clone: the new log's v0 carries the epochs
+    c = t2.clone(str(tmp_path / "el_clone"))
+    assert c.snapshot().cluster_cols == t2.snapshot().cluster_cols
+    assert c.optimize_cluster()["reclustered"] == 0
+
+
+def test_starting_timestamp_tail_and_cdf_streams(spark, tmp_path):
+    """option('startingTimestamp') on both native stream modes: the
+    plain tail emits only commits stamped at-or-after the cutoff
+    (earlier ones intentionally skipped, no bootstrap), and the CDF
+    stream feeds changes from the same resolution; a beyond-latest
+    cutoff yields an empty (future-only) stream."""
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        register,
+    )
+
+    register(spark)
+    t = MiniLogTable(spark, str(tmp_path / "st"))
+    t.append(spark.createDataFrame([(1,)], "k INT"))
+    t.append(spark.createDataFrame([(2,)], "k INT"))
+    t.append(spark.createDataFrame([(3,)], "k INT"))
+    ts = {h["version"]: h["timestamp"] for h in t.history()}
+
+    def drain(reader, name):
+        q = (
+            reader.writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return spark.table(name)
+
+    got = drain(
+        spark.readStream.format("minilog")
+        .option("startingTimestamp", ts[1])
+        .load(t.path),
+        "st_tail",
+    )
+    assert _rows(got) == [(2,), (3,)]  # v0 skipped, no bootstrap
+    got = drain(
+        spark.readStream.format("minilog")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", ts[2])
+        .load(t.path),
+        "st_cdf",
+    )
+    assert [tuple(r) for r in got.select("k", "_change_type").collect()] == [
+        (3, "insert")
+    ]
+    got = drain(
+        spark.readStream.format("minilog")
+        .option("startingTimestamp", ts[2] + 10_000_000)
+        .load(t.path),
+        "st_future",
+    )
+    assert got.count() == 0
