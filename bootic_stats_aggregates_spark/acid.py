@@ -1854,15 +1854,9 @@ class MiniLogTable:
         # OR the updates carry NULL keys and the file may hold NULL-keyed
         # rows (min/max ignore NULLs — the per-file NULL count covers them)
         pprune = snap.physical_of(prune_col)
-        touched = [
-            f
-            for f in snap.files
-            if (
-                bounds["lo"] is not None
-                and f.may_contain(pprune, bounds["lo"], bounds["hi"])
-            )
-            or (upd_nulls and f.may_have_null(pprune))
-        ]
+        touched = self._merge_scope(
+            snap, pprune, bounds["lo"], bounds["hi"], upd_nulls
+        )
         untouched = len(snap.files) - len(touched)
         updates = updates.drop(ROW_ID_COL)  # ids are never caller-supplied
         if touched:
@@ -2068,15 +2062,9 @@ class MiniLogTable:
         if nmbs:
             touched = list(snap.files)  # every base row is examined
         else:
-            touched = [
-                f
-                for f in snap.files
-                if (
-                    bounds["lo"] is not None
-                    and f.may_contain(pprune, bounds["lo"], bounds["hi"])
-                )
-                or (upd_nulls and f.may_have_null(pprune))
-            ]
+            touched = self._merge_scope(
+                snap, pprune, bounds["lo"], bounds["hi"], upd_nulls
+            )
         untouched = len(snap.files) - len(touched)
         source = source.drop(ROW_ID_COL)
         if touched:
@@ -2505,6 +2493,33 @@ class MiniLogTable:
         for col, lo, hi in preds:
             df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
         return df
+
+    def _merge_scope(
+        self, snap: "Snapshot", pprune: str, lo: Any, hi: Any,
+        upd_nulls: bool,
+    ) -> list["FileEntry"]:
+        """Write-side file scope shared by merge()/merge_clauses():
+        partition values checked AHEAD of min/max stats — a partition
+        column carries NO file stats (its bytes live in directory
+        names), so stats-only scoping on a partition prune key would
+        silently rewrite the whole table (r10). NULL keys reach only
+        files that may hold NULL-keyed rows: for a partition column
+        that is exactly the NULL-partition directory."""
+        out = []
+        for f in snap.files:
+            hit = (
+                lo is not None
+                and self._partition_matches(f, pprune, lo, hi)
+                and f.may_contain(pprune, lo, hi)
+            )
+            if not hit and upd_nulls:
+                if pprune in f.partition:
+                    hit = f.partition[pprune] is None
+                else:
+                    hit = f.may_have_null(pprune)
+            if hit:
+                out.append(f)
+        return out
 
     @staticmethod
     def _partition_matches(f: FileEntry, p: str, lo: Any, hi: Any) -> bool:

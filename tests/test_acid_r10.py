@@ -720,3 +720,53 @@ def test_starting_timestamp_tail_and_cdf_streams(spark, tmp_path):
         "st_future",
     )
     assert got.count() == 0
+
+
+def test_merge_scope_prunes_by_partition_value(spark, tmp_path):
+    """MERGE pruned on a PARTITION column must scope by directory
+    values — partition columns carry no file stats, so stats-only
+    scoping would rewrite the whole table. Covers both merge() and
+    merge_clauses(), plus the NULL-key leg (only the null-partition
+    directory is touched)."""
+    t = MiniLogTable(
+        spark, str(tmp_path / "mp"), stats_cols=("k",),
+        partition_by=("day",),
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "b"), (1, 2, "c"), (2, 2, "d"),
+             (1, None, "e")],
+            "k INT, day INT, v STRING",
+        ),
+        split_by_value=True,
+    )
+    assert len(t.select_files()) == 3  # day=1, day=2, null partition
+    # merge_clauses keyed+pruned on day: only day=1 rewrites
+    info = t.merge_clauses(
+        spark.createDataFrame([(1, 1, "A")], "k INT, day INT, v STRING"),
+        keys=("k", "day"),
+        prune_col="day",
+        matched=({"action": "update", "set": None},),
+    )
+    assert (info["rewritten"], info["kept"]) == (1, 2)
+    # merge(): same scope contract
+    info = t.merge(
+        spark.createDataFrame([(2, 2, "D")], "k INT, day INT, v STRING"),
+        keys=("k", "day"),
+        prune_col="day",
+    )
+    assert (info["rewritten"], info["kept"]) == (1, 2)
+    # NULL prune key: only the null-partition directory is examined
+    info = t.merge(
+        spark.createDataFrame(
+            [(1, None, "E")], "k INT, day INT, v STRING"
+        ),
+        keys=("k", "day"),
+        prune_col="day",
+    )
+    assert (info["rewritten"], info["kept"]) == (1, 2)
+    got = {tuple(r) for r in t.read().collect()}
+    assert got == {
+        (1, 1, "A"), (2, 1, "b"), (1, 2, "c"), (2, 2, "D"),
+        (1, None, "E"),
+    }
