@@ -1641,7 +1641,16 @@ class MiniLogTable:
         whose stats overlap the range (data skipping on the write path)."""
         snap = self.snapshot()
         pcol = snap.physical_of(col)
-        touched = [f for f in snap.files if f.may_contain(pcol, lo, hi)]
+        touched = [
+            f
+            for f in snap.files
+            # partition values ahead of stats (r10): a partition-keyed
+            # delete touches only the matching directories — partition
+            # columns carry no file stats, so may_contain alone would
+            # conservatively rewrite/mask the whole table
+            if self._partition_matches(f, pcol, lo, hi)
+            and f.may_contain(pcol, lo, hi)
+        ]
         if not touched:
             return {"version": snap.version, "rewritten": 0, "kept": len(snap.files)}
         # NULL contract: a NULL key is never "in [lo, hi]" — it must
@@ -1688,7 +1697,16 @@ class MiniLogTable:
         """
         snap = self.snapshot()
         pcol = snap.physical_of(col)
-        touched = [f for f in snap.files if f.may_contain(pcol, lo, hi)]
+        touched = [
+            f
+            for f in snap.files
+            # partition values ahead of stats (r10): a partition-keyed
+            # delete touches only the matching directories — partition
+            # columns carry no file stats, so may_contain alone would
+            # conservatively rewrite/mask the whole table
+            if self._partition_matches(f, pcol, lo, hi)
+            and f.may_contain(pcol, lo, hi)
+        ]
         if not touched:
             return {"version": snap.version, "dv_files": 0, "dv_rows": 0}
         matched = (

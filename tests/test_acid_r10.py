@@ -770,3 +770,29 @@ def test_merge_scope_prunes_by_partition_value(spark, tmp_path):
         (1, 1, "A"), (2, 1, "b"), (1, 2, "c"), (2, 2, "D"),
         (1, None, "E"),
     }
+
+
+def test_delete_scope_prunes_by_partition_value(spark, tmp_path):
+    """delete_where / delete_where_dv keyed on the partition column
+    touch only the matching directory (partition values ahead of
+    stats), and a NULL-range probe touches nothing."""
+    t = MiniLogTable(
+        spark, str(tmp_path / "dp"), stats_cols=("k",),
+        partition_by=("day",),
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 2), (4, 2), (5, None)],
+            "k INT, day INT",
+        ),
+        split_by_value=True,
+    )
+    files0 = {f.file for f in t.snapshot().files}
+    assert len(files0) == 3
+    r = t.delete_where("day", 2, 2)
+    assert (r["rewritten"], r["kept"]) == (1, 2)
+    assert _rows(t.read().select("k")) == [(1,), (2,), (5,)]
+    r = t.delete_where_dv("day", 1, 1)
+    assert r["dv_files"] == 1
+    got = {r2["k"] for r2 in t.read().collect()}
+    assert got == {5}  # the null-partition row survives both deletes
