@@ -3160,7 +3160,10 @@ class MiniLogTable:
         )
 
     def optimize_cluster(
-        self, target_files: int = 4, bits: int = 8
+        self,
+        target_files: int = 4,
+        bits: int = 8,
+        where: Optional[object] = None,
     ) -> dict:
         """INCREMENTAL clustering pass: rewrite ONLY the files not yet
         clustered under the CURRENT key epoch — fresh appends (no
@@ -3184,10 +3187,15 @@ class MiniLogTable:
                 "optimize_cluster: no clustering keys declared — call "
                 "set_cluster_keys first"
             )
+        # ``where=(col, lo, hi)`` (or a list of triples) SCOPES the
+        # pass like optimize_zorder's: cluster a hot partition first
+        # without waiting on the whole backlog. Scope selection reuses
+        # _select_entries (partition values ahead of stats), and the
+        # epoch filter composes — scoped files already at the current
+        # epoch are still never touched.
+        scope = self._select_entries(snap, self._normalize_prune(where))
         todo = [
-            f
-            for f in snap.files
-            if f.cluster_epoch != snap.cluster_epoch
+            f for f in scope if f.cluster_epoch != snap.cluster_epoch
         ]
         if not todo:
             return {

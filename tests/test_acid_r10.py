@@ -796,3 +796,41 @@ def test_delete_scope_prunes_by_partition_value(spark, tmp_path):
     assert r["dv_files"] == 1
     got = {r2["k"] for r2 in t.read().collect()}
     assert got == {5}  # the null-partition row survives both deletes
+
+
+def test_optimize_cluster_where_scope(spark, tmp_path):
+    """optimize_cluster(where=) clusters the scoped slice first — a
+    hot partition converges without waiting on the backlog — and the
+    epoch filter composes: a later unscoped pass picks up ONLY the
+    remainder."""
+    t = MiniLogTable(
+        spark, str(tmp_path / "cw"), stats_cols=("k",),
+        partition_by=("day",),
+    )
+    for d in (1, 2):
+        for lo in (0, 50):
+            t.append(
+                spark.range(lo, lo + 50).select(
+                    F.lit(d).alias("day"),
+                    F.col("id").cast("int").alias("k"),
+                ),
+                split_by_value=True,
+            )
+    t.set_cluster_keys(("k",))
+    r = t.optimize_cluster(target_files=1, where=("day", 1, 1))
+    assert r["reclustered"] == 2  # day=1's two files only
+    snap = t.snapshot()
+    hot = [f for f in snap.files if f.partition.get("day") == 1]
+    cold = [f for f in snap.files if f.partition.get("day") == 2]
+    assert all(f.cluster_epoch == snap.cluster_epoch for f in hot)
+    assert all(f.cluster_epoch != snap.cluster_epoch for f in cold)
+    # scoped again: nothing left in scope, no commit
+    v = t.version
+    assert (
+        t.optimize_cluster(where=("day", 1, 1))["reclustered"] == 0
+        and t.version == v
+    )
+    # unscoped pass converges the remainder only
+    assert t.optimize_cluster(target_files=1)["reclustered"] == 2
+    assert t.optimize_cluster()["reclustered"] == 0
+    assert t.read().count() == 200
