@@ -2910,8 +2910,15 @@ class MiniLogTable:
         actions: list[dict] = []
         for f in gained:
             stats = {c: dict(s) for c, s in f.stats.items()}
-            for c, b in blooms.get(f.file, {}).items():
-                stats.setdefault(c, {})["bloom"] = b
+            # merge ONLY the columns this file was actually missing
+            # (ADVICE r10 low): the scan computes the union of pending
+            # columns across files, so blooms[f.file] can also carry a
+            # column f already had — overwriting it would mint a fresh
+            # (sidecar-sized) bloom per call and orphan the old one
+            for c in pending[f.file]:
+                b = blooms.get(f.file, {}).get(c)
+                if b is not None:
+                    stats.setdefault(c, {})["bloom"] = b
             actions.append(
                 {"type": "remove", "file": f.file, "base_dv": f.dv}
             )
@@ -3646,11 +3653,38 @@ def apply_changes(state: DataFrame, feed: DataFrame) -> DataFrame:
     nothing, exactly as the two-snapshot bag diff would have cancelled
     it — so one application of the whole batch equals the per-commit
     fold (stream_apply_changes pins this)."""
+    # Group ONLY on state-relevant columns (ADVICE r10 medium): a
+    # streamed readChangeFeed batch always carries _commit_version, and
+    # netting on it would stop identical (row, id) pairs from DIFFERENT
+    # commits cancelling — an insert-then-delete within one multi-commit
+    # batch would silently resurrect into state. Feed metadata columns
+    # are dropped here so callers need not remember to; any OTHER column
+    # the state lacks is a contract violation and fails loudly instead
+    # of being hidden by the trailing select.
+    feed_meta = {"_change_type", "_commit_version"}
+    missing = [c for c in state.columns if c not in feed.columns]
+    if missing:
+        raise ValueError(
+            f"apply_changes: feed lacks state columns {missing}; the "
+            "feed must carry every state column (use changes_with_ids "
+            "/ readChangeFeed+withRowIds on the same table)"
+        )
+    stray = [
+        c
+        for c in feed.columns
+        if c not in feed_meta and c not in set(state.columns)
+    ]
+    if stray:
+        raise ValueError(
+            f"apply_changes: feed carries columns {stray} the state "
+            "lacks — netting on them would break cross-commit "
+            "cancellation; drop them or bootstrap state with them"
+        )
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"),
         F.lit(1),
     ).otherwise(F.lit(-1))
-    cols = [c for c in feed.columns if c != "_change_type"]
+    cols = [c for c in feed.columns if c in set(state.columns)]
     net = feed.groupBy(*cols).agg(F.sum(sign).alias("__net"))
     gone = net.filter(F.col("__net") < 0).select("_row_id")
     arriving = net.filter(F.col("__net") > 0).drop("__net")

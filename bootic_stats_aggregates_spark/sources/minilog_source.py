@@ -766,10 +766,14 @@ class _MiniLogCDFStreamReader(DataSourceStreamReader):
                 "Restart the stream from a fresh checkpoint (it will "
                 "bootstrap from the earliest retained snapshot)."
             )
+        # set-membership, not list scan: the per-version loop below
+        # otherwise re-walks the whole version list each iteration —
+        # quadratic planning cost on a long un-vacuumed log (ADVICE r10)
+        vset = set(versions)
         for v in range(first, end["version"] + 1):
             snap_a = (
                 tbl.snapshot(v - 1)
-                if v - 1 in versions
+                if v - 1 in vset
                 else None
             )
             a_files = snap_a.files if snap_a else []
