@@ -1674,6 +1674,157 @@ class MiniLogTable:
             "kept": len(snap.files) - len(touched),
         }
 
+    def _files_matching(self, snap: Snapshot, predicate: str) -> list:
+        """Exact write-side scope for an ARBITRARY SQL predicate: one
+        scan job tags live rows with their file and keeps the distinct
+        files holding a TRUE row — Delta's find-touched-files job. The
+        collect is O(#files), never O(rows). Range/point predicates
+        should prefer :meth:`delete_where`/:meth:`delete_where_dv`,
+        which prune on stats without scanning; this is the general
+        fallback the SQL surface (sql.py) needs."""
+        if not snap.files:
+            return []
+        tagged = self._tagged_read(snap.files)
+        cols = []
+        for c in snap.schema or []:
+            p = _phys(c)
+            cols.append(
+                F.col(p).cast(c["type"]).alias(c["name"])
+                if p in tagged.columns
+                else F.lit(None).cast(c["type"]).alias(c["name"])
+            )
+        proj = tagged.select(*cols, F.col("__dv_file"))
+        hits = {
+            r["__dv_file"]
+            for r in proj.filter(
+                F.expr(predicate).eqNullSafe(F.lit(True))
+            )
+            .select("__dv_file")
+            .distinct()
+            .collect()
+        }
+        return [
+            f for f in snap.files if os.path.basename(f.file) in hits
+        ]
+
+    def delete_predicate(self, predicate: str) -> dict:
+        """``DELETE FROM t WHERE <any SQL predicate>`` — the general
+        form of :meth:`delete_where`: a find-touched-files scan picks
+        exactly the files holding a TRUE row, and ONLY those are
+        rewritten keeping the rows whose predicate is not TRUE (NULL
+        survives — SQL DELETE semantics). Row ids ride through the
+        rewrite, so the change feed emits delete rows for precisely
+        the TRUE set. Backs the SQL surface's DELETE statement."""
+        snap = self.snapshot()
+        if not snap.schema:
+            raise SchemaMismatch(
+                "delete_predicate needs a log-tracked table schema"
+            )
+        touched = self._files_matching(snap, predicate)
+        if not touched:
+            return {
+                "version": snap.version,
+                "rewritten": 0,
+                "kept": len(snap.files),
+            }
+        kept_df = self._read_entries_with_ids(
+            touched, snap.schema
+        ).filter(~F.expr(predicate).eqNullSafe(F.lit(True)))
+        actions = self._stage(
+            kept_df,
+            1,
+            mapping=_mapping_of(snap.schema),
+            partition_cols=tuple(snap.partition_cols),
+        ) + [
+            {"type": "remove", "file": f.file, "base_dv": f.dv}
+            for f in touched
+        ]
+        v = self._try_commit("delete", actions)
+        return {
+            "version": v,
+            "rewritten": len(touched),
+            "kept": len(snap.files) - len(touched),
+        }
+
+    def update_where(
+        self,
+        assignments: dict[str, str],
+        predicate: Optional[str] = None,
+    ) -> dict:
+        """``UPDATE t SET col = expr, ... [WHERE pred]`` — rewrite only
+        the files holding a matching row, applying every SET expression
+        against the PRE-update row (standard SQL UPDATE: ``SET a = b,
+        b = a`` swaps). Rows keep their stable ids, so the change feed
+        links each update as pre/post images under one id. CHECK
+        constraints re-validate on the rewritten rows; generated
+        columns are recomputed (assigning one directly raises, as
+        Delta does). Backs the SQL surface's UPDATE statement."""
+        snap = self.snapshot()
+        if not snap.schema or not snap.files:
+            raise SchemaMismatch(
+                "update_where needs a non-empty log-tracked table"
+            )
+        names = {c["name"] for c in snap.schema}
+        gens = dict(snap.generated)
+        unknown = sorted(set(assignments) - names)
+        if unknown:
+            raise ValueError(f"update_where: no such column(s) {unknown}")
+        bad_gen = sorted(set(assignments) & set(gens))
+        if bad_gen:
+            raise ValueError(
+                f"update_where: {bad_gen} are GENERATED columns — "
+                "their values derive from their expression"
+            )
+        touched = (
+            list(snap.files)
+            if predicate is None
+            else self._files_matching(snap, predicate)
+        )
+        if not touched:
+            return {"version": snap.version, "rewritten": 0, "updated": 0}
+        df = self._read_entries_with_ids(touched, snap.schema)
+        fire = (
+            F.expr(predicate).eqNullSafe(F.lit(True))
+            if predicate is not None
+            else F.lit(True)
+        )
+        types = {c["name"]: c["type"] for c in snap.schema}
+        sel = []
+        for c in snap.schema:
+            n = c["name"]
+            if n in assignments:
+                sel.append(
+                    F.when(
+                        fire, F.expr(assignments[n]).cast(types[n])
+                    )
+                    .otherwise(F.col(n))
+                    .alias(n)
+                )
+            elif n in gens:
+                continue  # recomputed below from the updated row
+            else:
+                sel.append(F.col(n))
+        n_updated = df.filter(fire).count()
+        out = self._apply_generated(
+            df.select(*sel, F.col(ROW_ID_COL)), gens
+        ).select(*[c["name"] for c in snap.schema], F.col(ROW_ID_COL))
+        self._validate_constraints(out, dict(snap.constraints))
+        actions = self._stage(
+            out,
+            1,
+            mapping=_mapping_of(snap.schema),
+            partition_cols=tuple(snap.partition_cols),
+        ) + [
+            {"type": "remove", "file": f.file, "base_dv": f.dv}
+            for f in touched
+        ]
+        v = self._try_commit("update", actions)
+        return {
+            "version": v,
+            "rewritten": len(touched),
+            "updated": int(n_updated),
+        }
+
     def delete_where_dv(self, col: str, lo: Any, hi: Any) -> dict:
         """DELETE via DELETION VECTORS (merge-on-read, the public Delta
         DV design): instead of rewriting every file that holds a

@@ -2775,3 +2775,193 @@ def stream_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.lit(bool(sync_ok)).alias("sync_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: the SQL surface (VERDICT r10 task 1) — temp-view SELECT with
+# version/timestamp time travel, and parsed SQL DML (INSERT / UPDATE /
+# DELETE / MERGE) lowered onto the ACID verbs via sql.run_sql. The catalog
+# route (CREATE TABLE ... USING minilog) is API-blocked in Spark 4.1 —
+# PythonDataSourceV2.getTable drops the properties map, so catalog readers
+# get empty options; sql.py's module docstring pins the bytecode evidence.
+# ---------------------------------------------------------------------------
+
+
+def _tag(sf_dir: str) -> str:
+    import re
+
+    return re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
+
+
+@query(
+    "src_minilog_sql",
+    oracle=f"""
+    -- the SQL surface: one spark.sql statement reads the SAME MiniLog
+    -- table three ways — latest snapshot, VERSION AS OF 1, and
+    -- TIMESTAMP AS OF the first commit's in-commit timestamp — through
+    -- registered temp views. Latest reflects two SQL DML statements
+    -- (UPDATE doubling n for d<=5, DELETE of d in 11..13) that ran via
+    -- run_sql; the historical reads see through both.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT 'latest' AS as_of, event_type, d,
+           CAST(CASE WHEN d <= 5 THEN n * 2 ELSE n END AS BIGINT) AS n
+    FROM c WHERE d <= 25 AND d NOT BETWEEN 11 AND 13
+    UNION ALL
+    SELECT 'v1' AS as_of, event_type, d, n FROM c WHERE d <= 25
+    UNION ALL
+    SELECT 'ts0' AS as_of, event_type, d, n FROM c WHERE d <= 15
+    """,
+)
+def src_minilog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT surface over MiniLog through plain ``spark.sql``: the
+    table is staged with ACID commits (two appends via SQL INSERT, a
+    SQL UPDATE, a SQL DELETE), then ONE SQL statement unions the
+    latest view with a ``version=1`` view and a ``timestamp=`` view
+    (sql.minilog_view — the Delta VERSION/TIMESTAMP AS OF equivalents,
+    reachable as temp views because 4.1's Python DataSource has no
+    catalog/time-travel hook; see sql.py)."""
+    from ..sql import create_table, minilog_view, run_sql
+
+    tag = _tag(sf_dir)
+    name = f"minilog_sql_{tag}"
+    tbl, ready = _staged(spark, sf_dir, "sql_surface")
+    create_table(spark, name, tbl.path, stats_cols=("d",))
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        c.createOrReplaceTempView(f"counters_src_{tag}")
+        run_sql(
+            spark,
+            f"INSERT INTO {name} SELECT event_type, d, n "
+            f"FROM counters_src_{tag} WHERE d <= 15",
+        )
+        run_sql(
+            spark,
+            f"INSERT INTO {name} SELECT event_type, d, n "
+            f"FROM counters_src_{tag} WHERE d BETWEEN 16 AND 25",
+        )
+        run_sql(
+            spark,
+            f"UPDATE {name} SET n = n * 2 WHERE d <= 5",
+        )
+        run_sql(
+            spark, f"DELETE FROM {name} WHERE d BETWEEN 11 AND 13"
+        )
+        assert tbl.version == 3, tbl.history()
+        _mark_ready(tbl, sf_dir)
+    v1 = minilog_view(spark, tbl.path, name=f"{name}_v1", version=1)
+    ts0 = next(
+        h["timestamp"] for h in tbl.history() if h["version"] == 0
+    )
+    tsv = minilog_view(
+        spark, tbl.path, name=f"{name}_ts0", timestamp=ts0
+    )
+    return run_sql(
+        spark,
+        f"""
+        SELECT 'latest' AS as_of, event_type, d, CAST(n AS BIGINT) AS n
+        FROM {name}
+        UNION ALL
+        SELECT 'v1' AS as_of, event_type, d, n FROM {v1}
+        UNION ALL
+        SELECT 'ts0' AS as_of, event_type, d, n FROM {tsv}
+        """,
+    )
+
+
+@query(
+    "tx_sql_update_delete",
+    oracle=f"""
+    -- SQL UPDATE (find-touched-files scan + id-preserving rewrite of
+    -- only those files) then SQL DELETE (general-predicate form): the
+    -- final table equals the declarative rewrite of the base counters.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d,
+           CAST(CASE WHEN d % 2 = 0 AND d <= 10 THEN n + 7 ELSE n END
+                AS BIGINT) AS n
+    FROM c WHERE d <= 28
+    """,
+)
+def tx_sql_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string UPDATE and DELETE against a MiniLog table
+    (sql.run_sql → acid.update_where / acid.delete_predicate): every
+    SET expression evaluates against the pre-update row, rows keep
+    their stable ids through the rewrite, NULL-predicate rows survive
+    a DELETE (SQL semantics), and only files holding a matching row
+    are rewritten (the find-touched-files job — Delta's UPDATE/DELETE
+    execution shape)."""
+    from ..sql import create_table, run_sql
+
+    tag = _tag(sf_dir)
+    name = f"minilog_dml_{tag}"
+    tbl, ready = _staged(spark, sf_dir, "sql_dml")
+    create_table(spark, name, tbl.path, stats_cols=("d",))
+    if not ready:
+        tbl.append(_day_counters(spark, sf_dir))
+        run_sql(
+            spark,
+            f"UPDATE {name} SET n = n + 7 "
+            "WHERE d % 2 = 0 AND d <= 10",
+        )
+        run_sql(spark, f"DELETE FROM {name} WHERE d > 28")
+        assert tbl.version == 2, tbl.history()
+        _mark_ready(tbl, sf_dir)
+    return tbl.read().select(
+        "event_type", "d", F.col("n").cast("long").alias("n")
+    )
+
+
+@query(
+    "tx_sql_merge",
+    oracle=f"""
+    -- SQL MERGE INTO parsed onto merge_clauses: conditional DELETE
+    -- tombstones (d<=3), UPDATE upserts (16..20 -> n+1000), and
+    -- guarded INSERTs (21..25 as new rows), one atomic commit.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d,
+           CAST(CASE WHEN d BETWEEN 16 AND 20 THEN n + 1000 ELSE n END
+                AS BIGINT) AS n
+    FROM c WHERE d BETWEEN 4 AND 20
+    UNION ALL
+    SELECT event_type, d, CAST(n + 1000 AS BIGINT) AS n
+    FROM c WHERE d BETWEEN 21 AND 25
+    """,
+)
+def tx_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL MERGE statement — the full clause grammar (WHEN MATCHED AND
+    cond THEN DELETE / WHEN MATCHED THEN UPDATE SET / WHEN NOT MATCHED
+    AND cond THEN INSERT (cols) VALUES (exprs)) with a subquery source
+    and both-sided aliases, parsed by sql.py and executed as ONE
+    merge_clauses commit. Expressions pass through to Spark's own
+    parser; only statement structure is parsed in Python."""
+    from ..sql import create_table, run_sql
+
+    tag = _tag(sf_dir)
+    name = f"minilog_merge_{tag}"
+    tbl, ready = _staged(spark, sf_dir, "sql_merge")
+    create_table(spark, name, tbl.path, stats_cols=("d",))
+    if not ready:
+        c = _day_counters(spark, sf_dir)
+        c.createOrReplaceTempView(f"merge_src_{tag}")
+        tbl.append(c.filter(F.col("d") <= 20))
+        run_sql(
+            spark,
+            f"""
+            MERGE INTO {name} AS t
+            USING (SELECT event_type, d,
+                          CAST(n + 1000 AS BIGINT) AS n,
+                          CASE WHEN d <= 3 THEN 'd' ELSE 'u' END AS op
+                   FROM merge_src_{tag}
+                   WHERE d <= 3 OR d BETWEEN 16 AND 25) AS s
+            ON t.d = s.d AND t.event_type = s.event_type
+            WHEN MATCHED AND s.op = 'd' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET n = s.n
+            WHEN NOT MATCHED AND s.op = 'u'
+              THEN INSERT (event_type, d, n)
+                   VALUES (s.event_type, s.d, s.n)
+            """,
+        )
+        assert tbl.version == 1, tbl.history()
+        _mark_ready(tbl, sf_dir)
+    return tbl.read().select(
+        "event_type", "d", F.col("n").cast("long").alias("n")
+    )

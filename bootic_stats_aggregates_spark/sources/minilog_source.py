@@ -809,6 +809,33 @@ class _MiniLogCDFStreamReader(DataSourceStreamReader):
         pass
 
 
+def _local_path(p: str) -> str:
+    """Normalize the catalog's path form to a plain filesystem path.
+
+    ``spark.read.format("minilog").load(path)`` hands the option
+    through verbatim, but a CATALOG table (``CREATE TABLE ... USING
+    minilog``) stores its location as a Hadoop URI and the analyzer
+    passes ``file:/abs/path`` (observed empirically on 4.1: options
+    arrive as {path: 'file:/...', location: 'file:/...', provider:
+    'minilog'}). acid.py's log fold is plain-``os`` based, so strip
+    the scheme (and percent-encoding) here — and reject non-local
+    schemes loudly: this engine's commit log relies on same-directory
+    ``os.link`` atomicity, which only the local filesystem provides."""
+    if "://" not in p and not p.startswith("file:"):
+        return p
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(p)
+    if u.scheme and u.scheme != "file":
+        raise ValueError(
+            f"minilog: unsupported filesystem scheme {u.scheme!r} "
+            "(the commit log needs local-posix atomic link/rename; "
+            "mount remote storage locally instead)"
+        )
+    # file:/x, file:///x and file://host/x all carry the path here
+    return unquote(u.path) or p
+
+
 def _handle(path: str, create: bool = False) -> MiniLogTable:
     """Log-fold-only handle (no SparkSession needed on this side).
     Read paths keep ``create=False`` so a typo'd path raises
@@ -1642,7 +1669,7 @@ class MiniLogDataSource(DataSource):
         p = self.options.get("path")
         if not p:
             raise ValueError("minilog: .load(path) or option('path') required")
-        return p
+        return _local_path(p)
 
     def _cdf(self) -> bool:
         return (

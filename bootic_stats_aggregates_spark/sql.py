@@ -1,0 +1,647 @@
+"""SQL surface for MiniLog tables (VERDICT r10 task 1).
+
+Spark 4.1's Python DataSource API has NO usable catalog hook. The
+precise blocker, verified by bytecode inspection of this container's
+``spark-sql_2.13-4.1.2.jar``: ``CREATE TABLE t USING minilog OPTIONS
+(path ...)`` parses, instantiates the source, and stores the table —
+but ``PythonDataSourceV2.getTable(schema, partitioning, properties)``
+constructs ``PythonTable(this, shortName, schema)`` and NEVER READS the
+``properties`` map, so the reader/writer later instantiated for the
+catalog table receives EMPTY options (observed empirically: ``schema()``
+gets ``{path, location, provider, ...}``; ``reader()``/``writer()`` get
+``{}``) and can never learn the table path. ``SELECT ... VERSION AS
+OF`` on such a relation raises ``UNSUPPORTED_FEATURE.TIME_TRAVEL`` —
+there is no Python-side time-travel hook either.
+
+What IS shippable — and shipped here — is the Delta-Python pattern:
+
+- :func:`minilog_view`: temp-view registration over the native read
+  path, with ``version=`` / ``timestamp=`` time travel, so every
+  SELECT works through plain ``spark.sql``.
+- :func:`create_table` + a session-scoped name→path catalog shim, so
+  statements can name tables the way SQL users expect (the shim also
+  re-registers views before each SELECT — read-your-writes).
+- :func:`run_sql`: a parsed DML subset — INSERT INTO / INSERT
+  OVERWRITE, UPDATE, DELETE, MERGE INTO — lowered onto the ACID verbs
+  (``append`` / ``overwrite`` / ``update_where`` /
+  ``delete_predicate`` / ``merge_clauses``). Only STATEMENT STRUCTURE
+  is parsed here; every expression, predicate, and subquery is handed
+  verbatim to Spark's own parser (``F.expr`` / ``spark.sql``), so the
+  expression language is exactly Spark SQL. Statements outside the
+  subset fail loudly with the grammar in the message — never a silent
+  misread.
+
+Statement grammar (case-insensitive keywords, quote-aware):
+
+    INSERT INTO <t> [(c1, ...)] <query>      -- query = VALUES ... or SELECT ...
+    INSERT OVERWRITE [TABLE] <t> [(c1, ...)] <query>
+    UPDATE <t> [[AS] a] SET c1 = e1, ...  [WHERE <pred>]
+    DELETE FROM <t> [[AS] a] [WHERE <pred>]
+    MERGE INTO <t> [[AS] a] USING <name | (subquery)> [[AS] b]
+      ON <equi-conjunction>
+      { WHEN MATCHED [AND <c>] THEN { UPDATE SET * | UPDATE SET c=e,... | DELETE }
+      | WHEN NOT MATCHED [BY TARGET] [AND <c>] THEN
+            { INSERT * | INSERT (c1,...) VALUES (e1,...) }
+      | WHEN NOT MATCHED BY SOURCE [AND <c>] THEN
+            { UPDATE SET c=e,... | DELETE } }+
+
+``<t>`` resolves through, in order: the explicit ``tables=`` mapping,
+the session catalog shim (:func:`create_table` / :func:`minilog_view`),
+or — when it contains a path separator — a literal table path.
+MERGE's ON must be a conjunction of null-safe-able equalities between
+the same-named target and source columns (``t.k = s.k [AND ...]``) —
+that is ``merge_clauses``'s key model; anything else raises.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .acid import MiniLogTable
+from .session import session_cache
+
+
+# --------------------------------------------------------------- lexing
+
+
+def _masked(s: str, parens: bool = False) -> str:
+    """Same-length copy of ``s`` with the CONTENT of string literals,
+    double-quoted strings, and backtick identifiers blanked (delimiters
+    kept), so keyword regexes never fire inside them. ``parens=True``
+    additionally blanks everything nested inside parentheses — the
+    top-level-clause view used to split statements. Handles doubled
+    quotes ('' "") and backslash escapes the way Spark's lexer does."""
+    out = []
+    depth = 0
+    q: Optional[str] = None
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if q is not None:
+            if ch == "\\" and q != "`" and i + 1 < n:
+                out.append("  ")
+                i += 2
+                continue
+            if ch == q:
+                if i + 1 < n and s[i + 1] == q:  # doubled delimiter
+                    out.append("  ")
+                    i += 2
+                    continue
+                q = None
+                out.append(ch)
+                i += 1
+                continue
+            out.append(" ")
+            i += 1
+            continue
+        if ch in ("'", '"', "`"):
+            q = ch
+            out.append(ch)
+            i += 1
+            continue
+        if parens:
+            if ch == "(":
+                out.append(ch if depth == 0 else " ")
+                depth += 1
+                i += 1
+                continue
+            if ch == ")":
+                depth -= 1
+                out.append(ch if depth == 0 else " ")
+                i += 1
+                continue
+            if depth > 0:
+                out.append(" ")
+                i += 1
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _find_kw(masked: str, kw: str, start: int = 0) -> list[re.Match]:
+    """All top-level occurrences of a (multi-word) keyword."""
+    pat = r"\b" + r"\s+".join(map(re.escape, kw.split())) + r"\b"
+    return list(re.finditer(pat, masked[start:], re.I))
+
+
+def _split_top(fragment: str, sep: str = ",") -> list[str]:
+    """Split on a separator at paren/quote top level."""
+    masked = _masked(fragment, parens=True)
+    parts, last = [], 0
+    for i, ch in enumerate(masked):
+        if ch == sep:
+            parts.append(fragment[last:i])
+            last = i + 1
+    parts.append(fragment[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _ident(tok: str) -> str:
+    tok = tok.strip()
+    if tok.startswith("`") and tok.endswith("`") and len(tok) >= 2:
+        return tok[1:-1].replace("``", "`")
+    return tok
+
+
+def _requalify(fragment: str, mapping: dict[str, str]) -> str:
+    """Rewrite ``alias.`` qualifiers to the canonical ``target.`` /
+    ``source.`` names merge_clauses expects — outside string literals
+    only (mask-guided, so a 't.' inside '...' is untouched)."""
+    if not fragment:
+        return fragment
+    masked = _masked(fragment)
+    out, last = [], 0
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(a) for a in mapping) + r")\s*\.",
+        re.I,
+    )
+    for m in pat.finditer(masked):
+        out.append(fragment[last : m.start()])
+        out.append(mapping[m.group(1).lower()] + ".")
+        last = m.end()
+    out.append(fragment[last:])
+    return "".join(out)
+
+
+# ----------------------------------------------------- catalog shim
+
+
+def _catalog(spark: SparkSession) -> dict:
+    return session_cache(spark, "minilog_sql_catalog")
+
+
+def create_table(
+    spark: SparkSession, name: str, path: str, **table_kwargs
+) -> MiniLogTable:
+    """Register ``name`` → ``path`` in the session catalog shim and
+    expose the table to ``spark.sql`` as a temp view (re-registered
+    fresh by every :func:`run_sql` SELECT, so reads always see the
+    latest committed snapshot). ``table_kwargs`` pass through to
+    :class:`MiniLogTable` (stats_cols, partition_by, ...)."""
+    t = MiniLogTable(spark, path, **table_kwargs)
+    _catalog(spark)[name.lower()] = path
+    if t.version >= 0:  # an EMPTY table has no schema to expose yet;
+        minilog_view(spark, path, name=name)  # first INSERT registers it
+    return t
+
+
+def minilog_view(
+    spark: SparkSession,
+    path: str,
+    name: Optional[str] = None,
+    version: Optional[int] = None,
+    timestamp=None,
+) -> str:
+    """Register a temp view over the NATIVE minilog read path —
+    optionally time-traveled (``version=`` or ``timestamp=``, Delta's
+    ``VERSION/TIMESTAMP AS OF`` equivalents, mutually exclusive) —
+    and return the view name. This is the SELECT surface: the catalog
+    route is API-blocked (module docstring), a temp view is not."""
+    from .sources.minilog_source import register
+
+    register(spark)
+    if version is not None and timestamp is not None:
+        raise ValueError("minilog_view: version= XOR timestamp=")
+    rd = spark.read.format("minilog")
+    if version is not None:
+        rd = rd.option("version", int(version))
+    if timestamp is not None:
+        rd = rd.option("timestampAsOf", timestamp)
+    if name is None:
+        base = re.sub(r"\W+", "_", path.rstrip("/").rsplit("/", 1)[-1])
+        suffix = (
+            f"_v{version}"
+            if version is not None
+            else f"_ts{re.sub(r'[^0-9]', '', str(timestamp))}"
+            if timestamp is not None
+            else ""
+        )
+        name = f"minilog_{base}{suffix}"
+    df = rd.load(path)
+    df.createOrReplaceTempView(name)
+    if version is None and timestamp is None:
+        _catalog(spark)[name.lower()] = path
+    return name
+
+
+def _resolve_path(
+    spark: SparkSession, token: str, tables: Optional[dict]
+) -> str:
+    name = _ident(token)
+    if tables:
+        for k, v in tables.items():
+            if k.lower() == name.lower():
+                return v
+    hit = _catalog(spark).get(name.lower())
+    if hit:
+        return hit
+    if "/" in name:
+        return name  # a literal table path
+    raise ValueError(
+        f"run_sql: unknown table {name!r} — pass tables={{name: path}}, "
+        "create_table()/minilog_view() it first, or use the path itself"
+    )
+
+
+def _parse_target(clause: str) -> tuple[str, Optional[str]]:
+    """``<token> [[AS] alias]`` → (token, alias|None)."""
+    toks = clause.strip().split()
+    if not toks:
+        raise ValueError("run_sql: missing table name")
+    if len(toks) == 1:
+        return toks[0], None
+    if len(toks) == 2:
+        return toks[0], _ident(toks[1])
+    if len(toks) == 3 and toks[1].upper() == "AS":
+        return toks[0], _ident(toks[2])
+    raise ValueError(f"run_sql: cannot parse table clause {clause!r}")
+
+
+def _refresh_views(spark: SparkSession) -> None:
+    for name, path in list(_catalog(spark).items()):
+        if MiniLogTable.fold_only(path, create=True).version >= 0:
+            minilog_view(spark, path, name=name)
+
+
+# ------------------------------------------------------- statement verbs
+
+
+def _run_update(spark, stmt, masked, tables) -> dict:
+    m_set = _find_kw(masked, "SET")
+    if not m_set:
+        raise ValueError("UPDATE: expected SET")
+    m_where = _find_kw(masked, "WHERE", m_set[0].end())
+    set_end = (
+        m_set[0].end() + m_where[0].start() if m_where else len(stmt)
+    )
+    tok, alias = _parse_target(stmt[6 : m_set[0].start()])
+    pred = (
+        stmt[m_set[0].end() + m_where[0].end() :].strip()
+        if m_where
+        else None
+    )
+    qual = {a.lower(): "" for a in (alias, _ident(tok)) if a}
+    assignments = {}
+    for part in _split_top(stmt[m_set[0].end() : set_end]):
+        am = _masked(part, parens=True)
+        eq = am.find("=")
+        if eq < 0:
+            raise ValueError(f"UPDATE: bad assignment {part!r}")
+        lhs = _ident(re.sub(
+            r"^\s*(" + "|".join(map(re.escape, qual)) + r")\s*\.",
+            "",
+            part[:eq].strip(),
+            flags=re.I,
+        ) if qual else part[:eq].strip())
+        assignments[lhs] = _strip_qual(part[eq + 1 :].strip(), qual)
+    t = MiniLogTable(spark, _resolve_path(spark, tok, tables))
+    res = t.update_where(
+        assignments, _strip_qual(pred, qual) if pred else None
+    )
+    _refresh_views(spark)
+    return {"operation": "update", **res}
+
+
+def _strip_qual(fragment: str, qual: dict) -> str:
+    """Drop the target's own alias qualifiers (``a.col`` → ``col``) —
+    single-table UPDATE/DELETE expressions run against the bare frame."""
+    if not fragment or not qual:
+        return fragment
+    masked = _masked(fragment)
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(a) for a in qual) + r")\s*\.", re.I
+    )
+    out, last = [], 0
+    for m in pat.finditer(masked):
+        out.append(fragment[last : m.start()])
+        last = m.end()
+    out.append(fragment[last:])
+    return "".join(out)
+
+
+def _run_delete(spark, stmt, masked, tables) -> dict:
+    if not re.match(r"\s*DELETE\s+FROM\b", masked, re.I):
+        raise ValueError("DELETE: expected DELETE FROM <table>")
+    m_from = _find_kw(masked, "FROM")
+    m_where = _find_kw(masked, "WHERE", m_from[0].end())
+    tgt_end = (
+        m_from[0].end() + m_where[0].start() if m_where else len(stmt)
+    )
+    tok, alias = _parse_target(stmt[m_from[0].end() : tgt_end])
+    qual = {a.lower(): "" for a in (alias, _ident(tok)) if a}
+    t = MiniLogTable(spark, _resolve_path(spark, tok, tables))
+    if m_where:
+        pred = _strip_qual(
+            stmt[m_from[0].end() + m_where[0].end() :].strip(), qual
+        )
+        res = t.delete_predicate(pred)
+    else:  # unconditional DELETE = truncate to an empty overwrite
+        res = t.delete_predicate("true")
+    _refresh_views(spark)
+    return {"operation": "delete", **res}
+
+
+def _run_insert(spark, stmt, masked, tables) -> dict:
+    m = re.match(
+        r"\s*INSERT\s+(INTO|OVERWRITE)\s+(TABLE\s+)?", masked, re.I
+    )
+    overwrite = m.group(1).upper() == "OVERWRITE"
+    rest = stmt[m.end() :]
+    rmask = masked[m.end() :]
+    tm = re.match(r"\s*(`[^`]+`|[\w./-]+)", rmask)
+    if not tm:
+        raise ValueError("INSERT: expected a table name")
+    tok = rest[tm.start(1) : tm.end(1)]
+    tail = rest[tm.end() :]
+    tmask = rmask[tm.end() :]
+    cols = None
+    cm = re.match(r"\s*\(([^)]*)\)", tmask)
+    qm = re.match(
+        r"\s*\(\s*(SELECT|VALUES|WITH|TABLE|FROM)\b", tmask, re.I
+    )
+    if cm and not qm:  # a column list, not a parenthesized query
+        cols = [_ident(c) for c in _split_top(tail[cm.start(1) : cm.end(1)])]
+        tail = tail[cm.end() :]
+    query = tail.strip()
+    if not query:
+        raise ValueError("INSERT: expected VALUES (...) or a query")
+    df = spark.sql(query)
+    t = MiniLogTable(spark, _resolve_path(spark, tok, tables))
+    snap = t.snapshot() if t.version >= 0 else None
+    if snap is not None and snap.schema:
+        names = [c["name"] for c in snap.schema]
+        from pyspark.sql import functions as F
+
+        if cols is None:
+            if len(df.columns) != len(names):
+                raise ValueError(
+                    f"INSERT: query yields {len(df.columns)} columns, "
+                    f"table has {len(names)}"
+                )
+            df = df.toDF(*names)
+        else:
+            if len(df.columns) != len(cols):
+                raise ValueError(
+                    "INSERT: column list and query width differ"
+                )
+            df = df.toDF(*cols)
+            types = {c["name"]: c["type"] for c in snap.schema}
+            df = df.select(
+                *[
+                    F.col(n).cast(types[n])
+                    if n in df.columns
+                    else F.lit(None).cast(types[n]).alias(n)
+                    for n in names
+                ]
+            )
+    (t.overwrite if overwrite else t.append)(df)
+    _refresh_views(spark)
+    return {
+        "operation": "overwrite" if overwrite else "append",
+        "version": t.version,
+    }
+
+
+def _parse_when(seg: str) -> tuple[str, Optional[str], str]:
+    """One WHEN segment (text after the WHEN keyword) →
+    (kind, condition, action-text). kind ∈ matched / not_matched /
+    not_matched_by_source."""
+    mask = _masked(seg, parens=True)
+    m = re.match(
+        r"\s*(NOT\s+)?MATCHED(\s+BY\s+(SOURCE|TARGET))?\s*", mask, re.I
+    )
+    if not m:
+        raise ValueError(f"MERGE: cannot parse WHEN clause {seg!r}")
+    negated, by = bool(m.group(1)), (m.group(3) or "").upper()
+    if negated and by == "SOURCE":
+        kind = "not_matched_by_source"
+    elif negated:
+        kind = "not_matched"
+    elif by:
+        raise ValueError("MERGE: MATCHED takes no BY qualifier")
+    else:
+        kind = "matched"
+    then = _find_kw(mask, "THEN", m.end())
+    if not then:
+        raise ValueError(f"MERGE: WHEN clause missing THEN: {seg!r}")
+    cond_txt = seg[m.end() : m.end() + then[0].start()].strip()
+    cond = None
+    if cond_txt:
+        am = re.match(r"AND\b", cond_txt, re.I)
+        if not am:
+            raise ValueError(
+                f"MERGE: expected AND <condition> before THEN, got "
+                f"{cond_txt!r}"
+            )
+        cond = cond_txt[am.end() :].strip()
+    action = seg[m.end() + then[0].end() :].strip()
+    return kind, cond, action
+
+
+def _parse_merge_action(kind: str, cond: Optional[str], action: str,
+                        requal) -> dict:
+    mask = _masked(action, parens=True)
+    out: dict = {"condition": requal(cond) if cond else None}
+    if re.match(r"DELETE\s*$", mask, re.I):
+        if kind == "not_matched":
+            raise ValueError("MERGE: WHEN NOT MATCHED cannot DELETE")
+        out["action"] = "delete"
+        return out
+    um = re.match(r"UPDATE\s+SET\s+", mask, re.I)
+    if um:
+        if kind == "not_matched":
+            raise ValueError("MERGE: WHEN NOT MATCHED cannot UPDATE")
+        out["action"] = "update"
+        body = action[um.end() :].strip()
+        if body == "*":
+            out["set"] = None
+        else:
+            out["set"] = {}
+            for part in _split_top(body):
+                pm = _masked(part, parens=True)
+                eq = pm.find("=")
+                if eq < 0:
+                    raise ValueError(f"MERGE: bad SET item {part!r}")
+                lhs = _ident(
+                    re.sub(r"^\s*target\s*\.", "", requal(part[:eq]).strip(),
+                           flags=re.I)
+                )
+                out["set"][lhs] = requal(part[eq + 1 :].strip())
+        return out
+    im = re.match(r"INSERT\b", mask, re.I)
+    if im:
+        if kind != "not_matched":
+            raise ValueError(
+                "MERGE: INSERT is only valid in WHEN NOT MATCHED"
+            )
+        out["action"] = "insert"
+        body = action[im.end() :].strip()
+        if body == "*":
+            out["values"] = None
+            return out
+        vm = _find_kw(_masked(action, parens=True), "VALUES", im.end())
+        if not vm:
+            raise ValueError(
+                "MERGE: INSERT needs * or (cols) VALUES (exprs)"
+            )
+        cols_txt = action[im.end() : im.end() + vm[0].start()].strip()
+        vals_txt = action[im.end() + vm[0].end() :].strip()
+        if not (cols_txt.startswith("(") and cols_txt.endswith(")")):
+            raise ValueError("MERGE: INSERT column list must be (...)")
+        if not (vals_txt.startswith("(") and vals_txt.endswith(")")):
+            raise ValueError("MERGE: VALUES list must be (...)")
+        cols = [
+            _ident(re.sub(r"^\s*target\s*\.", "", requal(c).strip(),
+                          flags=re.I))
+            for c in _split_top(cols_txt[1:-1])
+        ]
+        vals = [requal(v) for v in _split_top(vals_txt[1:-1])]
+        if len(cols) != len(vals):
+            raise ValueError("MERGE: INSERT columns/values width differ")
+        out["values"] = dict(zip(cols, vals))
+        return out
+    raise ValueError(f"MERGE: cannot parse action {action!r}")
+
+
+def _run_merge(spark, stmt, masked, tables) -> dict:
+    m_into = _find_kw(masked, "MERGE INTO")
+    m_using = _find_kw(masked, "USING")
+    m_on = _find_kw(masked, "ON")
+    m_when = _find_kw(masked, "WHEN")
+    if not (m_into and m_using and m_on and m_when):
+        raise ValueError(
+            "MERGE: expected MERGE INTO <t> USING <s> ON <cond> WHEN ..."
+        )
+    tgt_tok, tgt_alias = _parse_target(
+        stmt[m_into[0].end() : m_using[0].start()]
+    )
+    on = next(x for x in m_on if x.start() > m_using[0].end())
+    src_txt = stmt[m_using[0].end() : on.start()].strip()
+    cond_txt = stmt[on.end() : m_when[0].start()].strip()
+    # ---- source: (subquery) [AS] alias | name [[AS] alias]
+    src_alias = None
+    if src_txt.startswith("("):
+        sm = _masked(src_txt, parens=True)
+        close = sm.rindex(")")
+        inner, rest = src_txt[1:close], src_txt[close + 1 :].strip()
+        source = spark.sql(inner)
+        if rest:
+            toks = rest.split()
+            src_alias = _ident(toks[-1])
+        src_name = None
+    else:
+        src_name, src_alias = _parse_target(src_txt)
+        path = None
+        try:
+            path = _resolve_path(spark, src_name, tables)
+        except ValueError:
+            pass
+        if path:
+            source = MiniLogTable(spark, path).read()
+        else:
+            source = spark.table(_ident(src_name))
+    # ---- alias → canonical qualifier map
+    qual: dict[str, str] = {"target": "target", "source": "source"}
+    for a, canon in (
+        (tgt_alias, "target"),
+        (_ident(tgt_tok), "target"),
+        (src_alias, "source"),
+        (src_name and _ident(src_name), "source"),
+    ):
+        if a:
+            qual[a.lower()] = canon
+
+    def requal(frag: Optional[str]) -> Optional[str]:
+        return _requalify(frag, qual) if frag else frag
+
+    # ---- ON: conjunction of same-column equalities → keys
+    keys = []
+    parts, last = [], 0
+    cmask = _masked(cond_txt, parens=True)
+    for am in re.finditer(r"\bAND\b", cmask, re.I):
+        parts.append(cond_txt[last : am.start()])
+        last = am.end()
+    parts.append(cond_txt[last:])
+    for eq in parts:
+        em = re.split(r"<=>|=", _masked(eq, parens=True))
+        if len(em) != 2:
+            raise ValueError(
+                f"MERGE ON: need <t.col> = <s.col> equalities, got {eq!r}"
+            )
+        split_at = len(em[0])
+        op_len = 3 if "<=>" in _masked(eq, parens=True) else 1
+        lhs = requal(eq[:split_at].strip())
+        rhs = requal(eq[split_at + op_len :].strip())
+        names = set()
+        for side in (lhs, rhs):
+            sm = re.match(
+                r"^\s*(target|source)\s*\.\s*(`[^`]+`|\w+)\s*$", side, re.I
+            )
+            if not sm:
+                raise ValueError(
+                    "MERGE ON: each side must be a plain qualified "
+                    f"column, got {side!r} (merge keys are equality-"
+                    "only; put extra predicates in clause conditions)"
+                )
+            names.add(_ident(sm.group(2)))
+        if len(names) != 1:
+            raise ValueError(
+                f"MERGE ON: key columns must share a name, got {eq!r}"
+            )
+        keys.append(names.pop())
+    # ---- WHEN clauses, in order
+    matched, not_matched, nmbs = [], [], []
+    for i, w in enumerate(m_when):
+        seg_end = (
+            m_when[i + 1].start() if i + 1 < len(m_when) else len(stmt)
+        )
+        kind, cond, action = _parse_when(stmt[w.end() : seg_end])
+        cl = _parse_merge_action(kind, cond, action, requal)
+        {"matched": matched, "not_matched": not_matched,
+         "not_matched_by_source": nmbs}[kind].append(cl)
+    t = MiniLogTable(spark, _resolve_path(spark, tgt_tok, tables))
+    res = t.merge_clauses(
+        source,
+        keys=tuple(keys),
+        matched=tuple(matched),
+        not_matched=tuple(not_matched),
+        not_matched_by_source=tuple(nmbs),
+    )
+    _refresh_views(spark)
+    return {"operation": "merge", **res}
+
+
+# ------------------------------------------------------------ dispatch
+
+
+def run_sql(
+    spark: SparkSession,
+    statement: str,
+    tables: Optional[dict[str, str]] = None,
+):
+    """Execute one statement against MiniLog tables. DML (INSERT /
+    UPDATE / DELETE / MERGE) returns the commit summary dict; anything
+    else is handed to ``spark.sql`` verbatim (after re-registering the
+    catalog shim's views, so SELECTs see the latest snapshots) and
+    returns its DataFrame."""
+    stmt = statement.strip().rstrip(";").strip()
+    masked = _masked(stmt, parens=True)
+    head = re.match(r"\s*(\w+)", masked)
+    verb = head.group(1).upper() if head else ""
+    if verb == "UPDATE":
+        return _run_update(spark, stmt, masked, tables)
+    if verb == "DELETE":
+        return _run_delete(spark, stmt, masked, tables)
+    if verb == "INSERT":
+        return _run_insert(spark, stmt, masked, tables)
+    if verb == "MERGE":
+        return _run_merge(spark, stmt, masked, tables)
+    if tables:
+        for name, path in tables.items():
+            minilog_view(spark, path, name=name)
+    _refresh_views(spark)
+    return spark.sql(stmt)

@@ -370,6 +370,10 @@ BUILD_RUNS_JOBS_OK = {
     "tx_merge_clauses", "tx_merge_evolve", "tx_time_travel_ts",
     "tx_cluster_incremental", "tx_apply_changes_keyed",
     "stream_apply_changes", "src_bloom_native",
+    # r11: the SQL-surface ops stage their tables through SQL DML
+    # statements (INSERT/UPDATE/DELETE/MERGE are commits) and register
+    # temp views; the returned frame is the read-back/SELECT
+    "src_minilog_sql", "tx_sql_update_delete", "tx_sql_merge",
 }
 
 

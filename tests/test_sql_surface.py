@@ -1,0 +1,205 @@
+"""Round-11 SQL surface (sql.py) + the general-predicate DML verbs
+(acid.update_where / delete_predicate) backing it.
+
+The statement parser handles STRUCTURE only (quote-aware, top-level
+keyword splits); expressions pass through to Spark's parser — so the
+tests here pin the structural hazards: keywords inside string
+literals, aliases rewritten to target./source., NULL predicate
+semantics, generated/constraint interaction, and loud failures on
+out-of-subset statements.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bootic_stats_aggregates_spark.acid import (
+    ConstraintViolation,
+    MiniLogTable,
+)
+from bootic_stats_aggregates_spark.sql import (
+    _masked,
+    create_table,
+    minilog_view,
+    run_sql,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture
+def t(spark, tmp_path):
+    tbl = create_table(
+        spark, "sqlt", str(tmp_path / "sqlt"), stats_cols=("k",)
+    )
+    run_sql(
+        spark,
+        "INSERT INTO sqlt SELECT col1 AS k, col2 AS v, col3 AS n "
+        "FROM VALUES (1,'a',10),(2,'b',20),(3,'c',30),(4,NULL,40)",
+    )
+    return tbl
+
+
+# ------------------------------------------------------------- lexer
+
+
+def test_masked_blanks_strings_and_parens():
+    s = "UPDATE t SET v = 'WHERE (not) a keyword' WHERE k = fn(a, b)"
+    m = _masked(s, parens=True)
+    assert "WHERE (not)" not in m
+    assert m.count("WHERE") == 1  # only the real clause keyword
+    assert "a, b" not in m  # paren interior blanked
+    assert len(m) == len(s)  # positions preserved for slicing
+
+
+def test_masked_doubled_and_escaped_quotes():
+    assert "x" not in _masked("'it''s x' AND '\\'x'")
+
+
+# ----------------------------------------------------- UPDATE / DELETE
+
+
+def test_update_set_sees_pre_update_row(spark, t):
+    # SET a = b, b = a must SWAP (standard SQL), not chain
+    run_sql(spark, "UPDATE sqlt SET k = n, n = k WHERE k = 1")
+    assert (10, 1) in {
+        (r["k"], r["n"]) for r in t.read().collect()
+    }
+
+
+def test_update_keyword_inside_string_literal(spark, t):
+    run_sql(
+        spark,
+        "UPDATE sqlt SET v = ' WHERE SET , = ' WHERE k = 2",
+    )
+    assert {
+        r["v"] for r in t.read().filter("k = 2").collect()
+    } == {" WHERE SET , = "}
+
+
+def test_update_alias_and_where_null_rows_survive(spark, t):
+    # v IS NULL for k=4: predicate v = 'c' is NULL there -> untouched
+    res = run_sql(spark, "UPDATE sqlt AS x SET n = x.n + 1 WHERE x.v = 'c'")
+    assert res["updated"] == 1
+    vals = {r["k"]: r["n"] for r in t.read().collect()}
+    assert vals[3] == 31 and vals[4] == 40
+
+
+def test_delete_null_predicate_rows_survive(spark, t):
+    run_sql(spark, "DELETE FROM sqlt WHERE v < 'c'")  # NULL for k=4
+    assert sorted(r["k"] for r in t.read().collect()) == [3, 4]
+
+
+def test_delete_rewrites_only_touched_files(spark, tmp_path):
+    tbl = create_table(
+        spark, "dpf", str(tmp_path / "dpf"), stats_cols=("k",)
+    )
+    run_sql(spark, "INSERT INTO dpf SELECT col1 AS k FROM VALUES (1),(2)")
+    run_sql(spark, "INSERT INTO dpf SELECT col1 AS k FROM VALUES (8),(9)")
+    files0 = {f.file for f in tbl.snapshot().files}
+    res = run_sql(spark, "DELETE FROM dpf WHERE k = 9")
+    assert res["rewritten"] == 1 and res["kept"] == 1
+    files1 = {f.file for f in tbl.snapshot().files}
+    assert len(files0 & files1) == 1  # the untouched file survived as-is
+
+
+def test_update_generated_and_constraints(spark, tmp_path):
+    tbl = MiniLogTable(spark, str(tmp_path / "gc"), stats_cols=("k",))
+    tbl.append(spark.createDataFrame([(1, 10), (2, 20)], "k INT, n INT"))
+    tbl.set_generated_column("n2", "n * 2")
+    tbl.append(spark.createDataFrame([(3, 30)], "k INT, n INT"))
+    tbl.add_check_constraint("pos", "n >= 0")
+    # generated column recomputes from the updated value
+    tbl.update_where({"n": "n + 5"}, "k = 3")
+    row = {r["k"]: (r["n"], r["n2"]) for r in tbl.read().collect()}
+    assert row[3] == (35, 70)
+    with pytest.raises(ValueError, match="GENERATED"):
+        tbl.update_where({"n2": "1"}, None)
+    with pytest.raises(ConstraintViolation):
+        tbl.update_where({"n": "-1"}, "k = 1")
+
+
+def test_update_where_none_touches_every_row(spark, t):
+    res = run_sql(spark, "UPDATE sqlt SET n = 0")
+    assert res["updated"] == 4
+    assert {r["n"] for r in t.read().collect()} == {0}
+
+
+# --------------------------------------------------------------- MERGE
+
+
+def test_merge_string_source_and_aliases(spark, t):
+    res = run_sql(
+        spark,
+        """MERGE INTO sqlt t
+           USING (SELECT col1 AS k, col2 AS v, col3 AS n
+                  FROM VALUES (2,'B',200), (9,'i',90)) s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+    )
+    assert res["operation"] == "merge"
+    vals = {r["k"]: r["v"] for r in t.read().collect()}
+    assert vals[2] == "B" and vals[9] == "i" and vals[1] == "a"
+
+
+def test_merge_rejects_non_equi_on(spark, t):
+    with pytest.raises(ValueError, match="equalit|qualified"):
+        run_sql(
+            spark,
+            "MERGE INTO sqlt t USING (SELECT 1 AS k) s ON t.k > s.k "
+            "WHEN MATCHED THEN DELETE",
+        )
+
+
+def test_merge_rejects_insert_in_matched(spark, t):
+    with pytest.raises(ValueError, match="INSERT is only valid"):
+        run_sql(
+            spark,
+            "MERGE INTO sqlt t USING (SELECT 1 AS k) s ON t.k = s.k "
+            "WHEN MATCHED THEN INSERT *",
+        )
+
+
+def test_merge_not_matched_by_source_delete(spark, t):
+    run_sql(
+        spark,
+        """MERGE INTO sqlt USING (SELECT 1 AS k) s ON sqlt.k = s.k
+           WHEN MATCHED THEN UPDATE SET n = 111
+           WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+    )
+    assert _rows(t.read()) == [(1, "a", 111)]
+
+
+# ------------------------------------------------------ views / SELECT
+
+
+def test_select_sees_latest_and_time_travel(spark, t, tmp_path):
+    assert run_sql(spark, "SELECT count(*) AS c FROM sqlt").collect()[0][
+        "c"
+    ] == 4
+    run_sql(spark, "DELETE FROM sqlt WHERE k >= 3")
+    # read-your-writes through the refreshed view
+    assert run_sql(spark, "SELECT count(*) AS c FROM sqlt").collect()[0][
+        "c"
+    ] == 2
+    v0 = minilog_view(spark, t.path, version=0)
+    assert spark.sql(f"SELECT count(*) AS c FROM {v0}").collect()[0][
+        "c"
+    ] == 4
+    with pytest.raises(ValueError, match="version= XOR timestamp="):
+        minilog_view(spark, t.path, version=0, timestamp=0)
+
+
+def test_unknown_table_fails_loudly(spark):
+    with pytest.raises(ValueError, match="unknown table"):
+        run_sql(spark, "DELETE FROM no_such_table WHERE 1 = 1")
+
+
+def test_insert_column_list_fills_missing_with_null(spark, t):
+    run_sql(spark, "INSERT INTO sqlt (k, n) SELECT 77, 770")
+    row = t.read().filter("k = 77").collect()[0]
+    assert row["v"] is None and row["n"] == 770
