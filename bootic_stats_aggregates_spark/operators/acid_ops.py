@@ -2965,3 +2965,89 @@ def tx_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read().select(
         "event_type", "d", F.col("n").cast("long").alias("n")
     )
+
+
+@query(
+    "stream_minilog_ratelimit",
+    oracle=f"""
+    -- admission control on the NATIVE source: a 10-file multi-commit
+    -- backlog drained under maxFilesPerTrigger=3 must yield >= 4
+    -- capped micro-batches whose union equals batch truth exactly —
+    -- batch-split independence, the stream_backpressure contract,
+    -- now on the commit-log source via (version, file-index) offsets.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d, n, TRUE AS multi_batch FROM c
+    """,
+)
+def stream_minilog_ratelimit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """maxFilesPerTrigger on the MiniLog STREAMING source (VERDICT r10
+    task 2): five staged commits (2 files each) are drained by
+    SEQUENTIAL single-batch runs over ONE checkpoint — the Python
+    DataSource API executes AvailableNow as single-batch, so each run
+    consumes exactly one capped batch; a 3-file cap over 2-file
+    commits forces batches that SPAN commit boundaries mid-commit,
+    which is precisely what the composite (version, file-index) offset
+    exists for. The drain needs >= ceil(10/3) = 4 runs (a capless
+    source would take 1), every restart resumes exactly-once from the
+    checkpointed composite offset, and the final sink equals the
+    direct table read. Caps also protect the snapshot-bootstrap batch
+    (vacuum-truncated tables) — pinned in tests/test_ratelimit.py."""
+    from ..sources.minilog_source import register
+
+    register(spark)
+    tbl, ready = _staged(spark, sf_dir, "ratelimit")
+    sink = tbl.path + "_sink"
+    ck = tbl.path + "_ck"
+    stats = os.path.join(tbl.path, "_RATELIMIT")
+    if not ready:
+        shutil.rmtree(sink, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+        c = _day_counters(spark, sf_dir)
+        slices = [
+            (F.col("d") <= 5) | F.col("d").isNull(),
+            F.col("d").between(6, 10),
+            F.col("d").between(11, 15),
+            F.col("d").between(16, 20),
+            F.col("d") >= 21,
+        ]
+        for cond in slices:
+            tbl.append(c.filter(cond).repartition(2), target_files=2)
+        assert sum(len(tbl.snapshot().files) for _ in (1,)) == 10
+        total = tbl.read().count()
+        runs = 0
+        while True:
+            q = (
+                spark.readStream.format("minilog")
+                .option("maxFilesPerTrigger", "3")
+                .load(tbl.path)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .outputMode("append")
+                .start()
+            )
+            assert q.awaitTermination(300)
+            runs += 1
+            try:
+                done = spark.read.parquet(sink).count() >= total
+            except Exception:
+                done = False
+            if done:
+                break
+            assert runs <= 20, "rate-limited drain did not converge"
+        with open(stats, "w") as fh:
+            json.dump({"runs": runs, "total": int(total)}, fh)
+        _mark_ready(tbl, sf_dir)
+    with open(stats) as fh:
+        st = json.load(fh)
+    drained = spark.read.parquet(sink)
+    # exactly-once across the capped runs: sink == direct table read
+    multi = bool(
+        st["runs"] >= 4 and drained.count() == st["total"]
+    )
+    return drained.select(
+        "event_type", "d", "n", F.lit(multi).alias("multi_batch")
+    )

@@ -374,6 +374,9 @@ BUILD_RUNS_JOBS_OK = {
     # statements (INSERT/UPDATE/DELETE/MERGE are commits) and register
     # temp views; the returned frame is the read-back/SELECT
     "src_minilog_sql", "tx_sql_update_delete", "tx_sql_merge",
+    # r11: the rate-limited drain runs its capped single-batch queries
+    # at staging time (the sequential runs ARE the op)
+    "stream_minilog_ratelimit",
 }
 
 
