@@ -116,47 +116,44 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: (tools/sweep_sf01_r9.log, 33/33). Queries absent from this list keep
 #: their registration order after it.
 _GATE_PRIORITY: list[str] = [
-    # --- Round 10 rotation (VERDICT r9 task 5: drain the 20 r4-stale
-    # --- rows + the oldest r5 cohort). Leading slots: the six ops
-    # --- ADDED in round 10 — the MERGE clause surface, MERGE schema
-    # --- evolution, in-commit timestamps, incremental clustering,
-    # --- the keyed incremental view, and native-write blooms.
-    "tx_merge_clauses", "tx_merge_evolve", "tx_time_travel_ts",
-    "tx_cluster_incremental", "tx_apply_changes_keyed",
-    "src_bloom_native", "stream_apply_changes",
-    # --- next: the 20 ids whose latest DRIVER row still dates to r4
-    # --- (re-simmed 20/20 green by the r9 judge; the external gate
-    # --- owns them again this round).
-    "llm_semdedup", "llm_unigram_logprob", "llm_url_dedup",
-    "llm_zipf_slope", "set_union_evolved", "snk_jsonl_export",
-    "snk_merge_upsert", "snk_multi_fanout", "snk_observe_audit",
-    "src_binary_files", "src_orc", "src_schema_evolution",
-    "src_synthetic_events", "stream_backpressure",
-    "stream_chained_stateful", "stream_incr_dedup",
-    "win_decile_report", "win_mom_growth", "win_percentile_band",
-    "win_share_of_total",
-    # --- then: the oldest r5 rows, alphabetical, filling the 50-row
-    # --- gate. The r5 remainder (llm_lang_id .. win_nth_value, 24
-    # --- ids) queues for round 11; every id additionally gets a
-    # --- fresh-process sim row in tools/driver_sim_r10*.log
-    # --- regardless of the gate cut.
-    "agg_approx_top_k", "agg_count_by_bucket", "agg_distinct_rows",
-    "agg_distinct_users", "agg_having", "agg_product",
-    "fn_aes_gcm", "fn_aes_roundtrip", "fn_date_arith",
-    "join_bucketed_colocated", "join_dpp_pruned", "llm_ann_lsh",
-    "llm_bigrams", "llm_chunk_native", "llm_chunk_overlap",
-    "llm_corpus_manifest", "llm_cosine_topk", "llm_dedup_clusters",
-    "llm_dedup_stats", "llm_embed_neardup", "llm_exact_dedup",
-    "llm_fingerprint", "llm_knn_classify", "llm_lang_filter",
-    # --- queued r5 remainder (slots 51+), drained next round:
-    "llm_lang_id", "llm_multimodal_audio", "llm_multimodal_decode",
-    "llm_multimodal_frames", "llm_near_dedup", "llm_ngram_jaccard",
-    "llm_quality_score", "llm_semdedup_arrow", "llm_text_stats",
-    "llm_tfidf_topterms", "llm_token_count", "llm_tokenize_ngrams",
-    "snk_csv_export", "src_corrupt_tolerant", "src_partition_pruned",
-    "src_recursive_glob", "stream_approx_uniques", "stream_topk_rank",
-    "udf_arrow_scalar", "udf_grouped_agg", "udf_plain",
-    "udf_scalar_pandas", "udf_table", "win_nth_value",
+    # --- Round 11 rotation (VERDICT r10 task 4: drain the 25 ids whose
+    # --- latest driver row still dates to r5, then start on the oldest
+    # --- r6 cohort). Leading slots: the four ops ADDED in round 11 —
+    # --- the SQL surface (views + time travel, parsed UPDATE/DELETE,
+    # --- parsed MERGE) and streaming admission control.
+    "src_minilog_sql", "tx_sql_update_delete", "tx_sql_merge",
+    "stream_minilog_ratelimit",
+    # --- next: the full r5-stale cohort (25 ids; 6 of them re-simmed
+    # --- green by the r10 judge — the external gate owns them again).
+    "llm_lang_filter", "llm_lang_id", "llm_multimodal_audio",
+    "llm_multimodal_decode", "llm_multimodal_frames", "llm_near_dedup",
+    "llm_ngram_jaccard", "llm_quality_score", "llm_semdedup_arrow",
+    "llm_text_stats", "llm_tfidf_topterms", "llm_token_count",
+    "llm_tokenize_ngrams", "snk_csv_export", "src_corrupt_tolerant",
+    "src_partition_pruned", "src_recursive_glob",
+    "stream_approx_uniques", "stream_topk_rank", "udf_arrow_scalar",
+    "udf_grouped_agg", "udf_plain", "udf_scalar_pandas", "udf_table",
+    "win_nth_value",
+    # --- then: the oldest r6 rows, alphabetical, filling the 50-row
+    # --- gate (21 of 46; the r6 remainder queues for round 12). Every
+    # --- registered id additionally gets a fresh-process sim row in
+    # --- tools/driver_sim_r11*.log regardless of the gate cut.
+    "agg_approx_percentile", "agg_multi_rollup",
+    "agg_product_logspace", "agg_sum_avg_minmax", "filt_event_type",
+    "fn_array", "fn_bitwise", "fn_cast", "fn_cond", "fn_date",
+    "fn_hash", "fn_json", "fn_map", "fn_math", "fn_string",
+    "fn_trycast", "fn_url", "join_anti", "join_asof",
+    "join_broadcast", "join_cross",
+    # --- queued r6 remainder (slots 51+), drained next round:
+    "join_left_right_outer", "join_multiway", "join_semi",
+    "join_shuffle", "join_skew_salted", "join_stream_static",
+    "join_stream_stream", "join_theta_range", "llm_multimodal_png",
+    "q3_topk_join", "rank_rank_dense", "rank_topk_global",
+    "rank_topk_per_group", "snk_redis_hash", "snk_redis_resp",
+    "snk_redis_zset", "src_event_stream", "stream_dedup",
+    "stream_minilog_sink", "stream_output_modes", "stream_session",
+    "stream_sliding", "stream_stateful", "stream_tumbling",
+    "stream_watermark",
 ]
 
 
