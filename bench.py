@@ -393,6 +393,43 @@ def main() -> None:
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    # Record discipline (VERDICT r10 task 6): a loaded-host driver run
+    # must not OVERWRITE the idle-gated record — keep both. The latest
+    # run is the top-level record (what the driver just measured); the
+    # most recent idle-gated run rides beside it under
+    # "idle_gated_record" (self-snapshot when THIS run was idle,
+    # carried forward from the previous file when it was not). A
+    # "scale100" block written by tools/scale100_r11.py is likewise
+    # carried forward.
+    prev: dict = {}
+    try:
+        with open(full_path) as fh:
+            prev = json.load(fh)
+    except (OSError, ValueError):
+        prev = {}
+    if load_gate.get("idle_start") and load_end.get("load1", 99) <= (
+        2 * load_gate.get("threshold", 1.0)
+    ):
+        full["idle_gated_record"] = {
+            k: full[k]
+            for k in (
+                "value", "queries", "queries_fresh", "fresh_suite",
+                "host_load", "load_gate",
+            )
+        }
+    elif prev.get("idle_gated_record"):
+        full["idle_gated_record"] = prev["idle_gated_record"]
+    elif prev.get("load_gate", {}).get("idle_start"):
+        # pre-r11 file shape: the whole previous record was idle-gated
+        full["idle_gated_record"] = {
+            k: prev.get(k)
+            for k in (
+                "value", "queries", "queries_fresh", "fresh_suite",
+                "host_load", "load_gate",
+            )
+        }
+    if prev.get("scale100"):
+        full.setdefault("scale100", prev["scale100"])
     try:
         with open(full_path, "w") as fh:
             json.dump(full, fh, indent=1)
