@@ -407,9 +407,10 @@ def main() -> None:
             prev = json.load(fh)
     except (OSError, ValueError):
         prev = {}
-    if load_gate.get("idle_start") and load_end.get("load1", 99) <= (
-        2 * load_gate.get("threshold", 1.0)
-    ):
+    # verdict = the START gate only: end-load is the bench's own 32
+    # worker threads (load1 ~16 at finish on an otherwise idle box),
+    # so gating on it would make the self-snapshot branch unreachable
+    if load_gate.get("idle_start"):
         full["idle_gated_record"] = {
             k: full[k]
             for k in (
