@@ -1870,6 +1870,52 @@ class MiniLogTable:
                 F.col("__dv_pos").alias("row_index"),
             )
         )
+        return self._commit_dv_delete(snap, touched, matched)
+
+    def delete_predicate_dv(self, predicate: str) -> dict:
+        """General-predicate DELETE via DELETION VECTORS — the
+        merge-on-read twin of :meth:`delete_predicate`, and the
+        scale-preferred execution for the SQL surface's DELETE: the
+        find-touched-files scan is the same, but instead of rewriting
+        the touched files it lands their matching (file, position)
+        pairs in one sidecar and re-commits the same files masked —
+        O(deleted rows) written. NULL-predicate rows survive (only a
+        TRUE predicate deletes); prior vectors carry forward; racing
+        same-file commits abort via the ``base_dv`` pin."""
+        snap = self.snapshot()
+        if not snap.schema:
+            raise SchemaMismatch(
+                "delete_predicate_dv needs a log-tracked table schema"
+            )
+        touched = self._files_matching(snap, predicate)
+        if not touched:
+            return {"version": snap.version, "dv_files": 0, "dv_rows": 0}
+        tagged = self._tagged_read(touched)
+        cols = []
+        for c in snap.schema:
+            p = _phys(c)
+            cols.append(
+                F.col(p).cast(c["type"]).alias(c["name"])
+                if p in tagged.columns
+                else F.lit(None).cast(c["type"]).alias(c["name"])
+            )
+        matched = (
+            tagged.select(
+                *cols,
+                F.col("__dv_file").alias("file"),
+                F.col("__dv_pos").alias("row_index"),
+            )
+            .filter(F.expr(predicate).eqNullSafe(F.lit(True)))
+            .select("file", "row_index")
+        )
+        return self._commit_dv_delete(snap, touched, matched)
+
+    def _commit_dv_delete(
+        self, snap: Snapshot, touched: list, matched: DataFrame
+    ) -> dict:
+        """Shared DV-delete commit: fold ``matched`` (file, row_index)
+        pairs plus the touched entries' prior vectors into ONE sidecar
+        and re-add the same files masked."""
         new_counts = {
             r["file"]: r["n"]
             for r in matched.groupBy("file")

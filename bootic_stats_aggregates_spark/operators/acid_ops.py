@@ -3051,3 +3051,58 @@ def stream_minilog_ratelimit(
     return drained.select(
         "event_type", "d", "n", F.lit(multi).alias("multi_batch")
     )
+
+
+@query(
+    "tx_sql_delete_dv",
+    oracle=f"""
+    -- SQL DELETE executed MERGE-ON-READ (deletion vectors): the
+    -- general predicate's matches are masked via one sidecar (zero
+    -- data bytes rewritten), NULL-predicate rows survive, a SQL
+    -- OPTIMIZE then physically reclaims the masked rows (DVs purged),
+    -- and DESCRIBE HISTORY names the exact commit sequence.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d, n,
+           'append,delete_dv,optimize' AS ops
+    FROM c WHERE d IS NULL OR d % 3 <> 0
+    """,
+)
+def tx_sql_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV-strategy SQL DELETE (sql.run_sql(delete_strategy="dv") →
+    acid.delete_predicate_dv): the find-touched-files scan is shared
+    with the rewrite path, but matching rows land as (file, position)
+    pairs in ONE sidecar and the same data files re-commit masked —
+    O(deleted rows) written, the GDPR-delete shape at 100 TB. The op
+    then runs SQL OPTIMIZE (compaction purges the vectors — masked
+    rows physically gone, none resurrected) and projects DESCRIBE
+    HISTORY's operation column as proof of the commit sequence."""
+    from ..sql import create_table, run_sql
+
+    tag = _tag(sf_dir)
+    name = f"minilog_dvdel_{tag}"
+    tbl, ready = _staged(spark, sf_dir, "sql_delete_dv")
+    create_table(spark, name, tbl.path, stats_cols=("d",))
+    if not ready:
+        tbl.append(_day_counters(spark, sf_dir))
+        res = run_sql(
+            spark,
+            f"DELETE FROM {name} WHERE d % 3 = 0",
+            delete_strategy="dv",
+        )
+        assert res["dv_files"] > 0 and res.get("rewritten", 0) == 0, res
+        # masked rows invisible, vectors still present pre-compaction
+        assert any(f.dv for f in tbl.snapshot().files)
+        run_sql(spark, f"OPTIMIZE {name}")
+        assert not any(f.dv for f in tbl.snapshot().files)
+        _mark_ready(tbl, sf_dir)
+    hist = run_sql(spark, f"DESCRIBE HISTORY {name}")
+    ops = ",".join(
+        r["operation"]
+        for r in hist.orderBy("version").collect()
+    )
+    return tbl.read().select(
+        "event_type",
+        "d",
+        F.col("n").cast("long").alias("n"),
+        F.lit(ops).alias("ops"),
+    )

@@ -122,7 +122,7 @@ _GATE_PRIORITY: list[str] = [
     # --- the SQL surface (views + time travel, parsed UPDATE/DELETE,
     # --- parsed MERGE) and streaming admission control.
     "src_minilog_sql", "tx_sql_update_delete", "tx_sql_merge",
-    "stream_minilog_ratelimit",
+    "stream_minilog_ratelimit", "tx_sql_delete_dv",
     # --- next: the full r5-stale cohort (25 ids; 6 of them re-simmed
     # --- green by the r10 judge — the external gate owns them again).
     "llm_lang_filter", "llm_lang_id", "llm_multimodal_audio",

@@ -323,7 +323,7 @@ def _strip_qual(fragment: str, qual: dict) -> str:
     return "".join(out)
 
 
-def _run_delete(spark, stmt, masked, tables) -> dict:
+def _run_delete(spark, stmt, masked, tables, strategy="rewrite") -> dict:
     if not re.match(r"\s*DELETE\s+FROM\b", masked, re.I):
         raise ValueError("DELETE: expected DELETE FROM <table>")
     m_from = _find_kw(masked, "FROM")
@@ -334,15 +334,69 @@ def _run_delete(spark, stmt, masked, tables) -> dict:
     tok, alias = _parse_target(stmt[m_from[0].end() : tgt_end])
     qual = {a.lower(): "" for a in (alias, _ident(tok)) if a}
     t = MiniLogTable(spark, _resolve_path(spark, tok, tables))
-    if m_where:
-        pred = _strip_qual(
+    pred = (
+        _strip_qual(
             stmt[m_from[0].end() + m_where[0].end() :].strip(), qual
         )
+        if m_where
+        else "true"  # unconditional DELETE = truncate
+    )
+    if strategy == "dv":
+        # merge-on-read: mask positions in a sidecar, zero data bytes
+        # rewritten — the 100 TB-preferred execution (GDPR deletes)
+        res = t.delete_predicate_dv(pred)
+    elif strategy == "rewrite":
         res = t.delete_predicate(pred)
-    else:  # unconditional DELETE = truncate to an empty overwrite
-        res = t.delete_predicate("true")
+    else:
+        raise ValueError(
+            f"delete_strategy must be 'rewrite' or 'dv', got {strategy!r}"
+        )
     _refresh_views(spark)
     return {"operation": "delete", **res}
+
+
+def _run_utility(spark, verb, stmt, masked, tables):
+    """DESCRIBE HISTORY / OPTIMIZE / VACUUM — the Delta SQL utility
+    verbs, lowered onto the table handle's maintenance methods."""
+    if verb == "DESCRIBE":
+        m = re.match(r"\s*DESCRIBE\s+HISTORY\s+(\S+)\s*$", masked, re.I)
+        if not m:
+            raise ValueError(
+                "DESCRIBE: only DESCRIBE HISTORY <table> is supported"
+            )
+        tok = stmt[m.start(1) : m.end(1)]
+        t = MiniLogTable(spark, _resolve_path(spark, tok, tables))
+        rows = [
+            (int(h["version"]), int(h["timestamp"]), str(h["operation"]))
+            for h in t.history()
+        ]
+        return spark.createDataFrame(
+            rows, "version BIGINT, timestamp_us BIGINT, operation STRING"
+        )
+    if verb == "OPTIMIZE":
+        m = re.match(r"\s*OPTIMIZE\s+(\S+)\s*$", masked, re.I)
+        if not m:
+            raise ValueError("OPTIMIZE: expected OPTIMIZE <table>")
+        tok = stmt[m.start(1) : m.end(1)]
+        t = MiniLogTable(spark, _resolve_path(spark, tok, tables))
+        res = t.optimize()
+        _refresh_views(spark)
+        return {"operation": "optimize", **res}
+    # VACUUM <t> [RETAIN <n> VERSIONS]
+    m = re.match(
+        r"\s*VACUUM\s+(\S+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$",
+        masked,
+        re.I,
+    )
+    if not m:
+        raise ValueError(
+            "VACUUM: expected VACUUM <table> [RETAIN <n> VERSIONS]"
+        )
+    tok = stmt[m.start(1) : m.end(1)]
+    t = MiniLogTable(spark, _resolve_path(spark, tok, tables))
+    reaped = t.vacuum(retain_last=int(m.group(2) or 1))
+    _refresh_views(spark)
+    return {"operation": "vacuum", "reaped": len(reaped)}
 
 
 def _run_insert(spark, stmt, masked, tables) -> dict:
@@ -622,12 +676,18 @@ def run_sql(
     spark: SparkSession,
     statement: str,
     tables: Optional[dict[str, str]] = None,
+    delete_strategy: str = "rewrite",
 ):
     """Execute one statement against MiniLog tables. DML (INSERT /
-    UPDATE / DELETE / MERGE) returns the commit summary dict; anything
-    else is handed to ``spark.sql`` verbatim (after re-registering the
-    catalog shim's views, so SELECTs see the latest snapshots) and
-    returns its DataFrame."""
+    UPDATE / DELETE / MERGE) and the utility verbs (OPTIMIZE, VACUUM)
+    return the commit summary dict; DESCRIBE HISTORY returns a
+    DataFrame; anything else is handed to ``spark.sql`` verbatim
+    (after re-registering the catalog shim's views, so SELECTs see the
+    latest snapshots) and returns its DataFrame.
+
+    ``delete_strategy``: ``"rewrite"`` (copy-on-write, masked rows
+    physically gone) or ``"dv"`` (merge-on-read deletion vectors —
+    O(deleted rows) written, the 100 TB-preferred execution)."""
     stmt = statement.strip().rstrip(";").strip()
     masked = _masked(stmt, parens=True)
     head = re.match(r"\s*(\w+)", masked)
@@ -635,11 +695,17 @@ def run_sql(
     if verb == "UPDATE":
         return _run_update(spark, stmt, masked, tables)
     if verb == "DELETE":
-        return _run_delete(spark, stmt, masked, tables)
+        return _run_delete(
+            spark, stmt, masked, tables, strategy=delete_strategy
+        )
     if verb == "INSERT":
         return _run_insert(spark, stmt, masked, tables)
     if verb == "MERGE":
         return _run_merge(spark, stmt, masked, tables)
+    if verb in ("DESCRIBE", "OPTIMIZE", "VACUUM") and re.match(
+        r"\s*(DESCRIBE\s+HISTORY|OPTIMIZE|VACUUM)\b", masked, re.I
+    ):
+        return _run_utility(spark, verb, stmt, masked, tables)
     if tables:
         for name, path in tables.items():
             minilog_view(spark, path, name=name)

@@ -377,6 +377,9 @@ BUILD_RUNS_JOBS_OK = {
     # r11: the rate-limited drain runs its capped single-batch queries
     # at staging time (the sequential runs ARE the op)
     "stream_minilog_ratelimit",
+    # r11: stages DV-delete + OPTIMIZE commits and reads DESCRIBE
+    # HISTORY (a bounded metadata collect) into the result
+    "tx_sql_delete_dv",
 }
 
 

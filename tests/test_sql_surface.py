@@ -203,3 +203,54 @@ def test_insert_column_list_fills_missing_with_null(spark, t):
     run_sql(spark, "INSERT INTO sqlt (k, n) SELECT 77, 770")
     row = t.read().filter("k = 77").collect()[0]
     assert row["v"] is None and row["n"] == 770
+
+
+# ---------------------------- DV-strategy DELETE + utility verbs (r11)
+
+
+def test_delete_dv_masks_without_rewrite(spark, t):
+    files0 = {f.file for f in t.snapshot().files}
+    res = run_sql(
+        spark, "DELETE FROM sqlt WHERE n >= 30", delete_strategy="dv"
+    )
+    assert res["dv_files"] >= 1 and res.get("rewritten", 0) == 0
+    snap = t.snapshot()
+    # SAME data files, now masked — zero data bytes rewritten
+    assert {f.file for f in snap.files} == files0
+    assert any(f.dv for f in snap.files)
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+    # NULL-predicate rows survive: v IS NULL row (k=4) had n=40 -> gone
+    # is correct here; probe the NULL case explicitly on v
+    run_sql(
+        spark, "DELETE FROM sqlt WHERE v > 'a'", delete_strategy="dv"
+    )
+    assert sorted(r["k"] for r in t.read().collect()) == [1]
+
+
+def test_delete_dv_composes_and_optimize_purges(spark, t):
+    run_sql(spark, "DELETE FROM sqlt WHERE k = 1", delete_strategy="dv")
+    run_sql(spark, "DELETE FROM sqlt WHERE k = 2", delete_strategy="dv")
+    assert sorted(r["k"] for r in t.read().collect()) == [3, 4]
+    res = run_sql(spark, "OPTIMIZE sqlt")
+    assert res["operation"] == "optimize"
+    snap = t.snapshot()
+    assert not any(f.dv for f in snap.files)  # vectors purged
+    assert sorted(r["k"] for r in t.read().collect()) == [3, 4]
+
+
+def test_describe_history_and_vacuum(spark, t):
+    run_sql(spark, "DELETE FROM sqlt WHERE k = 1")
+    hist = run_sql(spark, "DESCRIBE HISTORY sqlt")
+    ops = [r["operation"] for r in hist.orderBy("version").collect()]
+    assert ops == ["append", "delete"]
+    assert [r["version"] for r in hist.orderBy("version").collect()] == [
+        0,
+        1,
+    ]
+    # VACUUM parses and respects the safety age gate (nothing young
+    # enough to reap)
+    res = run_sql(spark, "VACUUM sqlt RETAIN 1 VERSIONS")
+    assert res == {"operation": "vacuum", "reaped": 0}
+    # plain DESCRIBE falls through to Spark's own DESCRIBE on the view
+    cols = {r["col_name"] for r in run_sql(spark, "DESCRIBE sqlt").collect()}
+    assert {"k", "v", "n"} <= cols
