@@ -2874,11 +2874,15 @@ def src_minilog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- SQL UPDATE (find-touched-files scan + id-preserving rewrite of
     -- only those files) then SQL DELETE (general-predicate form): the
     -- final table equals the declarative rewrite of the base counters.
+    -- NULL-d rows (NULL-ts events in a hostile corpus) SURVIVE the
+    -- delete: SQL DELETE removes only predicate-TRUE rows, and
+    -- "d > 28" is NULL there — the oracle must keep them too (caught
+    -- by the r11 hostile sweep: a bare "WHERE d <= 28" drops them)
     WITH c AS ({_COUNTERS_SQL})
     SELECT event_type, d,
            CAST(CASE WHEN d % 2 = 0 AND d <= 10 THEN n + 7 ELSE n END
                 AS BIGINT) AS n
-    FROM c WHERE d <= 28
+    FROM c WHERE d IS NULL OR d <= 28
     """,
 )
 def tx_sql_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
