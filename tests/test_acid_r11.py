@@ -160,3 +160,34 @@ def test_cluster_pass_purges_deletion_vectors(spark, tmp_path):
     assert rows == {
         k: i for k, i in ids_before.items() if k not in (3, 12)
     }
+
+
+# ------------------- update_where row-id linkage (docstring contract)
+
+
+def test_update_where_links_updates_in_change_feed(spark, tmp_path):
+    """update_where claims rewritten rows keep their stable ids, so
+    the change feed emits pre/post images UNDER ONE id for exactly the
+    fired rows — pin it."""
+    t = MiniLogTable(spark, str(tmp_path / "uw"), stats_cols=("k",))
+    t.append(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k INT, n INT"
+        )
+    )
+    ids0 = {r["k"]: r["_row_id"] for r in t.read_with_row_ids().collect()}
+    v0 = t.version
+    res = t.update_where({"n": "n + 5"}, "k >= 2")
+    assert res["updated"] == 2
+    feed = t.changes_with_ids(v0, t.version).collect()
+    pre = {r["k"]: r["_row_id"] for r in feed
+           if r["_change_type"] in ("delete", "update_preimage")}
+    post = {(r["k"], r["n"]): r["_row_id"] for r in feed
+            if r["_change_type"] in ("insert", "update_postimage")}
+    # both fired rows linked pre->post under their original ids
+    assert pre == {2: ids0[2], 3: ids0[3]}
+    assert post == {(2, 25): ids0[2], (3, 35): ids0[3]}
+    # the unfired row kept its id through the rewrite
+    assert {
+        r["k"]: r["_row_id"] for r in t.read_with_row_ids().collect()
+    } == ids0
