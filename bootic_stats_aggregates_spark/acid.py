@@ -1674,14 +1674,24 @@ class MiniLogTable:
             "kept": len(snap.files) - len(touched),
         }
 
-    def _files_matching(self, snap: Snapshot, predicate: str) -> list:
+    def _files_matching(
+        self, snap: Snapshot, predicate: str, alias: Optional[str] = None
+    ) -> list:
         """Exact write-side scope for an ARBITRARY SQL predicate: one
         scan job tags live rows with their file and keeps the distinct
         files holding a TRUE row — Delta's find-touched-files job. The
         collect is O(#files), never O(rows). Range/point predicates
         should prefer :meth:`delete_where`/:meth:`delete_where_dv`,
         which prune on stats without scanning; this is the general
-        fallback the SQL surface (sql.py) needs."""
+        fallback the SQL surface (sql.py) needs.
+
+        ``alias`` names the scan frame so the predicate may carry
+        CORRELATED OUTER REFERENCES (``alias.col`` inside an EXISTS/
+        IN/scalar subquery) — Spark resolves them against the aliased
+        frame; subquery FROM clauses resolve through the session
+        catalog's temp views, which sql.py refreshes to the pre-commit
+        snapshot (standard SQL semantics: the subquery sees the table
+        state BEFORE the DML commits). VERDICT r11 task 3."""
         if not snap.files:
             return []
         tagged = self._tagged_read(snap.files)
@@ -1694,6 +1704,8 @@ class MiniLogTable:
                 else F.lit(None).cast(c["type"]).alias(c["name"])
             )
         proj = tagged.select(*cols, F.col("__dv_file"))
+        if alias:
+            proj = proj.alias(alias)
         hits = {
             r["__dv_file"]
             for r in proj.filter(
@@ -1707,29 +1719,39 @@ class MiniLogTable:
             f for f in snap.files if os.path.basename(f.file) in hits
         ]
 
-    def delete_predicate(self, predicate: str) -> dict:
+    def delete_predicate(
+        self, predicate: str, alias: Optional[str] = None
+    ) -> dict:
         """``DELETE FROM t WHERE <any SQL predicate>`` — the general
         form of :meth:`delete_where`: a find-touched-files scan picks
         exactly the files holding a TRUE row, and ONLY those are
         rewritten keeping the rows whose predicate is not TRUE (NULL
         survives — SQL DELETE semantics). Row ids ride through the
         rewrite, so the change feed emits delete rows for precisely
-        the TRUE set. Backs the SQL surface's DELETE statement."""
+        the TRUE set. Backs the SQL surface's DELETE statement.
+        ``alias`` enables correlated outer references in subquery
+        predicates (see :meth:`_files_matching`); both evaluations —
+        the file scope and the kept-row filter — run pre-commit, so a
+        self-referencing subquery sees the pre-delete snapshot
+        (standard SQL DELETE semantics)."""
         snap = self.snapshot()
         if not snap.schema:
             raise SchemaMismatch(
                 "delete_predicate needs a log-tracked table schema"
             )
-        touched = self._files_matching(snap, predicate)
+        touched = self._files_matching(snap, predicate, alias=alias)
         if not touched:
             return {
                 "version": snap.version,
                 "rewritten": 0,
                 "kept": len(snap.files),
             }
-        kept_df = self._read_entries_with_ids(
-            touched, snap.schema
-        ).filter(~F.expr(predicate).eqNullSafe(F.lit(True)))
+        base_df = self._read_entries_with_ids(touched, snap.schema)
+        if alias:
+            base_df = base_df.alias(alias)
+        kept_df = base_df.filter(
+            ~F.expr(predicate).eqNullSafe(F.lit(True))
+        )
         actions = self._stage(
             kept_df,
             1,
@@ -1750,6 +1772,7 @@ class MiniLogTable:
         self,
         assignments: dict[str, str],
         predicate: Optional[str] = None,
+        alias: Optional[str] = None,
     ) -> dict:
         """``UPDATE t SET col = expr, ... [WHERE pred]`` — rewrite only
         the files holding a matching row, applying every SET expression
@@ -1778,11 +1801,17 @@ class MiniLogTable:
         touched = (
             list(snap.files)
             if predicate is None
-            else self._files_matching(snap, predicate)
+            else self._files_matching(snap, predicate, alias=alias)
         )
         if not touched:
             return {"version": snap.version, "rewritten": 0, "updated": 0}
         df = self._read_entries_with_ids(touched, snap.schema)
+        if alias:
+            # correlated outer references (alias.col inside subqueries
+            # in the predicate or a SET expression) resolve against
+            # the aliased pre-update frame — probed 4.1 behavior for
+            # both Filter and Project subquery expressions
+            df = df.alias(alias)
         fire = (
             F.expr(predicate).eqNullSafe(F.lit(True))
             if predicate is not None
@@ -1872,7 +1901,9 @@ class MiniLogTable:
         )
         return self._commit_dv_delete(snap, touched, matched)
 
-    def delete_predicate_dv(self, predicate: str) -> dict:
+    def delete_predicate_dv(
+        self, predicate: str, alias: Optional[str] = None
+    ) -> dict:
         """General-predicate DELETE via DELETION VECTORS — the
         merge-on-read twin of :meth:`delete_predicate`, and the
         scale-preferred execution for the SQL surface's DELETE: the
@@ -1887,7 +1918,7 @@ class MiniLogTable:
             raise SchemaMismatch(
                 "delete_predicate_dv needs a log-tracked table schema"
             )
-        touched = self._files_matching(snap, predicate)
+        touched = self._files_matching(snap, predicate, alias=alias)
         if not touched:
             return {"version": snap.version, "dv_files": 0, "dv_rows": 0}
         tagged = self._tagged_read(touched)
@@ -1899,15 +1930,16 @@ class MiniLogTable:
                 if p in tagged.columns
                 else F.lit(None).cast(c["type"]).alias(c["name"])
             )
-        matched = (
-            tagged.select(
-                *cols,
-                F.col("__dv_file").alias("file"),
-                F.col("__dv_pos").alias("row_index"),
-            )
-            .filter(F.expr(predicate).eqNullSafe(F.lit(True)))
-            .select("file", "row_index")
+        proj = tagged.select(
+            *cols,
+            F.col("__dv_file").alias("file"),
+            F.col("__dv_pos").alias("row_index"),
         )
+        if alias:
+            proj = proj.alias(alias)
+        matched = proj.filter(
+            F.expr(predicate).eqNullSafe(F.lit(True))
+        ).select("file", "row_index")
         return self._commit_dv_delete(snap, touched, matched)
 
     def _commit_dv_delete(

@@ -116,44 +116,43 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: (tools/sweep_sf01_r11.log). Queries absent from this list keep
 #: their registration order after it.
 _GATE_PRIORITY: list[str] = [
-    # --- Round 11 rotation (VERDICT r10 task 4: drain the 25 ids whose
-    # --- latest driver row still dates to r5, then start on the oldest
-    # --- r6 cohort). Leading slots: the four ops ADDED in round 11 —
-    # --- the SQL surface (views + time travel, parsed UPDATE/DELETE,
-    # --- parsed MERGE) and streaming admission control.
-    "src_minilog_sql", "tx_sql_update_delete", "tx_sql_merge",
-    "stream_minilog_ratelimit", "tx_sql_delete_dv",
-    # --- next: the full r5-stale cohort (25 ids; 6 of them re-simmed
-    # --- green by the r10 judge — the external gate owns them again).
-    "llm_lang_filter", "llm_lang_id", "llm_multimodal_audio",
-    "llm_multimodal_decode", "llm_multimodal_frames", "llm_near_dedup",
-    "llm_ngram_jaccard", "llm_quality_score", "llm_semdedup_arrow",
-    "llm_text_stats", "llm_tfidf_topterms", "llm_token_count",
-    "llm_tokenize_ngrams", "snk_csv_export", "src_corrupt_tolerant",
-    "src_partition_pruned", "src_recursive_glob",
-    "stream_approx_uniques", "stream_topk_rank", "udf_arrow_scalar",
-    "udf_grouped_agg", "udf_plain", "udf_scalar_pandas", "udf_table",
-    "win_nth_value",
-    # --- then: the oldest r6 rows, alphabetical, filling the 50-row
-    # --- gate (21 of 46; the r6 remainder queues for round 12). Every
+    # --- Round 12 rotation (VERDICT r11 task 1: rotate the gate to the
+    # --- 26 ids whose latest EXTERNAL driver row dates to r6 — five
+    # --- rounds stale; internal fresh-process sims cover them every
+    # --- round but the driver gate is the binding signal). Leading
+    # --- slot: the op ADDED in round 12 (SQL DML subquery predicates).
+    "tx_sql_delete_subquery",
+    # --- the full r6-stale cohort (26 ids), alphabetical:
+    "join_cross", "join_left_right_outer", "join_multiway",
+    "join_semi", "join_shuffle", "join_skew_salted",
+    "join_stream_static", "join_stream_stream", "join_theta_range",
+    "llm_multimodal_png", "q3_topk_join", "rank_rank_dense",
+    "rank_topk_global", "rank_topk_per_group", "snk_redis_hash",
+    "snk_redis_resp", "snk_redis_zset", "src_event_stream",
+    "stream_dedup", "stream_minilog_sink", "stream_output_modes",
+    "stream_session", "stream_sliding", "stream_stateful",
+    "stream_tumbling", "stream_watermark",
+    # --- then: the oldest r7 rows, alphabetical, filling the 50-row
+    # --- gate (23 of 41; the r7 remainder queues for round 13). Every
     # --- registered id additionally gets a fresh-process sim row in
-    # --- tools/driver_sim_r11*.log regardless of the gate cut.
-    "agg_approx_percentile", "agg_multi_rollup",
-    "agg_product_logspace", "agg_sum_avg_minmax", "filt_event_type",
-    "fn_array", "fn_bitwise", "fn_cast", "fn_cond", "fn_date",
-    "fn_hash", "fn_json", "fn_map", "fn_math", "fn_string",
-    "fn_trycast", "fn_url", "join_anti", "join_asof",
-    "join_broadcast", "join_cross",
-    # --- queued r6 remainder (slots 51+), drained next round:
-    "join_left_right_outer", "join_multiway", "join_semi",
-    "join_shuffle", "join_skew_salted", "join_stream_static",
-    "join_stream_stream", "join_theta_range", "llm_multimodal_png",
-    "q3_topk_join", "rank_rank_dense", "rank_topk_global",
-    "rank_topk_per_group", "snk_redis_hash", "snk_redis_resp",
-    "snk_redis_zset", "src_event_stream", "stream_dedup",
-    "stream_minilog_sink", "stream_output_modes", "stream_session",
-    "stream_sliding", "stream_stateful", "stream_tumbling",
-    "stream_watermark",
+    # --- tools/driver_sim_r12*.log regardless of the gate cut.
+    "agg_aqp_sample", "agg_cube", "agg_histogram", "agg_percentile",
+    "agg_pivot", "filt_json_pred", "filt_predicate",
+    "llm_fuzzy_join", "proj_select", "set_except", "set_intersect",
+    "set_union", "sort_limit", "sort_orderby", "src_json_decode",
+    "src_json_lines", "src_minilog_dsv2", "src_minilog_pushdown",
+    "src_parquet_scan", "src_profile_stats",
+    "stream_late_deadletter", "stream_minilog_dsv2_sink",
+    "sub_scalar_corr",
+    # --- queued r7 remainder (slots 51+), drained next round:
+    "tx_cdf_replay", "tx_change_feed", "tx_clone_zero_copy",
+    "tx_deletion_vectors", "tx_history_audit", "tx_idempotent_replay",
+    "tx_merge_filepruned", "tx_mview_incremental",
+    "tx_optimize_compact", "tx_optimize_zorder", "tx_restore",
+    "tx_time_travel", "tx_vacuum_boundary", "tx_zorder_pruned",
+    "win_ewma_decay", "win_first_last", "win_funnel", "win_lag_lead",
+    "win_moving_avg", "win_running_total", "win_scd2_intervals",
+    "win_sessionize",
 ]
 
 

@@ -395,6 +395,26 @@ def _off_key(off: dict) -> tuple:
     return (off["version"], off.get("file", float("inf")))
 
 
+def _guard_forward(start: dict, end: dict) -> None:
+    """Refuse a BACKWARD-ordered batch range. ``start`` is the engine's
+    checkpointed frontier; the caller _note()s it before this check, so
+    even if a future engine revision calls latestOffset() before the
+    restart replan (today's 4.1 provably calls partitions(ckpt_start,
+    ckpt_end) first — probed, see _MiniLogStreamReader._frontier), the
+    admission walk can never silently rewind behind the checkpoint and
+    replay already-delivered rows (ADVICE r11; canary test:
+    tests/test_ratelimit.py::test_restart_resumes_capped_exactly_once)."""
+    if _off_key(end) < _off_key(start):
+        raise RuntimeError(
+            "minilog stream: engine planned a BACKWARD batch range "
+            f"(start={start}, end={end}) — committing it would rewind "
+            "the checkpoint offset and replay already-delivered rows. "
+            "This indicates a Spark engine-behavior change around "
+            "restart replanning; re-probe the admission-control "
+            "contract in sources/minilog_source.py."
+        )
+
+
 def _pos_int_opt(options: dict, key: str) -> Optional[int]:
     raw = options.get(key)
     if raw is None:
@@ -664,6 +684,8 @@ class _MiniLogStreamReader(DataSourceStreamReader):
         return self._frontier
 
     def partitions(self, start: dict, end: dict):
+        self._note(start)  # learn the checkpoint frontier even on replans
+        _guard_forward(start, end)
         self._note(end)
         tbl = _handle(self._path)
         ev = end["version"]
@@ -983,6 +1005,8 @@ class _MiniLogCDFStreamReader(DataSourceStreamReader):
         return self._frontier
 
     def partitions(self, start: dict, end: dict):
+        self._note(start)  # learn the checkpoint frontier even on replans
+        _guard_forward(start, end)
         self._note(end)
         tbl = _handle(self._path)
         versions = tbl._versions()

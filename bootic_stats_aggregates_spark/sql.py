@@ -55,6 +55,7 @@ that is ``merge_clauses``'s key model; anything else raises.
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Optional
 
@@ -128,6 +129,64 @@ def _find_kw(masked: str, kw: str, start: int = 0) -> list[re.Match]:
     return list(re.finditer(pat, masked[start:], re.I))
 
 
+_SUBQUERY_HEAD = re.compile(
+    r"\(\s*(SELECT|WITH|TABLE|VALUES|FROM)\b", re.I
+)
+
+
+def _subquery_spans(fragment: str) -> list[tuple[int, int]]:
+    """Character ranges of the MAXIMAL parenthesized subqueries in
+    ``fragment`` — every balanced ``( SELECT/WITH/TABLE/VALUES/FROM
+    ... )`` group not nested inside another such group. Qualifier
+    rewriting must treat these regions differently from the top-level
+    predicate text (ADVICE r11 / VERDICT r11 task 3): a target alias
+    INSIDE one is a correlated outer reference, not a frame column."""
+    masked = _masked(fragment)
+    spans: list[tuple[int, int]] = []
+    stack: list[int] = []
+    for i, ch in enumerate(masked):
+        if ch == "(":
+            stack.append(i)
+        elif ch == ")" and stack:
+            s = stack.pop()
+            if _SUBQUERY_HEAD.match(masked, s):
+                spans.append((s, i + 1))
+    # keep only spans not contained in another collected span
+    return [
+        (s, e)
+        for s, e in spans
+        if not any(
+            s2 < s and e <= e2 or s2 <= s and e < e2
+            for s2, e2 in spans
+        )
+    ]
+
+
+_CASE_END = re.compile(r"\b(CASE|END)\b", re.I)
+
+
+def _mask_case(masked: str) -> str:
+    """Same-length copy of an already-masked text with every top-level
+    ``CASE ... END`` span blanked (keywords included, nesting handled),
+    so the WHEN/THEN clause-boundary scans in MERGE parsing never fire
+    inside a CASE expression (ADVICE r11: a top-level CASE in a SET
+    expression or clause condition was split as a WHEN boundary)."""
+    out = list(masked)
+    depth = 0
+    span_start = 0
+    for m in _CASE_END.finditer(masked):
+        if m.group(1).upper() == "CASE":
+            if depth == 0:
+                span_start = m.start()
+            depth += 1
+        elif depth:
+            depth -= 1
+            if depth == 0:
+                for i in range(span_start, m.end()):
+                    out[i] = " "
+    return "".join(out)
+
+
 def _split_top(fragment: str, sep: str = ",") -> list[str]:
     """Split on a separator at paren/quote top level."""
     masked = _masked(fragment, parens=True)
@@ -174,6 +233,21 @@ def _catalog(spark: SparkSession) -> dict:
     return session_cache(spark, "minilog_sql_catalog")
 
 
+def _kwargs_shim(spark: SparkSession) -> dict:
+    """path → the table_kwargs declared at :func:`create_table` time.
+    Every run_sql verb rebuilds its handle through :func:`_table`, so
+    declared per-file stats/bloom/partition settings survive into SQL
+    INSERT/UPDATE/DELETE/MERGE writes (ADVICE r11: a bare rebuild
+    silently dropped stats_cols — files written without skipping
+    stats)."""
+    return session_cache(spark, "minilog_sql_table_kwargs")
+
+
+def _table(spark: SparkSession, path: str) -> MiniLogTable:
+    kw = _kwargs_shim(spark).get(os.path.normpath(path)) or {}
+    return MiniLogTable(spark, path, **kw)
+
+
 def create_table(
     spark: SparkSession, name: str, path: str, **table_kwargs
 ) -> MiniLogTable:
@@ -181,9 +255,14 @@ def create_table(
     expose the table to ``spark.sql`` as a temp view (re-registered
     fresh by every :func:`run_sql` SELECT, so reads always see the
     latest committed snapshot). ``table_kwargs`` pass through to
-    :class:`MiniLogTable` (stats_cols, partition_by, ...)."""
+    :class:`MiniLogTable` (stats_cols, partition_by, ...) and are
+    REMEMBERED by the shim: every SQL DML verb rebuilds its handle
+    with them, so declared stats/bloom/partition columns keep being
+    written (ADVICE r11)."""
     t = MiniLogTable(spark, path, **table_kwargs)
     _catalog(spark)[name.lower()] = path
+    if table_kwargs:
+        _kwargs_shim(spark)[os.path.normpath(path)] = dict(table_kwargs)
     if t.version >= 0:  # an EMPTY table has no schema to expose yet;
         minilog_view(spark, path, name=name)  # first INSERT registers it
     return t
@@ -285,6 +364,7 @@ def _run_update(spark, stmt, masked, tables) -> dict:
         else None
     )
     qual = {a.lower(): "" for a in (alias, _ident(tok)) if a}
+    canon = _canonical_alias(tok, alias)
     assignments = {}
     for part in _split_top(stmt[m_set[0].end() : set_end]):
         am = _masked(part, parens=True)
@@ -298,29 +378,58 @@ def _run_update(spark, stmt, masked, tables) -> dict:
             flags=re.I,
         ) if qual else part[:eq].strip())
         assignments[lhs] = _strip_qual(part[eq + 1 :].strip(), qual)
-    t = MiniLogTable(spark, _resolve_path(spark, tok, tables))
+    _refresh_views(spark)  # subquery/SELECT sources read-your-writes
+    t = _table(spark, _resolve_path(spark, tok, tables))
     res = t.update_where(
-        assignments, _strip_qual(pred, qual) if pred else None
+        assignments,
+        _strip_qual(pred, qual) if pred else None,
+        alias=canon,
     )
     _refresh_views(spark)
     return {"operation": "update", **res}
 
 
 def _strip_qual(fragment: str, qual: dict) -> str:
-    """Drop the target's own alias qualifiers (``a.col`` → ``col``) —
-    single-table UPDATE/DELETE expressions run against the bare frame."""
+    """Drop the target's own alias qualifiers (``a.col`` → ``col``)
+    OUTSIDE subqueries — the single-table UPDATE/DELETE expression
+    runs against the bare frame. INSIDE a subquery the qualifier is
+    kept VERBATIM: it is either a correlated outer reference (resolved
+    because the caller ``.alias()``-es the execution frame with the
+    statement's alias/table name — probed 4.1 behavior for Filter and
+    Project subquery expressions) or an inner-scope reference to the
+    target's own refreshed temp view (``... FROM t WHERE t.d = x.d``
+    — standard SQL inner-first resolution). Stripping inside a
+    subquery instead would let a same-named INNER column silently
+    shadow the outer one — a wrong-answer tautology; rewriting the
+    table name to the outer alias would break inner self-references.
+    A genuinely unresolvable qualifier fails loudly in Spark's
+    analyzer (VERDICT r11 task 3)."""
     if not fragment or not qual:
         return fragment
     masked = _masked(fragment)
+    spans = _subquery_spans(fragment)
     pat = re.compile(
         r"\b(" + "|".join(re.escape(a) for a in qual) + r")\s*\.", re.I
     )
     out, last = [], 0
     for m in pat.finditer(masked):
+        if any(s <= m.start() < e for s, e in spans):
+            continue  # inside a subquery: keep the qualifier verbatim
         out.append(fragment[last : m.start()])
         last = m.end()
     out.append(fragment[last:])
     return "".join(out)
+
+
+def _canonical_alias(tok: str, alias: Optional[str]) -> Optional[str]:
+    """The alias the execution frame is registered under for resolving
+    correlated outer references: the statement's own alias, else the
+    table name when it is a plain identifier (a path can't be used as
+    a SQL qualifier)."""
+    if alias:
+        return alias
+    name = _ident(tok)
+    return name if re.fullmatch(r"\w+", name) else None
 
 
 def _run_delete(spark, stmt, masked, tables, strategy="rewrite") -> dict:
@@ -333,7 +442,9 @@ def _run_delete(spark, stmt, masked, tables, strategy="rewrite") -> dict:
     )
     tok, alias = _parse_target(stmt[m_from[0].end() : tgt_end])
     qual = {a.lower(): "" for a in (alias, _ident(tok)) if a}
-    t = MiniLogTable(spark, _resolve_path(spark, tok, tables))
+    canon = _canonical_alias(tok, alias)
+    _refresh_views(spark)  # subquery predicates read-your-writes
+    t = _table(spark, _resolve_path(spark, tok, tables))
     pred = (
         _strip_qual(
             stmt[m_from[0].end() + m_where[0].end() :].strip(), qual
@@ -344,9 +455,9 @@ def _run_delete(spark, stmt, masked, tables, strategy="rewrite") -> dict:
     if strategy == "dv":
         # merge-on-read: mask positions in a sidecar, zero data bytes
         # rewritten — the 100 TB-preferred execution (GDPR deletes)
-        res = t.delete_predicate_dv(pred)
+        res = t.delete_predicate_dv(pred, alias=canon)
     elif strategy == "rewrite":
-        res = t.delete_predicate(pred)
+        res = t.delete_predicate(pred, alias=canon)
     else:
         raise ValueError(
             f"delete_strategy must be 'rewrite' or 'dv', got {strategy!r}"
@@ -365,7 +476,7 @@ def _run_utility(spark, verb, stmt, masked, tables):
                 "DESCRIBE: only DESCRIBE HISTORY <table> is supported"
             )
         tok = stmt[m.start(1) : m.end(1)]
-        t = MiniLogTable(spark, _resolve_path(spark, tok, tables))
+        t = _table(spark, _resolve_path(spark, tok, tables))
         rows = [
             (int(h["version"]), int(h["timestamp"]), str(h["operation"]))
             for h in t.history()
@@ -378,7 +489,7 @@ def _run_utility(spark, verb, stmt, masked, tables):
         if not m:
             raise ValueError("OPTIMIZE: expected OPTIMIZE <table>")
         tok = stmt[m.start(1) : m.end(1)]
-        t = MiniLogTable(spark, _resolve_path(spark, tok, tables))
+        t = _table(spark, _resolve_path(spark, tok, tables))
         res = t.optimize()
         _refresh_views(spark)
         return {"operation": "optimize", **res}
@@ -393,7 +504,7 @@ def _run_utility(spark, verb, stmt, masked, tables):
             "VACUUM: expected VACUUM <table> [RETAIN <n> VERSIONS]"
         )
     tok = stmt[m.start(1) : m.end(1)]
-    t = MiniLogTable(spark, _resolve_path(spark, tok, tables))
+    t = _table(spark, _resolve_path(spark, tok, tables))
     reaped = t.vacuum(retain_last=int(m.group(2) or 1))
     _refresh_views(spark)
     return {"operation": "vacuum", "reaped": len(reaped)}
@@ -414,8 +525,15 @@ def _run_insert(spark, stmt, masked, tables) -> dict:
     tmask = rmask[tm.end() :]
     cols = None
     cm = re.match(r"\s*\(([^)]*)\)", tmask)
+    # the query-keyword probe must look at the STRING-masked tail:
+    # tmask is parens-masked, so a parenthesized query's own SELECT/
+    # VALUES keyword is already blanked there and the guard could
+    # never fire — `INSERT INTO t (SELECT ...)` was misparsed as a
+    # column list (ADVICE r11).
     qm = re.match(
-        r"\s*\(\s*(SELECT|VALUES|WITH|TABLE|FROM)\b", tmask, re.I
+        r"\s*\(\s*(SELECT|VALUES|WITH|TABLE|FROM)\b",
+        _masked(tail),
+        re.I,
     )
     if cm and not qm:  # a column list, not a parenthesized query
         cols = [_ident(c) for c in _split_top(tail[cm.start(1) : cm.end(1)])]
@@ -423,9 +541,22 @@ def _run_insert(spark, stmt, masked, tables) -> dict:
     query = tail.strip()
     if not query:
         raise ValueError("INSERT: expected VALUES (...) or a query")
+    _refresh_views(spark)  # SELECT sources read-your-writes
     df = spark.sql(query)
-    t = MiniLogTable(spark, _resolve_path(spark, tok, tables))
+    t = _table(spark, _resolve_path(spark, tok, tables))
     snap = t.snapshot() if t.version >= 0 else None
+    if snap is None and cols is not None:
+        # FIRST insert into an empty table: there is no log schema to
+        # cast against yet, but an explicit column list still names the
+        # columns — honoring it here is what makes the first
+        # `INSERT INTO t (a, b) VALUES (1, 2)` create columns a/b, not
+        # col1/col2 (ADVICE r11 medium: silently wrong schema).
+        if len(df.columns) != len(cols):
+            raise ValueError(
+                f"INSERT: column list has {len(cols)} names, query "
+                f"yields {len(df.columns)} columns"
+            )
+        df = df.toDF(*cols)
     if snap is not None and snap.schema:
         names = [c["name"] for c in snap.schema]
         from pyspark.sql import functions as F
@@ -479,7 +610,9 @@ def _parse_when(seg: str) -> tuple[str, Optional[str], str]:
         raise ValueError("MERGE: MATCHED takes no BY qualifier")
     else:
         kind = "matched"
-    then = _find_kw(mask, "THEN", m.end())
+    # the THEN scan must skip THEN tokens inside a top-level CASE
+    # expression in the clause condition (ADVICE r11)
+    then = _find_kw(_mask_case(mask), "THEN", m.end())
     if not then:
         raise ValueError(f"MERGE: WHEN clause missing THEN: {seg!r}")
     cond_txt = seg[m.end() : m.end() + then[0].start()].strip()
@@ -565,7 +698,13 @@ def _run_merge(spark, stmt, masked, tables) -> dict:
     m_into = _find_kw(masked, "MERGE INTO")
     m_using = _find_kw(masked, "USING")
     m_on = _find_kw(masked, "ON")
-    m_when = _find_kw(masked, "WHEN")
+    # WHEN-clause boundaries are scanned on a CASE-blanked view, so a
+    # top-level `CASE WHEN ... THEN ... END` in a SET expression or
+    # clause condition is never split as a clause boundary (ADVICE
+    # r11: valid Spark SQL MERGE statements were rejected). The CASE
+    # text itself still reaches Spark's parser verbatim — positions
+    # index into the unmasked stmt.
+    m_when = _find_kw(_mask_case(masked), "WHEN")
     if not (m_into and m_using and m_on and m_when):
         raise ValueError(
             "MERGE: expected MERGE INTO <t> USING <s> ON <cond> WHEN ..."
@@ -595,7 +734,7 @@ def _run_merge(spark, stmt, masked, tables) -> dict:
         except ValueError:
             pass
         if path:
-            source = MiniLogTable(spark, path).read()
+            source = _table(spark, path).read()
         else:
             source = spark.table(_ident(src_name))
     # ---- alias → canonical qualifier map
@@ -657,7 +796,7 @@ def _run_merge(spark, stmt, masked, tables) -> dict:
         cl = _parse_merge_action(kind, cond, action, requal)
         {"matched": matched, "not_matched": not_matched,
          "not_matched_by_source": nmbs}[kind].append(cl)
-    t = MiniLogTable(spark, _resolve_path(spark, tgt_tok, tables))
+    t = _table(spark, _resolve_path(spark, tgt_tok, tables))
     res = t.merge_clauses(
         source,
         keys=tuple(keys),

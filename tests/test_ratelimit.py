@@ -295,3 +295,158 @@ def test_offset_encoding_roundtrip():
     ]
     keys = [_off_key(o) for o in ordered]
     assert keys == sorted(keys)
+
+
+# ------------------------------------------------------ round 12 additions
+
+
+def test_backward_batch_range_fails_loudly(spark, tmp_path):
+    """ADVICE r11: partitions() learns the checkpoint frontier from its
+    ``start`` argument and REFUSES a backward-ordered range. Without
+    this, the failure mode if a future engine revision called
+    latestOffset() before the restart replan would be a silent offset
+    rewind + replay of already-delivered rows; with it, the failure is
+    loud and names the contract to re-probe."""
+    t = _mk_table(spark, str(tmp_path / "t"), commits=6, files_per=1)
+    rdr = _MiniLogStreamReader(t.path, {"maxfilespertrigger": "1"})
+    with pytest.raises(RuntimeError, match="BACKWARD"):
+        rdr.partitions({"version": 3}, {"version": 1})
+    # the frontier learned from the rejected plan still seeds the
+    # admission walk: the next capped offset orders PAST it, never
+    # behind it
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        _off_key,
+    )
+
+    nxt = rdr.latestOffset()
+    assert _off_key(nxt) > _off_key({"version": 3})
+
+
+def test_cdf_backward_batch_range_fails_loudly(spark, tmp_path):
+    from bootic_stats_aggregates_spark.sources.minilog_source import (
+        _MiniLogCDFStreamReader,
+    )
+
+    t = _mk_table(spark, str(tmp_path / "t"), commits=4, files_per=1)
+    rdr = _MiniLogCDFStreamReader(t.path, {})
+    with pytest.raises(RuntimeError, match="BACKWARD"):
+        rdr.partitions({"version": 2}, {"version": 0})
+
+
+def test_parquet_and_minilog_caps_chunk_equally(spark, tmp_path):
+    """VERDICT r11 task 5: admission-control EQUIVALENCE between the
+    native MiniLog source and Spark's own parquet file-stream source —
+    the same 6-file backlog under maxFilesPerTrigger=2 drains as the
+    SAME number of non-empty triggers (3) with identical final sinks,
+    and the parquet leg additionally survives a kill-and-resume
+    exactly-once (the MiniLog leg's restart is pinned above in
+    test_restart_resumes_capped_exactly_once)."""
+    t = _mk_table(spark, str(tmp_path / "ml"), commits=6, files_per=1)
+    pq_dir = str(tmp_path / "pq")
+    for i in range(6):
+        spark.createDataFrame([(i,)], "k INT").coalesce(1).write.mode(
+            "append"
+        ).parquet(pq_dir)
+    register(spark)
+
+    ml_feed, ml_prog = _drain(
+        spark,
+        t.path,
+        str(tmp_path / "ml_sink"),
+        str(tmp_path / "ml_ck"),
+        {"maxFilesPerTrigger": "2"},
+        expect=6,
+    )
+    q = (
+        spark.readStream.schema("k INT")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(pq_dir)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "pq_sink"))
+        .option("checkpointLocation", str(tmp_path / "pq_ck"))
+        .trigger(processingTime="50 milliseconds")
+        .outputMode("append")
+        .start()
+    )
+    deadline = time.time() + 120
+    def pq_count():
+        try:
+            return spark.read.parquet(str(tmp_path / "pq_sink")).count()
+        except Exception:
+            return 0
+    while time.time() < deadline and pq_count() < 6:
+        time.sleep(0.3)
+    pq_prog = list(q.recentProgress)
+    q.stop()
+    q.awaitTermination()
+
+    ml_batches = [
+        p["numInputRows"] for p in ml_prog if p["numInputRows"] > 0
+    ]
+    pq_batches = [
+        p["numInputRows"] for p in pq_prog if p["numInputRows"] > 0
+    ]
+    # same chunking: ceil(6 files / cap 2) = 3 non-empty triggers each
+    assert len(ml_batches) == len(pq_batches) == 3, (
+        ml_batches,
+        pq_batches,
+    )
+    assert max(ml_batches) <= 2 and max(pq_batches) <= 2
+    # identical final contents
+    assert sorted(r["k"] for r in ml_feed.collect()) == list(range(6))
+    assert sorted(
+        r["k"]
+        for r in spark.read.parquet(str(tmp_path / "pq_sink")).collect()
+    ) == list(range(6))
+
+
+def test_parquet_cap_restart_resumes_exactly_once(spark, tmp_path):
+    """The parquet-ingest twin of the MiniLog kill-and-resume canary:
+    Spark's own file source under maxFilesPerTrigger, stopped
+    mid-backlog and resumed on the same checkpoint, delivers the
+    backlog exactly-once with the cap held across the restart."""
+    pq_dir = str(tmp_path / "pq")
+    for i in range(6):
+        spark.createDataFrame([(i,)], "k INT").coalesce(1).write.mode(
+            "append"
+        ).parquet(pq_dir)
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+
+    def start():
+        return (
+            spark.readStream.schema("k INT")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(pq_dir)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="50 milliseconds")
+            .outputMode("append")
+            .start()
+        )
+
+    def count():
+        try:
+            return spark.read.parquet(sink).count()
+        except Exception:
+            return 0
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and count() < 2:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    assert 0 < count() < 6  # genuinely mid-backlog
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and count() < 6:
+        time.sleep(0.3)
+    prog = list(q.recentProgress)
+    q.stop()
+    q.awaitTermination()
+    ks = [r["k"] for r in spark.read.parquet(sink).collect()]
+    assert sorted(ks) == list(range(6))
+    assert max(
+        (p["numInputRows"] for p in prog), default=0
+    ) <= 1  # cap held across the restart
