@@ -604,8 +604,22 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     list is tiny (queries x NPROBE rows) and broadcasts. No pair ever
     forms outside a probed cell, so cost is linear in the probed fraction,
     never quadratic. Recall vs the brute-force twin is pinned in
-    tests/test_properties.py.
+    tests/test_properties.py; the measured recall@k-vs-nprobe trade-off
+    at 100x scale lives in tools/scale100_r12.py (VERDICT r11 task 8),
+    which calls :func:`ivf_topk` directly with nprobe in {1,2,4,8}.
     """
+    return ivf_topk(spark, sf_dir, nprobe=IVF_NPROBE)
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = IVF_NPROBE,
+    k: int = TOP_K,
+) -> DataFrame:
+    """The IVF search with caller-chosen probe width and k — the knobs
+    every IVF deployment tunes (recall rises, read amplification ~=
+    nprobe/cells rises with it)."""
     e = _scored_vectors(spark, sf_dir).withColumn(
         "ds", _cell_dots(F.col("emb"))
     )
@@ -629,7 +643,7 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("q_vec_id"),
             F.explode(
                 F.transform(
-                    F.slice(F.sort_array(probe_struct), 1, IVF_NPROBE),
+                    F.slice(F.sort_array(probe_struct), 1, int(nprobe)),
                     lambda x: x["j"],
                 )
             ).alias("cell"),
@@ -650,7 +664,7 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(scored, "vec_id")
         .select("q_vec_id", "vec_id", _pair_cos().alias("cos_sim"))
         .withColumn("rk", F.row_number().over(_topk_window()).cast("long"))
-        .filter(F.col("rk") <= TOP_K)
+        .filter(F.col("rk") <= int(k))
     )
 
 

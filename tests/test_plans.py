@@ -380,6 +380,9 @@ BUILD_RUNS_JOBS_OK = {
     # r11: stages DV-delete + OPTIMIZE commits and reads DESCRIBE
     # HISTORY (a bounded metadata collect) into the result
     "tx_sql_delete_dv",
+    # r12: stages two subquery-predicate DELETEs and a scalar-subquery
+    # UPDATE through run_sql (each a commit); returns the read-back
+    "tx_sql_delete_subquery",
 }
 
 
