@@ -1661,7 +1661,12 @@ class MiniLogTable:
         )
         actions = self._stage(
             kept_df,
-            1,
+            # preserve the touched-file granularity: a rewrite of K
+            # files lands ~K files (coalesce never raises parallelism,
+            # so small tables still collapse) — staging with a literal
+            # 1 single-tasked a 60M-row rewrite at the 100x probe
+            # (tools/scale100_r12.log, r12)
+            max(1, len(touched)),
             mapping=_mapping_of(snap.schema),
             partition_cols=tuple(snap.partition_cols),
         ) + [
@@ -1754,7 +1759,12 @@ class MiniLogTable:
         )
         actions = self._stage(
             kept_df,
-            1,
+            # preserve the touched-file granularity: a rewrite of K
+            # files lands ~K files (coalesce never raises parallelism,
+            # so small tables still collapse) — staging with a literal
+            # 1 single-tasked a 60M-row rewrite at the 100x probe
+            # (tools/scale100_r12.log, r12)
+            max(1, len(touched)),
             mapping=_mapping_of(snap.schema),
             partition_cols=tuple(snap.partition_cols),
         ) + [
@@ -1840,7 +1850,7 @@ class MiniLogTable:
         self._validate_constraints(out, dict(snap.constraints))
         actions = self._stage(
             out,
-            1,
+            max(1, len(touched)),  # see delete_predicate staging note
             mapping=_mapping_of(snap.schema),
             partition_cols=tuple(snap.partition_cols),
         ) + [
@@ -2141,7 +2151,7 @@ class MiniLogTable:
         )
         actions = self._stage(
             merged,
-            1,
+            max(1, len(touched)),  # see delete_predicate staging note
             mapping=_mapping_of(snap.schema),
             constraints=cons,
             partition_cols=tuple(snap.partition_cols),
@@ -2430,7 +2440,7 @@ class MiniLogTable:
             merged = self._apply_generated(merged, gens)
         actions = self._stage(
             merged,
-            1,
+            max(1, len(touched)),  # see delete_predicate staging note
             mapping=mapping,
             constraints=cons,
             partition_cols=tuple(snap.partition_cols),

@@ -541,7 +541,7 @@ def _cell_dots_sql(vec_expr: str) -> str:
     return f"[{dots}]"
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(nprobe: int = IVF_NPROBE, k: int = TOP_K) -> str:
     return f"""
     WITH e AS (
       SELECT vec_id, embedding, {_NRM_SQL} AS nrm,
@@ -561,7 +561,7 @@ def _ivf_oracle() -> str:
                list_slice(
                  list_sort(list_transform(range(1, {IVF_CELLS} + 1),
                                           j -> {{'nd': -ds[j], 'j': j - 1}})),
-                 1, {IVF_NPROBE}),
+                 1, {nprobe}),
                x -> x.j)) AS cell
       FROM e WHERE vec_id < {N_QUERIES}
     ),
@@ -588,7 +588,7 @@ def _ivf_oracle() -> str:
       ) AS rk
       FROM scored
     )
-    WHERE rk <= {TOP_K}
+    WHERE rk <= {k}
     """
 
 
@@ -1534,6 +1534,83 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+#: probe widths swept by the registered recall-curve operator — the
+#: useful range for {IVF_CELLS}-cell geometry (1 = cheapest/lowest
+#: recall, 8 = half the cells probed).
+IVF_CURVE_NPROBES = (1, 2, 4, 8)
+
+
+def _ivf_recall_curve_oracle() -> str:
+    """One recall row per probe width: the registered brute-force and
+    IVF oracle SQLs embedded as derived tables (the llm_ann_recall
+    pattern — the evaluation cannot drift from the operators it
+    evaluates)."""
+    blocks = []
+    for np_ in IVF_CURVE_NPROBES:
+        blocks.append(f"""
+    SELECT CAST({np_} AS BIGINT) AS nprobe,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(count(a.vec_id) AS BIGINT) AS n_matched,
+           round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 4) AS recall
+    FROM ({_QUERIES_BRUTE_ORACLE}) b
+    LEFT JOIN ({_ivf_oracle(nprobe=np_)}) a
+      ON a.q_vec_id = b.q_vec_id AND a.vec_id = b.vec_id
+    """)
+    return " UNION ALL ".join(blocks)
+
+
+@query("llm_ivf_recall_curve", oracle=_ivf_recall_curve_oracle())
+def llm_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL-vs-NPROBE curve for the IVF index — the tuning loop every
+    IVF deployment runs before picking its probe width: for each
+    nprobe in {IVF_CURVE_NPROBES}, recall@{TOP_K} of :func:`ivf_topk`
+    against the brute-force ground truth, as ONE aggregate row per
+    width (nprobe, n_truth, n_matched, recall).
+
+    Composes the registered operators (llm_ann_recall's pattern): the
+    brute side is the broadcast-query corpus scan, each ANN side the
+    cell-pruned search at its width, the report a tiny aggregate over
+    N_QUERIES x k rows per width. At 100 TB the curve costs one corpus
+    scan per width over the cell-partitioned layout (read amplification
+    nprobe/{IVF_CELLS} each) — the measured accuracy trade-off behind
+    probing nprobe of {IVF_CELLS} cells, captured at 100x scale in
+    tools/scale100_r12.py (200k vectors)."""
+    brute = _topk_pairs(spark, sf_dir).select(
+        "q_vec_id", F.col("vec_id").alias("b_vec_id")
+    )
+    out = None
+    for np_ in IVF_CURVE_NPROBES:
+        ann = ivf_topk(spark, sf_dir, nprobe=np_).select(
+            "q_vec_id",
+            F.col("vec_id").alias("a_vec_id"),
+            F.lit(1).alias("hit"),
+        )
+        row = (
+            brute.join(
+                ann,
+                (brute.q_vec_id == ann.q_vec_id)
+                & (F.col("b_vec_id") == F.col("a_vec_id")),
+                "left",
+            )
+            .groupBy()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_truth"),
+                F.count("hit").cast("long").alias("n_matched"),
+            )
+            .select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                "n_truth",
+                "n_matched",
+                F.round(
+                    F.col("n_matched").cast("double") / F.col("n_truth"),
+                    4,
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 # ---------------------------------------------------------------------------

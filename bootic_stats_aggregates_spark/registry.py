@@ -104,7 +104,7 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: overwrite removes, stream vacuum bootstrap), then drains the oldest
 #: r3 rows — after this pass no id's latest driver check predates r6.
 #: Verification status of every entry, stated precisely (ADVICE r3 item 2):
-#: all 272 registered pairs pass the local oracle gate at sf0.01 and the
+#: all 273 registered pairs pass the local oracle gate at sf0.01 and the
 #: round-12 fresh-process sims (tools/driver_sim_r12_gate50.log 50/50
 #: under the final gate order; driver_sim_r12_final.log the full
 #: registry; hostile_sweep_r12.log the adversarial corpus)
@@ -120,8 +120,9 @@ _GATE_PRIORITY: list[str] = [
     # --- 26 ids whose latest EXTERNAL driver row dates to r6 — five
     # --- rounds stale; internal fresh-process sims cover them every
     # --- round but the driver gate is the binding signal). Leading
-    # --- slot: the op ADDED in round 12 (SQL DML subquery predicates).
-    "tx_sql_delete_subquery",
+    # --- slots: the ops ADDED in round 12 (SQL DML subquery
+    # --- predicates; the IVF recall-vs-nprobe tuning curve).
+    "tx_sql_delete_subquery", "llm_ivf_recall_curve",
     # --- the full r6-stale cohort (26 ids), alphabetical:
     "join_cross", "join_left_right_outer", "join_multiway",
     "join_semi", "join_shuffle", "join_skew_salted",
@@ -133,7 +134,7 @@ _GATE_PRIORITY: list[str] = [
     "stream_session", "stream_sliding", "stream_stateful",
     "stream_tumbling", "stream_watermark",
     # --- then: the oldest r7 rows, alphabetical, filling the 50-row
-    # --- gate (23 of 41; the r7 remainder queues for round 13). Every
+    # --- gate (22 of 41; the r7 remainder queues for round 13). Every
     # --- registered id additionally gets a fresh-process sim row in
     # --- tools/driver_sim_r12*.log regardless of the gate cut.
     "agg_aqp_sample", "agg_cube", "agg_histogram", "agg_percentile",
@@ -143,8 +144,8 @@ _GATE_PRIORITY: list[str] = [
     "src_json_lines", "src_minilog_dsv2", "src_minilog_pushdown",
     "src_parquet_scan", "src_profile_stats",
     "stream_late_deadletter", "stream_minilog_dsv2_sink",
-    "sub_scalar_corr",
     # --- queued r7 remainder (slots 51+), drained next round:
+    "sub_scalar_corr",
     "tx_cdf_replay", "tx_change_feed", "tx_clone_zero_copy",
     "tx_deletion_vectors", "tx_history_audit", "tx_idempotent_replay",
     "tx_merge_filepruned", "tx_mview_incremental",

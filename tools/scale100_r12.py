@@ -122,10 +122,14 @@ def write_path_probe(spark, dest: str) -> dict:
     )
     # 3. MERGE upsert: 50k updates + 50k inserts against 60M rows
     maxo = li.agg(F.max("l_orderkey")).collect()[0][0]
+    # the synthetic lineitem is NOT unique on (l_orderkey,
+    # l_linenumber) — dedupe so the MERGE source satisfies the
+    # unique-keys contract (multiple matches per base row raise)
     src = (
         table(spark, dest, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
         .filter(F.col("l_orderkey") % 1024 == 3)
+        .dropDuplicates(["l_orderkey", "l_linenumber"])
         .limit(100_000)
     )
     upd = src.limit(50_000).withColumn(
