@@ -85,21 +85,36 @@ def _tables(
     if os.path.exists(marker):
         with open(marker) as fh:
             ready = fh.read().strip() == _fingerprint(sf_dir)
-    if not ready and os.path.exists(root):
-        shutil.rmtree(root)
-    os.makedirs(root, exist_ok=True)
-    vec = MiniLogTable(
-        spark, os.path.join(root, "vectors"), stats_cols=("vec_id",)
-    )
-    cbc = MiniLogTable(
-        spark, os.path.join(root, "codebook_coarse"), stats_cols=("cid",)
-    )
-    cbp = MiniLogTable(
-        spark, os.path.join(root, "codebook_pq"), stats_cols=("sub",)
-    )
-    idx = MiniLogTable(
-        spark, os.path.join(root, "index"), stats_cols=("vec_id",)
-    )
+    def _make() -> "tuple[MiniLogTable, MiniLogTable, MiniLogTable, MiniLogTable]":
+        return (
+            MiniLogTable(
+                spark, os.path.join(root, "vectors"), stats_cols=("vec_id",)
+            ),
+            MiniLogTable(
+                spark, os.path.join(root, "codebook_coarse"), stats_cols=("cid",)
+            ),
+            MiniLogTable(
+                spark, os.path.join(root, "codebook_pq"), stats_cols=("sub",)
+            ),
+            MiniLogTable(
+                spark, os.path.join(root, "index"), stats_cols=("vec_id",)
+            ),
+        )
+
+    tables = _make()
+    # the marker shares the root with sibling table dirs a partial
+    # teardown can remove independently: trust it only if every staged
+    # table actually exists (marker-without-table found r12) — and flip
+    # BEFORE the teardown decision so the stale partial state is wiped
+    # rather than rebuilt over (``version`` probes the log live).
+    if ready and any(t.version < 0 for t in tables):
+        ready = False
+    if not ready:
+        if os.path.exists(root):
+            shutil.rmtree(root)
+        os.makedirs(root, exist_ok=True)
+        tables = _make()  # re-create the _minilog log dirs rmtree removed
+    vec, cbc, cbp, idx = tables
     return vec, cbc, cbp, idx, ready
 
 
@@ -272,7 +287,10 @@ def _stream_stage(
         with open(marker) as fh:
             ready = fh.read().strip() == _fingerprint(sf_dir)
     if ready:
-        return MiniLogTable(spark, sroot, stats_cols=("vec_id",)), idx
+        sidx = MiniLogTable(spark, sroot, stats_cols=("vec_id",))
+        if sidx.version >= 0:  # marker-without-table guard (r12)
+            return sidx, idx
+        ready = False
     if os.path.exists(sroot):
         shutil.rmtree(sroot)
     if os.path.exists(marker):

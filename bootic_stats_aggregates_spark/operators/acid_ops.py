@@ -1294,6 +1294,12 @@ def stream_mview_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(marker) as fh:
             ready_v = fh.read().strip() == _fingerprint(sf_dir)
     view = MiniLogTable(spark, vroot, stats_cols=("event_type",))
+    # the marker lives OUTSIDE the view dir, so a partial teardown can
+    # leave marker-without-table: trust it only if the table exists
+    # (r12: a root-level cleanup that removed directories but not files
+    # produced exactly that state — NoSuchVersion on read)
+    if ready_v and view.version < 0:
+        ready_v = False
     if not ready_v:
         if os.path.exists(vroot):
             shutil.rmtree(vroot)

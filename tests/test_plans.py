@@ -181,6 +181,7 @@ def test_plan_hygiene_all_queries(spark):
         "llm_cosine_topk",   # broadcast query-set x corpus (bounded side)
         "llm_knn_classify",  # built on llm_cosine_topk
         "llm_ann_recall",    # embeds llm_cosine_topk as ground truth
+        "llm_ivf_recall_curve",  # same: brute-force ground-truth side
         "llm_tfidf_topterms",# crossJoin(broadcast(<1-row global count>))
         "llm_unigram_logprob",   # crossJoin(broadcast(<1-row corpus total>))
         "llm_cooccurrence_pmi",  # crossJoin(broadcast(<1-row doc count>))

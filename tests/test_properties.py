@@ -1476,3 +1476,48 @@ def test_farthest_point_seeding_beats_first_k_on_adversarial_order(spark):
         f"farthest-point SSE {s_fp:.1f} not clearly better than "
         f"degraded first-K SSE {s_first:.1f}"
     )
+
+
+def test_staging_rebuilds_after_partial_teardown(spark):
+    """Marker-without-table robustness (found r12): the _READY marker
+    lives at the staging ROOT, siblings to the table dirs — a partial
+    teardown (tmp cleaner, crashed rmtree) can remove a TABLE dir while
+    the marker survives. A fresh process must then detect the missing
+    table and rebuild, not trust the marker and die with NoSuchVersion /
+    FILE_NOT_EXIST. Models the fresh process by clearing the per-session
+    plan memo (the memo itself legitimately serves same-session plans)."""
+    import glob
+    import shutil
+
+    from bootic_stats_aggregates_spark.session import session_cache
+
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    root = os.path.join("/tmp/bootic_minilog", tag, "ann_index")
+
+    # batch index: stage, kill ONE sibling table dir, keep the marker
+    QUERIES["llm_ann_index_maintain"](spark, SF_DIR).collect()
+    shutil.rmtree(os.path.join(root, "index"))
+    assert os.path.exists(os.path.join(root, "_READY"))
+    session_cache(spark, "plans").clear()
+    row = QUERIES["llm_ann_index_maintain"](spark, SF_DIR).collect()[0]
+    assert row["maintain_ok"] and row["incr_ok"]
+
+    # streaming index: same shape, _READY_STREAM survives index_stream
+    QUERIES["stream_ann_index_maintain"](spark, SF_DIR).collect()
+    shutil.rmtree(os.path.join(root, "index_stream"))
+    assert os.path.exists(os.path.join(root, "_READY_STREAM"))
+    session_cache(spark, "plans").clear()
+    row = QUERIES["stream_ann_index_maintain"](spark, SF_DIR).collect()[0]
+    assert row["stream_ok"] and row["matches_batch"]
+
+    # mview: the view table dir dies, _READY_MVIEW survives
+    n0 = len(QUERIES["stream_mview_cdf"](spark, SF_DIR).collect())
+    views = glob.glob(
+        os.path.join("/tmp/bootic_minilog", tag, "**", "mview_cdf_view"),
+        recursive=True,
+    )
+    assert views, "mview staging dir not found"
+    for v in views:
+        shutil.rmtree(v)
+    session_cache(spark, "plans").clear()
+    assert len(QUERIES["stream_mview_cdf"](spark, SF_DIR).collect()) == n0 > 0
