@@ -1517,6 +1517,46 @@ class MiniLogTable:
         )
 
     # ---------------------------------------------------- column mapping
+    def add_column(self, name: str, dtype: str) -> int:
+        """ADD COLUMN as ONE metaData action — zero data files touched
+        (the public Delta ``ALTER TABLE ADD COLUMN`` contract): the
+        commit appends the column to the log schema; every existing file
+        simply lacks it and reads back NULL through the log-schema
+        projection (:meth:`_project`), and time travel to pre-add
+        versions presents the narrow schema. O(metadata) at any table
+        size. The physical name is planned through
+        :func:`plan_write_mapping`, so re-adding a DROPPED column's name
+        gets a fresh ``col-<uuid>`` physical and can never resurrect the
+        retired bytes. Racing a concurrent schema change raises
+        :class:`ConcurrentModification` (``expect_schema`` pin)."""
+        snap = self.snapshot()
+        if snap.schema is None:
+            raise SchemaMismatch("add_column: table has no log schema")
+        if any(c["name"] == name for c in snap.schema):
+            raise ValueError(f"add_column: column {name!r} already exists")
+        # normalize the type through Spark's own DDL parser so the log
+        # records canonical simpleStrings ("bigint", not "BIGINT  ")
+        from pyspark.sql.types import _parse_datatype_string
+
+        dtype = _parse_datatype_string(dtype).simpleString()
+        _, fresh = plan_write_mapping(
+            [{"name": name, "type": dtype}], snap.schema, snap.retired
+        )
+        entry: dict = {"name": name, "type": dtype}
+        if fresh.get(name, name) != name:
+            entry["physical"] = fresh[name]
+        action: dict = {
+            "type": "metaData",
+            "schema": list(snap.schema) + [entry],
+        }
+        if snap.retired:
+            action["retired"] = list(snap.retired)
+        return self._try_commit(
+            f"add_column({name} {dtype})",
+            [action],
+            expect_schema=snap.schema,
+        )
+
     def rename_column(self, old: str, new: str) -> int:
         """RENAME COLUMN without rewriting a single data file (the
         public Delta column-mapping design, VERDICT r7 task 3): the

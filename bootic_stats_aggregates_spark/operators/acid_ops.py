@@ -3196,3 +3196,195 @@ def tx_sql_delete_subquery(
     return tbl.read().select(
         "event_type", "d", F.col("n").cast("long").alias("n")
     )
+
+
+@query(
+    "tx_sql_ctas",
+    oracle=f"""
+    -- CTAS + REPLACE TABLE through the SQL surface: CREATE TABLE AS
+    -- wrote the full day-counter aggregate (v0), CREATE OR REPLACE
+    -- atomically swapped in the d <= 15 / NULL-d slice (v1, one
+    -- overwrite commit). ctas_ok pins (live, every call): the dup
+    -- CREATE raised, IF NOT EXISTS was a no-op, version == 1, and
+    -- time travel to v0 still reads the FULL pre-replace aggregate.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d, n, true AS ctas_ok
+    FROM c WHERE d <= 15 OR d IS NULL
+    """,
+)
+def tx_sql_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CREATE [OR REPLACE] TABLE ... AS <query>`` — the DDL leg of
+    the SQL surface (sql.py:_run_create). Staged history:
+
+    1. ``CREATE TABLE t LOCATION '<path>' AS SELECT <day counters>``
+       — v0 append, schema defined by the query;
+    2. a second plain CREATE on the same name → ValueError (loud dup);
+    3. ``CREATE TABLE IF NOT EXISTS ... AS SELECT 1`` → registered
+       no-op, no commit;
+    4. ``CREATE OR REPLACE TABLE ... AS <d <= 15 or NULL slice>`` —
+       ONE atomic overwrite commit (data AND schema may change;
+       Delta's REPLACE TABLE semantics), so readers never see a
+       half-replaced table and v0 time travel still serves the full
+       pre-replace aggregate.
+
+    At 100 TB the REPLACE is the safe full-refresh primitive: the new
+    data stages completely before one metadata swap, and the old
+    snapshot stays addressable until VACUUM's retention boundary."""
+    from ..sql import create_table, run_sql
+
+    tag = _tag(sf_dir)
+    name = f"minilog_ctas_{tag}"
+    src = f"ev_ctas_src_{tag}"
+    table(spark, sf_dir, "events").createOrReplaceTempView(src)
+    tbl, ready = _staged(spark, sf_dir, "sql_ctas")
+    create_table(spark, name, tbl.path, stats_cols=("d",))
+    info_tag = os.path.join(tbl.path, "_CTAS_INFO")
+    counters = (
+        "SELECT event_type, CAST(day(ts) AS BIGINT) AS d, "
+        f"CAST(count(*) AS BIGINT) AS n FROM {src} GROUP BY 1, 2"
+    )
+    if not ready:
+        run_sql(
+            spark,
+            f"CREATE TABLE {name} LOCATION '{tbl.path}' AS {counters}",
+        )
+        try:
+            run_sql(
+                spark,
+                f"CREATE TABLE {name} LOCATION '{tbl.path}' "
+                "AS SELECT 1 AS one",
+            )
+            dup_raised = False
+        except ValueError:
+            dup_raised = True
+        noop = run_sql(
+            spark,
+            f"CREATE TABLE IF NOT EXISTS {name} LOCATION '{tbl.path}' "
+            "AS SELECT 1 AS one",
+        )
+        run_sql(
+            spark,
+            f"CREATE OR REPLACE TABLE {name} LOCATION '{tbl.path}' AS "
+            f"SELECT * FROM ({counters}) WHERE d <= 15 OR d IS NULL",
+        )
+        with open(info_tag, "w") as fh:
+            json.dump(
+                {"dup_raised": dup_raised, "noop": noop["operation"]}, fh
+            )
+        _mark_ready(tbl, sf_dir)
+    with open(info_tag) as fh:
+        info = json.load(fh)
+    full_n = _day_counters(spark, sf_dir).count()
+    ctas_ok = (
+        info["dup_raised"]
+        and info["noop"] == "noop"
+        and tbl.version == 1
+        and tbl.read(version=0).count() == full_n
+    )
+    return tbl.read().select(
+        "event_type",
+        "d",
+        F.col("n").cast("long").alias("n"),
+        F.lit(bool(ctas_ok)).alias("ctas_ok"),
+    )
+
+
+@query(
+    "tx_sql_alter",
+    oracle=f"""
+    -- ALTER TABLE through the SQL surface, all O(metadata): ADD
+    -- COLUMN note (existing rows read back NULL), one INSERT carrying
+    -- the new column, RENAME COLUMN d -> day (files keep the physical
+    -- name), ADD COLUMNS (w, z) then DROP COLUMN both (schema
+    -- round-trip, physicals retired), ADD CONSTRAINT n >= 0 (then a
+    -- violating INSERT rejected), DROP CONSTRAINT. alter_ok pins the
+    -- final schema, the v0 narrow schema via time travel, and the
+    -- staged rejection flags.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d AS day, n, CAST(NULL AS VARCHAR) AS note,
+           true AS alter_ok
+    FROM c
+    UNION ALL
+    SELECT 'synthetic', CAST(99 AS BIGINT), CAST(1 AS BIGINT),
+           'added', true
+    """,
+)
+def tx_sql_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALTER TABLE`` via SQL (sql.py:_run_alter), every verb lowered
+    onto a single metaData commit — ZERO data files rewritten at any
+    step (the public Delta ALTER contract; at 100 TB these are instant
+    DDLs, not table rewrites):
+
+    - ADD COLUMN note string — pre-alter rows null-fill on read;
+    - INSERT INTO (cols...) VALUES carrying the new column;
+    - RENAME COLUMN d TO day — column mapping: every parquet file
+      keeps the physical name, readers resolve logical -> physical;
+    - ADD COLUMNS (w decimal(10,2), z bigint) then DROP COLUMN w / z —
+      the drop RETIRES the physical names so a later re-add can never
+      resurrect dropped bytes;
+    - ADD CONSTRAINT n_nonneg CHECK (n >= 0) — validates existing
+      rows first; a violating INSERT then aborts consuming no
+      version; DROP CONSTRAINT re-admits it (staged last so the final
+      state stays constraint-clean for the replay-read).
+
+    alter_ok recomputes live: final log schema exactly
+    (event_type, day, n, note), v0 time travel presents the original
+    (event_type, d, n), and the staged violation flag."""
+    from ..sql import create_table, run_sql
+
+    tag = _tag(sf_dir)
+    name = f"minilog_alter_{tag}"
+    tbl, ready = _staged(spark, sf_dir, "sql_alter")
+    create_table(spark, name, tbl.path, stats_cols=("d",))
+    info_tag = os.path.join(tbl.path, "_ALTER_INFO")
+    if not ready:
+        from ..acid import ConstraintViolation
+
+        tbl.append(_day_counters(spark, sf_dir))
+        run_sql(spark, f"ALTER TABLE {name} ADD COLUMN note string")
+        run_sql(
+            spark,
+            f"INSERT INTO {name} (event_type, d, n, note) "
+            "VALUES ('synthetic', 99, 1, 'added')",
+        )
+        run_sql(spark, f"ALTER TABLE {name} RENAME COLUMN d TO day")
+        run_sql(
+            spark,
+            f"ALTER TABLE {name} ADD COLUMNS (w decimal(10,2), z bigint)",
+        )
+        run_sql(spark, f"ALTER TABLE {name} DROP COLUMN w")
+        run_sql(spark, f"ALTER TABLE {name} DROP COLUMN z")
+        run_sql(
+            spark,
+            f"ALTER TABLE {name} ADD CONSTRAINT n_nonneg CHECK (n >= 0)",
+        )
+        try:
+            run_sql(
+                spark,
+                f"INSERT INTO {name} (event_type, day, n) "
+                "VALUES ('hack', 1, -5)",
+            )
+            rejected = False
+        except ConstraintViolation:
+            rejected = True
+        run_sql(spark, f"ALTER TABLE {name} DROP CONSTRAINT n_nonneg")
+        with open(info_tag, "w") as fh:
+            json.dump({"rejected": rejected}, fh)
+        _mark_ready(tbl, sf_dir)
+    with open(info_tag) as fh:
+        info = json.load(fh)
+    snap = tbl.snapshot()
+    alter_ok = (
+        info["rejected"]
+        and [c["name"] for c in snap.schema]
+        == ["event_type", "day", "n", "note"]
+        and tbl.read(version=0).columns == ["event_type", "d", "n"]
+        and snap.constraints == {}
+    )
+    return tbl.read().select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        "note",
+        F.lit(bool(alter_ok)).alias("alter_ok"),
+    )

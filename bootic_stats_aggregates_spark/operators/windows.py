@@ -1089,3 +1089,80 @@ def win_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).alias("valid_to"),
         "n_events",
     )
+
+
+@query(
+    "win_ohlc_bars",
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             CAST(date_part('day', ts) AS BIGINT) AS d,
+             value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, CAST(date_part('day', ts) AS BIGINT)
+               ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST,
+                        value ASC NULLS FIRST
+             ) AS rn_a,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, CAST(date_part('day', ts) AS BIGINT)
+               ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST,
+                        value DESC NULLS LAST
+             ) AS rn_d
+      FROM events
+    )
+    SELECT event_type, d,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+           max(value) AS high_v,
+           min(value) AS low_v,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+           CAST(count(*) AS BIGINT) AS n
+    FROM r
+    GROUP BY event_type, d
+    """,
+)
+def win_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling bars — the time-series resample every metrics/
+    finance pipeline runs: per (event_type, day-of-month bucket), the
+    FIRST value in time order (open), max (high), min (low), LAST value
+    (close), and the bar's row count. open/close are PICKS of existing
+    doubles (row_number-gated, no float arithmetic), so the oracle
+    compare is exact; the time order carries (event_id, value) as total-
+    order tie-breaks with EXPLICIT null placement on both engines
+    (Spark asc defaults NULLS FIRST, DuckDB NULLS LAST — pinned
+    explicitly so NULL-ts hostile rows land identically), and the
+    reverse order is the exact mirror so close is well-defined under
+    duplicate keys.
+
+    Scale: both window functions share one partitioning (event_type,
+    day), so the plan is ONE hash shuffle + two in-partition sorts, then
+    a partial-aggregated groupBy on the SAME keys — no second shuffle
+    (AQE coalesces; no global sort anywhere). At 100 TB the bucket is
+    the natural time-grain unit: per-partition state is one bar's rows,
+    and a finer grain (hour/minute) only narrows partitions further."""
+    ev = table(spark, sf_dir, "events")
+    d = F.dayofmonth("ts").cast("long").alias("d")
+    fwd = [
+        F.asc_nulls_first("ts"),
+        F.asc_nulls_first("event_id"),
+        F.asc_nulls_first("value"),
+    ]
+    rev = [
+        F.desc_nulls_last("ts"),
+        F.desc_nulls_last("event_id"),
+        F.desc_nulls_last("value"),
+    ]
+    w_a = Window.partitionBy("event_type", "d").orderBy(*fwd)
+    w_d = Window.partitionBy("event_type", "d").orderBy(*rev)
+    return (
+        ev.select("event_type", d, "ts", "event_id", "value")
+        .withColumn("rn_a", F.row_number().over(w_a))
+        .withColumn("rn_d", F.row_number().over(w_d))
+        .groupBy("event_type", "d")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_v"),
+            lcount("n"),
+        )
+    )

@@ -104,7 +104,7 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: overwrite removes, stream vacuum bootstrap), then drains the oldest
 #: r3 rows — after this pass no id's latest driver check predates r6.
 #: Verification status of every entry, stated precisely (ADVICE r3 item 2):
-#: all 273 registered pairs pass the local oracle gate at sf0.01 and the
+#: all 276 registered pairs pass the local oracle gate at sf0.01 and the
 #: round-12 fresh-process sims (tools/driver_sim_r12_gate50.log 50/50
 #: under the final gate order; driver_sim_r12_final.log the full
 #: registry; hostile_sweep_r12.log the adversarial corpus)
@@ -121,8 +121,10 @@ _GATE_PRIORITY: list[str] = [
     # --- rounds stale; internal fresh-process sims cover them every
     # --- round but the driver gate is the binding signal). Leading
     # --- slots: the ops ADDED in round 12 (SQL DML subquery
-    # --- predicates; the IVF recall-vs-nprobe tuning curve).
+    # --- predicates; the IVF recall-vs-nprobe tuning curve; the SQL
+    # --- DDL legs — CTAS/REPLACE and the ALTER battery; OHLC bars).
     "tx_sql_delete_subquery", "llm_ivf_recall_curve",
+    "tx_sql_ctas", "tx_sql_alter", "win_ohlc_bars",
     # --- the full r6-stale cohort (26 ids), alphabetical:
     "join_cross", "join_left_right_outer", "join_multiway",
     "join_semi", "join_shuffle", "join_skew_salted",
@@ -134,7 +136,8 @@ _GATE_PRIORITY: list[str] = [
     "stream_session", "stream_sliding", "stream_stateful",
     "stream_tumbling", "stream_watermark",
     # --- then: the oldest r7 rows, alphabetical, filling the 50-row
-    # --- gate (22 of 41; the r7 remainder queues for round 13). Every
+    # --- gate (19 of 41 after the five r12 head slots; the r7
+    # --- remainder queues for round 13). Every
     # --- registered id additionally gets a fresh-process sim row in
     # --- tools/driver_sim_r12*.log regardless of the gate cut.
     "agg_aqp_sample", "agg_cube", "agg_histogram", "agg_percentile",

@@ -591,6 +591,189 @@ def _run_insert(spark, stmt, masked, tables) -> dict:
     }
 
 
+def _run_create(spark, stmt, masked, tables) -> dict:
+    """CTAS: ``CREATE [OR REPLACE] TABLE <name> [USING minilog]
+    [PARTITIONED BY (c, ...)] [LOCATION '<path>'] AS <query>``.
+
+    The catalog route being API-blocked (module docstring), storage
+    location comes from LOCATION, a ``tables={name: path}`` mapping, an
+    existing catalog-shim entry, or a path-shaped name — in that order;
+    none of those is a loud error, never a silent temp dir. A NEW table
+    writes the query result as v0 (PARTITIONED BY honored — Hive-style
+    layout fixed at creation); OR REPLACE on an existing table is ONE
+    atomic overwrite commit (data AND schema — time travel to the
+    pre-replace version still works, Delta's REPLACE TABLE semantics);
+    CREATE on an existing table without OR REPLACE raises; IF NOT
+    EXISTS makes that a registered no-op instead."""
+    m = re.match(
+        r"\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?",
+        masked,
+        re.I,
+    )
+    replace = bool(m.group(1))
+    if_not_exists = bool(m.group(2))
+    if replace and if_not_exists:
+        raise ValueError("CREATE TABLE: OR REPLACE and IF NOT EXISTS conflict")
+    rest, rmask = stmt[m.end() :], masked[m.end() :]
+    tm = re.match(r"\s*(`[^`]+`|[\w./-]+)", rmask)
+    if not tm:
+        raise ValueError("CREATE TABLE: expected a table name")
+    tok = rest[tm.start(1) : tm.end(1)]
+    tail, tmask = rest[tm.end() :], rmask[tm.end() :]
+    um = re.match(r"\s*USING\s+(\w+)", tmask, re.I)
+    if um:
+        fmt = tail[um.start(1) : um.end(1)].lower()
+        if fmt != "minilog":
+            raise ValueError(f"CREATE TABLE: unsupported format {fmt!r}")
+        tail, tmask = tail[um.end() :], tmask[um.end() :]
+    part_cols: tuple = ()
+    pm = re.match(r"\s*PARTITIONED\s+BY\s*\(", tmask, re.I)
+    if pm:
+        close = tmask.index(")", pm.end())  # parens-masked: flat span
+        part_cols = tuple(
+            _ident(c) for c in _split_top(tail[pm.end() : close])
+        )
+        tail, tmask = tail[close + 1 :], tmask[close + 1 :]
+    loc = None
+    lm = re.match(r"\s*LOCATION\s+('[^']*'|\"[^\"]*\")", tmask, re.I)
+    if lm:
+        loc = tail[lm.start(1) + 1 : lm.end(1) - 1]
+        tail, tmask = tail[lm.end() :], tmask[lm.end() :]
+    am = re.match(r"\s*AS\b", tmask, re.I)
+    if not am:
+        raise ValueError(
+            "CREATE TABLE: expected AS <query> (CTAS is the SQL surface; "
+            "column-defined creation goes through create_table())"
+        )
+    query = tail[am.end() :].strip()
+    if not query:
+        raise ValueError("CREATE TABLE: empty query after AS")
+    name = _ident(tok)
+    path = loc
+    if path is None and tables:
+        for k, v in tables.items():
+            if k.lower() == name.lower():
+                path = v
+                break
+    if path is None:
+        path = _catalog(spark).get(name.lower())
+    if path is None and "/" in name:
+        path = name
+    if path is None:
+        raise ValueError(
+            f"CREATE TABLE: no storage path for {name!r} — give "
+            "LOCATION '<path>' or pass tables={name: path}"
+        )
+    _refresh_views(spark)  # CTAS sources read-your-writes
+    df = spark.sql(query)
+    # honor kwargs declared by an earlier create_table() on this path
+    # (stats/bloom cols — the ADVICE r11 shim), layered under any
+    # PARTITIONED BY from this statement
+    kw: dict = dict(_kwargs_shim(spark).get(os.path.normpath(path)) or {})
+    if part_cols:
+        kw["partition_by"] = part_cols
+    t = MiniLogTable(spark, path, **kw)
+    exists = t.version >= 0
+    if exists and if_not_exists:
+        _catalog(spark)[name.lower()] = path
+        return {"operation": "noop", "version": t.version, "table": name}
+    if exists and not replace:
+        raise ValueError(
+            f"CREATE TABLE: {name!r} already exists at {path!r} — use "
+            "CREATE OR REPLACE TABLE or IF NOT EXISTS"
+        )
+    (t.overwrite if exists else t.append)(df)
+    _catalog(spark)[name.lower()] = path
+    if kw:
+        _kwargs_shim(spark)[os.path.normpath(path)] = dict(kw)
+    if "/" not in name:
+        minilog_view(spark, path, name=name)
+    return {
+        "operation": "replace" if exists else "ctas",
+        "version": t.version,
+        "table": name,
+    }
+
+
+def _run_alter(spark, stmt, masked, tables) -> dict:
+    """ALTER TABLE, lowered onto the format's O(metadata) DDL verbs —
+    none touches a data file:
+
+    - ``ADD COLUMN <name> <type>`` / ``ADD COLUMNS (n t, ...)``
+      → :meth:`MiniLogTable.add_column` (one metaData commit each,
+      existing rows read back NULL);
+    - ``RENAME COLUMN <a> TO <b>`` → column mapping (files keep the
+      physical name);
+    - ``DROP COLUMN <c>`` → schema removal + physical-name retirement;
+    - ``ADD CONSTRAINT <n> CHECK (<expr>)`` / ``DROP CONSTRAINT <n>``
+      → the CHECK-constraint verbs (ADD validates existing rows first).
+    """
+    m = re.match(r"\s*ALTER\s+TABLE\s+", masked, re.I)
+    rest, rmask = stmt[m.end() :], masked[m.end() :]
+    tm = re.match(r"\s*(`[^`]+`|[\w./-]+)\s*", rmask)
+    if not tm:
+        raise ValueError("ALTER TABLE: expected a table name")
+    tok = rest[tm.start(1) : tm.end(1)]
+    tail, tmask = rest[tm.end() :], rmask[tm.end() :]
+    t = _table(spark, _resolve_path(spark, tok, tables))
+    out: dict
+    am = re.match(r"\s*ADD\s+COLUMNS?\s*", tmask, re.I)
+    rm = re.match(
+        r"\s*RENAME\s+COLUMN\s+(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*$",
+        tmask,
+        re.I,
+    )
+    dm = re.match(r"\s*DROP\s+COLUMN\s+(`[^`]+`|\w+)\s*$", tmask, re.I)
+    acm = re.match(
+        r"\s*ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\(", tmask, re.I
+    )
+    dcm = re.match(r"\s*DROP\s+CONSTRAINT\s+(\w+)\s*$", tmask, re.I)
+    if am:
+        body = tail[am.end() :].strip()
+        if body.startswith("(") and body.endswith(")"):
+            body = body[1:-1]
+        added = []
+        for pair in _split_top(body):
+            parts = pair.split(None, 1)
+            if len(parts) != 2:
+                raise ValueError(
+                    f"ALTER TABLE ADD COLUMN: expected '<name> <type>', "
+                    f"got {pair!r}"
+                )
+            t.add_column(_ident(parts[0]), parts[1])
+            added.append(_ident(parts[0]))
+        if not added:
+            raise ValueError("ALTER TABLE ADD COLUMN: no columns given")
+        out = {"operation": "add_column", "columns": added}
+    elif rm:
+        t.rename_column(
+            _ident(rest[tm.end() :][rm.start(1) : rm.end(1)]),
+            _ident(rest[tm.end() :][rm.start(2) : rm.end(2)]),
+        )
+        out = {"operation": "rename_column"}
+    elif dm:
+        t.drop_column(_ident(tail[dm.start(1) : dm.end(1)]))
+        out = {"operation": "drop_column"}
+    elif acm:
+        close = tmask.index(")", acm.end() - 1)
+        t.add_check_constraint(
+            acm.group(1), tail[acm.end() : close].strip()
+        )
+        out = {"operation": "add_constraint", "name": acm.group(1)}
+    elif dcm:
+        t.drop_check_constraint(dcm.group(1))
+        out = {"operation": "drop_constraint", "name": dcm.group(1)}
+    else:
+        raise ValueError(
+            "ALTER TABLE: supported verbs are ADD COLUMN(S), RENAME "
+            "COLUMN a TO b, DROP COLUMN c, ADD CONSTRAINT n CHECK "
+            "(expr), DROP CONSTRAINT n"
+        )
+    _refresh_views(spark)
+    out["version"] = t.version
+    return out
+
+
 def _parse_when(seg: str) -> tuple[str, Optional[str], str]:
     """One WHEN segment (text after the WHEN keyword) →
     (kind, condition, action-text). kind ∈ matched / not_matched /
@@ -818,7 +1001,9 @@ def run_sql(
     delete_strategy: str = "rewrite",
 ):
     """Execute one statement against MiniLog tables. DML (INSERT /
-    UPDATE / DELETE / MERGE) and the utility verbs (OPTIMIZE, VACUUM)
+    UPDATE / DELETE / MERGE), DDL (CREATE [OR REPLACE] TABLE ... AS —
+    CTAS; ALTER TABLE ADD/RENAME/DROP COLUMN + ADD/DROP CONSTRAINT)
+    and the utility verbs (OPTIMIZE, VACUUM)
     return the commit summary dict; DESCRIBE HISTORY returns a
     DataFrame; anything else is handed to ``spark.sql`` verbatim
     (after re-registering the catalog shim's views, so SELECTs see the
@@ -841,6 +1026,12 @@ def run_sql(
         return _run_insert(spark, stmt, masked, tables)
     if verb == "MERGE":
         return _run_merge(spark, stmt, masked, tables)
+    if verb == "CREATE" and re.match(
+        r"\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\b", masked, re.I
+    ):
+        return _run_create(spark, stmt, masked, tables)
+    if verb == "ALTER" and re.match(r"\s*ALTER\s+TABLE\b", masked, re.I):
+        return _run_alter(spark, stmt, masked, tables)
     if verb in ("DESCRIBE", "OPTIMIZE", "VACUUM") and re.match(
         r"\s*(DESCRIBE\s+HISTORY|OPTIMIZE|VACUUM)\b", masked, re.I
     ):

@@ -384,6 +384,10 @@ BUILD_RUNS_JOBS_OK = {
     # r12: stages two subquery-predicate DELETEs and a scalar-subquery
     # UPDATE through run_sql (each a commit); returns the read-back
     "tx_sql_delete_subquery",
+    # r12: CTAS/REPLACE and the ALTER battery stage commits through
+    # run_sql; both recompute live time-travel/schema invariants
+    # (bounded metadata counts) per call
+    "tx_sql_ctas", "tx_sql_alter",
 }
 
 

@@ -458,3 +458,146 @@ def test_catalog_route_still_blocked(spark, tmp_path):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS minilog_catalog_probe")
+
+
+# ---------------------------------------------------------- DDL (r12)
+
+
+def test_ctas_creates_and_reads_back(spark, tmp_path):
+    p = str(tmp_path / "ctas")
+    r = run_sql(
+        spark,
+        f"CREATE TABLE ctas_t LOCATION '{p}' AS "
+        "SELECT col1 AS k, col2 AS n FROM VALUES (1, 10), (2, 20)",
+    )
+    assert r == {"operation": "ctas", "version": 0, "table": "ctas_t"}
+    assert _rows(run_sql(spark, "SELECT * FROM ctas_t")) == [
+        (1, 10), (2, 20),
+    ]
+
+
+def test_ctas_needs_a_path(spark):
+    with pytest.raises(ValueError, match="no storage path"):
+        run_sql(spark, "CREATE TABLE nowhere AS SELECT 1 AS one")
+
+
+def test_ctas_duplicate_raises_if_not_exists_noop(spark, tmp_path):
+    p = str(tmp_path / "dup")
+    run_sql(spark, f"CREATE TABLE dup_t LOCATION '{p}' AS SELECT 1 AS a")
+    with pytest.raises(ValueError, match="already exists"):
+        run_sql(
+            spark, f"CREATE TABLE dup_t LOCATION '{p}' AS SELECT 2 AS a"
+        )
+    r = run_sql(
+        spark,
+        f"CREATE TABLE IF NOT EXISTS dup_t LOCATION '{p}' "
+        "AS SELECT 2 AS a",
+    )
+    assert r["operation"] == "noop"
+    assert _rows(run_sql(spark, "SELECT * FROM dup_t")) == [(1,)]
+
+
+def test_ctas_or_replace_is_atomic_and_time_travels(spark, tmp_path):
+    p = str(tmp_path / "rep")
+    run_sql(
+        spark,
+        f"CREATE TABLE rep_t LOCATION '{p}' AS "
+        "SELECT col1 AS k, col2 AS v FROM VALUES (1, 'x'), (2, 'y')",
+    )
+    r = run_sql(
+        spark,
+        f"CREATE OR REPLACE TABLE rep_t LOCATION '{p}' AS "
+        "SELECT col1 AS a FROM VALUES (9)",
+    )
+    assert r == {"operation": "replace", "version": 1, "table": "rep_t"}
+    tbl = MiniLogTable(spark, p)
+    # schema changed atomically; pre-replace snapshot still addressable
+    assert run_sql(spark, "SELECT * FROM rep_t").columns == ["a"]
+    assert tbl.read(version=0).columns == ["k", "v"]
+    assert tbl.read(version=0).count() == 2
+
+
+def test_ctas_partitioned_by_lays_out_hive_dirs(spark, tmp_path):
+    import os
+
+    p = str(tmp_path / "part")
+    run_sql(
+        spark,
+        f"CREATE TABLE part_t PARTITIONED BY (k) LOCATION '{p}' AS "
+        "SELECT col1 AS k, col2 AS n FROM VALUES ('a', 1), ('b', 2)",
+    )
+    assert {"k=a", "k=b"} <= set(os.listdir(p))
+    assert _rows(run_sql(spark, "SELECT k, n FROM part_t")) == [
+        ("a", 1), ("b", 2),
+    ]
+
+
+def test_alter_add_column_null_fills_and_inserts(spark, t):
+    run_sql(spark, "ALTER TABLE sqlt ADD COLUMN note string")
+    assert run_sql(spark, "SELECT * FROM sqlt").columns == [
+        "k", "v", "n", "note",
+    ]
+    assert _rows(
+        run_sql(spark, "SELECT k, note FROM sqlt WHERE k = 1")
+    ) == [(1, None)]
+    run_sql(
+        spark,
+        "INSERT INTO sqlt (k, v, n, note) VALUES (5, 'e', 50, 'hi')",
+    )
+    assert _rows(
+        run_sql(spark, "SELECT k, note FROM sqlt WHERE k = 5")
+    ) == [(5, "hi")]
+    # time travel to v0 presents the narrow schema
+    assert t.read(version=0).columns == ["k", "v", "n"]
+
+
+def test_alter_add_columns_handles_nested_type_commas(spark, t):
+    run_sql(
+        spark, "ALTER TABLE sqlt ADD COLUMNS (w decimal(10,2), z bigint)"
+    )
+    assert run_sql(spark, "SELECT * FROM sqlt").columns == [
+        "k", "v", "n", "w", "z",
+    ]
+    snap = t.snapshot()
+    types = {c["name"]: c["type"] for c in snap.schema}
+    assert types["w"] == "decimal(10,2)" and types["z"] == "bigint"
+
+
+def test_alter_rename_and_drop_column(spark, t):
+    run_sql(spark, "ALTER TABLE sqlt RENAME COLUMN v TO label")
+    assert _rows(
+        run_sql(spark, "SELECT k, label FROM sqlt WHERE k = 2")
+    ) == [(2, "b")]
+    run_sql(spark, "ALTER TABLE sqlt DROP COLUMN label")
+    assert run_sql(spark, "SELECT * FROM sqlt").columns == ["k", "n"]
+
+
+def test_alter_readd_after_drop_never_resurrects(spark, t):
+    run_sql(spark, "ALTER TABLE sqlt DROP COLUMN v")
+    run_sql(spark, "ALTER TABLE sqlt ADD COLUMN v string")
+    assert _rows(
+        run_sql(spark, "SELECT k, v FROM sqlt WHERE k = 1")
+    ) == [(1, None)]  # NOT 'a' — dropped bytes stay dead
+
+
+def test_alter_constraints_roundtrip(spark, t):
+    run_sql(
+        spark, "ALTER TABLE sqlt ADD CONSTRAINT n_pos CHECK (n > 0)"
+    )
+    with pytest.raises(ConstraintViolation):
+        run_sql(spark, "INSERT INTO sqlt VALUES (9, 'z', -1)")
+    run_sql(spark, "ALTER TABLE sqlt DROP CONSTRAINT n_pos")
+    run_sql(spark, "INSERT INTO sqlt VALUES (9, 'z', -1)")
+    assert _rows(
+        run_sql(spark, "SELECT k, n FROM sqlt WHERE k = 9")
+    ) == [(9, -1)]
+
+
+def test_alter_unsupported_verb_raises(spark, t):
+    with pytest.raises(ValueError, match="supported verbs"):
+        run_sql(spark, "ALTER TABLE sqlt SET TBLPROPERTIES ('a'='b')")
+
+
+def test_alter_add_duplicate_column_raises(spark, t):
+    with pytest.raises(ValueError, match="already exists"):
+        run_sql(spark, "ALTER TABLE sqlt ADD COLUMN k bigint")
