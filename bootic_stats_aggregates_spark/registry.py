@@ -145,9 +145,11 @@ _GATE_PRIORITY: list[str] = [
     "llm_fuzzy_join", "proj_select", "set_except", "set_intersect",
     "set_union", "sort_limit", "sort_orderby", "src_json_decode",
     "src_json_lines", "src_minilog_dsv2", "src_minilog_pushdown",
-    "src_parquet_scan", "src_profile_stats",
+    "src_parquet_scan",
+    # --- queued r7 remainder (slots 51+ after the five r12 head
+    # --- slots), drained next round:
+    "src_profile_stats",
     "stream_late_deadletter", "stream_minilog_dsv2_sink",
-    # --- queued r7 remainder (slots 51+), drained next round:
     "sub_scalar_corr",
     "tx_cdf_replay", "tx_change_feed", "tx_clone_zero_copy",
     "tx_deletion_vectors", "tx_history_audit", "tx_idempotent_replay",
