@@ -1529,30 +1529,64 @@ class MiniLogTable:
         gets a fresh ``col-<uuid>`` physical and can never resurrect the
         retired bytes. Racing a concurrent schema change raises
         :class:`ConcurrentModification` (``expect_schema`` pin)."""
+        return self.add_columns([(name, dtype)])
+
+    def add_columns(self, cols: list) -> int:
+        """ADD COLUMNS (n1 t1, n2 t2, ...) as ONE atomic metaData commit
+        (ADVICE r12: the per-column loop left the table half-ALTERed if
+        the second type failed to parse or a concurrent writer won the
+        race mid-loop — Delta's ADD COLUMNS is a single commit). Every
+        (name, type) pair is validated UP FRONT — duplicate checks are
+        CASE-INSENSITIVE because Spark resolves columns case-
+        insensitively by default (ADVICE r12: ``ADD COLUMN K`` beside
+        existing ``k`` would make every later read AMBIGUOUS_REFERENCE;
+        Delta rejects it the same way) — and only then does one commit
+        carry all the new columns, so concurrent readers observe either
+        the old schema or the fully-ALTERed one, never an intermediate.
+        """
         snap = self.snapshot()
         if snap.schema is None:
-            raise SchemaMismatch("add_column: table has no log schema")
-        if any(c["name"] == name for c in snap.schema):
-            raise ValueError(f"add_column: column {name!r} already exists")
-        # normalize the type through Spark's own DDL parser so the log
-        # records canonical simpleStrings ("bigint", not "BIGINT  ")
+            raise SchemaMismatch("add_columns: table has no log schema")
+        # normalize the types through Spark's own DDL parser so the log
+        # records canonical simpleStrings ("bigint", not "BIGINT  ") —
+        # ALL pairs parse before ANY schema math, so a bad later type
+        # can't leave earlier columns committed
         from pyspark.sql.types import _parse_datatype_string
 
-        dtype = _parse_datatype_string(dtype).simpleString()
+        existing = {c["name"].lower() for c in snap.schema}
+        parsed: list = []
+        for name, dtype in cols:
+            dt = _parse_datatype_string(dtype).simpleString()
+            if name.lower() in existing:
+                raise ValueError(
+                    f"add_columns: column {name!r} already exists "
+                    "(names are case-insensitive)"
+                )
+            if name.lower() in {n.lower() for n, _ in (p for p in parsed)}:
+                raise ValueError(f"add_columns: duplicate new column {name!r}")
+            parsed.append((name, dt))
+        if not parsed:
+            raise ValueError("add_columns: no columns given")
         _, fresh = plan_write_mapping(
-            [{"name": name, "type": dtype}], snap.schema, snap.retired
+            [{"name": n, "type": t} for n, t in parsed],
+            snap.schema,
+            snap.retired,
         )
-        entry: dict = {"name": name, "type": dtype}
-        if fresh.get(name, name) != name:
-            entry["physical"] = fresh[name]
+        entries = []
+        for n, t in parsed:
+            entry: dict = {"name": n, "type": t}
+            if fresh.get(n, n) != n:
+                entry["physical"] = fresh[n]
+            entries.append(entry)
         action: dict = {
             "type": "metaData",
-            "schema": list(snap.schema) + [entry],
+            "schema": list(snap.schema) + entries,
         }
         if snap.retired:
             action["retired"] = list(snap.retired)
+        label = ", ".join(f"{n} {t}" for n, t in parsed)
         return self._try_commit(
-            f"add_column({name} {dtype})",
+            f"add_columns({label})",
             [action],
             expect_schema=snap.schema,
         )
@@ -1578,8 +1612,15 @@ class MiniLogTable:
         names = [c["name"] for c in snap.schema]
         if old not in names:
             raise ValueError(f"rename_column: no column {old!r} (have {names})")
-        if new in names:
-            raise ValueError(f"rename_column: column {new!r} already exists")
+        # case-insensitive like add_columns (Spark resolves columns
+        # case-insensitively; 'new' colliding with an existing name in
+        # any case would make later reads AMBIGUOUS_REFERENCE) — except
+        # a pure case-change of the SAME column, which is legal
+        if new.lower() in {n.lower() for n in names if n != old}:
+            raise ValueError(
+                f"rename_column: column {new!r} already exists "
+                "(names are case-insensitive)"
+            )
         schema = []
         for c in snap.schema:
             if c["name"] == old:

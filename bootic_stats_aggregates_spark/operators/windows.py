@@ -1096,15 +1096,15 @@ def win_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH r AS (
       SELECT event_type,
-             CAST(date_part('day', ts) AS BIGINT) AS d,
+             date_trunc('day', ts) AS d,
              value,
              ROW_NUMBER() OVER (
-               PARTITION BY event_type, CAST(date_part('day', ts) AS BIGINT)
+               PARTITION BY event_type, date_trunc('day', ts)
                ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST,
                         value ASC NULLS FIRST
              ) AS rn_a,
              ROW_NUMBER() OVER (
-               PARTITION BY event_type, CAST(date_part('day', ts) AS BIGINT)
+               PARTITION BY event_type, date_trunc('day', ts)
                ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST,
                         value DESC NULLS LAST
              ) AS rn_d
@@ -1122,7 +1122,11 @@ def win_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC downsampling bars — the time-series resample every metrics/
-    finance pipeline runs: per (event_type, day-of-month bucket), the
+    finance pipeline runs: per (event_type, calendar-day bucket —
+    date_trunc('day'), NOT day-of-month, so Jan 5 and Feb 5 are distinct
+    bars on multi-month corpora; the r12 judge caught the dayofmonth
+    formulation and tools/hostile_fixture.py now spans two months to
+    keep it caught), the
     FIRST value in time order (open), max (high), min (low), LAST value
     (close), and the bar's row count. open/close are PICKS of existing
     doubles (row_number-gated, no float arithmetic), so the oracle
@@ -1140,7 +1144,7 @@ def win_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     the natural time-grain unit: per-partition state is one bar's rows,
     and a finer grain (hour/minute) only narrows partitions further."""
     ev = table(spark, sf_dir, "events")
-    d = F.dayofmonth("ts").cast("long").alias("d")
+    d = F.date_trunc("day", "ts").alias("d")
     fwd = [
         F.asc_nulls_first("ts"),
         F.asc_nulls_first("event_id"),

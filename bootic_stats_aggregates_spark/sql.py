@@ -542,7 +542,22 @@ def _run_insert(spark, stmt, masked, tables) -> dict:
     if not query:
         raise ValueError("INSERT: expected VALUES (...) or a query")
     _refresh_views(spark)  # SELECT sources read-your-writes
-    df = spark.sql(query)
+    try:
+        df = spark.sql(query)
+    except Exception as e:
+        if cm and qm:
+            # the '(' tail led with SELECT/VALUES/WITH/TABLE/FROM so it
+            # was treated as a parenthesized QUERY — but a first COLUMN
+            # literally named one of those keywords hits this same path
+            # and dies with an opaque parse error (ADVICE r12). Fail
+            # loudly with the disambiguation hint instead.
+            raise ValueError(
+                "INSERT: the parenthesized tail was parsed as a query "
+                "because it leads with a query keyword; if it is a "
+                "COLUMN LIST whose first column is named like one "
+                "(e.g. `values`), backtick-quote that column name"
+            ) from e
+        raise
     t = _table(spark, _resolve_path(spark, tok, tables))
     snap = t.snapshot() if t.version >= 0 else None
     if snap is None and cols is not None:
@@ -700,8 +715,10 @@ def _run_alter(spark, stmt, masked, tables) -> dict:
     none touches a data file:
 
     - ``ADD COLUMN <name> <type>`` / ``ADD COLUMNS (n t, ...)``
-      → :meth:`MiniLogTable.add_column` (one metaData commit each,
-      existing rows read back NULL);
+      → :meth:`MiniLogTable.add_columns` (ONE atomic metaData commit
+      for the whole list — all types pre-validated, so a bad later
+      type can't leave the ALTER half-applied; ADVICE r12 — existing
+      rows read back NULL);
     - ``RENAME COLUMN <a> TO <b>`` → column mapping (files keep the
       physical name);
     - ``DROP COLUMN <c>`` → schema removal + physical-name retirement;
@@ -732,7 +749,7 @@ def _run_alter(spark, stmt, masked, tables) -> dict:
         body = tail[am.end() :].strip()
         if body.startswith("(") and body.endswith(")"):
             body = body[1:-1]
-        added = []
+        pairs = []
         for pair in _split_top(body):
             parts = pair.split(None, 1)
             if len(parts) != 2:
@@ -740,11 +757,14 @@ def _run_alter(spark, stmt, masked, tables) -> dict:
                     f"ALTER TABLE ADD COLUMN: expected '<name> <type>', "
                     f"got {pair!r}"
                 )
-            t.add_column(_ident(parts[0]), parts[1])
-            added.append(_ident(parts[0]))
-        if not added:
+            pairs.append((_ident(parts[0]), parts[1]))
+        if not pairs:
             raise ValueError("ALTER TABLE ADD COLUMN: no columns given")
-        out = {"operation": "add_column", "columns": added}
+        # ONE atomic commit for the whole list (ADVICE r12): add_columns
+        # pre-parses every type, so a bad second type raises BEFORE any
+        # schema change and readers never see a half-applied ALTER
+        t.add_columns(pairs)
+        out = {"operation": "add_column", "columns": [n for n, _ in pairs]}
     elif rm:
         t.rename_column(
             _ident(rest[tm.end() :][rm.start(1) : rm.end(1)]),

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import tempfile
 
 import pytest
 
@@ -1492,7 +1493,7 @@ def test_staging_rebuilds_after_partial_teardown(spark):
     from bootic_stats_aggregates_spark.session import session_cache
 
     tag = os.path.basename(os.path.normpath(SF_DIR))
-    root = os.path.join("/tmp/bootic_minilog", tag, "ann_index")
+    root = os.path.join(tempfile.gettempdir(), "bootic_minilog", tag, "ann_index")
 
     # batch index: stage, kill ONE sibling table dir, keep the marker
     QUERIES["llm_ann_index_maintain"](spark, SF_DIR).collect()
@@ -1513,7 +1514,7 @@ def test_staging_rebuilds_after_partial_teardown(spark):
     # mview: the view table dir dies, _READY_MVIEW survives
     n0 = len(QUERIES["stream_mview_cdf"](spark, SF_DIR).collect())
     views = glob.glob(
-        os.path.join("/tmp/bootic_minilog", tag, "**", "mview_cdf_view"),
+        os.path.join(tempfile.gettempdir(), "bootic_minilog", tag, "**", "mview_cdf_view"),
         recursive=True,
     )
     assert views, "mview staging dir not found"

@@ -601,3 +601,59 @@ def test_alter_unsupported_verb_raises(spark, t):
 def test_alter_add_duplicate_column_raises(spark, t):
     with pytest.raises(ValueError, match="already exists"):
         run_sql(spark, "ALTER TABLE sqlt ADD COLUMN k bigint")
+
+
+# -------------------------------------------------- round 13 (ADVICE r12)
+
+
+def test_alter_add_columns_atomic_on_bad_type(spark, t):
+    """ADVICE r12: ADD COLUMNS (a t1, b t2) must be ONE atomic commit —
+    a bad SECOND type leaves the table completely un-ALTERed (the old
+    per-column loop had already committed 'a' by then)."""
+    v0 = t.version
+    with pytest.raises(Exception):
+        run_sql(
+            spark,
+            "ALTER TABLE sqlt ADD COLUMNS (a bigint, b no_such_type)",
+        )
+    assert t.version == v0  # nothing committed
+    assert "a" not in t.read().columns
+
+
+def test_alter_add_columns_single_commit(spark, t):
+    """The happy path is also ONE commit: two new columns, version
+    advances by exactly 1 and both are readable as NULL."""
+    v0 = t.version
+    run_sql(spark, "ALTER TABLE sqlt ADD COLUMNS (a bigint, b string)")
+    assert t.version == v0 + 1
+    assert _rows(
+        run_sql(spark, "SELECT a, b FROM sqlt WHERE k = 1")
+    ) == [(None, None)]
+
+
+def test_alter_add_column_case_insensitive_duplicate(spark, t):
+    """ADVICE r12: Spark resolves columns case-insensitively, so ADD
+    COLUMN K beside existing k must be rejected (else every later read
+    is AMBIGUOUS_REFERENCE); same for RENAME COLUMN's target name."""
+    with pytest.raises(ValueError, match="already exists"):
+        run_sql(spark, "ALTER TABLE sqlt ADD COLUMN K bigint")
+    with pytest.raises(ValueError, match="already exists"):
+        run_sql(spark, "ALTER TABLE sqlt RENAME COLUMN v TO N")
+
+
+def test_alter_rename_pure_case_change_allowed(spark, t):
+    """A pure case-change of the SAME column is legal (no ambiguity)."""
+    run_sql(spark, "ALTER TABLE sqlt RENAME COLUMN v TO V")
+    assert "V" in t.read().columns
+
+
+def test_insert_keyword_column_list_gets_hint(spark, tmp_path):
+    """ADVICE r12: a column list whose FIRST column is literally named
+    a query keyword (values/select/...) is treated as a parenthesized
+    query; the failure must carry the backtick-quoting hint, and the
+    backtick-quoted form must work."""
+    tbl = create_table(spark, "sql_kwcol", str(tmp_path / "kw"))
+    with pytest.raises(ValueError, match="backtick"):
+        run_sql(spark, "INSERT INTO sql_kwcol (values, k) VALUES (1, 2)")
+    run_sql(spark, "INSERT INTO sql_kwcol (`values`, k) VALUES (1, 2)")
+    assert tbl.read().columns == ["values", "k"]

