@@ -1945,6 +1945,146 @@ class MiniLogTable:
             "updated": int(n_updated),
         }
 
+    def update_predicate_dv(
+        self,
+        assignments: dict[str, str],
+        predicate: Optional[str] = None,
+        alias: Optional[str] = None,
+    ) -> dict:
+        """``UPDATE`` via DELETION VECTORS (merge-on-read, the public
+        Delta DV-update shape; VERDICT r12 task 2): instead of
+        rewriting every file that holds a matching row
+        (:meth:`update_where` — the r12 100x probe measured a POINT
+        update rewriting 64/64 files in 149 s because the update key
+        was unclustered), mask the matched rows' (file, position)
+        pairs in a sidecar and APPEND the replacement rows, all in ONE
+        commit — write volume O(changed rows), zero unmatched bytes
+        rewritten. At 100 TB this is the difference between a point
+        UPDATE costing a table rewrite and costing a few data pages;
+        OPTIMIZE later reclaims the masked rows during routine
+        compaction.
+
+        Contracts mirror :meth:`update_where`: every SET expression
+        evaluates against the PRE-update row (``SET a = b, b = a``
+        swaps); a NULL/false predicate row is untouched; CHECK
+        constraints validate the replacement rows; generated columns
+        recompute (assigning one raises); correlated outer references
+        resolve through ``alias``. Row ids are PRESERVED — each
+        replacement row carries its masked row's stable id in the
+        materialized ``__row_id`` column, so :meth:`changes_with_ids`
+        links the masked pre-image and the appended post-image as one
+        ``update_preimage``/``update_postimage`` pair, exactly like
+        the copy-on-write path. The commit is atomic: remove/re-add-
+        masked pairs for the touched files plus the replacement adds
+        land together, and every remove pins ``base_dv`` so a racing
+        same-file commit aborts via :class:`ConcurrentModification`.
+        """
+        snap = self.snapshot()
+        if not snap.schema or not snap.files:
+            raise SchemaMismatch(
+                "update_predicate_dv needs a non-empty log-tracked table"
+            )
+        names = {c["name"] for c in snap.schema}
+        gens = dict(snap.generated)
+        unknown = sorted(set(assignments) - names)
+        if unknown:
+            raise ValueError(
+                f"update_predicate_dv: no such column(s) {unknown}"
+            )
+        bad_gen = sorted(set(assignments) & set(gens))
+        if bad_gen:
+            raise ValueError(
+                f"update_predicate_dv: {bad_gen} are GENERATED columns — "
+                "their values derive from their expression"
+            )
+        touched = (
+            list(snap.files)
+            if predicate is None
+            else self._files_matching(snap, predicate, alias=alias)
+        )
+        if not touched:
+            return {"version": snap.version, "dv_files": 0, "updated": 0}
+        # one tagged read exposing logical columns AND (file, position,
+        # stable row id) — the _read_entries_with_ids projection with
+        # the positional columns kept, because the SAME matched rows
+        # feed both the mask (positions) and the replacements (values)
+        tagged = self._tagged_read(touched)
+        bases = self.spark.createDataFrame(
+            [(os.path.basename(e.file), e.base_row_id) for e in touched],
+            "__dv_file STRING, __base BIGINT",
+        )
+        tagged = tagged.join(F.broadcast(bases), "__dv_file", "left")
+        rid = F.col("__base") + F.col("__dv_pos")
+        if ROW_ID_COL in tagged.columns:
+            rid = F.coalesce(F.col(ROW_ID_COL), rid)
+        tagged = tagged.withColumn("__rid", rid.cast("long"))
+        cols = []
+        for c in snap.schema:
+            p = _phys(c)
+            cols.append(
+                F.col(p).cast(c["type"]).alias(c["name"])
+                if p in tagged.columns
+                else F.lit(None).cast(c["type"]).alias(c["name"])
+            )
+        proj = tagged.select(
+            *cols,
+            F.col("__dv_file").alias("__file"),
+            F.col("__dv_pos").alias("__pos"),
+            F.col("__rid"),
+        )
+        if alias:
+            proj = proj.alias(alias)
+        fire = (
+            F.expr(predicate).eqNullSafe(F.lit(True))
+            if predicate is not None
+            else F.lit(True)
+        )
+        matched = proj.filter(fire)
+        mask = matched.select(
+            F.col("__file").alias("file"),
+            F.col("__pos").alias("row_index"),
+        )
+        types = {c["name"]: c["type"] for c in snap.schema}
+        sel = []
+        for c in snap.schema:
+            n = c["name"]
+            if n in assignments:
+                # every matched row fires — no when(fire) gate needed;
+                # expressions see the PRE-update values (one projection)
+                sel.append(F.expr(assignments[n]).cast(types[n]).alias(n))
+            elif n in gens:
+                continue  # recomputed below from the updated row
+            else:
+                sel.append(F.col(n))
+        out = self._apply_generated(
+            matched.select(*sel, F.col("__rid").alias(ROW_ID_COL)), gens
+        ).select(*[c["name"] for c in snap.schema], F.col(ROW_ID_COL))
+        # constraints BEFORE the sidecar write: a violating UPDATE
+        # raises without leaving an orphaned (unreferenced) dv sidecar
+        self._validate_constraints(out, dict(snap.constraints))
+        n_updated = out.count()
+        swap, actions, _masked_total = self._dv_mask_actions(
+            snap, touched, mask
+        )
+        if not swap:
+            return {"version": snap.version, "dv_files": 0, "updated": 0}
+        # replacement adds: O(changed rows) — coalesce caps files at the
+        # touched count but never LOWERS task parallelism below the
+        # frame's own partitioning (the r12 coalesce(1) lesson)
+        actions = actions + self._stage(
+            out,
+            max(1, len(touched)),
+            mapping=_mapping_of(snap.schema),
+            partition_cols=tuple(snap.partition_cols),
+        )
+        v = self._try_commit("update_dv", actions)
+        return {
+            "version": v,
+            "dv_files": len(swap),
+            "updated": int(n_updated),
+            "rewritten": 0,
+        }
+
     def delete_where_dv(self, col: str, lo: Any, hi: Any) -> dict:
         """DELETE via DELETION VECTORS (merge-on-read, the public Delta
         DV design): instead of rewriting every file that holds a
@@ -2039,6 +2179,31 @@ class MiniLogTable:
         """Shared DV-delete commit: fold ``matched`` (file, row_index)
         pairs plus the touched entries' prior vectors into ONE sidecar
         and re-add the same files masked."""
+        swap, actions, masked_rows = self._dv_mask_actions(
+            snap, touched, matched
+        )
+        if not swap:
+            return {"version": snap.version, "dv_files": 0, "dv_rows": 0}
+        v = self._try_commit("delete_dv", actions)
+        return {
+            "version": v,
+            "dv_files": len(swap),
+            "dv_rows": masked_rows,
+            "rewritten": 0,
+        }
+
+    def _dv_mask_actions(
+        self, snap: Snapshot, touched: list, matched: DataFrame
+    ) -> tuple:
+        """Build the remove/re-add-masked action pairs for a DV commit:
+        fold ``matched`` (file, row_index) pairs plus the touched
+        entries' prior vectors into ONE sidecar and re-add the same
+        files pointing at it. Returns ``(swap_entries, actions,
+        total_masked_rows)`` — total = each swapped file's FULL
+        deletion count (prior vectors included); shared by the DV
+        delete verbs and :meth:`update_predicate_dv` (which appends its
+        replacement-row adds to the same action list for a single
+        atomic commit)."""
         new_counts = {
             r["file"]: r["n"]
             for r in matched.groupBy("file")
@@ -2049,7 +2214,7 @@ class MiniLogTable:
             e for e in touched if new_counts.get(os.path.basename(e.file))
         ]
         if not swap:
-            return {"version": snap.version, "dv_files": 0, "dv_rows": 0}
+            return [], [], 0
         mask = matched.filter(
             F.col("file").isin([os.path.basename(e.file) for e in swap])
         )
@@ -2092,13 +2257,7 @@ class MiniLogTable:
                     "cluster_epoch": e.cluster_epoch,
                 }
             )
-        v = self._try_commit("delete_dv", actions)
-        return {
-            "version": v,
-            "dv_files": len(swap),
-            "dv_rows": int(sum(totals.values())),
-            "rewritten": 0,
-        }
+        return swap, actions, int(sum(totals.values()))
 
     def _write_dv_sidecar(self, mask: DataFrame) -> str:
         """Materialize a deletion-vector mask as ONE sidecar parquet in

@@ -3119,6 +3119,104 @@ def tx_sql_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tx_sql_update_dv",
+    oracle=f"""
+    -- SQL UPDATE executed MERGE-ON-READ (deletion vectors, VERDICT
+    -- r12 task 2): the matched rows' (file, position) pairs land in
+    -- one sidecar and the replacement rows APPEND in the SAME commit
+    -- — O(changed rows) written, zero unmatched bytes rewritten
+    -- (the copy-on-write path rewrote 64/64 files for a point update
+    -- at the r12 100x probe). Row ids ride into the replacements, so
+    -- the change feed links each mask+append as ONE update pre/post
+    -- pair; SQL OPTIMIZE then physically reclaims the masked rows.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT event_type, d,
+           CAST(CASE WHEN d % 5 = 0 THEN n * 10 ELSE n END
+                AS BIGINT) AS n,
+           'append,update_dv,optimize' AS ops
+    FROM c
+    """,
+)
+def tx_sql_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV-strategy SQL UPDATE (sql.run_sql(update_strategy="dv") →
+    acid.update_predicate_dv): merge-on-read UPDATE, the public Delta
+    DV-update shape. One commit holds (a) the touched files re-added
+    with their matched positions masked in a fresh sidecar and (b) the
+    replacement rows — SET expressions evaluated against the
+    PRE-update values — appended as new files carrying the masked
+    rows' stable ids in the materialized ``__row_id`` column. Write
+    volume is O(changed rows): the r13 100x probe
+    (tools/scale100_r13.log) measures the same point update that
+    rewrote 64/64 files (149 s) under copy-on-write landing as a
+    page-sized sidecar + one replacement file.
+
+    The op pins the THREE contracts that make DV-update usable:
+    dv_files > 0 with rewritten == 0 (no data-file rewrite);
+    changes_with_ids(0, 1) yields EXCLUSIVELY linked update_preimage/
+    update_postimage pairs — count == the verb's updated count, every
+    post-image n == 10x its same-id pre-image (row-id preservation
+    across the mask+append); and SQL OPTIMIZE purges the vectors
+    without resurrecting a masked row (final read == oracle). NULL-d
+    rows never match (NULL % 5 is NULL, not 0) — the fleet NULL rule.
+    """
+    from ..sql import create_table, run_sql
+
+    tag = _tag(sf_dir)
+    name = f"minilog_dvupd_{tag}"
+    tbl, ready = _staged(spark, sf_dir, "sql_update_dv")
+    create_table(spark, name, tbl.path, stats_cols=("d",))
+    if not ready:
+        tbl.append(_day_counters(spark, sf_dir))
+        res = run_sql(
+            spark,
+            f"UPDATE {name} SET n = n * 10 WHERE d % 5 = 0",
+            update_strategy="dv",
+        )
+        assert res["dv_files"] > 0 and res.get("rewritten", 0) == 0, res
+        # masked rows invisible, vectors present pre-compaction
+        assert any(f.dv for f in tbl.snapshot().files)
+        # CDF linkage: the DV commit feeds ONLY linked update pairs —
+        # the masked pre-image and the appended post-image share ids
+        ch = tbl.changes_with_ids(0, 1)
+        pre = ch.filter(F.col("_change_type") == "update_preimage")
+        post = ch.filter(F.col("_change_type") == "update_postimage")
+        n_pre, n_post = pre.count(), post.count()
+        assert n_pre == n_post == res["updated"], (n_pre, n_post, res)
+        assert (
+            ch.filter(
+                F.col("_change_type").isin("insert", "delete")
+            ).count()
+            == 0
+        )
+        linked = pre.select(
+            "_row_id", F.col("n").alias("n_pre")
+        ).join(
+            post.select("_row_id", F.col("n").alias("n_post")),
+            "_row_id",
+        )
+        assert linked.count() == n_pre  # ids pair 1:1
+        assert (
+            linked.filter(
+                F.col("n_post") != F.col("n_pre") * 10
+            ).count()
+            == 0
+        )
+        run_sql(spark, f"OPTIMIZE {name}")
+        assert not any(f.dv for f in tbl.snapshot().files)
+        _mark_ready(tbl, sf_dir)
+    hist = run_sql(spark, f"DESCRIBE HISTORY {name}")
+    ops = ",".join(
+        r["operation"] for r in hist.orderBy("version").collect()
+    )
+    return tbl.read().select(
+        "event_type",
+        "d",
+        F.col("n").cast("long").alias("n"),
+        F.lit(ops).alias("ops"),
+    )
+
+
+@query(
     "tx_sql_delete_subquery",
     oracle=f"""
     -- SQL DML with SUBQUERY predicates (VERDICT r11 task 3): an

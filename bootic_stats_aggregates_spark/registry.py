@@ -116,49 +116,48 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: (tools/sweep_sf01_r12.log). Queries absent from this list keep
 #: their registration order after it.
 _GATE_PRIORITY: list[str] = [
-    # --- Round 12 rotation (VERDICT r11 task 1: rotate the gate to the
-    # --- 26 ids whose latest EXTERNAL driver row dates to r6 — five
-    # --- rounds stale; internal fresh-process sims cover them every
-    # --- round but the driver gate is the binding signal). Leading
-    # --- slots: the ops ADDED in round 12 (SQL DML subquery
-    # --- predicates; the IVF recall-vs-nprobe tuning curve; the SQL
-    # --- DDL legs — CTAS/REPLACE and the ALTER battery; OHLC bars).
-    "tx_sql_delete_subquery", "llm_ivf_recall_curve",
-    "tx_sql_ctas", "tx_sql_alter", "win_ohlc_bars",
-    # --- the full r6-stale cohort (26 ids), alphabetical:
-    "join_cross", "join_left_right_outer", "join_multiway",
-    "join_semi", "join_shuffle", "join_skew_salted",
-    "join_stream_static", "join_stream_stream", "join_theta_range",
-    "llm_multimodal_png", "q3_topk_join", "rank_rank_dense",
-    "rank_topk_global", "rank_topk_per_group", "snk_redis_hash",
-    "snk_redis_resp", "snk_redis_zset", "src_event_stream",
-    "stream_dedup", "stream_minilog_sink", "stream_output_modes",
-    "stream_session", "stream_sliding", "stream_stateful",
-    "stream_tumbling", "stream_watermark",
-    # --- then: the oldest r7 rows, alphabetical, filling the 50-row
-    # --- gate (19 of 41 after the five r12 head slots; the r7
-    # --- remainder queues for round 13). Every
+    # --- Round 13 rotation (VERDICT r12 task 1: the 26 ids whose
+    # --- latest EXTERNAL driver row dates to r7, plus snk_redis_uniq
+    # --- missed in the r12 rotation). Leading slots: the ops ADDED in
+    # --- round 13 (merge-on-read UPDATE via deletion vectors; the SQL
+    # --- catalog statements DROP/SHOW/DESCRIBE; the event-time
+    # --- windowed streaming mview).
+    "tx_sql_update_dv", "tx_sql_catalog", "stream_mview_windowed",
+    # --- the full r7-stale cohort (26 ids), alphabetical:
+    "src_profile_stats", "stream_late_deadletter",
+    "stream_minilog_dsv2_sink", "sub_scalar_corr", "tx_cdf_replay",
+    "tx_change_feed", "tx_clone_zero_copy", "tx_deletion_vectors",
+    "tx_history_audit", "tx_idempotent_replay", "tx_merge_filepruned",
+    "tx_mview_incremental", "tx_optimize_compact", "tx_optimize_zorder",
+    "tx_restore", "tx_time_travel", "tx_vacuum_boundary",
+    "tx_zorder_pruned", "win_ewma_decay", "win_first_last",
+    "win_funnel", "win_lag_lead", "win_moving_avg",
+    "win_running_total", "win_scd2_intervals", "win_sessionize",
+    # --- snk_redis_uniq (r12 rotation miss, VERDICT r12 task 1):
+    "snk_redis_uniq",
+    # --- then: the oldest r8 rows, alphabetical, filling the 50-row
+    # --- gate (20 of 50; the r8 remainder queues for round 14). Every
     # --- registered id additionally gets a fresh-process sim row in
-    # --- tools/driver_sim_r12*.log regardless of the gate cut.
-    "agg_aqp_sample", "agg_cube", "agg_histogram", "agg_percentile",
-    "agg_pivot", "filt_json_pred", "filt_predicate",
-    "llm_fuzzy_join", "proj_select", "set_except", "set_intersect",
-    "set_union", "sort_limit", "sort_orderby", "src_json_decode",
-    "src_json_lines", "src_minilog_dsv2", "src_minilog_pushdown",
-    "src_parquet_scan",
-    # --- queued r7 remainder (slots 51+ after the five r12 head
-    # --- slots), drained next round:
-    "src_profile_stats",
-    "stream_late_deadletter", "stream_minilog_dsv2_sink",
-    "sub_scalar_corr",
-    "tx_cdf_replay", "tx_change_feed", "tx_clone_zero_copy",
-    "tx_deletion_vectors", "tx_history_audit", "tx_idempotent_replay",
-    "tx_merge_filepruned", "tx_mview_incremental",
-    "tx_optimize_compact", "tx_optimize_zorder", "tx_restore",
-    "tx_time_travel", "tx_vacuum_boundary", "tx_zorder_pruned",
-    "win_ewma_decay", "win_first_last", "win_funnel", "win_lag_lead",
-    "win_moving_avg", "win_running_total", "win_scd2_intervals",
-    "win_sessionize",
+    # --- tools/driver_sim_r13*.log regardless of the gate cut.
+    "agg_approx_distinct", "agg_argmax", "agg_bitmap_distinct",
+    "agg_corr_stats", "agg_filtered", "agg_grouping_sets",
+    "agg_heavy_hitters_cms", "agg_hll_mergeable", "fn_regex",
+    "fn_struct", "fn_tz_bucket", "join_null_safe",
+    "join_range_bucketed", "join_shuffle_hash",
+    "llm_ann_index_maintain", "llm_ann_ivf", "llm_ann_ivfpq",
+    "llm_ann_recall", "llm_bm25_search", "llm_cc_star",
+    # --- queued r8 remainder (slots 51+), drained next round:
+    "llm_contamination", "llm_dedup_cascade", "llm_embed_neardup_lsh",
+    "llm_entropy", "llm_ivf_train", "llm_mix_weights",
+    "llm_multimodal_cols", "llm_multimodal_resize",
+    "llm_pack_sequences", "llm_pii_redact", "llm_pq_train",
+    "llm_repetition", "llm_simhash", "llm_simhash_pairs",
+    "llm_split_hash", "sample_hash_det", "sample_stratified_cap",
+    "snk_compact", "snk_minilog_dsv2_write", "snk_parquet",
+    "snk_partition_overwrite", "src_bloom_skip",
+    "stream_ann_index_maintain", "stream_cdf_feed",
+    "stream_minilog_tail", "stream_mview_cdf", "tx_check_constraint",
+    "tx_column_mapping", "tx_generated_columns", "tx_schema_evolve",
 ]
 
 

@@ -388,6 +388,14 @@ BUILD_RUNS_JOBS_OK = {
     # run_sql; both recompute live time-travel/schema invariants
     # (bounded metadata counts) per call
     "tx_sql_ctas", "tx_sql_alter",
+    # r13: stages the DV-update + OPTIMIZE commits, re-runs the CDF
+    # linkage asserts at build, and reads DESCRIBE HISTORY
+    "tx_sql_update_dv",
+    # r13: stages tables, then drives DROP/SHOW/DESCRIBE through
+    # run_sql (bounded metadata collects)
+    "tx_sql_catalog",
+    # r13: runs the windowed CDF mview's AvailableNow feed at build
+    "stream_mview_windowed",
 }
 
 
