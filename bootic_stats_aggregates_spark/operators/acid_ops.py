@@ -3217,6 +3217,121 @@ def tx_sql_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tx_sql_catalog",
+    oracle=f"""
+    -- SQL catalog utility statements (VERDICT r12 task 6): SHOW
+    -- TABLES lists the shim's registrations (glob filter), DESCRIBE
+    -- TABLE presents the live log schema + constraint metadata, DROP
+    -- TABLE unregisters (external semantics — data stays; IF EXISTS
+    -- of an unknown name is a registered no-op, plain DROP raises).
+    -- live_rows ties the probe to the data: the surviving table's
+    -- count equals the counters aggregate's cardinality.
+    WITH c AS ({_COUNTERS_SQL})
+    SELECT item, value FROM (
+      VALUES
+        ('col:event_type', 'string'),
+        ('col:d', 'bigint'),
+        ('col:n', 'bigint'),
+        ('constraint:n_nonneg', 'n >= 0'),
+        ('tables_before', 'a,b'),
+        ('tables_after', 'a'),
+        ('drop_unknown', 'noop'),
+        ('live_rows', (SELECT CAST(count(*) AS VARCHAR) FROM c))
+    ) AS v(item, value)
+    """,
+)
+def tx_sql_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL catalog statements — DROP TABLE [IF EXISTS] [PURGE], SHOW
+    TABLES [LIKE], DESCRIBE TABLE — closing the SQL surface under its
+    own DDL (VERDICT r12 task 6): a table created by CTAS/create_table
+    can now be listed, inspected, and retired without leaving SQL.
+
+    Semantics pinned here and in tests/test_sql_surface.py: DROP is
+    EXTERNAL-table shaped (the shim registration and temp view go; the
+    commit log and data stay on disk — a later create_table on the
+    same path resurrects the table at its current version; PURGE is
+    the explicit destructive opt-in); DROP of an unknown name raises
+    loudly while IF EXISTS returns a registered no-op; SHOW TABLES is
+    a pure shim+log-metadata fold (one O(#commits) version fold per
+    name, no data IO); DESCRIBE TABLE rows come from the LIVE snapshot
+    (a post-RENAME describe presents the renamed column — the
+    across-a-rename probe the r12 brief asked for is pinned in
+    tests/test_sql_surface.py::test_describe_table_across_rename).
+
+    The returned frame re-derives every probe from the verbs' actual
+    outputs: the col:/constraint: items are DESCRIBE TABLE rows, the
+    tables_before/after items are SHOW TABLES listings around the
+    DROP, drop_unknown carries the IF-EXISTS no-op, and live_rows is
+    the surviving table's count (data-dependent, so a staging bug
+    can't hide behind literals)."""
+    from ..sql import create_table, run_sql
+
+    tag = _tag(sf_dir)
+    name_a = f"minilog_cat_a_{tag}"
+    name_b = f"minilog_cat_b_{tag}"
+    tbl, ready = _staged(spark, sf_dir, "sql_catalog")
+    tbl_b, ready_b = _staged(spark, sf_dir, "sql_catalog_b")
+    create_table(spark, name_a, tbl.path, stats_cols=("d",))
+    create_table(spark, name_b, tbl_b.path)
+    if not ready:
+        tbl.append(_day_counters(spark, sf_dir))
+        run_sql(
+            spark,
+            f"ALTER TABLE {name_a} ADD CONSTRAINT n_nonneg "
+            "CHECK (n >= 0)",
+        )
+        _mark_ready(tbl, sf_dir)
+    if not ready_b:
+        run_sql(spark, f"INSERT INTO {name_b} (k) VALUES (1)")
+        _mark_ready(tbl_b, sf_dir)
+
+    def _listing() -> str:
+        rows = run_sql(
+            spark, f"SHOW TABLES LIKE 'minilog_cat_*_{tag}'"
+        ).collect()
+        # normalize to short labels so the oracle is corpus-agnostic
+        return ",".join(
+            sorted(
+                r["table_name"].split("_")[2] for r in rows
+            )
+        )
+
+    items = []
+    before = _listing()
+    desc = run_sql(spark, f"DESCRIBE TABLE {name_a}").collect()
+    for r in desc:
+        if not r["col_name"].startswith("#"):
+            items.append((f"col:{r['col_name']}", r["data_type"]))
+        elif r["col_name"].startswith("# constraint:"):
+            items.append(
+                (
+                    r["col_name"].replace("# ", "", 1),
+                    r["data_type"],
+                )
+            )
+    res = run_sql(spark, f"DROP TABLE {name_b}")
+    assert res["dropped"] is True and res["purged"] is False, res
+    after = _listing()
+    # the dropped table's DATA survived (external semantics): its
+    # version is unchanged on disk even though the name is gone
+    assert tbl_b.version >= 0
+    noop = run_sql(spark, "DROP TABLE IF EXISTS minilog_cat_nope")
+    assert noop == {"operation": "drop_table", "dropped": False}, noop
+    try:
+        run_sql(spark, "DROP TABLE minilog_cat_nope")
+        raise AssertionError("DROP of an unknown table must raise")
+    except ValueError as e:
+        assert "unknown table" in str(e)
+    items += [
+        ("tables_before", before),
+        ("tables_after", after),
+        ("drop_unknown", "noop"),
+        ("live_rows", str(tbl.read().count())),
+    ]
+    return spark.createDataFrame(items, "item STRING, value STRING")
+
+
+@query(
     "tx_sql_delete_subquery",
     oracle=f"""
     -- SQL DML with SUBQUERY predicates (VERDICT r11 task 3): an

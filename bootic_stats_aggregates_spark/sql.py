@@ -22,7 +22,9 @@ What IS shippable — and shipped here — is the Delta-Python pattern:
   statements can name tables the way SQL users expect (the shim also
   re-registers views before each SELECT — read-your-writes).
 - :func:`run_sql`: a parsed DML subset — INSERT INTO / INSERT
-  OVERWRITE, UPDATE, DELETE, MERGE INTO — lowered onto the ACID verbs
+  OVERWRITE, UPDATE, DELETE, MERGE INTO — plus the catalog utility
+  statements (DROP TABLE [IF EXISTS] [PURGE] / SHOW TABLES [LIKE] /
+  DESCRIBE TABLE) lowered onto the ACID verbs
   (``append`` / ``overwrite`` / ``update_where`` /
   ``delete_predicate`` / ``merge_clauses``). Only STATEMENT STRUCTURE
   is parsed here; every expression, predicate, and subquery is handed
@@ -44,6 +46,10 @@ Statement grammar (case-insensitive keywords, quote-aware):
             { INSERT * | INSERT (c1,...) VALUES (e1,...) }
       | WHEN NOT MATCHED BY SOURCE [AND <c>] THEN
             { UPDATE SET c=e,... | DELETE } }+
+    DROP TABLE [IF EXISTS] <name> [PURGE]    -- external semantics; PURGE deletes data
+    SHOW TABLES [LIKE '<glob>']
+    DESCRIBE TABLE <t> | DESCRIBE HISTORY <t>
+    OPTIMIZE <t> | VACUUM <t> [RETAIN <n> VERSIONS]
 
 ``<t>`` resolves through, in order: the explicit ``tables=`` mapping,
 the session catalog shim (:func:`create_table` / :func:`minilog_view`),
@@ -474,22 +480,35 @@ def _run_delete(spark, stmt, masked, tables, strategy="rewrite") -> dict:
 
 
 def _run_utility(spark, verb, stmt, masked, tables):
-    """DESCRIBE HISTORY / OPTIMIZE / VACUUM — the Delta SQL utility
-    verbs, lowered onto the table handle's maintenance methods."""
+    """DESCRIBE HISTORY/TABLE / OPTIMIZE / VACUUM — the Delta SQL
+    utility verbs, lowered onto the table handle's maintenance
+    methods."""
     if verb == "DESCRIBE":
         m = re.match(r"\s*DESCRIBE\s+HISTORY\s+(\S+)\s*$", masked, re.I)
+        if m:
+            tok = stmt[m.start(1) : m.end(1)]
+            t = _table(spark, _resolve_path(spark, tok, tables))
+            rows = [
+                (
+                    int(h["version"]),
+                    int(h["timestamp"]),
+                    str(h["operation"]),
+                )
+                for h in t.history()
+            ]
+            return spark.createDataFrame(
+                rows,
+                "version BIGINT, timestamp_us BIGINT, operation STRING",
+            )
+        m = re.match(r"\s*DESCRIBE\s+TABLE\s+(\S+)\s*$", masked, re.I)
         if not m:
             raise ValueError(
-                "DESCRIBE: only DESCRIBE HISTORY <table> is supported"
+                "DESCRIBE: DESCRIBE HISTORY <table> or DESCRIBE TABLE "
+                "<table> (bare DESCRIBE <view> falls through to Spark)"
             )
         tok = stmt[m.start(1) : m.end(1)]
-        t = _table(spark, _resolve_path(spark, tok, tables))
-        rows = [
-            (int(h["version"]), int(h["timestamp"]), str(h["operation"]))
-            for h in t.history()
-        ]
-        return spark.createDataFrame(
-            rows, "version BIGINT, timestamp_us BIGINT, operation STRING"
+        return _describe_table(
+            spark, _table(spark, _resolve_path(spark, tok, tables))
         )
     if verb == "OPTIMIZE":
         m = re.match(r"\s*OPTIMIZE\s+(\S+)\s*$", masked, re.I)
@@ -515,6 +534,115 @@ def _run_utility(spark, verb, stmt, masked, tables):
     reaped = t.vacuum(retain_last=int(m.group(2) or 1))
     _refresh_views(spark)
     return {"operation": "vacuum", "reaped": len(reaped)}
+
+
+def _describe_table(spark, t: MiniLogTable) -> DataFrame:
+    """``DESCRIBE TABLE <t>`` — the CURRENT log schema plus the table
+    metadata an operator needs before touching it (VERDICT r12 task 6):
+    one row per column in schema order (``info`` marks partition/
+    cluster keys), then the CHECK constraints, generated columns, and
+    a version property row. Pure log metadata — zero data files
+    opened; a post-RENAME describe presents the renamed name (column
+    mapping resolves logical names through the live snapshot)."""
+    snap = t.snapshot()
+    pcols = set(snap.partition_cols)
+    ccols = set(snap.cluster_cols)
+    rows: list[tuple] = []
+    for c in snap.schema or []:
+        info = (
+            "partition key"
+            if c["name"] in pcols
+            else "cluster key"
+            if c["name"] in ccols
+            else ""
+        )
+        rows.append((c["name"], c["type"], info))
+    for name, expr in sorted(snap.constraints.items()):
+        rows.append((f"# constraint:{name}", str(expr), "check"))
+    for name, expr in sorted(snap.generated.items()):
+        rows.append((f"# generated:{name}", str(expr), "generated"))
+    rows.append(("# version", str(snap.version), "property"))
+    return spark.createDataFrame(
+        rows, "col_name STRING, data_type STRING, info STRING"
+    )
+
+
+def _run_show_tables(spark, stmt, masked) -> DataFrame:
+    """``SHOW TABLES [LIKE '<pattern>']`` over the session catalog
+    shim: one row per registered name with its storage path and
+    current version (-1 = registered but never written). ``pattern``
+    uses Spark's SHOW TABLES glob (``*`` wildcard). Pure shim + log
+    metadata — O(#tables) commit-log folds, no data IO."""
+    import fnmatch
+
+    m = re.match(
+        r"\s*SHOW\s+TABLES(?:\s+LIKE\s+('[^']*'|\S+))?\s*$", masked, re.I
+    )
+    if not m:
+        raise ValueError(
+            "SHOW TABLES: expected SHOW TABLES [LIKE '<pattern>']"
+        )
+    pat = None
+    if m.group(1):
+        raw = stmt[m.start(1) : m.end(1)]
+        pat = raw[1:-1] if raw.startswith("'") else raw
+    rows = []
+    for name, path in sorted(_catalog(spark).items()):
+        if pat is not None and not fnmatch.fnmatch(name, pat.lower()):
+            continue
+        rows.append(
+            (name, path, MiniLogTable.fold_only(path, create=True).version)
+        )
+    return spark.createDataFrame(
+        rows, "table_name STRING, path STRING, version BIGINT"
+    )
+
+
+def _run_drop(spark, stmt, masked, tables) -> dict:
+    """``DROP TABLE [IF EXISTS] <name> [PURGE]`` — EXTERNAL-table
+    semantics like Spark's own DROP on an external location: the name
+    unregisters from the catalog shim (and its temp view drops), the
+    DATA AND LOG STAY on disk — re-running create_table on the same
+    path resurrects the table at its current version. ``PURGE``
+    additionally deletes the table directory (the explicit destructive
+    opt-in, Hive's PURGE). Dropping an unknown name raises unless
+    IF EXISTS (then a registered no-op). The name must be a registered
+    catalog name — paths are not droppable (there is nothing to
+    unregister)."""
+    m = re.match(
+        r"\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(`[^`]+`|\w+)"
+        r"(\s+PURGE)?\s*$",
+        masked,
+        re.I,
+    )
+    if not m:
+        raise ValueError(
+            "DROP: expected DROP TABLE [IF EXISTS] <name> [PURGE]"
+        )
+    if_exists = bool(m.group(1))
+    purge = bool(m.group(3))
+    name = _ident(stmt[m.start(2) : m.end(2)]).lower()
+    cat = _catalog(spark)
+    path = cat.get(name)
+    if path is None:
+        if if_exists:
+            return {"operation": "drop_table", "dropped": False}
+        raise ValueError(
+            f"DROP TABLE: unknown table {name!r} (IF EXISTS makes "
+            "this a no-op)"
+        )
+    del cat[name]
+    spark.catalog.dropTempView(name)
+    # retire the kwargs shim entry only when NO other registered name
+    # still points at the path (two names may share a table)
+    norm = os.path.normpath(path)
+    if all(os.path.normpath(p) != norm for p in cat.values()):
+        _kwargs_shim(spark).pop(norm, None)
+    if purge:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    return {"operation": "drop_table", "dropped": True, "purged": purge}
 
 
 def _run_insert(spark, stmt, masked, tables) -> dict:
@@ -1065,8 +1193,12 @@ def run_sql(
         return _run_create(spark, stmt, masked, tables)
     if verb == "ALTER" and re.match(r"\s*ALTER\s+TABLE\b", masked, re.I):
         return _run_alter(spark, stmt, masked, tables)
+    if verb == "DROP" and re.match(r"\s*DROP\s+TABLE\b", masked, re.I):
+        return _run_drop(spark, stmt, masked, tables)
+    if verb == "SHOW" and re.match(r"\s*SHOW\s+TABLES\b", masked, re.I):
+        return _run_show_tables(spark, stmt, masked)
     if verb in ("DESCRIBE", "OPTIMIZE", "VACUUM") and re.match(
-        r"\s*(DESCRIBE\s+HISTORY|OPTIMIZE|VACUUM)\b", masked, re.I
+        r"\s*(DESCRIBE\s+(HISTORY|TABLE)|OPTIMIZE|VACUUM)\b", masked, re.I
     ):
         return _run_utility(spark, verb, stmt, masked, tables)
     if tables:
