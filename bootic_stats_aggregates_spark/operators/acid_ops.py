@@ -1364,6 +1364,237 @@ def stream_mview_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_mview_windowed",
+    oracle="""
+    -- EVENT-TIME WINDOWED streaming mview (VERDICT r12 task 7): the
+    -- per-(hour-window, event_type) counter view over a MiniLog
+    -- table, maintained from its CDF stream at O(churn) per trigger.
+    -- The source history replays as four commit-granular micro-
+    -- batches: on-time days 11-20, days >= 21, then the day <= 10
+    -- STRAGGLERS (by then the mirrored event-time watermark stands
+    -- ~10 days past them, so they dead-letter instead of mutating
+    -- long-finalized windows), then a DV delete of days 15-16 whose
+    -- retraction rows decrement their windows to zero. Batch truth:
+    -- hour counters over days >= 11 excluding 15-16; mview_ok pins
+    -- maintained == direct-minus-deadletter, deadletter == exactly
+    -- the day <= 10 rows, and the exactly-once txn markers.
+    SELECT event_type,
+           date_trunc('hour', ts) AS h,
+           CAST(count(*) AS BIGINT) AS n,
+           true AS mview_ok
+    FROM events
+    WHERE CAST(date_part('day', ts) AS BIGINT) >= 11
+      AND CAST(date_part('day', ts) AS BIGINT) NOT IN (15, 16)
+    GROUP BY 1, 2
+    """,
+)
+def stream_mview_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME WINDOWED streaming materialized view with LATE-DATA
+    DEAD-LETTERING (VERDICT r12 task 7) — stream_mview_cdf's keyed
+    counter view upgraded to event-time windows, composed with
+    stream_late_deadletter's late-row machinery:
+
+    - the view is per (hour window, event_type) COUNT over a MiniLog
+      source, maintained by a foreachBatch fold of the table's CDF
+      stream (``readChangeFeed`` + ``withWatermark(ts, 1 hour)``,
+      commit-granular admission via maxFilesPerTrigger=1, sequential
+      AvailableNow runs on ONE checkpoint — the deterministic Python-
+      source drain from stream_minilog_ratelimit);
+    - LATE insert rows — event time below the mirrored two-watermark
+      boundary (max event time through batch k-2, minus the delay:
+      the same previous-batch-watermark mechanics measured and
+      documented in stream_late_deadletter; the driver mirror exists
+      because the stateful operator has no side output for its drops)
+      — are DEAD-LETTERED into a MiniLog quarantine table instead of
+      mutating long-finalized windows;
+    - DELETE rows (the DV-delete commit's retractions) apply
+      UNCONDITIONALLY: they are corrections from the table's own
+      history, not new observations — event-time admission governs
+      the insert stream only, and the watermark mirror advances on
+      observed insert times alone;
+    - both sinks are exactly-once: the dead-letter append and the
+      view overwrite each carry txn=(app, batchId), so a replayed
+      micro-batch commits nothing twice.
+
+    At 100 TB this is the always-on rollup job shape: O(commit churn)
+    per trigger (never O(table)), one tiny keyed view rewritten per
+    trigger, late stragglers queryable in the quarantine table rather
+    than silently lost or silently corrupting closed windows.
+    mview_ok re-derives the equivalence LIVE on every call:
+    maintained == direct-recompute-minus-deadletter (both exceptAll
+    directions), deadletter == exactly the day <= 10 straggler rows,
+    all four commits replayed, txn markers present."""
+    from ..sources.minilog_source import register
+
+    register(spark)
+    tune(spark)
+    tbl, ready = _staged(spark, sf_dir, "mview_win_src")
+    root = os.path.dirname(tbl.path)
+    vroot = os.path.join(root, "mview_win_view")
+    dlroot = os.path.join(root, "mview_win_dl")
+    marker = os.path.join(root, "_READY_MVIEW_WIN")
+    ready_v = False
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            ready_v = fh.read().strip() == _fingerprint(sf_dir)
+    if not ready:
+        ev = table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            "ts",
+            F.dayofmonth("ts").cast("long").alias("d"),
+        )
+        # three time-ordered appends + one DV-delete correction; the
+        # NULL-ts (clock-less) rows match no split — an event-time view
+        # cannot place them, so they never enter the source table
+        tbl.append(ev.filter(F.col("d").between(11, 20)))
+        tbl.append(ev.filter(F.col("d") >= 21))
+        tbl.append(ev.filter(F.col("d") <= 10))
+        tbl.delete_where_dv("d", 15, 16)
+        _mark_ready(tbl, sf_dir)
+        ready_v = False  # a rebuilt source invalidates the view
+    view = MiniLogTable(spark, vroot, stats_cols=("event_type",))
+    dl = MiniLogTable(spark, dlroot, stats_cols=("d",))
+    # marker-without-table hardening (r12): trust the marker only if
+    # BOTH downstream tables actually exist
+    if ready_v and (view.version < 0 or dl.version < 0):
+        ready_v = False
+    if not ready_v:
+        for p in (vroot, dlroot):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        view = MiniLogTable(spark, vroot, stats_cols=("event_type",))
+        dl = MiniLogTable(spark, dlroot, stats_cols=("d",))
+        view.append(
+            spark.createDataFrame(
+                [], "event_type string, h timestamp, n bigint"
+            )
+        )
+        dl.append(
+            spark.createDataFrame(
+                [],
+                "event_id bigint, event_type string, ts timestamp, "
+                "d bigint",
+            )
+        )
+        delay_s = 3600  # withWatermark("ts", "1 hour")
+        batch_max: dict[int, int] = {}  # bid -> max insert epoch-sec
+        seen: list[int] = []
+
+        def fold(bdf: DataFrame, bid: int) -> None:
+            seen.append(int(bid))
+            rows = bdf.select(
+                "event_id", "event_type", "ts", "d", "_change_type"
+            ).localCheckpoint(eager=True)  # one scan feeds 3 consumers
+            ins = rows.filter(F.col("_change_type") == "insert")
+            mx = ins.agg(
+                F.max(F.col("ts").cast("long")).alias("m")
+            ).collect()[0]["m"]
+            if mx is not None:
+                batch_max[int(bid)] = int(mx)
+            # two-watermark mirror: the late boundary for batch k is
+            # the watermark AFTER batch k-2 (previous-batch semantics,
+            # stream_late_deadletter's measured mechanics)
+            prior = [m for b, m in batch_max.items() if b <= bid - 2]
+            wm = (max(prior) - delay_s) if prior else None
+            if wm is not None:
+                late = ins.filter(F.col("ts").cast("long") < wm)
+                ontime = ins.filter(F.col("ts").cast("long") >= wm)
+            else:
+                late, ontime = ins.limit(0), ins
+            dl.append(
+                late.select("event_id", "event_type", "ts", "d"),
+                txn={"app": "mview_win_dl", "version": int(bid)},
+            )
+            sign = F.when(
+                F.col("_change_type") == "insert", F.lit(1)
+            ).otherwise(F.lit(-1))
+            delta = (
+                ontime.unionByName(
+                    rows.filter(F.col("_change_type") == "delete")
+                )
+                .groupBy(
+                    F.date_trunc("hour", "ts").alias("h"), "event_type"
+                )
+                .agg(F.sum(sign).alias("delta"))
+                .filter(F.col("delta") != 0)
+            )
+            if delta.isEmpty():
+                return
+            merged = (
+                view.read()
+                .join(delta, ["event_type", "h"], "full")
+                .select(
+                    "event_type",
+                    "h",
+                    (
+                        F.coalesce(F.col("n"), F.lit(0))
+                        + F.coalesce(F.col("delta"), F.lit(0))
+                    ).cast("long").alias("n"),
+                )
+            )
+            view.overwrite(
+                merged, txn={"app": "mview_win", "version": int(bid)}
+            )
+
+        ck = os.path.join(root, "mview_win_ck")
+        shutil.rmtree(ck, ignore_errors=True)
+        runs = 0
+        while True:
+            n_before = len(seen)
+            q = (
+                spark.readStream.format("minilog")
+                .option("readChangeFeed", "true")
+                .option("maxFilesPerTrigger", "1")
+                .load(tbl.path)
+                .withWatermark("ts", "1 hour")
+                .writeStream.foreachBatch(fold)
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300)
+            runs += 1
+            if len(seen) == n_before:  # drained: a run with no batch
+                break
+            assert runs <= 12, "windowed-mview drain did not converge"
+        assert len(seen) >= 4, (seen, "commit-granular replay expected")
+        with open(marker, "w") as fh:
+            fh.write(_fingerprint(sf_dir))
+    maintained = view.read().filter(F.col("n") != 0)
+    dl_ids = dl.read().select("event_id")
+    direct = (
+        tbl.read()
+        .join(dl_ids, "event_id", "left_anti")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    # the dead-letter set is EXACTLY the straggler commit's rows
+    stragglers = tbl.read().filter(F.col("d") <= 10).select("event_id")
+    dl_exact = (
+        dl_ids.exceptAll(stragglers).isEmpty()
+        and stragglers.exceptAll(dl_ids).isEmpty()
+    )
+    ok = (
+        dl_exact
+        and maintained.select("event_type", "h", "n")
+        .exceptAll(direct.select("event_type", "h", "n"))
+        .isEmpty()
+        and direct.select("event_type", "h", "n")
+        .exceptAll(maintained.select("event_type", "h", "n"))
+        .isEmpty()
+        and view.snapshot().txns.get("mview_win", -1) >= 0
+        and dl.snapshot().txns.get("mview_win_dl", -1) >= 0
+    )
+    return maintained.select(
+        "event_type", "h", "n", F.lit(bool(ok)).alias("mview_ok")
+    )
+
+
+@query(
     "src_minilog_dsv2",
     oracle=f"""
     -- MiniLog read through the SPARK-NATIVE DataSource surface
