@@ -2068,12 +2068,15 @@ class MiniLogTable:
         )
         if not swap:
             return {"version": snap.version, "dv_files": 0, "updated": 0}
-        # replacement adds: O(changed rows) — coalesce caps files at the
-        # touched count but never LOWERS task parallelism below the
-        # frame's own partitioning (the r12 coalesce(1) lesson)
+        # replacement adds are O(changed rows), so size the file count
+        # by ROWS (~1M rows/file), not by touched-file count: a point
+        # update lands ONE replacement file instead of len(touched)
+        # near-empty ones, while a huge update keeps enough output
+        # parallelism to avoid the r12 coalesce(1) single-task lesson
+        repl_files = max(1, min(len(touched), -(-n_updated // 1_000_000)))
         actions = actions + self._stage(
             out,
-            max(1, len(touched)),
+            int(repl_files),
             mapping=_mapping_of(snap.schema),
             partition_cols=tuple(snap.partition_cols),
         )

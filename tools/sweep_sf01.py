@@ -29,6 +29,7 @@ import json
 import os
 import shutil
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -138,22 +139,28 @@ def main() -> None:
     if not wanted:
         wanted = {op: None for op in SWEEPS}
     results: dict[str, bool] = {}
+    timings: dict[str, dict] = {}
     for op, (table, col, windows) in SWEEPS.items():
         if op not in wanted:
             continue
         if wanted[op] is not None:
             windows = [windows[wanted[op]]]
         ok = True
+        op_spark_sec = op_duck_sec = 0.0
         for lo, hi in windows:
             d = stage_slice(table, col, lo, hi)
+            t0 = time.perf_counter()
             a = _norm(queries[op](spark, d).toPandas())
+            spark_sec = round(time.perf_counter() - t0, 3)
             con = duckdb.connect()
             for t in TABLES:
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * "
                     f"FROM read_parquet('{d}/{t}.parquet')"
                 )
+            t0 = time.perf_counter()
             b = _norm(con.execute(osql[op]).fetch_df())
+            duck_sec = round(time.perf_counter() - t0, 3)
             con.close()
             match = a.shape == b.shape and bool(
                 a.astype(object)
@@ -168,13 +175,44 @@ def main() -> None:
                         "spark_rows": int(a.shape[0]),
                         "oracle_rows": int(b.shape[0]),
                         "match": match,
+                        # wall times (VERDICT r12 task 8): spark_sec is
+                        # build+execute+toPandas of the registered op on
+                        # the slice, duck_sec the oracle's — recorded so
+                        # dedup/ANN perf drift is adjudicable from the
+                        # log without a re-run (same-host A/B still the
+                        # rule for verdicts — see bench_triage_r*.md)
+                        "spark_sec": spark_sec,
+                        "duck_sec": duck_sec,
                     }
                 ),
                 flush=True,
             )
             ok = ok and match
+            op_spark_sec += spark_sec
+            op_duck_sec += duck_sec
         results[op] = ok
+        timings[op] = {
+            "spark_sec": round(op_spark_sec, 3),
+            "duck_sec": round(op_duck_sec, 3),
+        }
     print(json.dumps({"sweep": "sf0.1-bounded", "results": results}))
+    # merge the per-op timings into BENCH_FULL.json (only on a FULL
+    # sweep — a single-op invocation shouldn't clobber the record)
+    if not sys.argv[1:]:
+        bf = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_FULL.json",
+        )
+        try:
+            full = json.load(open(bf))
+        except (OSError, ValueError):
+            full = {}
+        full["sweep_sf01"] = {
+            "results": {k: bool(v) for k, v in results.items()},
+            "timings": timings,
+        }
+        with open(bf, "w") as fh:
+            json.dump(full, fh, indent=1)
     if not all(results.values()):
         sys.exit(1)
 
