@@ -104,16 +104,16 @@ def query(qid: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #: overwrite removes, stream vacuum bootstrap), then drains the oldest
 #: r3 rows — after this pass no id's latest driver check predates r6.
 #: Verification status of every entry, stated precisely (ADVICE r3 item 2):
-#: all 276 registered pairs pass the local oracle gate at sf0.01 and the
-#: round-12 fresh-process sims (tools/driver_sim_r12_gate50.log 50/50
-#: under the final gate order; driver_sim_r12_final.log the full
-#: registry; hostile_sweep_r12.log the adversarial corpus)
+#: all 279 registered pairs pass the local oracle gate at sf0.01 and the
+#: round-13 fresh-process sims (tools/driver_sim_r13_gate50.log 50/50
+#: under the final gate order; driver_sim_r13_final.log the full
+#: registry; hostile_sweep_r13.log the adversarial corpus)
 #: (tests/test_oracle.py, exact value compare); linear-oracle ops are
 #: also swept at sf0.1 (pytest with
 #: SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1, logs at
 #: tools/sweep_sf01_r4.log / _r5.log); the quadratic/recursive-oracle
 #: ops are re-verified on bounded sf0.1-distribution slices
-#: (tools/sweep_sf01_r12.log). Queries absent from this list keep
+#: (tools/sweep_sf01_r13.log, with per-slice wall times). Queries absent from this list keep
 #: their registration order after it.
 _GATE_PRIORITY: list[str] = [
     # --- Round 13 rotation (VERDICT r12 task 1: the 26 ids whose

@@ -47,7 +47,7 @@ Statement grammar (case-insensitive keywords, quote-aware):
       | WHEN NOT MATCHED BY SOURCE [AND <c>] THEN
             { UPDATE SET c=e,... | DELETE } }+
     DROP TABLE [IF EXISTS] <name> [PURGE]    -- external semantics; PURGE deletes data
-    SHOW TABLES [LIKE '<glob>']
+    SHOW TABLES [LIKE '<glob>'] | SHOW PARTITIONS <t>
     DESCRIBE TABLE <t> | DESCRIBE HISTORY <t>
     OPTIMIZE <t> | VACUUM <t> [RETAIN <n> VERSIONS]
 
@@ -1197,6 +1197,21 @@ def run_sql(
         return _run_drop(spark, stmt, masked, tables)
     if verb == "SHOW" and re.match(r"\s*SHOW\s+TABLES\b", masked, re.I):
         return _run_show_tables(spark, stmt, masked)
+    if verb == "SHOW" and re.match(
+        r"\s*SHOW\s+PARTITIONS\b", masked, re.I
+    ):
+        m = re.match(r"\s*SHOW\s+PARTITIONS\s+(\S+)\s*$", masked, re.I)
+        if not m:
+            raise ValueError(
+                "SHOW PARTITIONS: expected SHOW PARTITIONS <table>"
+            )
+        tok = stmt[m.start(1) : m.end(1)]
+        # pure log metadata: one row per live partition value with its
+        # file/row/byte footprint; raises on an unpartitioned table
+        # like Spark's own SHOW PARTITIONS (acid.show_partitions)
+        return _table(
+            spark, _resolve_path(spark, tok, tables)
+        ).show_partitions()
     if verb in ("DESCRIBE", "OPTIMIZE", "VACUUM") and re.match(
         r"\s*(DESCRIBE\s+(HISTORY|TABLE)|OPTIMIZE|VACUUM)\b", masked, re.I
     ):

@@ -749,3 +749,24 @@ def test_drop_table_purge_deletes_data(spark, tmp_path):
     res = run_sql(spark, "DROP TABLE sql_purge_me PURGE")
     assert res["purged"] is True
     assert not os.path.exists(p)
+
+
+def test_show_partitions_sql(spark, tmp_path):
+    create_table(
+        spark, "sql_showp", str(tmp_path / "sp"), partition_by=("d",)
+    )
+    run_sql(
+        spark,
+        "INSERT INTO sql_showp SELECT col1 AS k, col2 AS d "
+        "FROM VALUES (1, 10), (2, 10), (3, 20)",
+    )
+    rows = {
+        r["d"]: r["num_rows"]
+        for r in run_sql(spark, "SHOW PARTITIONS sql_showp").collect()
+    }
+    assert rows == {"10": 2, "20": 1}
+
+
+def test_show_partitions_unpartitioned_raises(spark, t):
+    with pytest.raises(ValueError, match="not partitioned"):
+        run_sql(spark, "SHOW PARTITIONS sqlt")
