@@ -206,3 +206,52 @@ def test_run_sql_update_strategy_invalid(spark, tmp_path):
             "UPDATE updv_bad SET k = 2",
             update_strategy="zigzag",
         )
+
+
+def test_update_dv_equals_copy_on_write(spark, tmp_path):
+    """PROPERTY: merge-on-read UPDATE and copy-on-write UPDATE are the
+    same logical operation — for identical tables and statements, the
+    post-update reads are row-identical and the row-id assignment is
+    identical (both paths preserve ids), across predicates that hit
+    none/some/all rows, NULL keys, and multi-column SETs."""
+    import random
+
+    rng = random.Random(13)
+    cases = [
+        ({"v": "upper(v)"}, "k % 3 = 0"),
+        ({"n": "n * 2", "v": "concat(v, '!')"}, "n >= 20"),
+        ({"v": "'all'"}, None),
+        ({"n": "-n"}, "k = 999"),  # no match
+        ({"v": "coalesce(v, 'was-null')"}, "k IS NULL OR k < 2"),
+    ]
+    for i, (assignments, pred) in enumerate(cases):
+        rows = [
+            (
+                rng.choice([None, 0, 1, 2, 3, 5, 8]),
+                rng.choice([None, "a", "b", "c"]),
+                rng.randint(0, 50),
+            )
+            for _ in range(rng.randint(1, 25))
+        ]
+        a = MiniLogTable(
+            spark, str(tmp_path / f"cow{i}"), stats_cols=("k",)
+        )
+        b = MiniLogTable(
+            spark, str(tmp_path / f"mor{i}"), stats_cols=("k",)
+        )
+        df = spark.createDataFrame(rows, "k INT, v STRING, n INT")
+        a.append(df, target_files=2)
+        b.append(df, target_files=2)
+        ra = a.update_where(assignments, pred)
+        rb = b.update_predicate_dv(assignments, pred)
+        assert ra["updated"] == rb["updated"], (i, ra, rb)
+        assert rb.get("rewritten", 0) == 0
+        ka = {
+            (r["k"], r["v"], r["n"], r["_row_id"])
+            for r in a.read_with_row_ids().collect()
+        }
+        kb = {
+            (r["k"], r["v"], r["n"], r["_row_id"])
+            for r in b.read_with_row_ids().collect()
+        }
+        assert ka == kb, (i, ka ^ kb)
