@@ -51,28 +51,59 @@ class RespError(RuntimeError):
 
 
 class _Reader:
-    """Buffered RESP reply reader over a socket."""
+    """Buffered RESP reply reader over a socket.
+
+    Consumption is tracked with an INDEX into a bytearray, compacted
+    only when the consumed prefix is large — the original ``bytes``
+    re-slicing (``self._buf = self._buf[...]``) copied the whole
+    remaining buffer per parsed element, which is O(bytes x elements):
+    at sf0.1 one staged-pipeline EXEC carries ~2x10^5 queued commands
+    in a multi-MB buffer and the quadratic copying wedged the framing
+    for minutes, tripping the 30 s socket timeout (found by this
+    round's sf0.1 sweep of snk_redis_resp; sf0.01 and below never
+    buffered enough to notice)."""
+
+    #: compact the consumed prefix once it exceeds this many bytes
+    _COMPACT = 1 << 16
 
     def __init__(self, sock: socket.socket) -> None:
         self._sock = sock
-        self._buf = b""
+        self._buf = bytearray()
+        self._pos = 0
+
+    @property
+    def pending(self) -> bool:
+        """Unconsumed bytes already buffered (a read would not block)."""
+        return self._pos < len(self._buf)
+
+    def _compact(self) -> None:
+        if self._pos >= self._COMPACT:
+            del self._buf[: self._pos]
+            self._pos = 0
+
+    def _fill(self) -> None:
+        self._compact()
+        chunk = self._sock.recv(65536)
+        if not chunk:
+            raise ConnectionError("RESP peer closed")
+        self._buf += chunk
 
     def _line(self) -> bytes:
-        while b"\r\n" not in self._buf:
-            chunk = self._sock.recv(65536)
-            if not chunk:
-                raise ConnectionError("RESP peer closed")
-            self._buf += chunk
-        line, self._buf = self._buf.split(b"\r\n", 1)
-        return line
+        while True:
+            i = self._buf.find(b"\r\n", self._pos)
+            if i >= 0:
+                line = bytes(self._buf[self._pos : i])
+                self._pos = i + 2
+                self._compact()
+                return line
+            self._fill()
 
     def _exact(self, n: int) -> bytes:
-        while len(self._buf) < n + 2:
-            chunk = self._sock.recv(65536)
-            if not chunk:
-                raise ConnectionError("RESP peer closed")
-            self._buf += chunk
-        data, self._buf = self._buf[:n], self._buf[n + 2 :]
+        while len(self._buf) - self._pos < n + 2:
+            self._fill()
+        data = bytes(self._buf[self._pos : self._pos + n])
+        self._pos += n + 2
+        self._compact()
         return data
 
     def reply(self):
@@ -136,12 +167,15 @@ class _Handler(socketserver.BaseRequestHandler):
                 self.request.sendall(b"+OK\r\n")
                 continue
             if cmd == b"EXEC":
+                # join once: += on bytes re-copies the whole reply per
+                # command (quadratic in queue length — the server-side
+                # twin of the _Reader re-slicing fix above)
                 with srv.lock:
-                    replies = b"*%d\r\n" % len(txn or [])
+                    parts_out = [b"*%d\r\n" % len(txn or [])]
                     for queued in txn or []:
-                        replies += srv.apply(queued)
+                        parts_out.append(srv.apply(queued))
                 txn = None
-                self.request.sendall(replies)
+                self.request.sendall(b"".join(parts_out))
                 continue
             if txn is not None:
                 txn.append(parts)
@@ -221,12 +255,15 @@ class MiniRedisServer:
                     h[f] = v
                 return b":%d\r\n" % fresh
             if cmd == b"HGETALL":
+                # join once — += was quadratic on the sf0.1 staging
+                # hash (~2x10^5 fields), same class of fix as EXEC
                 h = self.hashes.get(args[0].decode(), {})
-                out = b"*%d\r\n" % (2 * len(h))
+                parts_out = [b"*%d\r\n" % (2 * len(h))]
                 for f, v in h.items():
                     vb = v if isinstance(v, bytes) else str(v).encode()
-                    out += self._bulk(f) + self._bulk(vb)
-                return out
+                    parts_out.append(self._bulk(f))
+                    parts_out.append(self._bulk(vb))
+                return b"".join(parts_out)
             if cmd == b"SMEMBERS":
                 s = self.sets.get(args[0].decode(), set())
                 return b"*%d\r\n" % len(s) + b"".join(
@@ -240,10 +277,11 @@ class MiniRedisServer:
                 stop = len(members) if stop == -1 else stop + 1
                 window = members[start:stop]
                 if withscores:
-                    out = b"*%d\r\n" % (2 * len(window))
+                    parts_out = [b"*%d\r\n" % (2 * len(window))]
                     for m, s in window:
-                        out += self._bulk(m) + self._bulk(repr(s).encode())
-                    return out
+                        parts_out.append(self._bulk(m))
+                        parts_out.append(self._bulk(repr(s).encode()))
+                    return b"".join(parts_out)
                 return b"*%d\r\n" % len(window) + b"".join(
                     self._bulk(m) for m, _ in window
                 )
@@ -354,7 +392,29 @@ class RespClient:
         frames.extend(_encode(*c) for c in cmds)
         if transaction:
             frames.append(_encode("EXEC"))
-        self._sock.sendall(b"".join(frames))  # ONE burst for N commands
+        payload = b"".join(frames)
+        # Send from a helper thread while THIS thread drains replies: a
+        # one-burst sendall deadlocks once the burst outgrows the kernel
+        # socket buffers — the server replies +QUEUED per command, the
+        # un-drained replies fill the client's receive buffer, the
+        # server's sendall blocks, it stops reading, and the client's
+        # own sendall blocks in turn (hit for real by the sf0.1
+        # snk_redis_resp staging pipeline, ~2x10^5 commands ~ tens of
+        # MB; a real redis-py client survives only because a real Redis
+        # buffers replies in userspace). Full-duplex socket: one sender
+        # thread + one reader thread is safe.
+        send_err: list[BaseException] = []
+
+        def _send() -> None:
+            try:
+                self._sock.sendall(payload)
+            except BaseException as exc:  # surfaced after the drain
+                send_err.append(exc)
+
+        sender = threading.Thread(
+            target=_send, name="resp-pipeline-send", daemon=True
+        )
+        sender.start()
         # Drain EVERY queued reply before raising: a mid-drain raise
         # leaves unread replies in the buffer and desyncs the connection
         # for all later commands (ADVICE r6) — errors parse as values
@@ -371,6 +431,9 @@ class RespClient:
             out = list(exec_reply or [])
         else:
             out = [self._reader.parse() for _ in cmds]
+        sender.join()  # every reply drained => the burst fully sent
+        if send_err:
+            raise send_err[0]
         for r in out:
             if isinstance(r, RespError):
                 raise r

@@ -251,3 +251,45 @@ def test_resp_protocol_semantics():
         c.close()
     finally:
         srv.close()
+
+
+def test_resp_large_pipeline_no_deadlock_no_quadratic():
+    """r13 optimization guard: a pipeline far larger than the kernel
+    socket buffers must complete promptly. The one-burst client sendall
+    used to deadlock against the server's per-command +QUEUED replies
+    once both directions' buffers filled (~tens of KB each way), and the
+    byte-string reassembly on both ends was quadratic in command count —
+    at sf0.1 the snk_redis_resp staging pipeline (~2x10^5 commands)
+    tripped the 30 s socket timeout. 6x10^4 commands here is ~2 MB of
+    request and ~0.6 MB of inline replies: comfortably beyond any
+    default socket buffer, yet must finish in single-digit seconds."""
+    import time
+
+    from bootic_stats_aggregates_spark.sinks.resp import (
+        MiniRedisServer,
+        RespClient,
+    )
+
+    srv = MiniRedisServer()
+    try:
+        c = RespClient.from_url(srv.url)
+        n = 60_000
+        t0 = time.perf_counter()
+        p = c.pipeline(transaction=True)
+        for i in range(n):
+            p.hset("stage", f"f{i}", i)
+        replies = p.execute()
+        elapsed = time.perf_counter() - t0
+        assert len(replies) == n
+        # full round-trip read-back of the large hash (HGETALL reply
+        # assembly + client-side parse were both quadratic before)
+        t0 = time.perf_counter()
+        h = c.hgetall("stage")
+        elapsed_read = time.perf_counter() - t0
+        assert len(h) == n and h[b"f0"] == b"0"
+        # generous bounds: the quadratic forms took minutes / deadlocked
+        assert elapsed < 30, f"pipeline took {elapsed:.1f}s"
+        assert elapsed_read < 30, f"hgetall took {elapsed_read:.1f}s"
+        c.close()
+    finally:
+        srv.close()
