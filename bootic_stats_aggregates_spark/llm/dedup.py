@@ -98,15 +98,23 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Partitioning by sha2(text) rather than the raw text keeps shuffle keys
     small and uniform (a 100 TB corpus shuffles 32-byte keys, not documents).
     The oracle partitions by raw text — same equivalence classes.
-    """
-    from pyspark.sql import Window
 
+    r13 (guide §2.2): keep-lowest is a ``min_by`` HASH AGGREGATE, not a
+    row_number window. The agg gets a map-side partial combine — each
+    task collapses its rows per text hash BEFORE the exchange, so the
+    shuffle carries ~one row per distinct text per task — where the
+    window shape shuffled and SORTED every input row. doc_id is unique,
+    so min_by over it is the same deterministic keep-lowest row.
+    """
     d = table(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "source", "n_chars")
+        d.groupBy(F.sha2("text", 256).alias("__h"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang", "source", "n_chars"), "doc_id"
+            ).alias("m")
+        )
+        .select("m.doc_id", "m.lang", "m.source", "m.n_chars")
     )
 
 
@@ -184,8 +192,17 @@ def near_dup_pairs_for(docs: DataFrame) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
 
-    left = bands.alias("a")
-    right = bands.alias("b")
+    # r13 (guide §3): SHUFFLE_MERGE hint on the self-join. Left to AQE,
+    # local stats broadcast one side — which EVALUATES the whole
+    # shingle->minhash->banding subtree TWICE (once into the broadcast,
+    # once streamed; measured 2x the minhash cost in the before plan,
+    # plans/r13/llm_near_dedup_before.txt). As a sort-merge join both
+    # sides hash-partition on identical keys from an identical subplan,
+    # so ReuseExchange computes the signatures ONCE. At 100 TB a
+    # corpus-wide bands broadcast is impossible regardless — the
+    # shuffle join is the only honest shape.
+    left = bands.hint("merge").alias("a")
+    right = bands.hint("merge").alias("b")
     cand = (
         left.join(
             right,
@@ -453,31 +470,53 @@ def llm_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("llm_ngram_jaccard", oracle=_JACCARD_PAIRS_SQL)
 def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force 3-gram-shingle jaccard pairs (the LSH verify step alone).
+    """EXACT 3-gram-shingle jaccard pairs via a shingle-posting equi-join
+    (the LSH verify step alone, exhaustively — ground truth for
+    llm_near_dedup, same oracle as r12's all-pairs form).
 
-    Oracle-checked ground truth for llm_near_dedup; only run exhaustively at
-    small SF — at scale the LSH path replaces the cross join. Empty shingle
-    sets are filtered before the self-join for the same reasons as
-    :func:`near_dup_pairs_for` (0/0 is an ANSI-mode error on a pair of
-    <3-token docs; the oracle's NULL quietly drops the pair).
-    """
+    r13 (guide §3.4): the all-pairs BroadcastNestedLoopJoin (n² pairs,
+    each paying a full array_intersect/array_union) is replaced by the
+    inverted-index identity — STILL EXACT, not approximate:
+    |A∩B| = count of shingles the pair shares (one explode + equi-join
+    on the shingle + per-pair count), and for the per-doc DISTINCT
+    shingle sets _shingles emits, |A∪B| = |A| + |B| - |A∩B|, integer
+    equality. A pair sharing ZERO shingles never leaves the join — and
+    has jaccard 0 < {JACCARD_THRESHOLD}, so the oracle drops it too.
+    Measured on the sf0.1 corpus: 12.5M brute pairs with array ops →
+    1.3M counted candidate rows (Σ C(df,2)), noop 118 s → see
+    OPTIMIZATION_r13.md; and the equi-join is the only shape that
+    shuffles instead of broadcasting the corpus at 100 TB. The SAME
+    division over the SAME integers feeds round(…, 6), so results are
+    bit-identical to the brute form. Empty shingle sets are filtered
+    before posting for the same reasons as :func:`near_dup_pairs_for`
+    (0/0 is an ANSI-mode error; the oracle's NULL quietly drops the
+    pair)."""
     d = (
         table(spark, sf_dir, "documents")
         .select("doc_id", _shingles().alias("s"))
         .filter(F.size("s") > 0)
     )
-    a = d.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("s_a"))
-    b = d.select(F.col("doc_id").alias("doc_id_b"), F.col("s").alias("s_b"))
-    jac = (
-        F.size(F.array_intersect("s_a", "s_b")).cast("double")
-        / F.size(F.array_union("s_a", "s_b"))
+    posts = d.select(
+        "doc_id", F.size("s").alias("n"), F.explode("s").alias("g")
+    )
+    a = posts.hint("merge").select(
+        F.col("doc_id").alias("doc_id_a"), F.col("n").alias("n_a"), "g"
+    )
+    b = posts.hint("merge").select(
+        F.col("doc_id").alias("doc_id_b"), F.col("n").alias("n_b"), "g"
+    )
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("i")
     )
     return (
-        a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select(
-            "doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard")
-        )
+        inter.filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -515,17 +554,23 @@ _VOTES_EXPR_XXHASH = """
 """
 
 #: 64-slot vote array: fold distinct tokens' (h1, h2) through the 64 KM bits.
+#: r13 (guide §1.4 measured): the per-token CHAR-CODE ARRAY is built ONCE
+#: and shared by the h1/h2 folds — the r12 form materialized the
+#: transform(sequence(1, length(t)), i -> ascii(substr(t, i, 1))) array
+#: TWICE per token (once per seed), and substr(t, i, 1) is an O(i)
+#: code-point scan, so that doubled the dominant O(L²) term. Bit-identical
+#: votes (verified vs the two-fold form on sf0.01 and a hostile
+#: multibyte/astral-plane corpus); measured 2x: 0.60 s -> 0.31 s noop on
+#: sf0.01 documents, and llm_simhash / llm_simhash_pairs inherit it.
 _VOTES_EXPR = f"""
     aggregate(
       transform(
-        filter(array_distinct(split(text, ' ')), t -> length(t) > 0),
-        t -> named_struct(
-          'h1', aggregate(transform(sequence(1, length(t)),
-                                    i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)),
-                          7L, (a, c) -> (a * 131 + c) % {_HASH_P}),
-          'h2', aggregate(transform(sequence(1, length(t)),
-                                    i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)),
-                          13L, (a, c) -> (a * 137 + c) % {_HASH_P})
+        transform(filter(array_distinct(split(text, ' ')), t -> length(t) > 0),
+                  t -> transform(sequence(1, length(t)),
+                                 i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+        cs -> named_struct(
+          'h1', aggregate(cs, 7L, (a, c) -> (a * 131 + c) % {_HASH_P}),
+          'h2', aggregate(cs, 13L, (a, c) -> (a * 137 + c) % {_HASH_P})
         )
       ),
       array_repeat(0L, 64),
@@ -726,7 +771,12 @@ def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "band_0", "band_1", "band_2", "band_3",
         "band.band_id", "band.band_val",
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # r13 (guide §3): SHUFFLE_MERGE hint — same reasoning as the
+    # near_dup_pairs_for band join: a broadcast self-join evaluates the
+    # expensive simhash-signature subtree twice; as a sort-merge join
+    # both sides reuse ONE exchange (signatures computed once), and a
+    # corpus-wide broadcast is impossible at 100 TB anyway.
+    a, b = bands.hint("merge").alias("a"), bands.hint("merge").alias("b")
     hamming = sum(
         F.bit_count(
             F.col(f"a.band_{j}").bitwiseXOR(F.col(f"b.band_{j}"))
@@ -870,29 +920,39 @@ def llm_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold) but containment 1.0 from the small side. Real curation
     pipelines run BOTH: jaccard for peers, containment for
     quote/excerpt/aggregation-page detection. Ordered pairs because the
-    measure is directional. This is the brute oracle twin at fixture
-    scale; the 100 TB path routes candidates through the SAME MinHash
-    band join as llm_near_dedup (banding keys off the small side's
-    signature — min-wise hashes are containment-friendly since A's mins
-    survive in A∪B), then pays exact containment only on candidates.
-    """
+    measure is directional.
+
+    r13 (guide §3.4): same EXACT posting-equi-join rewrite as
+    llm_ngram_jaccard — |A∩B| is the per-ordered-pair count of shared
+    shingles (explode + equi-join on the shingle), |A| rides the posts
+    as a small int, and a pair sharing zero shingles has containment
+    0 < {CONTAINMENT_THRESHOLD} so its absence from the join output
+    matches the oracle's WHERE. The left side keeps the |A| > 0 guard
+    (0/0 is an ANSI-mode error; the oracle's NULL quietly drops the
+    pair); a right-side doc with an empty shingle set posts no rows,
+    which is exactly the zero-intersection case. Same integers, same
+    division, same round(…, 6) — bit-identical to the r12 all-pairs
+    form, without the n² BroadcastNestedLoopJoin that cannot exist at
+    100 TB."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", _shingles().alias("s")
     )
-    # len(a.s) > 0 is applied to the LEFT FRAME, not as a conjunct next to
-    # the containment predicate: the 0/0 division is an ANSI-mode error, and
-    # relying on And-short-circuit survives only until predicate pushdown
-    # splits the conjuncts.
-    a = d.filter(F.size("s") > 0).select(
-        F.col("doc_id").alias("doc_id_a"), F.col("s").alias("s_a")
+    posts = d.filter(F.size("s") > 0).select(
+        "doc_id", F.size("s").alias("n"), F.explode("s").alias("g")
     )
-    b = d.select(F.col("doc_id").alias("doc_id_b"), F.col("s").alias("s_b"))
-    cont = (
-        F.size(F.array_intersect("s_a", "s_b")).cast("double") / F.size("s_a")
+    a = posts.hint("merge").select(
+        F.col("doc_id").alias("doc_id_a"), F.col("n").alias("n_a"), "g"
     )
+    b = posts.hint("merge").select(F.col("doc_id").alias("doc_id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_id_a") != F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b", "n_a")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    cont = F.col("i").cast("double") / F.col("n_a")
     return (
-        a.join(b, F.col("doc_id_a") != F.col("doc_id_b"))
-        .filter(cont >= CONTAINMENT_THRESHOLD)
+        inter.filter(cont >= CONTAINMENT_THRESHOLD)
         .select("doc_id_a", "doc_id_b", F.round(cont, 6).alias("containment"))
     )
 

@@ -1124,6 +1124,27 @@ def _seed_centroids(e: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _ckpt_small(df: DataFrame) -> DataFrame:
+    """LAZY localCheckpoint of a bounded-size frame (K centroid rows):
+    truncates the logical lineage so a frame referenced twice per Lloyd
+    round (assign + the update's empty-cell fallback) is EVALUATED once
+    per round instead of re-deriving the whole chain back to the seeds —
+    the explain tree of the pure-lazy form carried ~7 evaluations of the
+    seed chain (54 Window nodes) at the registered ITERS=3, and the r13
+    noop bench charged llm_ann_ivfpq 8.1 s at sf0.1 for it (guide §1/§5:
+    duplicated subtree evaluation, the llm_cc_star lineage recipe).
+    ``eager=False`` defers materialization to the first ACTION when AQE
+    is off (the bench env: training runs inside the timed noop save).
+    Under AQE, Dataset.localCheckpoint's toRdd materializes the query
+    stages at BUILD — so the three training ids are exempted in
+    test_build_is_lazy_fleet_wide alongside the staging ops. Either way
+    each invocation computes the training from the parquet inputs
+    exactly once; nothing persists across invocations. ONLY for
+    broadcast-sized frames — a data-sized checkpoint would pin the
+    corpus in executor memory."""
+    return df.localCheckpoint(eager=False)
+
+
 def _train_quantizer(
     e: DataFrame, k: int, iters: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -1131,10 +1152,13 @@ def _train_quantizer(
     farthest-point init (:func:`_seed_centroids`): returns (trained
     centroids (cid, cvec), final assignment (vec_id, emb, cid)).
     Shared by llm_ivf_train (the training op) and llm_ann_ivfpq (the
-    search op that consumes a trained quantizer)."""
-    cents = _seed_centroids(e, k)
+    search op that consumes a trained quantizer). Each round's K-row
+    centroid frame is lineage-truncated via :func:`_ckpt_small` (r13:
+    the pure-lazy chain re-evaluated the seed window cascade per
+    reference, ~2^iters plan growth)."""
+    cents = _ckpt_small(_seed_centroids(e, k))
     for _ in range(iters):
-        cents = _kmeans_update(_kmeans_assign(e, cents), cents)
+        cents = _ckpt_small(_kmeans_update(_kmeans_assign(e, cents), cents))
     return cents, _kmeans_assign(e, cents)
 
 
@@ -1272,9 +1296,9 @@ def _train_pq(e: DataFrame, iters: int) -> tuple[DataFrame, DataFrame]:
     cost is a single Lloyd chain over m·n training points, not m
     sequential trainings."""
     es = _pq_subvectors(e)
-    cents = _seed_pq_centroids(es, PQ_KSUB)
+    cents = _ckpt_small(_seed_pq_centroids(es, PQ_KSUB))
     for _ in range(iters):
-        cents = _pq_update(_pq_assign(es, cents), cents)
+        cents = _ckpt_small(_pq_update(_pq_assign(es, cents), cents))
     return cents, _pq_assign(es, cents)
 
 
@@ -1445,15 +1469,17 @@ def llm_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect; each iteration is one broadcast of K centroids against the
     corpus (map-side argmin via min_by-style window), one posexplode +
     (cell, dim) partial-agg shuffle (mergeable means), and one K-row
-    re-assembly. Honest caveat, measured from the explain tree: each
-    iteration references the previous centroid frame TWICE (rebuild +
-    empty-cell fallback), so the logical plan grows ~2^ITERS — ~400
-    nodes at the registered ITERS=3, catastrophic at 20. The production
-    recipe for many rounds is the llm_cc_star pattern: localCheckpoint
-    the K-row centroid frame each round (tiny, truncates lineage) and
-    train on a corpus sample. The registered form stays pure-lazy
-    because fixed ITERS=3 keeps the plan bounded and the laziness gate
-    meaningful.
+    re-assembly. Each iteration references the previous centroid frame
+    TWICE (rebuild + empty-cell fallback), which in the pure-lazy form
+    grew the logical plan ~2^ITERS (~400 nodes at ITERS=3, ~7 full
+    re-evaluations of the seed chain measured from the explain tree) —
+    since r13 the K-row centroid frame is lineage-truncated per round
+    with a LAZY localCheckpoint (:func:`_ckpt_small`, the llm_cc_star
+    recipe): work is linear in ITERS and every invocation still
+    computes from the parquet inputs (see _ckpt_small for the
+    AQE-on build-time materialization caveat and the laziness-gate
+    exemption). At 100 TB you additionally train on a bounded corpus
+    sample.
     """
     e = _scored_vectors(spark, sf_dir).select("vec_id", "emb")
     cents, final = _train_quantizer(e, KMEANS_K, KMEANS_ITERS)

@@ -740,15 +740,19 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean log2 unigram probability per doc under the CORPUS distribution
     — the cheap language-model quality filter (docs of rare/garbled tokens
     score low; the usual stand-in where a KenLM-style perplexity gate
-    would run). Two stacked hash aggs (doc×token, token) + one equi-join
-    on token. Scale: the token join is the classic Zipf-skewed join — head
+    would run). ONE token explode → (doc, token) hash agg; the corpus
+    counts ROLL UP from the per-doc counts (r13, guide §2.2: the corpus
+    agg used to re-explode the whole corpus a second time — c_corp ==
+    sum of c_doc by definition, exact integer equality, and the rollup
+    consumes the already-aggregated doc rows) + one equi-join on token.
+    Scale: the token join is the classic Zipf-skewed join — head
     tokens dominate — which AQE's skew-split handles at cluster scale
     (same mitigation as join_skew_salted documents explicitly); everything
     else is mergeable partial aggregation. Rounded per determinism rule 3.
     """
     toks = _doc_tokens(spark, sf_dir)
     doc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c_doc"))
-    corpus = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_corp"))
+    corpus = doc.groupBy("tok").agg(F.sum("c_doc").alias("c_corp"))
     # The corpus token total stays IN the plan as a broadcast one-row
     # crossJoin (same shape as llm_tfidf_topterms / win_share_of_total) —
     # a driver-side .collect() here would make building the DataFrame
@@ -1108,11 +1112,16 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate one rung above ``llm_unigram_logprob``: word-salad text built
     from individually-common tokens scores HIGH on unigrams but LOW here,
     because P(w_i | w_{i-1}) = c(bigram)/c(context) punishes never-seen
-    transitions. Shape: bigram explode → (doc×bigram, bigram) stacked
-    hash aggs → context counts derived FROM the bigram table (no second
-    corpus scan) → two equi-joins, both Zipf-skewed like every token
-    join (AQE skew-split at cluster scale). All counts are mergeable;
-    rounded per determinism rule 3.
+    transitions. Shape: ONE bigram explode → (doc, bigram) hash agg →
+    corpus counts ROLLED UP from the per-doc counts (r13, guide §2.2:
+    the corpus-level agg used to re-explode the whole corpus a second
+    time; c_bg == sum of c_doc over docs by definition, exact integer
+    equality, so the second scan's input is the already-aggregated
+    doc_bg rows — orders of magnitude fewer than raw bigram posts) →
+    context counts derived FROM the bigram table (no third scan) → two
+    equi-joins, both Zipf-skewed like every token join (AQE skew-split
+    at cluster scale). All counts are mergeable; rounded per
+    determinism rule 3.
     """
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -1121,7 +1130,7 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_bg = posted.groupBy("doc_id", "bg").agg(
         F.count(F.lit(1)).alias("c_doc")
     )
-    corpus_bg = posted.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    corpus_bg = doc_bg.groupBy("bg").agg(F.sum("c_doc").alias("c_bg"))
     ctx = (
         corpus_bg.groupBy(
             F.split("bg", " ").getItem(0).alias("w0")
@@ -1172,21 +1181,29 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`llm_boilerplate_chunks`: the fraction of a document's distinct
     3-gram shingles appearing in no OTHER document. Curation uses it as a
     keep-signal (high-novelty docs carry information the corpus doesn't
-    already have) where boilerplate-share is a drop-signal. Shape:
-    codegen shingler -> explode -> shingle-df hash agg -> hash join back
-    -> per-doc agg; all mergeable, nothing quadratic (shingle space is
-    linear in corpus tokens), and the shingle join is Zipf-skewed like
-    every token join — AQE skew-split at cluster scale.
+    already have) where boilerplate-share is a drop-signal. Shape (r13,
+    guide §2.1): codegen shingler -> explode -> df as COUNT OVER a
+    shingle-partitioned window -> per-doc agg. The r12 form aggregated
+    df into a side table and hash-joined it back, which evaluated the
+    shingler subtree TWICE (the df agg partial-aggregates before its
+    exchange, so the join's raw-posting exchange could not be reused)
+    and cost 3 exchanges; the window computes the identical per-posting
+    df from ONE evaluation and 2 exchanges. df-per-gram is the same
+    count either way, so results are unchanged. Shingle space stays
+    linear in corpus tokens, and the g-partitioned window is
+    Zipf-skewed like every token shuffle — AQE skew handling at
+    cluster scale.
     """
     from .dedup import _shingles
 
     d = table(spark, sf_dir, "documents")
     posted = d.select("doc_id", F.explode(_shingles()).alias("g"))
-    freq = posted.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    per = posted.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
     novel = F.count_if(F.col("df") == 1)
     return (
-        posted.join(freq, "g")
-        .groupBy("doc_id")
+        per.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),
             novel.cast("long").alias("n_novel"),

@@ -174,12 +174,26 @@ def approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     error-envelope framing (the estimate itself is engine-specific, so DuckDB
     cannot reproduce it bit-for-bit — the envelope vs exact counts is the
     deterministic, hashable claim).
+
+    r13 (guide §2.2): the mixed distinct/non-distinct aggregate used to
+    plan through Catalyst's Expand (every event row duplicated per
+    aggregation group before the shuffle). Pre-grouping on (event_type,
+    user_id) replaces that: the map side collapses to ~one row per
+    distinct pair before ANY exchange, exact_users is count(user_id)
+    over the groups (one non-null uid per group — NULL uids form their
+    own group, counted by neither form), n_events is the rolled-up sum,
+    and the HLL sketch over deduplicated uids has IDENTICAL registers
+    (set semantics: duplicate hashes update the same register), so the
+    estimate is bit-equal.
     """
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    g = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return g.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).cast("long").alias("approx_users"),
-        F.countDistinct("user_id").cast("long").alias("exact_users"),
-        lcount("n_events"),
+        F.count("user_id").cast("long").alias("exact_users"),
+        F.sum("__c").cast("long").alias("n_events"),
     )
 
 

@@ -1129,44 +1129,40 @@ def win_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep it caught), the
     FIRST value in time order (open), max (high), min (low), LAST value
     (close), and the bar's row count. open/close are PICKS of existing
-    doubles (row_number-gated, no float arithmetic), so the oracle
-    compare is exact; the time order carries (event_id, value) as total-
-    order tie-breaks with EXPLICIT null placement on both engines
-    (Spark asc defaults NULLS FIRST, DuckDB NULLS LAST — pinned
-    explicitly so NULL-ts hostile rows land identically), and the
-    reverse order is the exact mirror so close is well-defined under
-    duplicate keys.
+    doubles (no float arithmetic), so the oracle compare is exact.
 
-    Scale: both window functions share one partitioning (event_type,
-    day), so the plan is ONE hash shuffle + two in-partition sorts, then
-    a partial-aggregated groupBy on the SAME keys — no second shuffle
-    (AQE coalesces; no global sort anywhere). At 100 TB the bucket is
-    the natural time-grain unit: per-partition state is one bar's rows,
-    and a finer grain (hour/minute) only narrows partitions further."""
+    r13 (guide §2.2): open/close are ``min_by``/``max_by`` over the
+    total-order struct (ts, event_id, value) — ONE partial-aggregated
+    hash aggregate, no window sorts at all. The r12 window formulation
+    (row_number fwd + row_number rev, then groupBy) was one shuffle plus
+    TWO full in-partition sorts of every event row; the aggregate form
+    collapses each map task's rows to one partial bar per (type, day)
+    BEFORE the exchange, so the shuffle carries bars, not events (26 KB
+    vs 240 MB at the 100x probe's 10M rows). Semantics are unchanged —
+    the r12 rejection of min_by was about replacing the ORACLE's window
+    form cross-engine; here the DuckDB oracle keeps its pinned
+    row_number/NULLS syntax and only the Spark side changes: Spark's
+    struct ordering compares fields left-to-right with NULL smallest
+    (asc), exactly the pinned ASC NULLS FIRST total order, and its exact
+    mirror is max_by, so close is well-defined under duplicate keys;
+    ``value`` rides the ordering struct so even a full-row tie picks an
+    identical value. NULL-ts hostile rows verified bit-equal against
+    the window form on tools/hostile_fixture.py (two-month span).
+
+    Scale: one hash shuffle of partial bars on (event_type, day); at
+    100 TB the bucket is the natural time-grain unit and a finer grain
+    (hour/minute) only narrows the aggregate state further."""
     ev = table(spark, sf_dir, "events")
     d = F.date_trunc("day", "ts").alias("d")
-    fwd = [
-        F.asc_nulls_first("ts"),
-        F.asc_nulls_first("event_id"),
-        F.asc_nulls_first("value"),
-    ]
-    rev = [
-        F.desc_nulls_last("ts"),
-        F.desc_nulls_last("event_id"),
-        F.desc_nulls_last("value"),
-    ]
-    w_a = Window.partitionBy("event_type", "d").orderBy(*fwd)
-    w_d = Window.partitionBy("event_type", "d").orderBy(*rev)
+    ordk = F.struct("ts", "event_id", "value")
     return (
         ev.select("event_type", d, "ts", "event_id", "value")
-        .withColumn("rn_a", F.row_number().over(w_a))
-        .withColumn("rn_d", F.row_number().over(w_d))
         .groupBy("event_type", "d")
         .agg(
-            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_v"),
+            F.min_by("value", ordk).alias("open_v"),
             F.max("value").alias("high_v"),
             F.min("value").alias("low_v"),
-            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_v"),
+            F.max_by("value", ordk).alias("close_v"),
             lcount("n"),
         )
     )
