@@ -68,14 +68,27 @@ def _minhash_sig(shingles: Column) -> Column:
     recomputed string hashes 32x AND re-rolled the band dice, losing a
     borderline jaccard≈0.5 pair. The string-seeded family below is the
     benchmarked, recall-proven configuration.)
+
+    r13 determinism fix: the seed prefix lambdas were written as
+    ``lambda s, i=i: …``, which PySpark's ``transform`` binds as a BINARY
+    (element, index) lambda — so ``F.lit(f"{i}:")`` stringified the INDEX
+    COLUMN and the actual prefixes were ``"Column<'y_NN'>:"`` with NN drawn
+    from a process-global lambda counter: a different hash family per
+    invocation order. Results were still oracle-exact every round (the
+    banding only proposes candidates; the exact-jaccard verify decides),
+    but the candidate set — and therefore the band-join shuffle — drifted
+    run to run. The factory below pins the intended ``"0:".."31:"`` family;
+    re-verified against the brute-jaccard oracle at sf0.001/0.01/0.1 and
+    on the planted-pair property corpus.
     """
+
+    def seeded(i: int):
+        prefix = F.lit(f"{i}:")
+        return lambda s: F.xxhash64(F.concat(prefix, s))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    shingles, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}:"), s))
-                )
-            )
+            F.array_min(F.transform(shingles, seeded(i)))
             for i in range(N_HASHES)
         ]
     )
@@ -533,63 +546,23 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HASH_P = 1_000_000_007
 
 
-#: xxhash64 vote fold — the PRODUCTION family: one 64-bit hash per token,
-#: bits read directly off the long. Measured (local[32], sf0.1 docs
-#: replicated to 50k): 28.9k docs/s vs 1.1k docs/s for the polynomial
-#: family below (the per-char rolling hash × 2 seeds + per-bit modular
-#: derivation is ~25× the cost). The polynomial family exists so the
-#: DuckDB oracle can replay signatures bit-for-bit; a cluster deployment
-#: registers the xxhash64 family (same banding math, same operator shape).
-_VOTES_EXPR_XXHASH = """
-    aggregate(
-      transform(filter(array_distinct(split(text, ' ')), t -> length(t) > 0),
-                t -> xxhash64(t)),
-      array_repeat(0L, 64),
-      (acc, h) -> zip_with(
-        acc,
-        transform(sequence(0, 63), b -> IF((shiftright(h, b) & 1) = 1, 1L, -1L)),
-        (a, v) -> a + v
-      )
-    )
+#: Per-token 64 KM bits packed into ONE BIGINT: bit b = ((h1 + (b+1)*h2)
+#: mod p) mod 2 of the seeded polynomial rolling hashes — the SAME math as
+#: before r13, just materialized as a long instead of being re-derived
+#: inside the per-document vote fold. The char-code array is built once and
+#: shared by the h1/h2 folds. Runs on the DISTINCT-TOKEN dictionary only
+#: (see simhash_bands), so its cost is O(vocabulary), not O(corpus tokens).
+_TOKEN_BITS_EXPR = f"""
+    aggregate(sequence(0, 63), 0L,
+      (a, b) -> a + IF(((__th.h1 + (CAST(b AS BIGINT) + 1) * __th.h2)
+                        % {_HASH_P}) % 2 = 1, shiftleft(1L, b), 0L))
 """
 
-#: 64-slot vote array: fold distinct tokens' (h1, h2) through the 64 KM bits.
-#: r13 (guide §1.4 measured): the per-token CHAR-CODE ARRAY is built ONCE
-#: and shared by the h1/h2 folds — the r12 form materialized the
-#: transform(sequence(1, length(t)), i -> ascii(substr(t, i, 1))) array
-#: TWICE per token (once per seed), and substr(t, i, 1) is an O(i)
-#: code-point scan, so that doubled the dominant O(L²) term. Bit-identical
-#: votes (verified vs the two-fold form on sf0.01 and a hostile
-#: multibyte/astral-plane corpus); measured 2x: 0.60 s -> 0.31 s noop on
-#: sf0.01 documents, and llm_simhash / llm_simhash_pairs inherit it.
-_VOTES_EXPR = f"""
-    aggregate(
-      transform(
-        transform(filter(array_distinct(split(text, ' ')), t -> length(t) > 0),
-                  t -> transform(sequence(1, length(t)),
-                                 i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
-        cs -> named_struct(
-          'h1', aggregate(cs, 7L, (a, c) -> (a * 131 + c) % {_HASH_P}),
-          'h2', aggregate(cs, 13L, (a, c) -> (a * 137 + c) % {_HASH_P})
-        )
-      ),
-      array_repeat(0L, 64),
-      (acc, th) -> zip_with(
-        acc,
-        transform(sequence(0, 63),
-                  b -> IF(((th.h1 + (CAST(b AS BIGINT) + 1) * th.h2)
-                           % {_HASH_P}) % 2 = 1, 1L, -1L)),
-        (a, v) -> a + v
-      )
+_TOKEN_H1H2_EXPR = f"""
+    named_struct(
+      'h1', aggregate(__cs, 7L, (a, c) -> (a * 131 + c) % {_HASH_P}),
+      'h2', aggregate(__cs, 13L, (a, c) -> (a * 137 + c) % {_HASH_P})
     )
-"""
-
-#: votes -> 4 x 16-bit band values (vote > 0 sets the bit).
-_PACK_EXPR = """
-    transform(sequence(0, 3), j ->
-      aggregate(sequence(0, 15), 0L,
-        (a, k) -> a + IF(element_at(__v, j * 16 + k + 1) > 0,
-                         shiftleft(1L, k), 0L)))
 """
 
 
@@ -599,28 +572,76 @@ def simhash_bands(
     """(doc_id, band_0..band_3, n_uniq) — shared by query + pair join.
 
     ``family="poly"`` (default, registered) is the cross-engine exact-oracle
-    hash; ``family="xxhash64"`` is the 25×-faster production family (see
-    _VOTES_EXPR_XXHASH) with identical banding semantics. Two-step select so
-    the expensive vote aggregate is computed once per row and the cheap
-    packing reads the materialized `__v` column.
-    """
-    votes = {"poly": _VOTES_EXPR, "xxhash64": _VOTES_EXPR_XXHASH}[family]
+    hash; ``family="xxhash64"`` is the production family (one xxhash64 call
+    per token) with identical banding semantics.
+
+    r13 (guide §8: decide with small rows): the signature is computed off a
+    DISTINCT-TOKEN DICTIONARY instead of per (doc, token) occurrence. The
+    r12 form folded every document's token array through interpreted
+    higher-order lambdas — the polynomial hash, the 64-bit KM derivation and
+    three 64-element array allocations ran per doc-token (22.7 s noop at
+    sf0.1, the fleet's worst compute) even though the corpus vocabulary is
+    tiny relative to token occurrences (31 distinct vs 116 k doc-token pairs
+    at sf0.1; Zipf guarantees vocab ≪ occurrences on any real corpus). Now:
+
+    1. explode the distinct per-doc tokens (``explode_outer`` keeps
+       token-less docs → all-zero signature, matching the oracle's LEFT
+       JOIN);
+    2. hash each DISTINCT corpus token once into a packed 64-bit KM long
+       (`_TOKEN_BITS_EXPR` — same math, same bits);
+    3. join the packed bits back (vocab side is small → Spark broadcasts at
+       fixture scale; at 100 TB this is the standard Zipf-skewed token
+       equi-join every token op in this repo already documents, AQE
+       skew-split applies);
+    4. votes are 64 plain ``sum(±1)`` columns in ONE codegen hash aggregate
+       with map-side partial aggregation — the exchange carries ~one 65-long
+       row per doc per task, and NO interpreted lambda runs per doc-token.
+
+    Bit-identical to the r12 fold on sf0.01 (both families) and a hostile
+    multibyte/astral-plane/empty-doc corpus; measured 22.7 s → 1.2 s noop at
+    sf0.1. The vote>0 band packing math is unchanged, applied to the sum
+    columns."""
     d = table(spark, sf_dir, "documents")
-    with_votes = d.select("doc_id", "text", F.expr(votes).alias("__v"))
-    with_bands = with_votes.select(
-        "doc_id", "text", F.expr(_PACK_EXPR).alias("__bands")
+    toks = F.filter(
+        F.array_distinct(F.split("text", " ")), lambda t: F.length(t) > 0
     )
-    return with_bands.select(
-        "doc_id",
-        *[F.element_at("__bands", j + 1).alias(f"band_{j}") for j in range(4)],
-        F.size(
-            F.filter(
-                F.array_distinct(F.split("text", " ")), lambda t: F.length(t) > 0
+    posts = d.select("doc_id", F.explode_outer(toks).alias("t"))
+    vocab = posts.select("t").where(F.col("t").isNotNull()).distinct()
+    if family == "poly":
+        vh = (
+            vocab.select(
+                "t",
+                F.expr(
+                    "transform(sequence(1, length(t)),"
+                    " i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))"
+                ).alias("__cs"),
             )
+            .select("t", F.expr(_TOKEN_H1H2_EXPR).alias("__th"))
+            .select("t", F.expr(_TOKEN_BITS_EXPR).alias("__bits"))
         )
-        .cast("long")
-        .alias("n_uniq"),
+    else:
+        vh = vocab.select("t", F.expr("xxhash64(t)").alias("__bits"))
+    joined = posts.join(vh, "t", "left")
+    votes = [
+        F.expr(
+            f"sum(CASE WHEN t IS NULL THEN 0L"
+            f" WHEN (shiftright(__bits, {b}) & 1) = 1 THEN 1L"
+            f" ELSE -1L END)"
+        ).alias(f"__v{b}")
+        for b in range(64)
+    ]
+    agg = joined.groupBy("doc_id").agg(
+        *votes, F.count("t").cast("long").alias("n_uniq")
     )
+    bands = [
+        F.expr(
+            " + ".join(
+                f"IF(__v{j * 16 + k} > 0, {1 << k}L, 0L)" for k in range(16)
+            )
+        ).alias(f"band_{j}")
+        for j in range(4)
+    ]
+    return agg.select("doc_id", *bands, "n_uniq")
 
 
 #: DuckDB twin of the simhash signature: same rolling hash, same KM bit
@@ -682,12 +703,13 @@ _SIMHASH_BANDS_SQL = f"""
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document as 4 x 16-bit band columns.
 
-    Bit-voting runs entirely inside codegen: fold the distinct tokens into a
-    64-slot vote array with aggregate+zip_with, then pack sign bits into the
-    4 Manku band values. No explode, no shuffle — per-row cost only, which is
-    what lets it run over a 100 TB corpus as a simple projection. The band
-    framing (vs one 64-bit long) is what the banding join keys on anyway,
-    avoids 1<<63 sign traps across engines, and is exact-oracle-checked.
+    r13 shape (see :func:`simhash_bands`): token-dictionary hashing + one
+    codegen hash aggregate of 64 ``sum(±1)`` vote columns — the expensive
+    cross-engine polynomial hash runs once per DISTINCT corpus token, and
+    the per-doc-token work is plain aggregation with map-side partial
+    combine (22.7 s → 1.2 s noop at sf0.1, bit-identical). The band framing
+    (vs one 64-bit long) is what the banding join keys on anyway, avoids
+    1<<63 sign traps across engines, and is exact-oracle-checked.
     """
     return simhash_bands(spark, sf_dir)
 
