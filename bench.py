@@ -83,6 +83,14 @@ EXTRA = {
     "ivf_train": "llm_ivf_train",
     "ann_recall": "llm_ann_recall",
     "bm25_search": "llm_bm25_search",
+    # r13 additions (optimization round 1): the four ops the round rewrote
+    # from quadratic/duplicated-subtree shapes — benched so the external
+    # driver's own record carries their post-rewrite numbers (and round 2
+    # can diff them). Steady-state like every EXTRA entry.
+    "simhash": "llm_simhash",
+    "simhash_pairs": "llm_simhash_pairs",
+    "ngram_jaccard": "llm_ngram_jaccard",
+    "ngram_containment": "llm_ngram_containment",
     # join_bloom_pruned is intentionally NOT benched: its builder freezes
     # the armed-plan result via localCheckpoint (registry-memoized), so a
     # repeat timing would measure the checkpoint read, not the join.
