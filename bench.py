@@ -108,6 +108,41 @@ _PROTOCOL = (
     "plan built outside the timer"
 )
 
+#: Names the one non-obvious thing about the headline steady series so the
+#: record is self-describing (VERDICT r13 task 7): it is the warm-resident-
+#: daemon twin of BASELINE.md's warm DuckDB, measured over CACHED base
+#: tables with retained shuffle outputs. The per-execution engine-vs-engine
+#: numbers are queries_fresh / fresh_suite (no plan reuse) and scale10_fresh
+#: (no table cache either, 10x data).
+_STEADY_PROTOCOL = (
+    "queries/value = min of warm re-collects of the registry-memoized plan "
+    "over SPARK_GRAFT_CACHE_TABLES=1 in-memory base tables (shuffle outputs "
+    "retained; warm-DuckDB-twin / resident-daemon shape). queries_fresh/"
+    "fresh_suite rebuild the plan per sample (full stage recompute); "
+    "scale10_fresh additionally drops the table cache and runs at 10x rows."
+)
+
+#: Steady entries whose number needs a caveat (ADVICE r13): annotations ride
+#: the record instead of silently shadowing a measurement artifact.
+_STEADY_NOTES = {
+    "ivf_train": (
+        "steady number reuses the materialized lazy-localCheckpoint centroid "
+        "RDDs held by the memoized plan — it measures checkpoint read + "
+        "final assign, not training; queries_fresh.ivf_train (own-JVM, "
+        "unmemoized builder) is the honest training time"
+    ),
+}
+
+
+def _ncpus() -> int:
+    """Core count the session will actually run with: SPARK_GRAFT_CPUS when
+    set (the driver's reduced-core runs set it), else all host cores."""
+    c = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    try:
+        return max(1, int(c))
+    except ValueError:
+        return os.cpu_count() or 4
+
 
 def _host_load() -> dict:
     """Snapshot of co-tenant pressure: 1/5/15-min loadavg + uptime seconds."""
@@ -245,12 +280,15 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "13"))
     # Local-bench tuning: small input splits so single-file fixtures scan in
     # parallel (a cluster keeps the 128 MB default and gets parallelism from
-    # many files); modest shuffle fan-out for tiny shuffles.
+    # many files). Shuffle fan-out and cached-table partitioning SCALE WITH
+    # THE CORE COUNT (VERDICT r13 task 2): a constant pinned to the local
+    # sweet spot made low-core/high-core runs identical by construction and
+    # hid core scaling from the driver's reduced-CPU probe. max(4, cpus)
+    # keeps the tiny-shuffle floor at low core counts and one reduce task
+    # per core above it.
     os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024))
-    os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "4")
-    # 8 cached partitions: best fresh-execution grid point (r5) — fewer
-    # tasks to dispatch than 16 with per-task work still trivial.
-    os.environ.setdefault("SPARK_GRAFT_CACHE_PARTS", "8")
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE", str(max(4, _ncpus())))
+    os.environ.setdefault("SPARK_GRAFT_CACHE_PARTS", str(max(8, _ncpus())))
     # Interactive-latency config: AQE's per-stage materialize+re-plan barrier
     # costs ~10 ms/stage — decisive on 30-60 ms queries, irrelevant (and ON)
     # at cluster scale. The DuckDB baseline has no such barrier either.
@@ -353,7 +391,10 @@ def main() -> None:
             k: os.environ.get(k)
             for k in ("SPARK_GRAFT_SHUFFLE", "SPARK_GRAFT_MAX_PARTITION_BYTES")
         }
-        os.environ["SPARK_GRAFT_SHUFFLE"] = "8"
+        # scale10 is the scale-bearing section: one reduce task per core
+        # (floor 8, the r6 grid point) so the driver's reduced-core runs
+        # can SEE core scaling (VERDICT r13 task 2).
+        os.environ["SPARK_GRAFT_SHUFFLE"] = str(max(8, _ncpus()))
         os.environ["SPARK_GRAFT_MAX_PARTITION_BYTES"] = str(32 * 1024 * 1024)
         try:
             from bootic_stats_aggregates_spark.scalebench import run_scale_bench
@@ -397,6 +438,8 @@ def main() -> None:
         "host_load": {"start": load_start, "end": load_end},
         "load_gate": load_gate,
         "bench_protocol": _PROTOCOL,
+        "steady_protocol": _STEADY_PROTOCOL,
+        "steady_notes": _STEADY_NOTES,
     }
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
@@ -462,8 +505,20 @@ def main() -> None:
         },
         "load_gate": load_gate,
         "bench_protocol": _PROTOCOL,
+        "steady_protocol": _STEADY_PROTOCOL,
+        "steady_notes": _STEADY_NOTES,
         "full_record": full_path,
     }
+    # Scale-bearing numbers IN the compact line (VERDICT r13 task 2,
+    # additions-only): the 25-60 ms sf0.1 headline queries are scheduling-
+    # floor-bound at any core count, so the driver's reduced-core probe
+    # could never see scaling in them; the 10x fresh series (6M-row
+    # lineitem / 1M-row events, no table cache, per-execution recompute)
+    # is where core count has work to parallelize.
+    if isinstance(scale10, dict) and "spark_fresh" in scale10:
+        compact["scale10_fresh"] = scale10["spark_fresh"]
+        compact["scale10_fresh_suite"] = scale10.get("spark_fresh_suite")
+        compact["scale10_rows"] = scale10.get("rows")
     print(json.dumps(compact))
 
 

@@ -185,8 +185,13 @@ def llm_chunk_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out never leaves the JVM. This is the shape to ship at 100 TB;
     ``udf_table`` exists for chunking policies too complex for expressions
     (bench both before choosing)."""
-    d = table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # r14: split materialized in its own projection — inline, the
+    # interpreted chunker lambda re-evaluates it per slice (O(L²)/doc;
+    # guide §1.2, the fleet-wide split-once fix).
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("__ts")
+    )
+    toks = F.col("__ts")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(CHUNK_TOKENS))).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -246,8 +251,11 @@ def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen fan-out as llm_chunk_native — transform over a per-row index
     sequence + slice/concat_ws, map-only, never leaves the JVM.
     """
-    d = table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # r14: split materialized in its own projection (see llm_chunk_native).
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("__ts")
+    )
+    toks = F.col("__ts")
     n_wins = (
         F.ceil(
             F.greatest(F.size(toks) - OVERLAP_SIZE, F.lit(0))

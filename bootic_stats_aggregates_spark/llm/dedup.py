@@ -39,15 +39,23 @@ N_BANDS = N_HASHES // BAND_ROWS
 JACCARD_THRESHOLD = 0.5
 
 
-def _shingles(text_col: str = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles via sequence+transform (pure codegen).
+def _shingles_from(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a TOKEN-ARRAY column.
 
     Docs with fewer than ``n`` tokens get an EMPTY shingle set on both
     engines (ADVICE r1: without the guard, Spark's concat_ws skipped the
     out-of-range NULL tokens — a partial shingle — while the DuckDB
     oracle's ``||`` propagated NULL — an empty set; the engines disagreed
-    for short docs)."""
-    toks = F.split(text_col, " ")
+    for short docs).
+
+    r14 (guide §1.2 per-task work): pass a MATERIALIZED token-array
+    column (``F.split(text, " ")`` aliased in its own projection), not
+    the split expression inline. Higher-order functions are evaluated
+    interpreted, so an inline ``split`` inside the lambda body is
+    re-evaluated on EVERY element_at of every gram — O(L²) token-array
+    rebuilds per document; as an attribute reference it is one row-field
+    read. CollapseProject keeps the boundary (the non-cheap split is
+    referenced n+2 times — SPARK-36718)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(
@@ -59,36 +67,51 @@ def _shingles(text_col: str = "text", n: int = 3) -> Column:
     ).otherwise(F.array_distinct(grams))
 
 
-def _minhash_sig(shingles: Column) -> Column:
-    """Array of N_HASHES min-hashes: min over shingles of seeded xxhash64.
+def _shingles(text_col: str = "text", n: int = 3) -> Column:
+    """:func:`_shingles_from` over an INLINE ``split`` — fixture-scale
+    convenience only (tests, one-shot probes): the inline split is
+    re-evaluated per element in the interpreted lambda (see
+    _shingles_from), so query paths use the two-projection form."""
+    return _shingles_from(F.split(text_col, " "), n)
 
-    (A derive-from-one-base-hash variant — hash each shingle string once,
-    seed the N_HASHES family off the long — was tried and reverted: Catalyst
-    does not CSE the base-hash subtree across the array elements, so it
-    recomputed string hashes 32x AND re-rolled the band dice, losing a
-    borderline jaccard≈0.5 pair. The string-seeded family below is the
-    benchmarked, recall-proven configuration.)
 
-    r13 determinism fix: the seed prefix lambdas were written as
-    ``lambda s, i=i: …``, which PySpark's ``transform`` binds as a BINARY
-    (element, index) lambda — so ``F.lit(f"{i}:")`` stringified the INDEX
-    COLUMN and the actual prefixes were ``"Column<'y_NN'>:"`` with NN drawn
-    from a process-global lambda counter: a different hash family per
-    invocation order. Results were still oracle-exact every round (the
-    banding only proposes candidates; the exact-jaccard verify decides),
-    but the candidate set — and therefore the band-join shuffle — drifted
-    run to run. The factory below pins the intended ``"0:".."31:"`` family;
-    re-verified against the brute-jaccard oracle at sf0.001/0.01/0.1 and
-    on the planted-pair property corpus.
+def _minhash_sig(shingle_ids: Column) -> Column:
+    """Array of N_HASHES min-hashes over PRE-HASHED 64-bit shingle ids:
+    sig[i] = min over ids of xxhash64(i, id).
+
+    r14 shingle-id dictionary (VERDICT r13 task 3, guide §8 "decide with
+    small rows"): the r13 form re-hashed every shingle STRING per seed —
+    32 string concats + 32 full string hashes per (doc, shingle)
+    occurrence, the measured compute constant of llm_near_dedup (4.1 s
+    noop, the fleet's biggest honest remainder). The caller now hashes
+    each shingle string ONCE into a long (``xxhash64(s)``) in its own
+    projection — a materialized column, so Catalyst's CollapseProject
+    keeps the single evaluation instead of inlining the non-cheap
+    subtree 32x (SPARK-36718; the r12 attempt to derive the family
+    inside ONE expression hit exactly that inlining and was reverted) —
+    and the per-seed fold is ``xxhash64(int, long)``: two fixed-width
+    values, no string walk, no allocation.
+
+    The seed closure factory (not ``lambda h, i=i``) is the r13
+    determinism lesson: PySpark binds a 2-arg lambda as a BINARY
+    (element, index) lambda, which would silently stringify the index
+    Column into the seed. The family here is pinned to seeds 0..31 by
+    construction.
+
+    Family note: seeding over ids is a DIFFERENT (equally uniform) hash
+    family than the r13 string-prefix one, so the LSH candidate set can
+    differ on borderline pairs; re-verified exact against the
+    brute-jaccard oracle at sf0.001/0.01/0.1, on the planted-pair
+    property corpus, and on the hostile corpus (OPTIMIZATION_r14.md).
     """
 
     def seeded(i: int):
-        prefix = F.lit(f"{i}:")
-        return lambda s: F.xxhash64(F.concat(prefix, s))
+        seed = F.lit(i)
+        return lambda h: F.xxhash64(seed, h)
 
     return F.array(
         *[
-            F.array_min(F.transform(shingles, seeded(i)))
+            F.array_min(F.transform(shingle_ids, seeded(i)))
             for i in range(N_HASHES)
         ]
     )
@@ -112,12 +135,14 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     small and uniform (a 100 TB corpus shuffles 32-byte keys, not documents).
     The oracle partitions by raw text — same equivalence classes.
 
-    r13 (guide §2.2): keep-lowest is a ``min_by`` HASH AGGREGATE, not a
-    row_number window. The agg gets a map-side partial combine — each
-    task collapses its rows per text hash BEFORE the exchange, so the
-    shuffle carries ~one row per distinct text per task — where the
-    window shape shuffled and SORTED every input row. doc_id is unique,
-    so min_by over it is the same deterministic keep-lowest row.
+    r13 (guide §2.2): keep-lowest is a ``min_by`` AGGREGATE, not a
+    row_number window. Physically it is a partial-aggregated
+    SORT-AGGREGATE pair (min_by's struct buffer is not hash-agg
+    mutable), but the map-side sort is by the GROUP key (the 32-byte
+    sha2) and the partial combine means the exchange carries ~one row
+    per distinct text per task — where the window shape shuffled EVERY
+    input row and then sorted each partition. doc_id is unique, so
+    min_by over it is the same deterministic keep-lowest row.
     """
     d = table(spark, sf_dir, "documents")
     return (
@@ -180,10 +205,23 @@ def near_dup_pairs_for(docs: DataFrame) -> DataFrame:
     quadratic skew bomb at web scale), and the 0/0 verify division is a
     hard DIVIDE_BY_ZERO error under ANSI mode — found by
     tests/test_properties.py::test_near_dup_pairs_for_planted_and_guards."""
-    d = docs.select("doc_id", _shingles().alias("sh")).filter(
-        F.size("sh") > 0
+    d = (
+        docs.select("doc_id", F.split("text", " ").alias("__tk"))
+        .select("doc_id", _shingles_from(F.col("__tk")).alias("sh"))
+        .filter(F.size("sh") > 0)
     )
-    sig = d.select("doc_id", "sh", _minhash_sig(F.col("sh")).alias("sig"))
+    # r14 shingle-id dictionary (see _minhash_sig): hash each shingle
+    # string ONCE into a 64-bit id in its own projection; the 32-seed
+    # min-fold then runs over fixed-width longs.
+    ids = d.select(
+        "doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("shid")
+    )
+    sig = ids.select("doc_id", _minhash_sig(F.col("shid")).alias("sig"))
+    # Band key: xxhash64 of the band's two raw signature longs (r14 —
+    # the string concat+cast formulation re-walked 32 stringified longs
+    # per doc). Equal band rows hash equal either way, so no true
+    # candidate is ever lost by this change; only hash-collision false
+    # positives differ, and those are removed by the exact verify.
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -192,13 +230,8 @@ def near_dup_pairs_for(docs: DataFrame) -> DataFrame:
                 lambda b: F.struct(
                     b.alias("band_id"),
                     F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * BAND_ROWS + 1, BAND_ROWS),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
+                        F.element_at(F.col("sig"), b * BAND_ROWS + 1),
+                        F.element_at(F.col("sig"), b * BAND_ROWS + 2),
                     ).alias("band_hash"),
                 ),
             )
@@ -494,7 +527,7 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the shingle + per-pair count), and for the per-doc DISTINCT
     shingle sets _shingles emits, |A∪B| = |A| + |B| - |A∩B|, integer
     equality. A pair sharing ZERO shingles never leaves the join — and
-    has jaccard 0 < {JACCARD_THRESHOLD}, so the oracle drops it too.
+    has jaccard 0 < 0.5 (JACCARD_THRESHOLD), so the oracle drops it too.
     Measured on the sf0.1 corpus: 12.5M brute pairs with array ops →
     1.3M counted candidate rows (Σ C(df,2)), noop 118 s → see
     OPTIMIZATION_r13.md; and the equi-join is the only shape that
@@ -506,7 +539,8 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair)."""
     d = (
         table(spark, sf_dir, "documents")
-        .select("doc_id", _shingles().alias("s"))
+        .select("doc_id", F.split("text", " ").alias("__tk"))
+        .select("doc_id", _shingles_from(F.col("__tk")).alias("s"))
         .filter(F.size("s") > 0)
     )
     posts = d.select(
@@ -948,7 +982,7 @@ def llm_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_ngram_jaccard — |A∩B| is the per-ordered-pair count of shared
     shingles (explode + equi-join on the shingle), |A| rides the posts
     as a small int, and a pair sharing zero shingles has containment
-    0 < {CONTAINMENT_THRESHOLD} so its absence from the join output
+    0 < 0.5 (CONTAINMENT_THRESHOLD) so its absence from the join output
     matches the oracle's WHERE. The left side keeps the |A| > 0 guard
     (0/0 is an ANSI-mode error; the oracle's NULL quietly drops the
     pair); a right-side doc with an empty shingle set posts no rows,
@@ -956,8 +990,10 @@ def llm_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     division, same round(…, 6) — bit-identical to the r12 all-pairs
     form, without the n² BroadcastNestedLoopJoin that cannot exist at
     100 TB."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", _shingles().alias("s")
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("__tk"))
+        .select("doc_id", _shingles_from(F.col("__tk")).alias("s"))
     )
     posts = d.filter(F.size("s") > 0).select(
         "doc_id", F.size("s").alias("n"), F.explode("s").alias("g")

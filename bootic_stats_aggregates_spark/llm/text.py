@@ -39,7 +39,13 @@ _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 def _bigram_array(toks):
     """Adjacent-bigram array of a token array. Guard: sequence(0, -1)
     would DESCEND for 1-token docs, so the build is gated on size >= 2
-    (same contract as the oracles' range())."""
+    (same contract as the oracles' range()).
+
+    r14: pass a MATERIALIZED token-array column (split aliased in its
+    own projection), not an inline split expression — higher-order
+    functions evaluate interpreted, so an inline split in the lambda
+    body is rebuilt on every element_at (O(L²) per doc); an attribute
+    reference is one row-field read (guide §1.2)."""
     return F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -163,8 +169,11 @@ def llm_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _bigram_array gates on size >= 2: a bare sequence(1, size-1) DESCENDS
     # ([1, 0]) for 1-token docs — an ANSI element_at error, where the
     # oracle's range(1, 0) is empty (hostile-fixture sweep finding, r5).
+    # r14: split materialized in its own projection — inline, the
+    # interpreted lambda re-evaluates it per element_at (O(L²)/doc).
     return (
-        d.select(F.explode(_bigram_array(_toks())).alias("bigram"))
+        d.select(F.split("text", " ").alias("__ts"))
+        .select(F.explode(_bigram_array(F.col("__ts"))).alias("bigram"))
         .groupBy("bigram")
         .agg(lcount("n"))
     )
@@ -447,10 +456,12 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the join to shrink the broadcast; kept as raw strings here so
     the oracle can replay byte-for-byte.)
     """
-    from .dedup import _shingles
+    from .dedup import _shingles_from
 
-    d = table(spark, sf_dir, "documents")
-    grams8 = _shingles(n=CONTAM_NGRAM)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("__tk")
+    )
+    grams8 = _shingles_from(F.col("__tk"), n=CONTAM_NGRAM)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench = (
         d.filter(is_bench)
@@ -698,9 +709,13 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition signal real curation pipelines gate on.
     """
     d = table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    bgs = _bigram_array(toks)
-    withb = d.select("doc_id", bgs.alias("bgs")).filter(F.size("bgs") > 0)
+    # r14: split materialized in its own projection (see _bigram_array) —
+    # still a pure scan -> project chain, no shuffle added.
+    withb = (
+        d.select("doc_id", F.split("text", " ").alias("__ts"))
+        .select("doc_id", _bigram_array(F.col("__ts")).alias("bgs"))
+        .filter(F.size("bgs") > 0)
+    )
     n, u = F.size("bgs"), F.size(F.array_distinct("bgs"))
     return withb.select(
         "doc_id",
@@ -876,8 +891,12 @@ def llm_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_unigram_logprob — AQE skew-split territory at 100 TB; nothing is
     quadratic (chunk space is linear in corpus tokens).
     """
-    d = table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # r14: split materialized in its own projection — inline, the
+    # interpreted chunker lambda re-evaluates it per slice (O(L²/20)/doc).
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("__ts")
+    )
+    toks = F.col("__ts")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(BOILER_CHUNK_TOKENS))).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -1124,21 +1143,30 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism rule 3.
     """
     d = table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    bgs = _bigram_array(toks)
-    posted = d.select("doc_id", F.explode(bgs).alias("bg"))
+    # r14 (VERDICT r13 task 9, guide §1.2 per-task work): materialize the
+    # split ONCE per row in its own projection. _bigram_array's lambda
+    # references the token array per element (two element_at per bigram),
+    # and higher-order functions evaluate interpreted — an inline
+    # split(text) there is rebuilt per element_at, O(L²) per doc. As an
+    # attribute it is a row-field read. Same rows, same bigrams.
+    posted = d.select(
+        "doc_id", F.split("text", " ").alias("__ts")
+    ).select("doc_id", F.explode(_bigram_array(F.col("__ts"))).alias("bg"))
     doc_bg = posted.groupBy("doc_id", "bg").agg(
         F.count(F.lit(1)).alias("c_doc")
     )
     corpus_bg = doc_bg.groupBy("bg").agg(F.sum("c_doc").alias("c_bg"))
-    ctx = (
-        corpus_bg.groupBy(
-            F.split("bg", " ").getItem(0).alias("w0")
-        ).agg(F.sum("c_bg").alias("c_ctx"))
+    # w0 = the bigram's first token: substring_index walks the string to
+    # the first space — bigrams are "w0 w1" with space-free tokens (the
+    # tokenizer splits on ' '), so this equals split(bg,' ')[0] without
+    # allocating the 2-element array per row.
+    w0 = F.substring_index("bg", " ", 1)
+    ctx = corpus_bg.groupBy(w0.alias("w0")).agg(
+        F.sum("c_bg").alias("c_ctx")
     )
     joined = (
         doc_bg.join(corpus_bg, "bg")
-        .withColumn("w0", F.split("bg", " ").getItem(0))
+        .withColumn("w0", w0)
         .join(ctx, "w0")
     )
     return joined.groupBy("doc_id").agg(
@@ -1181,29 +1209,36 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`llm_boilerplate_chunks`: the fraction of a document's distinct
     3-gram shingles appearing in no OTHER document. Curation uses it as a
     keep-signal (high-novelty docs carry information the corpus doesn't
-    already have) where boilerplate-share is a drop-signal. Shape (r13,
-    guide §2.1): codegen shingler -> explode -> df as COUNT OVER a
-    shingle-partitioned window -> per-doc agg. The r12 form aggregated
-    df into a side table and hash-joined it back, which evaluated the
-    shingler subtree TWICE (the df agg partial-aggregates before its
-    exchange, so the join's raw-posting exchange could not be reused)
-    and cost 3 exchanges; the window computes the identical per-posting
-    df from ONE evaluation and 2 exchanges. df-per-gram is the same
-    count either way, so results are unchanged. Shingle space stays
-    linear in corpus tokens, and the g-partitioned window is
-    Zipf-skewed like every token shuffle — AQE skew handling at
-    cluster scale.
+    already have) where boilerplate-share is a drop-signal. Shape:
+    codegen shingler -> explode -> shingle-df hash agg -> hash join back
+    -> per-doc agg; all mergeable, nothing quadratic (shingle space is
+    linear in corpus tokens), and the shingle join is Zipf-skewed like
+    every token join — AQE skew-split at cluster scale.
+
+    r14 note (ADVICE r13): r13 briefly computed df as ``count() OVER
+    (PARTITION BY g)`` — one shingler evaluation and one fewer exchange,
+    ~0.5 s faster at sf0.1 — but AQE's skew mitigation
+    (OptimizeSkewedJoin) applies to JOINS, not window partitions, so a
+    Zipf-head boilerplate shingle at corpus scale becomes an
+    unsplittable straggler/spill hot spot in the window form. This r12
+    join shape is restored as the registered 100 TB-safe plan: the df
+    side partial-aggregates before its exchange (skew-immune) and the
+    posting-side join exchange is exactly the skew-splittable pattern.
+    The fixture-scale cost is the shingler evaluated twice (once per
+    side) — pure map-side codegen, the right trade at scale. df-per-gram
+    is the same count either way, so results are identical.
     """
-    from .dedup import _shingles
+    from .dedup import _shingles_from
 
     d = table(spark, sf_dir, "documents")
-    posted = d.select("doc_id", F.explode(_shingles()).alias("g"))
-    per = posted.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
-    )
+    posted = d.select(
+        "doc_id", F.split("text", " ").alias("__tk")
+    ).select("doc_id", F.explode(_shingles_from(F.col("__tk"))).alias("g"))
+    freq = posted.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     novel = F.count_if(F.col("df") == 1)
     return (
-        per.groupBy("doc_id")
+        posted.join(freq, "g")
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),
             novel.cast("long").alias("n_novel"),

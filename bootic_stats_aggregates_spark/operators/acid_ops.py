@@ -2891,15 +2891,68 @@ def tx_apply_changes_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # bootstrap at the first append, then fold every later commit's
     # update-linked feed — the maintained state never rereads the
-    # table (feeds 2.. include the second append's inserts)
+    # table (feeds 2.. include the second append's inserts).
+    #
+    # r14 (VERDICT r13 task 6, guide §3.3 plan size): apply_changes runs
+    # ONCE over the balanced-union concatenation of the per-commit feeds
+    # instead of once per commit. The per-commit chain built an
+    # anti-join + union + net-agg PER VERSION — O(#commits) sequential
+    # set-op depth, 80 exchanges and 19 s of planning/staging at 6
+    # commits — while the concatenated batch is apply_changes' other
+    # DOCUMENTED input shape (identical (row, id) pairs net-cancel by
+    # change sign before the single anti-join; equality with the
+    # per-commit fold is pinned by stream_apply_changes and the oracle
+    # here). The union tree keeps plan DEPTH at O(log #commits); each
+    # feed still reads only its commit's differing files. The unioned
+    # feed — O(total commit churn) rows, bounded by design — is then
+    # lineage-truncated with a LAZY localCheckpoint (the _ckpt_small /
+    # llm_cc_star recipe): without it every action on the maintained
+    # state (the sync proof's two exceptAll counts + the query itself)
+    # re-executed all N per-commit file-diff full-outer joins — the
+    # measured bulk of this op's build+noop cost. Recomputed per
+    # builder invocation from the commit log; nothing persists across
+    # builds (the op already sits in the laziness-gate exempt list:
+    # the sync proof counts at build).
     state = tbl.read_with_row_ids(version=0)
-    for v in range(1, tbl.version + 1):
-        state = apply_changes(state, tbl.changes_with_ids(v - 1, v))
+    feeds = [
+        tbl.changes_with_ids(v - 1, v) for v in range(1, tbl.version + 1)
+    ]
+    while len(feeds) > 1:
+        feeds = [
+            feeds[i].unionByName(feeds[i + 1])
+            if i + 1 < len(feeds)
+            else feeds[i]
+            for i in range(0, len(feeds), 2)
+        ]
+    if feeds:
+        state = apply_changes(
+            state, feeds[0].localCheckpoint(eager=False)
+        )
     direct = tbl.read_with_row_ids()
-    sync_ok = (
-        state.exceptAll(direct).count() == 0
-        and direct.exceptAll(state).count() == 0
+    # Bag-equality in ONE job (r14): the two directed exceptAll counts
+    # each re-executed BOTH frames — two full passes over the direct
+    # read and the fold. Bags are equal iff every distinct row has the
+    # same multiplicity on both sides: group each side by all columns,
+    # null-safe full-outer join the count tables, and look for any
+    # mismatch. Same boolean, half the executions.
+    from functools import reduce
+
+    cols = state.columns
+    a = state.groupBy(*cols).agg(F.count(F.lit(1)).alias("__a"))
+    b = direct.groupBy(*cols).agg(F.count(F.lit(1)).alias("__b"))
+    cond = reduce(
+        lambda x, y: x & y, [a[c].eqNullSafe(b[c]) for c in cols]
     )
+    mismatches = (
+        a.join(b, cond, "full_outer")
+        .where(
+            F.col("__a").isNull()
+            | F.col("__b").isNull()
+            | (F.col("__a") != F.col("__b"))
+        )
+        .limit(1)
+    )
+    sync_ok = mismatches.count() == 0
     return state.select(
         "event_type",
         "d",

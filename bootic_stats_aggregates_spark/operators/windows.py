@@ -1131,14 +1131,20 @@ def win_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     (close), and the bar's row count. open/close are PICKS of existing
     doubles (no float arithmetic), so the oracle compare is exact.
 
-    r13 (guide §2.2): open/close are ``min_by``/``max_by`` over the
-    total-order struct (ts, event_id, value) — ONE partial-aggregated
-    hash aggregate, no window sorts at all. The r12 window formulation
-    (row_number fwd + row_number rev, then groupBy) was one shuffle plus
-    TWO full in-partition sorts of every event row; the aggregate form
-    collapses each map task's rows to one partial bar per (type, day)
-    BEFORE the exchange, so the shuffle carries bars, not events (26 KB
-    vs 240 MB at the 100x probe's 10M rows). Semantics are unchanged —
+    r13 (guide §2.2), mechanism corrected r14 (VERDICT r13 item 3):
+    open/close are ``min_by``/``max_by`` over the total-order struct
+    (ts, event_id, value). The physical form is a partial-aggregated
+    SORT-AGGREGATE pair, NOT a hash aggregate — min_by's struct buffer
+    is not hash-agg mutable, so each map task first sorts its rows by
+    the GROUP key (event_type, day) and streams partial bars
+    (plans/r13/win_ohlc_bars_after.txt: SortAggregate + map-side Sort).
+    The win over the r12 window formulation (row_number fwd + row_number
+    rev, then groupBy — one shuffle plus TWO full in-partition sorts of
+    every event by the (ts, event_id, value) total order) is therefore:
+    two total-order sorts → one group-key sort, and the exchange carries
+    partial bars, not events (26 KB vs 240 MB at the 100x probe's 10M
+    rows; tools/ohlc_sortcost_r14.log pins the residual map-side sort
+    below 10% of the r12 form). Semantics are unchanged —
     the r12 rejection of min_by was about replacing the ORACLE's window
     form cross-engine; here the DuckDB oracle keeps its pinned
     row_number/NULLS syntax and only the Spark side changes: Spark's

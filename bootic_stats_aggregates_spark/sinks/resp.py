@@ -71,11 +71,6 @@ class _Reader:
         self._buf = bytearray()
         self._pos = 0
 
-    @property
-    def pending(self) -> bool:
-        """Unconsumed bytes already buffered (a read would not block)."""
-        return self._pos < len(self._buf)
-
     def _compact(self) -> None:
         if self._pos >= self._COMPACT:
             del self._buf[: self._pos]
@@ -424,16 +419,22 @@ class RespClient:
             replies = [self._reader.parse()]  # +OK / -ERR for MULTI
             for _ in cmds:
                 replies.append(self._reader.parse())  # +QUEUED / -ERR
-            exec_reply = self._reader.parse()  # EXEC's reply array
-            for r in replies + [exec_reply]:
-                if isinstance(r, RespError):
-                    raise r
-            out = list(exec_reply or [])
+            replies.append(self._reader.parse())  # EXEC's reply array
+            out = replies
         else:
             out = [self._reader.parse() for _ in cmds]
+        # Join the sender and surface any send error BEFORE raising on a
+        # reply error (ADVICE r13): the old transaction path raised on a
+        # -ERR QUEUED reply first, leaving the sender thread unjoined and
+        # a captured send exception unreported.
         sender.join()  # every reply drained => the burst fully sent
         if send_err:
             raise send_err[0]
+        if transaction:
+            for r in replies:
+                if isinstance(r, RespError):
+                    raise r
+            out = list(replies[-1] or [])
         for r in out:
             if isinstance(r, RespError):
                 raise r

@@ -23,6 +23,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def pytest_collection_modifyitems(config, items):
+    """Tier the suite (VERDICT r13 task 1): tag the measured-slow nodeids
+    (tests/slow_tests.py, data-driven from the r14 timed full run) with
+    ``slow`` so the default ``-m "not slow"`` (pyproject addopts) run
+    finishes inside the driver's verify window. Full tier:
+    ``-m "slow or not slow"``."""
+    from slow_tests import SLOW_TESTS
+
+    for item in items:
+        if item.nodeid in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")

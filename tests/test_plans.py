@@ -403,8 +403,11 @@ BUILD_RUNS_JOBS_OK = {
     # the external driver) Dataset.localCheckpoint's toRdd materializes
     # the query stages, so the TRAINING jobs run at build; with AQE off
     # (the bench env) the checkpoint stays lazy and trains inside the
-    # timed action. Either way each invocation computes from the
-    # parquet inputs exactly once — nothing is precomputed across runs.
+    # timed action. Either way each BUILDER invocation computes from
+    # the parquet inputs exactly once — nothing is precomputed across
+    # builder invocations (repeat actions on ONE built frame do reuse
+    # the materialized K-row centroid RDDs; see _ckpt_small and
+    # bench.py steady_notes, ADVICE r13).
     "llm_ivf_train", "llm_pq_train", "llm_ann_ivfpq",
 }
 
