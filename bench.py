@@ -134,16 +134,6 @@ _STEADY_NOTES = {
 }
 
 
-def _ncpus() -> int:
-    """Core count the session will actually run with: SPARK_GRAFT_CPUS when
-    set (the driver's reduced-core runs set it), else all host cores."""
-    c = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    try:
-        return max(1, int(c))
-    except ValueError:
-        return os.cpu_count() or 4
-
-
 def _host_load() -> dict:
     """Snapshot of co-tenant pressure: 1/5/15-min loadavg + uptime seconds."""
     snap: dict = {}
@@ -280,15 +270,26 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "13"))
     # Local-bench tuning: small input splits so single-file fixtures scan in
     # parallel (a cluster keeps the 128 MB default and gets parallelism from
-    # many files). Shuffle fan-out and cached-table partitioning SCALE WITH
-    # THE CORE COUNT (VERDICT r13 task 2): a constant pinned to the local
-    # sweet spot made low-core/high-core runs identical by construction and
-    # hid core scaling from the driver's reduced-CPU probe. max(4, cpus)
-    # keeps the tiny-shuffle floor at low core counts and one reduce task
-    # per core above it.
+    # many files); modest shuffle fan-out for tiny shuffles.
+    #
+    # Shuffle width scales with DATA, not cores (r14; guide §2.2 sizes
+    # partitions by bytes). VERDICT r13 task 2 suggested defaulting
+    # SPARK_GRAFT_SHUFFLE to max(4, cpus); MEASURED (OPTIMIZATION_r14.md
+    # "Bench env scaling"): at sf0.1 and even at the 6M-row scale10, 32
+    # reduce partitions on 32 cores were SLOWER than the data-sized 4/8
+    # (fresh ivf_train 0.35→2.08 s, scale10 q3 0.72→1.43 s, stream
+    # 50k→18k ev/s — per-task dispatch dominates sub-GB shuffles), which
+    # would also have INVERTED the driver's low-core/high-core ratios.
+    # Core-scaling legibility comes from the scale10_fresh entries in the
+    # compact line instead: their MAP stages scale with cores via input
+    # splits while the reduce width stays data-sized. Production sizing
+    # stays env-parameterised (SPARK_GRAFT_SHUFFLE; a cluster sets
+    # ~2-3x total cores and lets AQE coalesce, session.py docstring).
     os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024))
-    os.environ.setdefault("SPARK_GRAFT_SHUFFLE", str(max(4, _ncpus())))
-    os.environ.setdefault("SPARK_GRAFT_CACHE_PARTS", str(max(8, _ncpus())))
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "4")
+    # 8 cached partitions: best fresh-execution grid point (r5) — fewer
+    # tasks to dispatch than 16 with per-task work still trivial.
+    os.environ.setdefault("SPARK_GRAFT_CACHE_PARTS", "8")
     # Interactive-latency config: AQE's per-stage materialize+re-plan barrier
     # costs ~10 ms/stage — decisive on 30-60 ms queries, irrelevant (and ON)
     # at cluster scale. The DuckDB baseline has no such barrier either.
@@ -391,10 +392,12 @@ def main() -> None:
             k: os.environ.get(k)
             for k in ("SPARK_GRAFT_SHUFFLE", "SPARK_GRAFT_MAX_PARTITION_BYTES")
         }
-        # scale10 is the scale-bearing section: one reduce task per core
-        # (floor 8, the r6 grid point) so the driver's reduced-core runs
-        # can SEE core scaling (VERDICT r13 task 2).
-        os.environ["SPARK_GRAFT_SHUFFLE"] = str(max(8, _ncpus()))
+        # Data-sized reduce width here too (r6 grid point; the r14
+        # max(8,cpus) experiment measured 32 partitions ~2x SLOWER on the
+        # same 6M rows — see the main() comment). Core scaling shows in
+        # this section's MAP stages: 32 MB splits over ~200 MB of input
+        # give 8-cores vs 32-cores genuinely different stage times.
+        os.environ["SPARK_GRAFT_SHUFFLE"] = "8"
         os.environ["SPARK_GRAFT_MAX_PARTITION_BYTES"] = str(32 * 1024 * 1024)
         try:
             from bootic_stats_aggregates_spark.scalebench import run_scale_bench

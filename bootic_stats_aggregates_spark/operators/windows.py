@@ -1142,9 +1142,12 @@ def win_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev, then groupBy — one shuffle plus TWO full in-partition sorts of
     every event by the (ts, event_id, value) total order) is therefore:
     two total-order sorts → one group-key sort, and the exchange carries
-    partial bars, not events (26 KB vs 240 MB at the 100x probe's 10M
-    rows; tools/ohlc_sortcost_r14.log pins the residual map-side sort
-    below 10% of the r12 form). Semantics are unchanged —
+    partial bars, not events. Measured at the 100x probe (10M rows,
+    tools/ohlc_sortcost_r14.log): 2.4× faster wall and 432× fewer
+    shuffle bytes (0.55 MB vs 238 MB) than the window form; the residual
+    map-side group-key sort is real (~35% of the window form's LOCAL
+    wall, where shuffle is memory-speed) but the byte axis is what rules
+    once the exchange crosses a network. Semantics are unchanged —
     the r12 rejection of min_by was about replacing the ORACLE's window
     form cross-engine; here the DuckDB oracle keeps its pinned
     row_number/NULLS syntax and only the Spark side changes: Spark's

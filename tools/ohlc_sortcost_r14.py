@@ -35,6 +35,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "32")
 os.environ["SPARK_GRAFT_CACHE_TABLES"] = "0"
@@ -49,11 +50,17 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _time(spark, build, label: str) -> float:
+def _time(spark, build, label: str) -> tuple[float, dict]:
     """min-of-RUNS fresh noop executions with the plan built outside the
-    timer (the noop_bench discipline)."""
+    timer (the noop_bench discipline) + the LAST run's stage shuffle
+    metrics (REST; local mode makes shuffle memory-speed, so bytes —
+    the quantity that rules at cluster scale, guide §2.2/2.3 — must be
+    recorded separately from wall)."""
+    from scale100_r11 import _stage_ids, _stage_metrics
+
     _noop(build())  # warm-up
     samples = []
+    metrics: dict = {}
     for i in range(RUNS):
         df = build()
         try:
@@ -61,10 +68,19 @@ def _time(spark, build, label: str) -> float:
         except Exception:
             df.schema
         spark.sparkContext.setJobDescription(f"sortcost:{label}:{i}")
+        before = _stage_ids(spark) if i == RUNS - 1 else None
         t0 = time.perf_counter()
         _noop(df)
         samples.append(time.perf_counter() - t0)
-    return round(min(samples), 3)
+        if before is not None:
+            m = _stage_metrics(spark, before)
+            metrics = {
+                "shuffle_write_bytes": m.get("shuffle_write_bytes"),
+                "shuffle_read_bytes": m.get("shuffle_read_bytes"),
+                "memory_spilled_bytes": m.get("memory_spilled_bytes"),
+                "disk_spilled_bytes": m.get("disk_spilled_bytes"),
+            }
+    return round(min(samples), 3), metrics
 
 
 def stage(spark, mult: int) -> str:
@@ -103,11 +119,12 @@ def main(mult: int) -> None:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from scale100_r11 import _spark
+
     from bootic_stats_aggregates_spark.helpers import lcount
     from bootic_stats_aggregates_spark.io import table
-    from bootic_stats_aggregates_spark.session import get_spark
 
-    spark = get_spark("sortcost-r14")
+    spark = _spark()  # UI on: REST stage metrics (shuffle bytes)
     spark.sparkContext.setLogLevel("ERROR")
     dest = stage(spark, mult)
     n_ev = table(spark, dest, "events").count()
@@ -171,9 +188,9 @@ def main(mult: int) -> None:
             )
         )
 
-    a = _time(spark, ohlc_minby, "ohlc_minby")
-    b = _time(spark, ohlc_window, "ohlc_window")
-    c = _time(spark, ohlc_hashonly, "ohlc_hashonly")
+    a, am = _time(spark, ohlc_minby, "ohlc_minby")
+    b, bm = _time(spark, ohlc_window, "ohlc_window")
+    c, cm = _time(spark, ohlc_hashonly, "ohlc_hashonly")
     out["win_ohlc_bars"] = {
         "minby_sec": a,
         "window_sec": b,
@@ -181,6 +198,9 @@ def main(mult: int) -> None:
         "sort_residual_sec": round(a - c, 3),
         "residual_vs_window_pct": round(100.0 * (a - c) / b, 1),
         "criterion_lt_10pct": (a - c) < 0.10 * b,
+        "minby_metrics": am,
+        "window_metrics": bm,
+        "hashonly_metrics": cm,
     }
 
     # ---- llm_exact_dedup ----
@@ -208,9 +228,9 @@ def main(mult: int) -> None:
             .select("doc_id", "n")
         )
 
-    a = _time(spark, dedup_minby, "dedup_minby")
-    b = _time(spark, dedup_window, "dedup_window")
-    c = _time(spark, dedup_hashonly, "dedup_hashonly")
+    a, am = _time(spark, dedup_minby, "dedup_minby")
+    b, bm = _time(spark, dedup_window, "dedup_window")
+    c, cm = _time(spark, dedup_hashonly, "dedup_hashonly")
     out["llm_exact_dedup"] = {
         "minby_sec": a,
         "window_sec": b,
@@ -218,6 +238,9 @@ def main(mult: int) -> None:
         "sort_residual_sec": round(a - c, 3),
         "residual_vs_window_pct": round(100.0 * (a - c) / b, 1),
         "criterion_lt_10pct": (a - c) < 0.10 * b,
+        "minby_metrics": am,
+        "window_metrics": bm,
+        "hashonly_metrics": cm,
     }
 
     log = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -93,7 +93,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    summary_path = os.path.join(
+    summary_path = os.environ.get("PLAN_AUDIT_OUT") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), f"plan_audit_r13_{suffix}.jsonl"
     )
     mode = "a" if only else "w"
